@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central fixture access: every query reads driver-generated parquet via
+  * this helper so scans stay uniform (and Catalyst pushdown/pruning applies
+  * to a plain FileSourceScan everywhere). See FIXTURES.md §B for schemas.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+
+  /** `events` with `ts` as a proper TimestampType column. The fixture
+    * stores parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by [[GraftSession]])
+    * Spark reads it as Long nanos, which we convert losslessly (fixture
+    * values are µs-precision) to Spark's µs timestamps. */
+  def eventsTs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = events(s, d)
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else e
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's shipped example jobs (SURVEY.md §2.2 E1-E9), re-expressed
+  * as declarative Spark plans over `documents`/`events`.
+  *
+  * Reference semantics (cited per query):
+  *  - wordcount: examples/wordcount/{mapper,reducer}.py — tokenize
+  *    `\b\w+\b` after lower(), count per token, keys sorted.
+  *  - grep: examples/grep/{mapper,reducer}.py — case-insensitive regex
+  *    filter, count duplicate matching lines.
+  *  - inverted index: examples/inverted_index/{mapper,reducer}.py — per-doc
+  *    distinct tokens of length > 2 → sorted comma-joined posting list.
+  *  - url_analyzer (documented only, documentation.md:624-653): multi-key
+  *    fan-out counts → GROUPING SETS shape.
+  *  - ngram (documented only, documentation.md:655-681): adjacent-token
+  *    bigram counts.
+  *
+  * Scale notes: every query here is scan → narrow transforms → single
+  * hash-aggregate shuffle. Tokenization happens map-side (inside the scan
+  * stage's whole-stage codegen), so the shuffle carries (token, partial
+  * count) — identical shape to the reference's combiner-less map/shuffle but
+  * with Spark's partial aggregation cutting shuffle volume by ~vocab/corpus
+  * ratio. No collect(), no driver state; all safe at 100 TB.
+  */
+object TextJobs {
+
+  /** E1+E2 wordcount. `\\W+` split ≙ reference's `\b\w+\b` findall
+    * (examples/wordcount/mapper.py:8) for ASCII text; empty-token filter
+    * drops the artifacts of leading/trailing separators. */
+  def wordcount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** E3+E4 grep: keep lines (here: docs) matching a pattern
+    * case-insensitively, count occurrences of each distinct matching text.
+    * Pattern parameterization ≙ GREP_PATTERN env (mapper.py:15); we fix the
+    * reference default "error". */
+  def grep(spark: SparkSession, sfDir: String, pattern: String = "error"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("(?i)" + pattern))
+      .groupBy(col("text")).agg(count(lit(1)).as("cnt"))
+      .orderBy("text")
+
+  /** E5+E6+E7 inverted index over `documents` (doc_id is already a typed
+    * column, so E5's "doc_id: content" parse is the identity here — see
+    * [[invertedIndexRaw]] for the raw-line variant honoring E5 exactly).
+    * Per-doc distinct tokens len>2 (mapper.py:31-37), posting list =
+    * sorted distinct doc_ids comma-joined (reducer.py:23-27). */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\W+"))).as("word"))
+      .filter(length(col("word")) > 2)
+      .groupBy("word")
+      .agg(concat_ws(",", array_sort(collect_set(col("doc_id").cast("string"))))
+        .as("doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("word")
+
+  /** E5 exactly: parse synthetic `"{doc_id}: {content}"` lines, skipping
+    * malformed ones (inverted_index/mapper.py:21-28). We rebuild the
+    * reference's raw-line input shape from `documents` (concat), then parse
+    * it back — proving the split-on-first-colon + malformed-skip semantics. */
+  def invertedIndexRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables.documents(spark, sfDir)
+      .select(concat(col("doc_id").cast("string"), lit(": "), col("text")).as("line"))
+    lines
+      .withColumn("doc_id", regexp_extract(col("line"), "^([^:]+): (.*)$", 1))
+      .withColumn("content", regexp_extract(col("line"), "^([^:]+): (.*)$", 2))
+      .filter(col("doc_id") =!= "")  // malformed-skip (no colon → no match)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("content")), "\\W+"))).as("word"))
+      .filter(length(col("word")) > 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("word")
+  }
+
+  /** E8 url_analyzer shape (documentation.md:624-653): one pass over
+    * `events`, counting by (event_type), (status bucket from props.k), and
+    * (event_type, status) — the reference fans out 3 key families from one
+    * mapper; the relational ancestor is GROUPING SETS, which Spark computes
+    * in a single shuffle with an Expand node (not three scans). */
+  def multiKeyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("k_bucket")),
+            Seq(col("event_type"), col("k_bucket"))),
+        col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type").asc_nulls_first, col("k_bucket").asc_nulls_first)
+
+  /** E9 ngram (documentation.md:655-681): adjacent-token bigrams + counts.
+    * Array zip of tokens with its own tail — stays inside whole-stage
+    * codegen, no window shuffle needed (the window alternative would
+    * partition by doc and sort by position; zip_with is strictly cheaper). */
+  def bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(split(lower(col("text")), "\\W+").as("t"))
+      .select(filter(col("t"), x => length(x) > 0).as("t"))
+    toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount"          -> ((s, d) => wordcount(s, d)),
+    // "error" is the reference default (grep/mapper.py:15) but absent from
+    // this corpus's vocabulary; include "scan" so the query is non-vacuous.
+    "grep"               -> ((s, d) => grep(s, d, "(error|scan)")),
+    "inverted_index"     -> ((s, d) => invertedIndex(s, d)),
+    "inverted_index_raw" -> ((s, d) => invertedIndexRaw(s, d)),
+    "multikey_counts"    -> ((s, d) => multiKeyCounts(s, d)),
+    "bigrams"            -> ((s, d) => bigrams(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "grep" ->
+      """SELECT text, count(*) AS cnt FROM documents
+        |WHERE regexp_matches(text, '(?i)(error|scan)')
+        |GROUP BY text ORDER BY text""".stripMargin,
+    "inverted_index" ->
+      """SELECT word,
+        |       list_aggregate(list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))), 'string_agg', ',') AS doc_ids,
+        |       count(*) AS n_docs
+        |FROM (SELECT DISTINCT doc_id,
+        |             unnest(string_split_regex(lower(text), '\W+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 2
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "inverted_index_raw" ->
+      """SELECT word, count(*) AS n_docs
+        |FROM (SELECT DISTINCT doc_id,
+        |             unnest(string_split_regex(lower(text), '\W+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 2
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "multikey_counts" ->
+      """SELECT event_type, k_bucket, count(*) AS cnt
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (k_bucket), (event_type, k_bucket))
+        |ORDER BY event_type ASC NULLS FIRST, k_bucket ASC NULLS FIRST""".stripMargin,
+    "bigrams" ->
+      """SELECT bigram, count(*) AS cnt
+        |FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                               i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+        |               x -> length(x) > 0) AS t
+        |        FROM documents)
+        |)
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 100""".stripMargin,
+  )
+}
