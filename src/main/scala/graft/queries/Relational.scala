@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core over the star-schema fixtures.
+  *
+  * The reference (SURVEY.md §2.4) ships NO joins / windows / set ops /
+  * rollup — its users would hand-roll each of these as a (mapper, reducer)
+  * pair through the fixed pipeline. This module is the declarative Spark
+  * equivalent of that whole space, one query per capability, each with a
+  * DuckDB oracle twin.
+  *
+  * Determinism discipline (the driver hash-compares values after sorting
+  * columns by name): money columns in the fixtures are exact 2-decimal
+  * doubles, so every money aggregate is integerised to cents (exact int64 /
+  * decimal arithmetic, order-independent) and only converted back to double
+  * by a single identical final division on both engines. Floating sums of
+  * raw doubles would be summation-order-dependent and could flip a rounded
+  * digit. Every query ends in a total ORDER BY over a unique key set, since
+  * the driver compares rows positionally.
+  *
+  * Scale notes (100 TB target):
+  *  - dimension joins (region/nation/supplier/part) are explicit
+  *    `broadcast()` — no shuffle of the fact table for dim enrichment;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    AQE handles skew; at warehouse scale these tables would be bucketed
+  *    by orderkey at write time, which Spark picks up automatically;
+  *  - windows partition by high-cardinality keys (custkey) — no global
+  *    sort, no single-partition funnel;
+  *  - aggregates are partial (map-side) by construction via groupBy;
+  *  - cents-as-long sums: at 100 TB use decimal(38,0) to dodge int64
+  *    overflow — kept as sum over LongType here where sf0.1 maxes ~1e15,
+  *    with the decimal variant noted per query.
+  */
+object Relational {
+
+  /** round(x*100) as long — exact for the fixtures' 2-dp money doubles. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** discount/tax are 2-dp fractions (0.07) → integer percent. */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  // --------------------------------------------------------------------
+  // Aggregation
+  // --------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary over lineitem (hash agg, partial+final,
+    * no join). disc_price = ext*(1-disc); charge = ext*(1-disc)*(1+tax) —
+    * computed exactly in integer cents×pct units, divided back once. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"),
+        pct(col("l_discount")).as("disc_p"),
+        pct(col("l_tax")).as("tax_p"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        (sum("price_c").cast("double") / 100).as("sum_base_price"),
+        (sum(col("price_c") * (lit(100) - col("disc_p"))).cast("double") / 10000)
+          .as("sum_disc_price"),
+        (sum(col("price_c") * (lit(100) - col("disc_p")) * (lit(100) + col("tax_p")))
+          .cast("double") / 1000000).as("sum_charge"),
+        (sum("qty").cast("double") / count(lit(1))).as("avg_qty"),
+        (sum("price_c").cast("double") / count(lit(1)) / 100).as("avg_price"),
+        (sum("disc_p").cast("double") / count(lit(1)) / 100).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(qty) AS sum_qty,
+      |       CAST(sum(price_c) AS DOUBLE)/100 AS sum_base_price,
+      |       CAST(sum(price_c*(100-disc_p)) AS DOUBLE)/10000 AS sum_disc_price,
+      |       CAST(sum(price_c*(100-disc_p)*(100+tax_p)) AS DOUBLE)/1000000 AS sum_charge,
+      |       CAST(sum(qty) AS DOUBLE)/count(*) AS avg_qty,
+      |       CAST(sum(price_c) AS DOUBLE)/count(*)/100 AS avg_price,
+      |       CAST(sum(disc_p) AS DOUBLE)/count(*)/100 AS avg_disc,
+      |       count(*) AS count_order
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |             CAST(l_quantity AS BIGINT) AS qty,
+      |             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+      |             CAST(round(l_discount*100) AS BIGINT) AS disc_p,
+      |             CAST(round(l_tax*100) AS BIGINT) AS tax_p
+      |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct aggregation (reference's E7 `set()` generalized):
+    * distinct parts + suppliers per return flag. Spark rewrites
+    * count(distinct) into a two-phase expand+agg — still one logical pass. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP over (order year, priority): hierarchical subtotals — the
+    * full-relational ancestor of the reference's E8 multi-key fan-out.
+    * Single shuffle via Expand, not one scan per grouping. */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .rollup("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum("price_c").cast("double") / 100).as("revenue"))
+      .orderBy(col("o_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val rollupOrdersSql: String =
+    """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (o_year, o_orderpriority)
+      |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Joins
+  // --------------------------------------------------------------------
+
+  /** TPC-H Q5-shaped regional revenue: lineitem⋈orders (fact-fact, shuffle
+    * on orderkey) enriched by broadcast supplier/customer/nation/region,
+    * with the Q5 "local supplier" condition s_nationkey = c_nationkey. */
+  def regionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg((sum("rev_e4").cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("region", "nation")
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT r_name AS region, n_name AS nation,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey AND year(o_orderdate) = 1998
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY region, nation""".stripMargin
+
+  /** Left outer join + agg: per market segment, customers vs customers
+    * with orders vs order count vs spend. NULL-preserving outer side. */
+  def customerOrderStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(when(col("o_custkey").isNotNull, col("c_custkey")))
+          .as("n_buying_customers"),
+        count(col("o_custkey")).as("n_orders"),
+        coalesce(sum("price_c"), lit(0L)).as("spend_c"))
+      .withColumn("total_spend", col("spend_c").cast("double") / 100)
+      .drop("spend_c")
+      .orderBy("c_mktsegment")
+
+  val customerOrderStatsSql: String =
+    """SELECT c_mktsegment,
+      |       count(DISTINCT c_custkey) AS n_customers,
+      |       count(DISTINCT CASE WHEN o_custkey IS NOT NULL THEN c_custkey END) AS n_buying_customers,
+      |       count(o_custkey) AS n_orders,
+      |       CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100 AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-semi join: orders having ≥1 heavy lineitem (EXISTS shape).
+    * Semi joins carry no payload from the right side — cheapest existence
+    * check, and broadcastable when the filtered right side is small. */
+  def semiJoinHeavyOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir)
+          .filter(col("l_quantity") > 45).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  val semiJoinHeavyOrdersSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join: customers with no URGENT orders (NOT EXISTS shape;
+    * the right side is filtered before the join so the anti probe is
+    * small — and the filter non-vacuously keeps ~1-2% of customers). */
+  def antiJoinIdleCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  val antiJoinIdleCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                          AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Windows
+  // --------------------------------------------------------------------
+
+  /** Per-customer top-3 orders by price (row_number ranking; deterministic
+    * tiebreak on orderkey). Partition by custkey — scales with customers,
+    * no global sort. */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Running cumulative spend per customer over order history — explicit
+    * frame (UNBOUNDED PRECEDING..CURRENT ROW), exact cents arithmetic. */
+  def windowRunningSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("cum_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (col("cum_c").cast("double") / 100).as("cum_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowRunningSpendSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |              OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100
+      |         AS cum_spend
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** lag(): days since the customer's previous order. */
+  def windowOrderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowOrderGapsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(date_diff('day',
+      |              lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                        ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |              o_orderdate) AS INTEGER) AS gap_days
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Top-k, set ops, distinct, scalar battery
+  // --------------------------------------------------------------------
+
+  /** Global top-10 revenue parts: broadcast dim join + agg + TakeOrdered.
+    * Spark plans orderBy+limit as TakeOrderedAndProject — per-partition
+    * top-k then driver merge of k×partitions rows, never a full sort. */
+  def topPartsByRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+      .groupBy("l_partkey")
+      .agg((sum("rev_e4").cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_lines"))
+    li.join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_name", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("revenue"), col("n_lines"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+      .limit(10)
+  }
+
+  val topPartsByRevenueSql: String =
+    """SELECT p_partkey, p_name, p_brand,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey, p_name, p_brand
+      |ORDER BY revenue DESC, p_partkey ASC LIMIT 10""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT in one result: nations by whether they
+    * have customers and/or suppliers, tagged by set operation. */
+  def setOpsNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    def names(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("n_nationkey")).distinct()
+        .join(broadcast(nat), "n_nationkey").select("n_name")
+    val cust = names(Tables.customer(spark, sfDir), "c_nationkey")
+    val supp = names(Tables.supplier(spark, sfDir), "s_nationkey")
+    cust.union(supp).distinct().withColumn("op", lit("union"))
+      .unionByName(cust.intersect(supp).withColumn("op", lit("intersect")))
+      .unionByName(cust.except(supp).withColumn("op", lit("except")))
+      .select("op", "n_name")
+      .orderBy("op", "n_name")
+  }
+
+  val setOpsNationsSql: String =
+    """WITH cust AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |     supp AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT 'union' AS op, n_name FROM (SELECT n_name FROM cust UNION SELECT n_name FROM supp)
+      |UNION ALL
+      |SELECT 'intersect' AS op, n_name FROM (SELECT n_name FROM cust INTERSECT SELECT n_name FROM supp)
+      |UNION ALL
+      |SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cust EXCEPT SELECT n_name FROM supp)
+      |ORDER BY op, n_name""".stripMargin
+
+  /** DISTINCT projection: the catalogue of (brand, type) combinations. */
+  def distinctPartKinds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select("p_brand", "p_type").distinct()
+      .orderBy("p_brand", "p_type")
+
+  val distinctPartKindsSql: String =
+    "SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type"
+
+  /** Scalar function battery — date/string/math built-ins in one
+    * deterministic row-wise pass (everything codegen'd, no UDFs). */
+  def scalarBattery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        datediff(lit("2026-01-01").cast("timestamp"), col("o_orderdate")).as("age_days"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        (cents(col("o_totalprice")) % 97).as("price_mod97"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"))
+      .orderBy("o_orderkey")
+
+  val scalarBatterySql: String =
+    """SELECT o_orderkey,
+      |       year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |       day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+      |       CAST(date_diff('day', o_orderdate, TIMESTAMP '2026-01-01') AS INTEGER) AS age_days,
+      |       upper(o_orderstatus) AS status_u,
+      |       substring(o_orderpriority, 1, 1) AS prio_code,
+      |       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+      |       length(o_orderpriority) AS prio_len,
+      |       CAST(round(o_totalprice*100) AS BIGINT) % 97 AS price_mod97,
+      |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** HLL approximate distinct — value is approximate so there is no DuckDB
+    * twin (driver records rows-only); paired with [[distinctAgg]] whose
+    * exact counts bound it. rsd 1.5% ≙ ~2^12 HLL registers. */
+  def approxDistinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
+    "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
+    "rollup_orders"       -> ((s, d) => rollupOrders(s, d)),
+    "regional_revenue"    -> ((s, d) => regionalRevenue(s, d)),
+    "customer_order_stats"-> ((s, d) => customerOrderStats(s, d)),
+    "semi_join_heavy"     -> ((s, d) => semiJoinHeavyOrders(s, d)),
+    "anti_join_idle"      -> ((s, d) => antiJoinIdleCustomers(s, d)),
+    "window_top_orders"   -> ((s, d) => windowTopOrders(s, d)),
+    "window_running_spend"-> ((s, d) => windowRunningSpend(s, d)),
+    "window_order_gaps"   -> ((s, d) => windowOrderGaps(s, d)),
+    "top_parts_revenue"   -> ((s, d) => topPartsByRevenue(s, d)),
+    "set_ops_nations"     -> ((s, d) => setOpsNations(s, d)),
+    "distinct_part_kinds" -> ((s, d) => distinctPartKinds(s, d)),
+    "scalar_battery"      -> ((s, d) => scalarBattery(s, d)),
+    "approx_distinct_parts" -> ((s, d) => approxDistinctParts(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pricing_summary"      -> pricingSummarySql,
+    "distinct_agg"         -> distinctAggSql,
+    "rollup_orders"        -> rollupOrdersSql,
+    "regional_revenue"     -> regionalRevenueSql,
+    "customer_order_stats" -> customerOrderStatsSql,
+    "semi_join_heavy"      -> semiJoinHeavyOrdersSql,
+    "anti_join_idle"       -> antiJoinIdleCustomersSql,
+    "window_top_orders"    -> windowTopOrdersSql,
+    "window_running_spend" -> windowRunningSpendSql,
+    "window_order_gaps"    -> windowOrderGapsSql,
+    "top_parts_revenue"    -> topPartsByRevenueSql,
+    "set_ops_nations"      -> setOpsNationsSql,
+    "distinct_part_kinds"  -> distinctPartKindsSql,
+    "scalar_battery"       -> scalarBatterySql,
+    // approx_distinct_parts: intentionally no oracle (approximate result)
+  )
+}

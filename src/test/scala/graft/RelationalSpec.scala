@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the relational core (queries/Relational.scala) on the
+  * sf0.001 fixture — semantics checks that don't depend on DuckDB. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("pricing summary: groups are (returnflag, linestatus), counts total to filtered rows") {
+    val df = queries.Relational.pricingSummary(spark, sf).cache()
+    val total = df.agg(sum("count_order")).as[Long].head()
+    val filtered = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp")).count()
+    assert(total == filtered)
+    // exact cents arithmetic: avg_price * count ≈ sum_base_price
+    df.collect().foreach { r =>
+      val avg = r.getAs[Double]("avg_price")
+      val cnt = r.getAs[Long]("count_order")
+      val sumP = r.getAs[Double]("sum_base_price")
+      assert(math.abs(avg * cnt - sumP) < 1e-6 * cnt)
+    }
+  }
+
+  test("semi + anti join partition orders/customers") {
+    val nOrders = Tables.orders(spark, sf).count()
+    val semi = queries.Relational.semiJoinHeavyOrders(spark, sf).count()
+    // semi output must be a subset of orders, and heavy lineitems exist
+    assert(semi > 0 && semi < nOrders)
+    val nCust = Tables.customer(spark, sf).count()
+    val anti = queries.Relational.antiJoinIdleCustomers(spark, sf).count()
+    val withUrgent = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct(),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(anti + withUrgent == nCust)
+  }
+
+  test("window top orders: ≤3 per customer, rank contiguous from 1, descending price") {
+    val rows = queries.Relational.windowTopOrders(spark, sf)
+      .collect().groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val prices = sorted.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("running spend is non-decreasing per customer and ends at customer total") {
+    val df = queries.Relational.windowRunningSpend(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    df.foreach { case (_, rs) =>
+      val cums = rs.map(_.getAs[Double]("cum_spend"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
+  test("rollup emits grand total + per-year subtotals consistent with leaves") {
+    val rows = queries.Relational.rollupOrders(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.head.getAs[Long]("n_orders") == leaves.map(_.getAs[Long]("n_orders")).sum)
+    // per-year subtotal equals sum of that year's leaves
+    val perYear = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    perYear.foreach { sub =>
+      val y = sub.getAs[Int]("o_year")
+      val leafSum = leaves.filter(_.getAs[Int]("o_year") == y).map(_.getAs[Long]("n_orders")).sum
+      assert(sub.getAs[Long]("n_orders") == leafSum)
+    }
+  }
+
+  test("set ops: intersect + except = union of customer nations") {
+    val m = queries.Relational.setOpsNations(spark, sf).collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert((m("intersect") & m("except")).isEmpty)
+    assert((m("intersect") | m("except")).subsetOf(m("union")))
+  }
+
+  test("approx distinct within rsd bound of exact") {
+    val exact = queries.Relational.distinctAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    queries.Relational.approxDistinctParts(spark, sf).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+    }
+  }
+
+  test("regional revenue joins produce only fixture regions and positive revenue") {
+    val rows = queries.Relational.regionalRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+    val regions = Tables.region(spark, sf).select("r_name").as[String].collect().toSet
+    assert(rows.map(_.getAs[String]("region")).toSet.subsetOf(regions))
+  }
+}
