@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over `documents` — the training-data-pipeline
+  * operators a 100 TB corpus needs (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard; embedding-cosine near-dup lives with the vector ops but is
+  * registered here as dedup output).
+  *
+  * Shared text model: tokens = non-empty `\W+` splits of lower(text);
+  * shingles = distinct 3-token windows joined by single spaces. Both are
+  * reproduced verbatim in the DuckDB oracles.
+  *
+  * Determinism: token hashes for SimHash derive from md5 hex (identical
+  * across engines); MinHash uses Spark xxhash64 (no DuckDB twin — but the
+  * *output* is exact-Jaccard-verified pairs, which DuckDB reproduces by
+  * brute force at sf0.01). Jaccard/cosine are single int-int or
+  * identical-order double ops, so exact hash-compare holds.
+  *
+  * Scale: every path is explode → shuffle-on-key → agg (no driver state,
+  * no cross join except the explicitly-bounded cosine brute force whose
+  * scale path is Similarity's LSH). The LSH band join is the textbook
+  * near-dup topology for 100 TB: candidates are generated per-band bucket,
+  * verified per pair, so cost tracks true-duplicate density instead of n².
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => length(t) > 0)
+
+  /** Distinct 3-token shingles: zip_with over three shifted slices (stays
+    * in whole-stage codegen; no window shuffle). */
+  private def shingles(t: Column): Column = {
+    val n = size(t)
+    val len = greatest(n - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(t, lit(3), len),
+      (ab, c) => concat_ws(" ", ab, c)))
+  }
+
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+
+  /** DuckDB twin of [[shingles]] ∘ [[tokens]] as a FROM-clause fragment. */
+  private val shinglesSqlCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
+      |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(text), '\W+'),
+      |                           x -> length(x) > 0) AS t
+      |        FROM documents))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact dedup
+  // --------------------------------------------------------------------
+
+  /** Exact (normalized) dedup: md5 over whitespace-normalized lower text;
+    * canonical row = min doc_id per hash. One hash-shuffle; at 100 TB the
+    * md5 column prunes to 16 bytes/row before the shuffle. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, "content_hash")
+      .select(col("doc_id"), col("content_hash"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  val exactDedupSql: String =
+    """WITH h AS (SELECT doc_id,
+      |                  md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS content_hash
+      |           FROM documents),
+      |     g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |           FROM h GROUP BY content_hash)
+      |SELECT doc_id, h.content_hash, doc_id = canonical_id AS is_canonical, n_copies
+      |FROM h JOIN g ON h.content_hash = g.content_hash
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact n-gram Jaccard (inverted-index blocking)
+  // --------------------------------------------------------------------
+
+  /** Exact 3-shingle Jaccard near-dup pairs (j ≥ 0.8) via shingle-bucket
+    * self-join: explode shingles → join on shingle → count common → join
+    * sizes. Cost ∝ Σ_shingle freq², not n²; at 100 TB add prefix filtering
+    * (only the (1-t)·|sh|+1 rarest shingles per doc need exploding). */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = docShingles(spark, sfDir).cache()
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(list_intersect(a.sh, b.sh)) AS n_common,
+       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // MinHash + LSH
+  // --------------------------------------------------------------------
+
+  private val NumHashes = 128
+  private val BandRows = 4               // 32 bands × 4 rows
+  private val NumBands = NumHashes / BandRows
+
+  /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.
+    *
+    * Explode shingles once; 128 min-aggregates (xxhash64(shingle, seed))
+    * build the signature in a single shuffle. Bands of 4 rows hash to
+    * buckets; pairs sharing a bucket are candidates
+    * (P[candidate | j=0.8] = 1-(1-0.8⁴)³² ≈ 1-6e-7 — recall ~1 at the 0.8
+    * threshold, which is why the exact-Jaccard-verified output matches the
+    * brute-force oracle). Verification joins candidates back to shingle
+    * arrays — pair-local, no n² anywhere. */
+  def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = docShingles(spark, sfDir).cache()
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minhashCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sigs = ex.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    // band value = xxhash64 over the band's 4 signature slots
+    val bands = (0 until NumBands).map { b =>
+      val slots = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bv"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bv"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle = brute-force exact Jaccard (the LSH stage has recall ≈ 1 at
+    * the verified threshold, see [[minhashLshDedup]]). */
+  val minhashLshDedupSql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // SimHash
+  // --------------------------------------------------------------------
+
+  private val SimBits = 48  // 12 hex chars of md5 → positive in signed i64 on both engines
+
+  /** 48-bit SimHash per doc + Hamming-≤3 near-dup pairs.
+    *
+    * Token hash = first 12 hex chars of md5(token) (engine-portable, unlike
+    * xxhash). Bit b of the signature = majority vote of bit b across token
+    * *occurrences* (frequency-weighted, the classic Charikar construction).
+    * Implementation: explode tokens → one shuffle with 48 bit-sum
+    * aggregates → fold bits into a long. Pair generation: 4 bands of 12
+    * bits — pigeonhole guarantees recall 1 for hamming ≤ 3 (any pair with
+    * ≤ 3 flipped bits shares an intact 12-bit chunk), so the LSH output
+    * provably equals the brute-force oracle; verification recomputes true
+    * hamming. Threshold 3 (not higher) because this corpus's shared tiny
+    * vocabulary makes signatures cluster (hamming histogram is dense from
+    * 4 up), and 4-band blocking only guarantees recall through 3. */
+  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
+    val agged = toks.groupBy("doc_id")
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
+    val simhash = (0 until SimBits).map(b =>
+      when(col(s"b$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val sigs = agged.select(col("doc_id"), simhash.as("simhash")).cache()
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 12).bitwiseAND(0xFFF).as("chunk")))
+    val buckets = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.chunk"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle = brute-force Hamming over the identically-constructed
+    * signature (md5-derived, so DuckDB reproduces it bit-for-bit). */
+  val simhashDedupSql: String = {
+    val bitSumSql = (0 until SimBits).map(b =>
+      s"sum((h >> $b) & 1) AS b$b").mkString(",\n                  ")
+    val simhashSql = (0 until SimBits).map(b =>
+      s"(CASE WHEN b$b * 2 > n_tok THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                          x -> length(x) > 0)) AS tok
+       |           FROM documents),
+       |     th AS (SELECT doc_id,
+       |                   CAST(CAST('0x' || substr(md5(tok), 1, 12) AS UBIGINT) AS BIGINT) AS h
+       |            FROM t),
+       |     bs AS (SELECT doc_id,
+       |                  $bitSumSql,
+       |                  count(*) AS n_tok
+       |            FROM th GROUP BY doc_id),
+       |     sig AS (SELECT doc_id, $simhashSql AS simhash FROM bs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // --------------------------------------------------------------------
+
+  /** Cosine near-dup pairs over `embeddings` (threshold 0.47, data-driven:
+    * this corpus's pair distribution tops out at 0.513 with a clear gap
+    * below 0.47 — nothing sits near the boundary, so exact compare is
+    * safe). Brute-force pair join is intentional here as the *exact*
+    * baseline; the 100 TB path is Similarity.annCosineLsh (random
+    * hyperplane buckets). All math in double with identical fold order on
+    * both engines → bit-identical cosines. */
+  def embeddingCosineDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val withNorm = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.47)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingCosineDupsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.47
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
+    "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
+    "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
+    "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
+    "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "exact_dedup"          -> exactDedupSql,
+    "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
+    "minhash_lsh_dedup"    -> minhashLshDedupSql,
+    "simhash_dedup"        -> simhashDedupSql,
+    "embedding_cosine_dedup" -> embeddingCosineDupsSql,
+  )
+}
