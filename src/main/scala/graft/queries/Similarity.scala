@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]] — the exact baseline: query-set × corpus cosine,
+  *    per-query top-k via window ranking. O(|Q|·n) — correct at any scale
+  *    where |Q| is small (and the oracle for everything else).
+  *  - [[annCosineLsh]] — the 100 TB path: random-hyperplane (sign) LSH.
+  *    Deterministic hyperplanes are generated driver-side from a seeded
+  *    LCG and embedded as literals, so the plan is pure codegen'd column
+  *    math: 4 tables × 16-bit signatures, bucket join, exact re-rank of
+  *    candidates only. Cost tracks bucket occupancy, not n².
+  *
+  * Determinism: cosine math is all-double with identical fold order in
+  * Spark and DuckDB (float→double products are exact, 64-element sequential
+  * sums) → bit-identical values, safe to rank and hash-compare. LSH output
+  * has no SQL twin (recall < 1 by construction) — it's covered by a
+  * ScalaTest recall bound against the brute-force baseline instead.
+  */
+object Similarity {
+
+  /** Query set: the first 10 vectors (vec_id < 10) — a stand-in for an
+    * externally-supplied query table. */
+  private val NumQueries = 10
+  private val TopK = 5
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-k: broadcast the (small) query set against the
+    * corpus, rank per query. The window partitions by query id — k·|Q|
+    * result rows, never a global sort. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |     q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < $NumQueries),
+       |     scored AS (
+       |       SELECT qid, vec_id,
+       |              list_dot_product(v, qv) / (norm * qnorm) AS cosine_raw,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY list_dot_product(v, qv) / (norm * qnorm) DESC,
+       |                                          vec_id ASC) AS rank
+       |       FROM n JOIN q ON vec_id <> qid)
+       |SELECT qid, rank, vec_id, round(cosine_raw, 4) AS cosine
+       |FROM scored WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Random-hyperplane LSH
+  // --------------------------------------------------------------------
+
+  private val Dim = 64
+  // Tuned to the corpus geometry: true neighbors sit at cosine 0.25-0.51
+  // (θ ≈ 60-75°), where a sign bit agrees with p = 1-θ/π ≈ 0.58-0.67.
+  // Recall per table ≈ p^SigBits; total ≈ 1-(1-p^6)^32 ≈ 0.7-0.9 over the
+  // top-5 range, with E[bucket] = n/2^6 keeping candidates sub-linear.
+  // (16-bit sigs — the classic choice for ≥0.9-cosine dedup — yield ZERO
+  // candidates here; bits must shrink as target angle grows.)
+  private val SigBits = 6
+  private val NumTables = 32
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1): seeded
+    * LCG (numerical-recipes constants), pure function of (table, bit, dim). */
+  private[graft] def hyperplane(table: Int, bit: Int): Array[Double] = {
+    var state: Long = 0x9E3779B97F4A7C15L ^ (table.toLong << 32) ^ (bit.toLong << 8)
+    Array.fill(Dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+  }
+
+  /** Signature for one table: 16 sign bits packed into an int. */
+  private def signature(v: Column, table: Int): Column =
+    (0 until SigBits).map { b =>
+      val w = hyperplane(table, b).map(lit(_))
+      when(dot(v, array(w: _*)) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN top-k via sign-LSH: vectors sharing any of 4 table buckets with a
+    * query become candidates; exact cosine re-ranks candidates only.
+    * Rows-only check (no SQL twin); recall@5 vs [[bruteForceTopK]] is
+    * asserted in SimilaritySpec. At 100 TB: bucket join shuffles
+    * (table, sig) keys — tune SigBits so E[bucket size] = n / 2^SigBits
+    * stays executor-local; add multiprobe for recall. */
+  def annCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val sigs = (0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(col("v"), t).as("sig")))
+    val bucketed = all.select(col("vec_id"), explode(array(sigs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.t"), col("bk.sig"))
+    val qb = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("t"), col("sig"))
+    val cands = bucketed.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    cands
+      .join(all, "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
+    "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> bruteForceTopKSql,
+    // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
+  )
+}

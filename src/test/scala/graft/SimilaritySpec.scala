@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN semantics: brute force is the ground truth; LSH is graded on
+  * recall@5 against it. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("brute-force top-k: 5 neighbors per query, cosine non-increasing, no self-match") {
+    val rows = queries.Similarity.bruteForceTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      assert(rs.forall(_.getAs[Long]("vec_id") != qid))
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH recall@5 >= 0.5 vs brute force (sign-LSH, 32 tables x 6 bits)") {
+    val truth = queries.Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = queries.Similarity.annCosineLsh(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(s"recall@5 = $recall (candidates returned: ${got.size})")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = queries.Similarity.hyperplane(2, 7)
+    val b = queries.Similarity.hyperplane(2, 7)
+    assert(a.sameElements(b))
+    assert(!a.sameElements(queries.Similarity.hyperplane(2, 8)))
+    assert(a.forall(x => x >= -1 && x < 1))
+  }
+}
