@@ -107,7 +107,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
+        Det.r(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 6))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -118,8 +118,8 @@ object Dedup {
     s"""WITH $shinglesSqlCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       len(list_intersect(a.sh, b.sh)) AS n_common,
-       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |       CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
@@ -165,7 +165,7 @@ object Dedup {
       .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
+        Det.r(col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -177,8 +177,8 @@ object Dedup {
   val minhashLshDedupSql: String =
     s"""WITH $shinglesSqlCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |       CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
@@ -275,7 +275,7 @@ object Dedup {
     val withNorm = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
     withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+        Det.r(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= 0.47)
       .orderBy("vec_a", "vec_b")
@@ -285,9 +285,9 @@ object Dedup {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+      |       CAST(floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.47
+      |WHERE CAST(floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 >= 0.47
       |ORDER BY vec_a, vec_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

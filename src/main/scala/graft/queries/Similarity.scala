@@ -52,7 +52,7 @@ object Similarity {
       .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -67,7 +67,7 @@ object Similarity {
        |                                 ORDER BY list_dot_product(v, qv) / (norm * qnorm) DESC,
        |                                          vec_id ASC) AS rank
        |       FROM n JOIN q ON vec_id <> qid)
-       |SELECT qid, rank, vec_id, round(cosine_raw, 4) AS cosine
+       |SELECT qid, rank, vec_id, CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
        |FROM scored WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
@@ -128,7 +128,7 @@ object Similarity {
       .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
       .orderBy("qid", "rank")
   }
 

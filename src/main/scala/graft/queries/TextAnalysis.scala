@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the per-document scoring
+  * passes of a training-data pipeline: language ID, quality scoring,
+  * token counting, winnowing fingerprints.
+  *
+  * All four are scan → narrow per-row column math → (optional) agg: no
+  * shuffle except final ordering, fully codegen'd, no UDFs — at 100 TB
+  * these run at parquet-scan speed. Everything is exact integer or
+  * identical-order double arithmetic, so each query has a value-exact
+  * DuckDB twin.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => length(t) > 0)
+
+  /** Deterministic 4-dp rounding: floor(x·10⁴+0.5)/10⁴ — pure IEEE ops, so
+    * identical inputs give identical outputs on every engine (unlike
+    * round(), whose tie-breaking differs between Spark's decimal-string
+    * HALF_UP and DuckDB's binary rounding at representation boundaries). */
+  private def r4(c: Column): Column =
+    floor(c * 10000 + 0.5).cast("double") / 10000
+
+  /** DuckDB twin of [[r4]]. */
+  private def r4Sql(x: String): String =
+    s"CAST(floor(($x) * 10000 + 0.5) AS DOUBLE) / 10000"
+
+
+  // --------------------------------------------------------------------
+  // Language ID (stopword-profile heuristic)
+  // --------------------------------------------------------------------
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "y", "por", "para"))
+
+  /** Occurrence-count language ID: per doc, count token occurrences in
+    * each language's tiny stopword profile; argmax with deterministic
+    * preference order (en > de > fr > es) on ties. The fixture's `lang`
+    * column is a generator label, not a property of the (English-ish)
+    * token soup — so the output keeps both for confusion analysis. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+    val withHits = stopwords.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"hits_$l",
+        size(filter(col("t"), x => array_contains(array(ws.map(lit): _*), x))))
+    }
+    val Seq(en, de, fr, es) = stopwords.map(p => col(s"hits_${p._1}"))
+    withHits
+      .withColumn("pred_lang",
+        when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr").otherwise("es"))
+      .select("doc_id", "lang", "pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val hits = stopwords.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($set))) AS hits_$l"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id, lang, CASE
+       |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+       |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+       |         WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       |       hits_en, hits_de, hits_fr, hits_es
+       |FROM (SELECT doc_id, lang,
+       |       $hits
+       |      FROM (SELECT doc_id, lang,
+       |                   list_filter(string_split_regex(lower(text), '\\W+'),
+       |                               x -> length(x) > 0) AS t
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Quality scoring
+  // --------------------------------------------------------------------
+
+  /** Length/punctuation/stopword quality heuristics → score ∈ [0,1] →
+    * {low, medium, high}. Ratios are int/int double divisions (identical
+    * across engines); the weighted sum is the same literal expression on
+    * both sides, so even the bucket comparisons agree exactly. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val enSet = stopwords.head._2
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("t"))))
+      .withColumn("avg_token_len",
+        r4(aggregate(col("t"), lit(0L), (a, x) => a + length(x)).cast("double")
+          / greatest(col("n_tokens"), lit(1))))
+      .withColumn("punct_ratio",
+        r4(size(split(col("text"), "[^\\w\\s]")).minus(1).cast("double")
+          / greatest(col("n_chars"), lit(1))))
+      .withColumn("stopword_ratio",
+        r4(size(filter(col("t"), x =>
+          array_contains(array(enSet.map(lit): _*), x))).cast("double")
+          / greatest(col("n_tokens"), lit(1))))
+      .withColumn("type_token_ratio",
+        r4(col("n_distinct_tokens").cast("double")
+          / greatest(col("n_tokens"), lit(1))))
+      .withColumn("quality_score",
+        r4(lit(0.3) * least(col("n_tokens").cast("double") / 50, lit(1.0))
+          + lit(0.3) * col("type_token_ratio")
+          + lit(0.2) * col("stopword_ratio")
+          + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0)))))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.6, "high")
+          .when(col("quality_score") >= 0.4, "medium").otherwise("low"))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "avg_token_len", "punct_ratio", "stopword_ratio", "type_token_ratio",
+        "quality_score", "quality_bucket")
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val score = r4Sql("""0.3 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+             + 0.3 * type_token_ratio
+             + 0.2 * stopword_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))""")
+    s"""SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+       |       punct_ratio, stopword_ratio, type_token_ratio,
+       |       $score AS quality_score,
+       |       CASE WHEN $score >= 0.6 THEN 'high'
+       |            WHEN $score >= 0.4 THEN 'medium'
+       |            ELSE 'low' END AS quality_bucket
+       |FROM (
+       |  SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len, punct_ratio,
+       |         ${r4Sql(s"CAST(len(list_filter(t, x -> x IN ($set))) AS DOUBLE) / greatest(n_tokens, 1)")} AS stopword_ratio,
+       |         ${r4Sql("CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1)")} AS type_token_ratio
+       |  FROM (
+       |    SELECT doc_id, t, length(text) AS n_chars, len(t) AS n_tokens,
+       |           len(list_distinct(t)) AS n_distinct_tokens,
+       |           ${r4Sql("CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)")} AS avg_token_len,
+       |           ${r4Sql("CAST(len(string_split_regex(text, '[^\\w\\s]')) - 1 AS DOUBLE) / greatest(length(text), 1)")} AS punct_ratio
+       |    FROM (SELECT doc_id, text,
+       |                 list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             x -> length(x) > 0) AS t
+       |          FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Token counting
+  // --------------------------------------------------------------------
+
+  /** Whitespace tokens vs BPE-ish regex tokens (letter runs | digit runs |
+    * single non-space symbol — the GPT-2-style pre-tokenizer shape). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .as("n_bpe_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_vocab"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
+      |       len(list_distinct(list_filter(string_split_regex(lower(text), '\W+'),
+      |                                     x -> length(x) > 0))) AS n_vocab,
+      |       length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Winnowing fingerprints (rolling hash)
+  // --------------------------------------------------------------------
+
+  private val K = 8   // char k-gram size
+  private val W = 4   // winnowing window
+  private val B = 31L // polynomial base; max hash 255·(31⁷+…) ≈ 7e12 — exact i64
+
+  /** Document fingerprinting à la winnowing (MOSS): polynomial rolling
+    * hash over 8-char k-grams of the normalized text, then per-window
+    * minima, deduplicated. The k-gram hash is an UNROLLED 8-term
+    * polynomial (no inner lambda, no modulus — exact int64 on both
+    * engines). Output: fingerprint count + min/max as a compact identity
+    * summary (two docs sharing n-gram content share fingerprints). */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val pows = (0 until K).map(j => java.lang.Math.pow(B.toDouble, (K - 1 - j).toDouble).toLong)
+    val terms = (0 until K).map(j =>
+      s"ascii(substring(ns, i+$j, 1)) * ${pows(j)}L").mkString(" + ")
+    Tables.documents(spark, sfDir)
+      .withColumn("ns", trim(regexp_replace(lower(col("text")), "\\W+", " ")))
+      .withColumn("hs", expr(
+        s"CASE WHEN length(ns) >= $K THEN transform(sequence(1, length(ns)-${K - 1}), i -> $terms) " +
+          "ELSE CAST(array() AS array<bigint>) END"))
+      .withColumn("fps", expr(
+        s"CASE WHEN size(hs) >= $W THEN array_distinct(transform(sequence(1, size(hs)-${W - 1}), w -> array_min(slice(hs, w, $W)))) " +
+          "ELSE array_distinct(hs) END"))
+      .select(col("doc_id"),
+        size(col("hs")).as("n_kgrams"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintSql: String = {
+    val pows = (0 until K).map(j => java.lang.Math.pow(B.toDouble, (K - 1 - j).toDouble).toLong)
+    val terms = (0 until K).map(j =>
+      s"CAST(ascii(substr(ns, i+$j, 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+    s"""SELECT doc_id, len(hs) AS n_kgrams, len(fps) AS n_fingerprints,
+       |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+       |FROM (
+       |  SELECT doc_id, hs,
+       |         CASE WHEN len(hs) >= $W
+       |              THEN list_distinct(list_transform(range(1, len(hs)-${W - 2}),
+       |                                 w -> list_min(hs[w:w+${W - 1}])))
+       |              ELSE list_distinct(hs) END AS fps
+       |  FROM (
+       |    SELECT doc_id,
+       |           CASE WHEN length(ns) >= $K
+       |                THEN list_transform(range(1, length(ns)-${K - 2}),
+       |                                    i -> $terms)
+       |                ELSE CAST([] AS BIGINT[]) END AS hs
+       |    FROM (SELECT doc_id,
+       |                 trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS ns
+       |          FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id"         -> ((s, d) => langId(s, d)),
+    "text_quality"    -> ((s, d) => textQuality(s, d)),
+    "token_counts"    -> ((s, d) => tokenCounts(s, d)),
+    "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lang_id"         -> langIdSql,
+    "text_quality"    -> textQualitySql,
+    "token_counts"    -> tokenCountsSql,
+    "doc_fingerprint" -> docFingerprintSql,
+  )
+}

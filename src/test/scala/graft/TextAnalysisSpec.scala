@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("lang_id: one row per doc, prediction drawn from the profiled languages") {
+    val rows = queries.TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val langs = Set("en", "de", "fr", "es")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("pred_lang"))))
+    // argmax property: predicted language's hits >= every other language's hits
+    rows.foreach { r =>
+      val hits = langs.map(l => l -> r.getAs[Int](s"hits_$l").toLong).toMap
+      assert(hits(r.getAs[String]("pred_lang")) == hits.values.max)
+    }
+  }
+
+  test("text_quality: ratios in [0,1], score consistent with bucket thresholds") {
+    val rows = queries.TextAnalysis.textQuality(spark, sf).collect()
+    rows.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0)
+      val bucket = r.getAs[String]("quality_bucket")
+      if (s >= 0.6) assert(bucket == "high")
+      else if (s >= 0.4) assert(bucket == "medium")
+      else assert(bucket == "low")
+      assert(r.getAs[Double]("type_token_ratio") <= 1.0)
+      assert(r.getAs[Double]("stopword_ratio") <= 1.0)
+    }
+  }
+
+  test("token_counts: bpe tokens >= ws tokens (runs split finer), vocab <= ws tokens") {
+    val rows = queries.TextAnalysis.tokenCounts(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_bpe_tokens") >= r.getAs[Int]("n_ws_tokens"))
+      assert(r.getAs[Int]("n_vocab") <= r.getAs[Int]("n_ws_tokens"))
+    }
+  }
+
+  test("doc_fingerprint: winnowing selects a subset of kgram hashes, bounds hold") {
+    val rows = queries.TextAnalysis.docFingerprint(spark, sf).collect()
+    rows.foreach { r =>
+      val nk = r.getAs[Int]("n_kgrams")
+      val nf = r.getAs[Int]("n_fingerprints")
+      assert(nf > 0 && nf <= nk)
+      // winnowing density ~ 2/(w+1) = 0.4; allow generous slack
+      assert(nf <= nk * 0.8 + 4)
+      assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_max"))
+    }
+  }
+}
