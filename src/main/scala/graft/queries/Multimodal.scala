@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads + typed metadata, processed by partition-local batch stages —
+  * the Spark-side shape of a decode / feature-extract / frame-sample
+  * pipeline over 100 TB of media.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * DETERMINISTIC FAKE (clearly marked below): it "decodes" the payload
+  * bytes themselves. Everything around it is the real production shape:
+  *  - `binary` column + metadata struct schema (what a parquet media lake
+  *    stores);
+  *  - `repartition(modality)` so each partition sees one modality — the
+  *    prerequisite for batching through a modality-specific model;
+  *  - typed `Dataset.mapPartitions` with (a) one expensive decoder init
+  *    per partition and (b) fixed-size batch iteration (`grouped(64)`) —
+  *    the Scala analog of `mapInPandas`'s Arrow-batch contract;
+  *  - features emitted as columns + fixed-length Array[Double] vector.
+  *
+  * `mm_features` is value-exact DuckDB-oracle'd (the fake decode is pure
+  * integer byte math DuckDB reproduces from the text column);
+  * `mm_frame_sample` is rows-only-checked + property-tested in
+  * MultimodalSpec.
+  */
+object Multimodal {
+
+  /** The media-lake row: payload is what a real pipeline would read as
+    * image/audio bytes; width/height/sample_rate are the typed metadata. */
+  case class Asset(doc_id: Long, modality: String, payload: Array[Byte],
+                   width: Int, height: Int, sample_rate: Int)
+
+  case class Features(doc_id: Long, modality: String, n_bytes: Int,
+                      checksum: Long, mean_byte: Double, width: Int, height: Int,
+                      feat: Array[Double])
+
+  case class Frames(doc_id: Long, modality: String, n_bytes: Int,
+                    n_frames: Int, frame_bytes: Array[Byte])
+
+  /** Deterministic asset table derived from `documents` (payload = UTF-8
+    * text bytes — ASCII in this corpus, so byte k == ascii(char k), which
+    * is what makes the DuckDB twin exact). Metadata is a pure function of
+    * doc_id, as a stand-in for stored media headers. */
+  def assets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 4) * 32).cast("int").as("height"),
+        when(col("doc_id") % 2 === 0, 0).otherwise(16000).as("sample_rate"))
+      .as[Asset]
+  }
+
+  /** ==== STUBBED DECODER ====
+    * Stands in for e.g. JPEG decode + CNN features or PCM decode + FFT.
+    * Pure function of the payload bytes: 4 strided byte sums (the "feature
+    * vector"), total checksum, mean byte. Replace `decodeBatch` with a
+    * real codec + model call in production; the init/batch plumbing around
+    * it is what this module actually demonstrates. */
+  private final class FakeDecoder(val modality: String) {
+    def decodeBatch(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
+      val bytes = a.payload.map(b => (b & 0xFF).toLong)
+      val checksum = bytes.sum
+      val strided = (0 until 4).map(r =>
+        bytes.zipWithIndex.collect { case (v, i) if i % 4 == r => v }.sum.toDouble)
+      Features(a.doc_id, a.modality, a.payload.length, checksum,
+        math.floor(checksum.toDouble / math.max(a.payload.length, 1) * 10000 + 0.5) / 10000,
+        a.width, a.height, strided.toArray)
+    }
+  }
+
+  /** Decode + feature-extract: one decoder init per partition, 64-row
+    * batches — the exact execution shape of a GPU/codec UDF at scale. */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .repartition(col("modality"))
+      .mapPartitions { it =>
+        val grouped = it.grouped(64)
+        var decoder: FakeDecoder = null   // lazy per-partition init
+        grouped.flatMap { batch =>
+          if (decoder == null) decoder = new FakeDecoder(batch.head.modality)
+          decoder.decodeBatch(batch)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"),
+        col("mean_byte"), col("width"), col("height"),
+        col("feat")(0).as("feat0"), col("feat")(1).as("feat1"),
+        col("feat")(2).as("feat2"), col("feat")(3).as("feat3"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: byte k of the ASCII payload == ascii(substr(text,k,1)). */
+  val mmFeaturesSql: String = {
+    def strideSum(r: Int) =
+      s"CAST(list_sum(list_transform(range(${r + 1}, length(text)+1, 4), i -> ascii(substr(text, i, 1)))) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       |       length(text) AS n_bytes,
+       |       list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS checksum,
+       |       CAST(floor(CAST(list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+       |                  / greatest(length(text), 1) * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_byte,
+       |       CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+       |       CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS height,
+       |       coalesce(${strideSum(0)}, 0) AS feat0,
+       |       coalesce(${strideSum(1)}, 0) AS feat1,
+       |       coalesce(${strideSum(2)}, 0) AS feat2,
+       |       coalesce(${strideSum(3)}, 0) AS feat3
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Frame sampling: keep every 16th payload byte ("1 fps of a 16 fps
+    * stream") — the decimation shape of video frame-sampling / audio
+    * downsampling. Rows-only check; properties asserted in MultimodalSpec. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stride = 16
+    assets(spark, sfDir)
+      .repartition(col("modality"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val sampled = a.payload.zipWithIndex.collect {
+            case (b, i) if i % stride == 0 => b
+          }
+          Frames(a.doc_id, a.modality, a.payload.length, sampled.length, sampled)
+        }
+      }
+      .toDF()
+      .select("doc_id", "modality", "n_bytes", "n_frames", "frame_bytes")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features"     -> ((s, d) => mmFeatures(s, d)),
+    "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" -> mmFeaturesSql,
+    // mm_frame_sample: binary output column — rows-only check + spec.
+  )
+}

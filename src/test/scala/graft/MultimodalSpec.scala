@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("assets: binary payload + typed metadata, modality split by doc_id parity") {
+    val a = queries.Multimodal.assets(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { x =>
+      assert(x.payload.nonEmpty)
+      if (x.doc_id % 2 == 0) { assert(x.modality == "image" && x.sample_rate == 0) }
+      else { assert(x.modality == "audio" && x.sample_rate == 16000) }
+      assert(x.width >= 64 && x.height >= 64)
+    }
+  }
+
+  test("mm_features: checksum equals sum of strided features; deterministic across runs") {
+    val rows1 = queries.Multimodal.mmFeatures(spark, sf).collect()
+    val rows2 = queries.Multimodal.mmFeatures(spark, sf).collect()
+    assert(rows1.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+    rows1.foreach { r =>
+      val strides = (0 to 3).map(i => r.getAs[Double](s"feat$i")).sum
+      assert(strides.toLong == r.getAs[Long]("checksum"))
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+
+  test("mm_frame_sample: ceil(n/16) frames, frames are the strided bytes") {
+    val frames = queries.Multimodal.mmFrameSample(spark, sf).collect()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    frames.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      val k = r.getAs[Int]("n_frames")
+      assert(k == (n + 15) / 16)
+      val expect = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+        .zipWithIndex.collect { case (b, i) if i % 16 == 0 => b }
+      assert(r.getAs[Array[Byte]]("frame_bytes").toSeq == expect.toSeq)
+    }
+  }
+}
