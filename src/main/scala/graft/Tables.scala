@@ -28,7 +28,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     val e = events(s, d)
     if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      e.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division — `/` on longs is DOUBLE division in Spark, and a
+      // double cannot hold epoch-nanos (~1.7e18 > 2^53): µs would come back
+      // off by one on ~half the rows
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else e
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

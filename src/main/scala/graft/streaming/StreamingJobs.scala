@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+import graft.Tables
+
+/** Structured Streaming over the stream-shaped `events` table.
+  *
+  * The reference is strictly batch (SURVEY.md §2.4) — this module is the
+  * extension a log/event pipeline needs, built the Spark-native way: the
+  * SAME transformations run over a batch frame (driver verification, DuckDB
+  * twins) and a `readStream` frame (watermark + windowed state). Each
+  * builder takes the input DataFrame so batch/stream share one code path —
+  * `withWatermark` is eliminated by Catalyst on batch plans.
+  *
+  * Scale: windowed aggregation state is keyed by (window, event_type) or
+  * (user, session) — bounded by watermark expiry, partitioned by key across
+  * executors; nothing accumulates on the driver.
+  */
+object StreamingJobs {
+
+  /** Integerised 2-dp money (see Relational: exact, order-independent). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  // --------------------------------------------------------------------
+  // Shared batch/stream transformations
+  // --------------------------------------------------------------------
+
+  /** Tumbling 1-hour windows: count + exact value sum per (window, type). */
+  def tumbling1h(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 6h windows every 3h: each event lands in exactly 2 windows. */
+  def sliding6h3h(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("n_users"))
+
+  /** Built-in session windows: 4-hour inactivity gap per user. */
+  def sessions4h(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_last"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_last"), col("n_events"))
+
+  // --------------------------------------------------------------------
+  // Custom state: flatMapGroupsWithState sessionizer
+  // --------------------------------------------------------------------
+
+  case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_last: Timestamp, n_events: Long)
+
+  private val GapUs = 4L * 3600 * 1000 * 1000
+
+  /** java.sql.Timestamp ↔ epoch-micros — getTime alone is MILLIS and
+    * would silently shave the µs fraction off every session boundary. */
+  private def toUs(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Hand-rolled sessionizer over `KeyValueGroupedDataset` — the custom-
+    * state escape hatch for semantics `session_window` can't express
+    * (e.g. per-session enrichment, early emission, custom merge rules).
+    * Event-time timeout closes the open session once the watermark passes
+    * last+gap; in-batch gaps close sessions immediately. Semantics match
+    * [[sessions4h]] (new session when diff >= gap), which the spec asserts. */
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator(SessionOut(user, toTs(s.start), toTs(s.last), s.n))
+          } else {
+            val evs = it.toSeq.sortBy(e => toUs(e.ts))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val t = toUs(e.ts)
+              cur match {
+                case Some(s) if t - s.last < GapUs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, toTs(s.start), toTs(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + GapUs) / 1000)  // timeout API is millis
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // Streaming source (production path) + driver-registered batch twins
+  // --------------------------------------------------------------------
+
+  /** The real streaming entry: tail a parquet directory as a stream. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.events(spark, dir).schema)
+      .parquet(dir)
+
+  private def batchEvents(s: SparkSession, d: String): DataFrame =
+    Tables.eventsTs(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_1h" -> ((s, d) =>
+      tumbling1h(batchEvents(s, d)).orderBy("window_start", "event_type")),
+    "events_sliding_6h3h" -> ((s, d) =>
+      sliding6h3h(batchEvents(s, d)).orderBy("window_start")),
+    "events_sessions" -> ((s, d) =>
+      sessions4h(batchEvents(s, d)).orderBy("user_id", "session_start")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_1h" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // sliding: two 3h-aligned window starts per event (epoch-aligned like
+    // Spark's window(); make_timestamp keeps the naive-UTC type).
+    "events_sliding_6h3h" ->
+      """SELECT window_start, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT make_timestamp(CAST((floor(epoch(ts)/10800) - k) * 10800 * 1000000 AS BIGINT)) AS window_start,
+        |         user_id
+        |  FROM events, (SELECT unnest([0, 1]) AS k))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    // sessions: gaps-and-islands with the same >= gap boundary rule
+    "events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+  )
+}

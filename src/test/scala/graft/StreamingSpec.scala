@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.Ev
+
+/** Streaming semantics: the SAME transformation over a MemoryStream must
+  * produce the batch twin's result once all data is processed — plus the
+  * custom flatMapGroupsWithState sessionizer must match the built-in
+  * session_window on closed sessions. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  private def eventRows: Seq[(Timestamp, String, Long, Double)] =
+    Tables.eventsTs(spark, sf)
+      .select("ts", "event_type", "user_id", "value")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+
+  test("streamed tumbling window agg == batch twin (complete mode, all data)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = StreamingJobs.tumbling1h(df).writeStream
+      .format("memory").queryName("tumbling_test").outputMode(OutputMode.Complete)
+      .start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toString).toSeq
+      val batch = StreamingJobs.tumbling1h(Tables.eventsTs(spark, sf))
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) == built-in session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingJobs.sessionizeStateful(mem.toDS()).writeStream
+      .format("memory").queryName("sessions_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      val evs = eventRows.map { case (ts, et, uid, _) => Ev(uid, ts, et) }
+      mem.addData(evs)
+      q.processAllAvailable()
+      // advance the watermark past every open session's timeout so all
+      // sessions close (sentinel far in the future, single synthetic user)
+      val maxTs = evs.map(_.ts.getTime).max
+      mem.addData(Ev(-1L, new Timestamp(maxTs + 100L * 3600 * 1000), "flush"))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_test")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      val batch = StreamingJobs.sessions4h(Tables.eventsTs(spark, sf))
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows: every event contributes to exactly 2 windows") {
+    val n = Tables.eventsTs(spark, sf).count()
+    val total = StreamingJobs.sliding6h3h(Tables.eventsTs(spark, sf))
+      .agg(sum("n_events")).as[Long].head()
+    assert(total == 2 * n)
+  }
+}
