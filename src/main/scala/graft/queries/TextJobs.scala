@@ -72,9 +72,13 @@ object TextJobs {
     val lines = Tables.documents(spark, sfDir)
       .select(concat(col("doc_id").cast("string"), lit(": "), col("text")).as("line"))
     lines
-      .withColumn("doc_id", regexp_extract(col("line"), "^([^:]+): (.*)$", 1))
-      .withColumn("content", regexp_extract(col("line"), "^([^:]+): (.*)$", 2))
-      .filter(col("doc_id") =!= "")  // malformed-skip (no colon → no match)
+      // split on FIRST colon (mapper.py:24 `split(':', 1)`) without regex:
+      // substring_index + offset substr are plain codegen'd string ops
+      .withColumn("sep", instr(col("line"), ":"))
+      .filter(col("sep") > 0)  // malformed-skip (no colon)
+      .withColumn("doc_id", col("line").substr(lit(1), col("sep") - 1))
+      .withColumn("content",
+        ltrim(col("line").substr(col("sep") + 1, length(col("line")))))
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("content")), "\\W+"))).as("word"))
       .filter(length(col("word")) > 2)
