@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal operators the reference's users would need for log analytics:
+  * as-of join and typed JSON extraction over `events`.
+  */
+object Temporal {
+
+  /** AS-OF JOIN: each event picks the user's most recent order with
+    * o_orderdate <= event ts (classic "enrich tick with latest quote").
+    *
+    * Implementation is the scalable MERGE pattern, not a theta join:
+    * union the two sides tagged by kind, sort per user by (time, kind),
+    * and carry the latest order forward with last(..., ignoreNulls) over
+    * an unbounded-preceding window. One shuffle on user — cost is
+    * O(n log n_partition) regardless of how many orders precede each
+    * event (a join + row_number approach would materialize every
+    * qualifying order-event pair first: quadratic in the worst case).
+    * Orders are pre-deduplicated to one row per (user, date) with the
+    * max orderkey — DuckDB's ASOF JOIN (the oracle) breaks date ties
+    * arbitrarily otherwise.
+    *
+    * At 100 TB: both sides shuffle once on the join key; state per user
+    * is one carried row. Skewed users would salt the union key and merge
+    * salt-local results (same pattern, one extra reduce). */
+  def asofJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("uid"), col("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
+        col("o_orderkey"))
+    val events = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id").as("uid"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"), col("event_type"), lit(null).cast("long").as("o_orderkey"))
+    // kind asc: an order AT the event timestamp is visible to the event
+    val w = Window.partitionBy("uid").orderBy(col("t").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_orderdate",
+        last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
+        col("event_type"), col("last_orderkey").as("o_orderkey"),
+        col("last_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN over the same tie-broken orders. */
+  val asofJoinOrdersSql: String =
+    """WITH o AS (SELECT o_custkey AS uid, o_orderdate AS t,
+      |                  max(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |       o.o_orderkey, o.t AS o_orderdate
+      |FROM events e
+      |ASOF LEFT JOIN o ON e.user_id = o.uid AND e.ts >= o.t
+      |ORDER BY event_id""".stripMargin
+
+  /** Typed JSON extraction: from_json with an explicit schema (vs
+    * multikey_counts' per-path get_json_object) — one parse per row, all
+    * fields, null-safe on malformed input. */
+  def jsonEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        col("event_type"))
+      .withColumn("k_parity", when(col("k") % 2 === 0, "even").otherwise("odd"))
+      .orderBy("event_id")
+
+  val jsonEventsSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+      |       event_type,
+      |       CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0
+      |            THEN 'even' ELSE 'odd' END AS k_parity
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_orders" -> ((s, d) => asofJoinOrders(s, d)),
+    "json_events"      -> ((s, d) => jsonEvents(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join_orders" -> asofJoinOrdersSql,
+    "json_events"      -> jsonEventsSql,
+  )
+}

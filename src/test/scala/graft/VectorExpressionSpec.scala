@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions.array_dot
+
+class VectorExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("array_dot computes the dot product (Column API)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    assert(df.select(array_dot(col("a"), col("b"))).as[Double].head() == 32.0)
+  }
+
+  test("array_dot matches the interpreted fold bit-for-bit on fixture vectors") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaExpr = e.select(col("vec_id"), array_dot(col("v"), col("v")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val viaFold = e.select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaExpr == viaFold)  // exact double equality — same fold order
+  }
+
+  test("array_dot is registered for SQL via GraftExtensions") {
+    val out = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(out == 11.0)
+  }
+
+  test("array_dot rejects wrong input types at analysis") {
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(array_dot(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("array_dot") || err.getMessage.contains("DATATYPE"))
+  }
+
+  test("null array input yields null, null-free path stays codegen'd") {
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(array_dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+}
