@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextJobs.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Temporal.queries ++ graft.streaming.StreamingJobs.queries
+      Temporal.queries ++ graft.streaming.StreamingJobs.queries ++
+      graft.operators.TopKAggregator.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TextJobs.oracles ++ Relational.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Temporal.oracles ++ graft.streaming.StreamingJobs.oracles
+      Temporal.oracles ++ graft.streaming.StreamingJobs.oracles ++
+      graft.operators.TopKAggregator.oracles
 }
