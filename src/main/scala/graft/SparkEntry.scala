@@ -24,7 +24,7 @@ object SparkEntry {
     TextJobs.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Temporal.queries ++ graft.streaming.StreamingJobs.queries ++
-      graft.operators.TopKAggregator.queries
+      graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     TextJobs.oracles ++ Relational.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       Temporal.oracles ++ graft.streaming.StreamingJobs.oracles ++
-      graft.operators.TopKAggregator.oracles
+      graft.operators.TopKAggregator.oracles ++ graft.operators.SkewJoin.oracles
 }
