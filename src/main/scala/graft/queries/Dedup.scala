@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -91,25 +92,40 @@ object Dedup {
   // Exact n-gram Jaccard (inverted-index blocking)
   // --------------------------------------------------------------------
 
-  /** Exact 3-shingle Jaccard near-dup pairs (j ≥ 0.8) via shingle-bucket
-    * self-join: explode shingles → join on shingle → count common → join
-    * sizes. Cost ∝ Σ_shingle freq², not n²; at 100 TB add prefix filtering
-    * (only the (1-t)·|sh|+1 rarest shingles per doc need exploding). */
+  /** Exact 3-shingle Jaccard near-dup pairs (j ≥ 0.8) with PREFIX
+    * FILTERING (AllPairs/PPJoin): if jaccard(A,B) ≥ t then A needs
+    * ≥ t·|A| common shingles, so the |A| - ⌈t·|A|⌉ + 1 globally-RAREST
+    * shingles of A must intersect B's prefix. Only prefixes explode into
+    * the candidate join — cost tracks rare-shingle co-occurrence instead
+    * of Σ freq² over the whole vocabulary (the difference between hours
+    * and minutes at 100 TB, where stop-shingles have huge freq²).
+    * Candidates are then verified EXACTLY against full shingle arrays, so
+    * the output is identical to the naive all-pairs oracle. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = 0.8
     val ds = docShingles(spark, sfDir).cache()
-    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = ex.as("a").join(ex.as("b"),
+    val ex = ds.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+    // global rarity order (freq asc, shingle asc as tiebreak), then keep
+    // each doc's prefix: the rarest n - ceil(t*n) + 1 shingles (n carried
+    // from size(sh) — no second window needed)
+    val w = Window.partitionBy("doc_id").orderBy(col("f").asc, col("s").asc)
+    val prefixes = ex.join(freq, "s")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "s")
+    val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         Det.r(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 6))
-      .filter(col("jaccard") >= 0.8)
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -226,17 +242,43 @@ object Dedup {
     * vocabulary makes signatures cluster (hamming histogram is dense from
     * 4 up), and 4-band blocking only guarantees recall through 3. */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
-    val agged = toks.groupBy("doc_id")
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
-    val simhash = (0 until SimBits).map(b =>
-      when(col(s"b$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    val sigs = agged.select(col("doc_id"), simhash.as("simhash")).cache()
+    import spark.implicits._
+    // Per-doc signature KERNEL: tokenization + md5 + bit majority in one
+    // JIT'd pass, no explode shuffle and no 48 aggregate columns. The
+    // construction matches the DuckDB oracle bit-for-bit: same \\W+
+    // tokenizer, same first-12-hex-chars-of-md5 token hash.
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\W+").iterator.filter(_.nonEmpty)
+          val bitCounts = new Array[Long](SimBits)
+          var n = 0L
+          toks.foreach { tok =>
+            md.reset()
+            val d = md.digest(tok.getBytes("UTF-8"))
+            // first 12 hex chars == first 6 bytes, big-endian
+            var h = 0L
+            var k = 0
+            while (k < 6) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+            var b = 0
+            while (b < SimBits) {
+              bitCounts(b) += (h >> b) & 1L
+              b += 1
+            }
+            n += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < SimBits) {
+            if (bitCounts(b) * 2 > n) sig |= (1L << b)
+            b += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash").cache()
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(0xFFF).as("chunk")))
