@@ -21,6 +21,10 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop the previous query's intra-query caches — otherwise cached
+      // partitions accumulate over 41 queries and GC noise lands on
+      // whatever runs late
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

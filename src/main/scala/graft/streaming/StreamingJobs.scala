@@ -120,11 +120,17 @@ object StreamingJobs {
   // Streaming source (production path) + driver-registered batch twins
   // --------------------------------------------------------------------
 
-  /** The real streaming entry: tail a parquet directory as a stream. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.events(spark, dir).schema)
-      .parquet(dir)
+  /** The real streaming entry: tail a parquet directory as a stream, with
+    * the same ns→µs ts normalization as the batch reader (Tables.eventsTs)
+    * so every transformation above works on either. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   private def batchEvents(s: SparkSession, d: String): DataFrame =
     Tables.eventsTs(s, d)

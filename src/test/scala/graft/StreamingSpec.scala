@@ -72,6 +72,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream (readStream parquet) == batch twin") {
+    val q = StreamingJobs.tumbling1h(StreamingJobs.readEventsStream(spark, sf))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000L)
+      val streamed = spark.table("file_stream_test")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      val batch = StreamingJobs.tumbling1h(Tables.eventsTs(spark, sf))
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: every event contributes to exactly 2 windows") {
     val n = Tables.eventsTs(spark, sf).count()
     val total = StreamingJobs.sliding6h3h(Tables.eventsTs(spark, sf))
