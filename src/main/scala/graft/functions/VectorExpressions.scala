@@ -81,12 +81,15 @@ object VectorFunctions {
 }
 
 /** SparkSessionExtensions hook: registers `array_dot` for SQL use
-  * (`spark.sql("SELECT array_dot(a, b) ...")`). Applied by GraftSession. */
+  * (`spark.sql("SELECT array_dot(a, b) ...")`) and the year-predicate
+  * pushdown rewrite (graft.plans.YearPredicateRewrite). Applied by
+  * GraftSession. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.YearPredicateRewrite)
   }
 }

@@ -130,6 +130,49 @@ object Relational {
       |GROUP BY ROLLUP (o_year, o_orderpriority)
       |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over (status, priority): all 4 grouping combinations in one
+    * Expand+shuffle (completes the grouping family: GROUPING SETS in
+    * multikey_counts, ROLLUP above). */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum("price_c").cast("double") / 100).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Exact interpolated percentiles (median / p90) over integer cents —
+    * integer samples keep the interpolation arithmetic identical across
+    * engines (Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n-1) linear-interpolation definition). */
+  def percentilePrices(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .agg(
+        Det.r(expr("percentile(price_c, 0.5D)") / 100, 4).as("median_price"),
+        Det.r(expr("percentile(price_c, 0.9D)") / 100, 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val percentilePricesSql: String =
+    """SELECT o_orderpriority,
+      |       CAST(floor((quantile_cont(price_c, 0.5) / 100) * 10000 + 0.5) AS DOUBLE)/10000 AS median_price,
+      |       CAST(floor((quantile_cont(price_c, 0.9) / 100) * 10000 + 0.5) AS DOUBLE)/10000 AS p90_price,
+      |       count(*) AS n_orders
+      |FROM (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------------------
   // Joins
   // --------------------------------------------------------------------
@@ -422,6 +465,8 @@ object Relational {
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
     "rollup_orders"       -> ((s, d) => rollupOrders(s, d)),
+    "cube_orders"         -> ((s, d) => cubeOrders(s, d)),
+    "percentile_prices"   -> ((s, d) => percentilePrices(s, d)),
     "regional_revenue"    -> ((s, d) => regionalRevenue(s, d)),
     "customer_order_stats"-> ((s, d) => customerOrderStats(s, d)),
     "semi_join_heavy"     -> ((s, d) => semiJoinHeavyOrders(s, d)),
@@ -440,6 +485,8 @@ object Relational {
     "pricing_summary"      -> pricingSummarySql,
     "distinct_agg"         -> distinctAggSql,
     "rollup_orders"        -> rollupOrdersSql,
+    "cube_orders"          -> cubeOrdersSql,
+    "percentile_prices"    -> percentilePricesSql,
     "regional_revenue"     -> regionalRevenueSql,
     "customer_order_stats" -> customerOrderStatsSql,
     "semi_join_heavy"      -> semiJoinHeavyOrdersSql,
