@@ -28,24 +28,31 @@ import graft.Tables
   */
 object Dedup {
 
-  private def tokens(c: Column): Column =
-    filter(split(lower(c), "\\W+"), t => length(t) > 0)
-
-  /** Distinct 3-token shingles: zip_with over three shifted slices (stays
-    * in whole-stage codegen; no window shuffle). */
-  private def shingles(t: Column): Column = {
-    val n = size(t)
-    val len = greatest(n - 2, lit(0))
-    array_distinct(zip_with(
-      zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
-        (a, b) => concat_ws(" ", a, b)),
-      slice(t, lit(3), len),
-      (ab, c) => concat_ws(" ", ab, c)))
-  }
-
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Distinct 3-token shingles per doc, as a mapPartitions KERNEL: the
+    * Column formulation (split + zip_with×2 + array_distinct) runs its
+    * higher-order lambdas through the interpreter per element; the kernel
+    * is one JIT'd pass. Downstream consumers (jaccard sizes, OPH minhash)
+    * are set-order-insensitive, and the construction matches the oracles'
+    * CTE: lower → \W+ split → non-empty → 3-windows space-joined →
+    * first-occurrence distinct. */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\W+").filter(_.nonEmpty)
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + 2 < toks.length) {
+            seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          (id, seen.toArray(new Array[String](seen.size)).toSeq)
+        }
+      }.toDF("doc_id", "sh")
+  }
 
   /** DuckDB twin of [[shingles]] ∘ [[tokens]] as a FROM-clause fragment. */
   private val shinglesSqlCte: String =

@@ -186,11 +186,11 @@ object Relational {
         (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
           .as("rev_e4"))
     val ord = Tables.orders(spark, sfDir)
-      // range predicate, not year()==1998: a function of the column can't
-      // reach the parquet scan; the range shows up in PushedFilters and
-      // prunes row groups by min/max stats at 100 TB
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      // written as year()==1998 on purpose: graft.plans.YearPredicateRewrite
+      // turns it into the pushable half-open range (verified to reach
+      // PushedFilters in YearRewriteSpec) — users get row-group pruning
+      // without hand-writing range predicates
+      .filter(year(col("o_orderdate")) === 1998)
       .select(col("o_orderkey"), col("o_custkey"))
     val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
