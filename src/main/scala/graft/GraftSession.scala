@@ -24,6 +24,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "1.5")
       .config("spark.speculation.quantile", "0.25")
