@@ -36,4 +36,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so the whole engine is
+    * reachable through `spark.sql("...")` — the declarative twin of the
+    * reference's job-submission surface. `events` registers with the
+    * normalized µs timestamp. */
+  def registerViews(s: SparkSession, d: String): Unit = names.foreach { n =>
+    val df = if (n == "events") eventsTs(s, d) else apply(s, d, n)
+    df.createOrReplaceTempView(n)
+  }
 }

@@ -103,6 +103,43 @@ object TextJobs {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type").asc_nulls_first, col("k_bucket").asc_nulls_first)
 
+  /** E8 in the reference's EXACT output shape (documentation.md:647-653):
+    * one flat string key per fan-out family — `type:X`, `bucket:Y`,
+    * `type_bucket:X:Y` — with counts, as the url_analyzer mapper would
+    * emit. Same single-shuffle GROUPING SETS plan as [[multiKeyCounts]],
+    * just projected to the reference's key encoding. */
+  def multiKeyFlat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("k_bucket")),
+            Seq(col("event_type"), col("k_bucket"))),
+        col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        when(col("event_type").isNotNull && col("k_bucket").isNotNull,
+          concat(lit("type_bucket:"), col("event_type"), lit(":"), col("k_bucket")))
+          .when(col("event_type").isNotNull,
+            concat(lit("type:"), col("event_type")))
+          .otherwise(concat(lit("bucket:"), col("k_bucket")))
+          .as("key"),
+        col("cnt"))
+      .orderBy("key", "cnt")
+
+  val multiKeyFlatSql: String =
+    """SELECT CASE
+      |         WHEN event_type IS NOT NULL AND k_bucket IS NOT NULL
+      |           THEN 'type_bucket:' || event_type || ':' || k_bucket
+      |         WHEN event_type IS NOT NULL THEN 'type:' || event_type
+      |         ELSE 'bucket:' || k_bucket END AS key,
+      |       count(*) AS cnt
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+      |      FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (k_bucket), (event_type, k_bucket))
+      |ORDER BY key, cnt""".stripMargin
+
   /** E9 ngram (documentation.md:655-681): adjacent-token bigrams + counts.
     * Array zip of tokens with its own tail — stays inside whole-stage
     * codegen, no window shuffle needed (the window alternative would
@@ -129,6 +166,7 @@ object TextJobs {
     "inverted_index"     -> ((s, d) => invertedIndex(s, d)),
     "inverted_index_raw" -> ((s, d) => invertedIndexRaw(s, d)),
     "multikey_counts"    -> ((s, d) => multiKeyCounts(s, d)),
+    "multikey_flat"      -> ((s, d) => multiKeyFlat(s, d)),
     "bigrams"            -> ((s, d) => bigrams(s, d)),
   )
 
@@ -159,6 +197,7 @@ object TextJobs {
         |      FROM documents)
         |WHERE length(word) > 2
         |GROUP BY word ORDER BY word""".stripMargin,
+    "multikey_flat" -> multiKeyFlatSql,
     "multikey_counts" ->
       """SELECT event_type, k_bucket, count(*) AS cnt
         |FROM (SELECT event_type,
