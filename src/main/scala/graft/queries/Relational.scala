@@ -173,6 +173,39 @@ object Relational {
       |      FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Statistical aggregates (mean/variance/stddev) from EXACT integer
+    * sums: var = (n·Σx² − (Σx)²) / n², stddev = sqrt(var) — one double
+    * division + sqrt over exact int128-range numerators, so results are
+    * bit-identical across engines (a streaming/Welford stddev would not
+    * be: its accumulation order varies with partitioning). Population
+    * variance; Σx² of cents fits decimal(38,0) far beyond this SF. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / col("n") / 100).as("mean_price"),
+        Det.r(sqrt((col("sxx").cast("double") * col("n") - col("sx").cast("double") * col("sx"))
+          / (col("n").cast("double") * col("n"))) / 100, 4).as("stddev_price"))
+      .orderBy("l_returnflag")
+
+  val statsAggSql: String =
+    """SELECT l_returnflag, n,
+      |       CAST(sx AS DOUBLE) / n / 100 AS mean_price,
+      |       CAST(floor((sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                        / (CAST(n AS DOUBLE) * n)) / 100) * 10000 + 0.5) AS DOUBLE) / 10000
+      |         AS stddev_price
+      |FROM (SELECT l_returnflag, count(*) AS n,
+      |             sum(x) AS sx, sum(x * x) AS sxx
+      |      FROM (SELECT l_returnflag,
+      |                   CAST(round(l_extendedprice*100) AS BIGINT) AS x
+      |            FROM lineitem)
+      |      GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------------
   // Joins
   // --------------------------------------------------------------------
@@ -466,6 +499,7 @@ object Relational {
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
     "rollup_orders"       -> ((s, d) => rollupOrders(s, d)),
     "cube_orders"         -> ((s, d) => cubeOrders(s, d)),
+    "stats_agg"           -> ((s, d) => statsAgg(s, d)),
     "percentile_prices"   -> ((s, d) => percentilePrices(s, d)),
     "regional_revenue"    -> ((s, d) => regionalRevenue(s, d)),
     "customer_order_stats"-> ((s, d) => customerOrderStats(s, d)),
@@ -486,6 +520,7 @@ object Relational {
     "distinct_agg"         -> distinctAggSql,
     "rollup_orders"        -> rollupOrdersSql,
     "cube_orders"          -> cubeOrdersSql,
+    "stats_agg"            -> statsAggSql,
     "percentile_prices"    -> percentilePricesSql,
     "regional_revenue"     -> regionalRevenueSql,
     "customer_order_stats" -> customerOrderStatsSql,
