@@ -235,11 +235,63 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Term salience (TF-IDF family)
+  // --------------------------------------------------------------------
+
+  /** Per-doc top-5 salient terms: score = tf · N / df — the TF-IDF shape
+    * with a RATIONAL idf instead of log(N/df). Same ranking monotonicity
+    * (idf strictly decreasing in df), but the score is a single exact
+    * int-ratio double division, so the cross-engine hash-compare holds
+    * (libm log() implementations differ in the last ulp between the JVM
+    * and DuckDB — a log-based score could flip rounded digits).
+    * Two shuffles: df agg over exploded terms, then per-doc top-k window.
+    * Deterministic tiebreak (score desc, term asc). */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    // corpus size as a broadcast 1-row frame (not a driver .first() —
+    // keeps plan construction lazy and the statistic distributed)
+    val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    terms.join(df_, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Det.r(col("tf").cast("double") * col("n_docs") / col("df"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                        x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf.tf, df.df,
+       |         ${Det.rSql("CAST(tf.tf AS DOUBLE) * n_docs / df.df", 4)} AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rnk, term, tf, df, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY score DESC, term ASC) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"         -> ((s, d) => langId(s, d)),
     "text_quality"    -> ((s, d) => textQuality(s, d)),
     "token_counts"    -> ((s, d) => tokenCounts(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
+    "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +299,6 @@ object TextAnalysis {
     "text_quality"    -> textQualitySql,
     "token_counts"    -> tokenCountsSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
   )
 }

@@ -53,6 +53,24 @@ object StreamingJobs {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_last"), col("n_events"))
 
+  /** Streaming exact dedup: first occurrence per event_id wins, state
+    * bounded by the watermark (a duplicate arriving later than the 1-hour
+    * watermark delay is assumed impossible upstream — the standard
+    * exactly-once ingestion contract). Batch twin = min-per-key, which the
+    * driver oracle checks; the streaming run is asserted in StreamingSpec
+    * with injected duplicates. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+    else
+      // batch twin with deterministic winner: the earliest (ts, value) row
+      // per event_id — equals streaming first-wins under in-order replay
+      events.groupBy("event_id")
+        .agg(min(struct(col("ts"), col("value"), col("event_type"))).as("r"))
+        .select(col("event_id"), col("r.ts").as("ts"),
+          col("r.event_type").as("event_type"), col("r.value").as("value"))
+
   // --------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState sessionizer
   // --------------------------------------------------------------------
@@ -142,6 +160,8 @@ object StreamingJobs {
       sliding6h3h(batchEvents(s, d)).orderBy("window_start")),
     "events_sessions" -> ((s, d) =>
       sessions4h(batchEvents(s, d)).orderBy("user_id", "session_start")),
+    "events_dedup" -> ((s, d) =>
+      dedupEvents(batchEvents(s, d)).orderBy("event_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +193,12 @@ object StreamingJobs {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_dedup" ->
+      """SELECT event_id, min_r.ts AS ts, min_r.event_type AS event_type,
+        |       min_r.value AS value
+        |FROM (SELECT event_id,
+        |             min(struct_pack(ts := ts, value := value, event_type := event_type)) AS min_r
+        |      FROM events GROUP BY event_id)
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -88,6 +88,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops injected duplicates (dropDuplicates + watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingJobs.dedupEvents(df).writeStream
+      .format("memory").queryName("dedup_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      val base = eventRows.take(200).zipWithIndex.map { case ((ts, et, _, v), i) =>
+        (i.toLong, ts, et, v)
+      }
+      // every event twice, duplicates in the same and later batches
+      mem.addData(base ++ base.take(100))
+      q.processAllAvailable()
+      mem.addData(base.drop(100))  // late duplicates of the rest
+      q.processAllAvailable()
+      val out = spark.table("dedup_test")
+      assert(out.count() == 200)
+      assert(out.select("event_id").distinct().count() == 200)
+    } finally q.stop()
+  }
+
   test("sliding windows: every event contributes to exactly 2 windows") {
     val n = Tables.eventsTs(spark, sf).count()
     val total = StreamingJobs.sliding6h3h(Tables.eventsTs(spark, sf))
