@@ -154,9 +154,102 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // --------------------------------------------------------------------
+
+  private val IvfCells = 16
+  private val IvfIters = 5
+  private val NProbe = 4
+
+  /** IVF ANN: deterministic spherical k-means coarse quantizer (init =
+    * unit vectors of vec_id 0..15, 5 Lloyd iterations, ties to the lowest
+    * cell), then per-query search probes the NProbe nearest cells and
+    * exact-re-ranks only their members — the classic FAISS IVF topology.
+    *
+    * Distribution contract: vectors never leave the cluster; each Lloyd
+    * iteration is one distributed assign+reduce, and only the k centroid
+    * rows (k×64 doubles — model state, not data) come back to the driver
+    * to be rebroadcast. At 100 TB: same loop, k in the thousands, train
+    * on a sample; search cost = |probed cells| ≈ NProbe·n/k per query.
+    * Rows-only check (approximate recall); SimilaritySpec bounds
+    * recall@5 against the brute-force baseline. */
+  def annCosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val unit = vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]
+      .map { case (id, v, n) => (id, v.toArray.map(_ / n).toSeq) }
+      .toDF("vec_id", "u").cache()
+
+    def nearestCell(cs: Array[Array[Double]], u: Seq[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val w = cs(c); var s = 0.0; var i = 0
+        while (i < w.length) { s += w(i) * u(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var centroids: Array[Array[Double]] = unit.as[(Long, Seq[Double])]
+      .filter(_._1 < IvfCells).collect().sortBy(_._1).map(_._2.toArray)
+    for (_ <- 1 to IvfIters) {
+      val cs = centroids
+      val next = unit.as[(Long, Seq[Double])]
+        .map { case (_, u) => (nearestCell(cs, u), u) }
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val sum = new Array[Double](Dim); var n = 0L
+          it.foreach { case (_, u) =>
+            var i = 0; while (i < Dim) { sum(i) += u(i); i += 1 }; n += 1
+          }
+          var norm = 0.0; var i = 0
+          while (i < Dim) { norm += sum(i) * sum(i); i += 1 }
+          norm = math.sqrt(norm)
+          (cell, (if (norm > 0) sum.map(_ / norm) else sum).toSeq)
+        }.collect()  // k rows of model state, not data
+      next.foreach { case (cell, c) => centroids(cell) = c.toArray }
+    }
+
+    val cs = centroids
+    val assigned = unit.as[(Long, Seq[Double])]
+      .map { case (id, u) => (id, nearestCell(cs, u)) }
+      .toDF("vec_id", "cell")
+    // each query probes its NProbe nearest cells
+    val probes = unit.as[(Long, Seq[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (qid, u) =>
+        val scored = cs.zipWithIndex.map { case (w, c) =>
+          var s = 0.0; var i = 0
+          while (i < w.length) { s += w(i) * u(i); i += 1 }
+          (c, s)
+        }
+        scored.sortBy { case (c, s) => (-s, c) }.take(NProbe)
+          .map { case (c, _) => (qid, c) }
+      }.toDF("qid", "cell")
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val all = vecs(spark, sfDir)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    cands
+      .join(all, "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
+    "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

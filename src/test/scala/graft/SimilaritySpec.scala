@@ -32,6 +32,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF recall@5 >= 0.5 vs brute force (16 cells, 4 probes)") {
+    val truth = queries.Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = queries.Similarity.annCosineIvf(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(s"IVF recall@5 = $recall (returned: ${got.size})")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = queries.Similarity.hyperplane(2, 7)
     val b = queries.Similarity.hyperplane(2, 7)
