@@ -83,13 +83,41 @@ object Temporal {
       |            THEN 'even' ELSE 'odd' END AS k_parity
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Deterministic stratified sampling — the training-data "mix" step:
+    * per-language quotas over `documents`, selected by a content hash
+    * (md5 of doc_id) threshold instead of an RNG, so the sample is
+    * reproducible across runs/engines AND stable under repartitioning
+    * (rand(seed) is neither — it's partition-position-dependent).
+    * Fractions: en 50%, others 20%. The md5-prefix uniformity makes
+    * hash < frac·2⁶⁰ a per-row Bernoulli trial; DuckDB reproduces it
+    * exactly, so even this "random" operator is value-oracled. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("frac", when(col("lang") === "en", 0.5).otherwise(0.2))
+      .filter(col("h").cast("double") < col("frac") * math.pow(2, 60))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (SELECT *,
+      |             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE) AS h,
+      |             CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END AS frac
+      |      FROM documents)
+      |WHERE h < frac * 1152921504606846976
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join_orders" -> ((s, d) => asofJoinOrders(s, d)),
-    "json_events"      -> ((s, d) => jsonEvents(s, d)),
+    "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
+    "json_events"       -> ((s, d) => jsonEvents(s, d)),
+    "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
-    "asof_join_orders" -> asofJoinOrdersSql,
-    "json_events"      -> jsonEventsSql,
+    "asof_join_orders"  -> asofJoinOrdersSql,
+    "json_events"       -> jsonEventsSql,
+    "stratified_sample" -> stratifiedSampleSql,
   )
 }
