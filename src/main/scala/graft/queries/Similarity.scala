@@ -159,7 +159,7 @@ object Similarity {
   // --------------------------------------------------------------------
 
   private val IvfCells = 16
-  private val IvfIters = 5
+  private val IvfIters = 3
   private val NProbe = 4
 
   /** IVF ANN: deterministic spherical k-means coarse quantizer (init =
