@@ -71,6 +71,30 @@ object StreamingJobs {
         .select(col("event_id"), col("r.ts").as("ts"),
           col("r.event_type").as("event_type"), col("r.value").as("value"))
 
+  /** Stream-stream interval join: each error event joined to the SAME
+    * user's signup/login events in the preceding hour ("what did the user
+    * do right before the error"). Watermarks on both sides + the interval
+    * condition bound the join state (Spark drops buffered rows once the
+    * watermark passes the interval) — the canonical funnel/attribution
+    * join shape. The batch twin is the same expression over two batch
+    * frames and is what the driver oracle checks. */
+  def errorContextJoin(errors: DataFrame, actions: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val a = actions.filter(col("event_type").isin("signup", "login"))
+      .select(col("event_id").as("act_id"), col("user_id").as("act_user"),
+        col("event_type").as("action"), col("ts").as("act_ts"))
+      .withWatermark("act_ts", "1 hour")
+    e.join(a,
+      col("err_user") === col("act_user") &&
+        col("act_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
+        col("act_ts") < col("err_ts"))
+      .select(col("err_id"), col("err_user").as("user_id"), col("err_ts"),
+        col("act_id"), col("action"), col("act_ts"))
+  }
+
   // --------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState sessionizer
   // --------------------------------------------------------------------
@@ -162,6 +186,9 @@ object StreamingJobs {
       sessions4h(batchEvents(s, d)).orderBy("user_id", "session_start")),
     "events_dedup" -> ((s, d) =>
       dedupEvents(batchEvents(s, d)).orderBy("event_id")),
+    "events_error_context" -> ((s, d) =>
+      errorContextJoin(batchEvents(s, d), batchEvents(s, d))
+        .orderBy("err_id", "act_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +227,15 @@ object StreamingJobs {
         |             min(struct_pack(ts := ts, value := value, event_type := event_type)) AS min_r
         |      FROM events GROUP BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "events_error_context" ->
+      """SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+        |       a.event_id AS act_id, a.event_type AS action, a.ts AS act_ts
+        |FROM events e JOIN events a
+        |  ON e.event_type = 'error'
+        | AND a.event_type IN ('signup', 'login')
+        | AND e.user_id = a.user_id
+        | AND a.ts >= e.ts - INTERVAL 1 HOUR
+        | AND a.ts < e.ts
+        |ORDER BY err_id, act_id""".stripMargin,
   )
 }

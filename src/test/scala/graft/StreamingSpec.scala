@@ -110,6 +110,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val memE = MemoryStream[(Long, Timestamp, Long, String)]
+    val memA = MemoryStream[(Long, Timestamp, Long, String)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamingJobs.errorContextJoin(frame(memE), frame(memA))
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evs = Tables.eventsTs(spark, TestSpark.sf)
+        .select("event_id", "ts", "user_id", "event_type")
+        .as[(Long, Timestamp, Long, String)].collect().toSeq
+      memE.addData(evs)
+      memA.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_test")
+        .orderBy("err_id", "act_id").collect().map(_.toString).toSeq
+      val batchDf = Tables.eventsTs(spark, TestSpark.sf)
+      val batch = StreamingJobs.errorContextJoin(batchDf, batchDf)
+        .orderBy("err_id", "act_id").collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: every event contributes to exactly 2 windows") {
     val n = Tables.eventsTs(spark, sf).count()
     val total = StreamingJobs.sliding6h3h(Tables.eventsTs(spark, sf))
