@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextJobs.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Temporal.queries ++ graft.streaming.StreamingJobs.queries ++
+      Temporal.queries ++ Functions.queries ++
+      graft.streaming.StreamingJobs.queries ++
       graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TextJobs.oracles ++ Relational.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Temporal.oracles ++ graft.streaming.StreamingJobs.oracles ++
+      Temporal.oracles ++ Functions.oracles ++
+      graft.streaming.StreamingJobs.oracles ++
       graft.operators.TopKAggregator.oracles ++ graft.operators.SkewJoin.oracles
 }
