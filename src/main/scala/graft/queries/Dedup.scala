@@ -15,16 +15,17 @@ import graft.Tables
   * reproduced verbatim in the DuckDB oracles.
   *
   * Determinism: token hashes for SimHash derive from md5 hex (identical
-  * across engines); MinHash uses Spark xxhash64 (no DuckDB twin — but the
-  * *output* is exact-Jaccard-verified pairs, which DuckDB reproduces by
-  * brute force at sf0.01). Jaccard/cosine are single int-int or
-  * identical-order double ops, so exact hash-compare holds.
+  * across engines); MinHash signatures use MurmurHash3 one-permutation
+  * hashing (no DuckDB twin — but the *output* is exact-Jaccard-verified
+  * pairs, which DuckDB reproduces by brute force at sf0.01).
+  * Jaccard/cosine are single int-int or identical-order double ops, so
+  * exact hash-compare holds.
   *
-  * Scale: every path is explode → shuffle-on-key → agg (no driver state,
-  * no cross join except the explicitly-bounded cosine brute force whose
-  * scale path is Similarity's LSH). The LSH band join is the textbook
-  * near-dup topology for 100 TB: candidates are generated per-band bucket,
-  * verified per pair, so cost tracks true-duplicate density instead of n².
+  * Scale: signature construction runs in per-doc JIT'd kernels (no
+  * explode shuffle); candidate generation is banded-LSH bucket joins or
+  * PPJoin prefix joins, verified per pair — cost tracks true-duplicate
+  * density, not n². The one exact-all-pairs operator (embedding cosine)
+  * partitions its n² space into a bounded block grid.
   */
 object Dedup {
 
@@ -54,7 +55,7 @@ object Dedup {
       }.toDF("doc_id", "sh")
   }
 
-  /** DuckDB twin of [[shingles]] ∘ [[tokens]] as a FROM-clause fragment. */
+  /** DuckDB twin of [[docShingles]] as a FROM-clause fragment. */
   private val shinglesSqlCte: String =
     """sh AS (
       |  SELECT doc_id,

@@ -12,11 +12,13 @@ import graft.Tables
   *  - [[bruteForceTopK]] — the exact baseline: query-set × corpus cosine,
   *    per-query top-k via window ranking. O(|Q|·n) — correct at any scale
   *    where |Q| is small (and the oracle for everything else).
-  *  - [[annCosineLsh]] — the 100 TB path: random-hyperplane (sign) LSH.
-  *    Deterministic hyperplanes are generated driver-side from a seeded
-  *    LCG and embedded as literals, so the plan is pure codegen'd column
-  *    math: 4 tables × 16-bit signatures, bucket join, exact re-rank of
-  *    candidates only. Cost tracks bucket occupancy, not n².
+  *  - [[annCosineLsh]] — sign-LSH scale path: deterministic seeded-LCG
+  *    hyperplanes, 32 tables × 6-bit signatures computed in a JIT'd
+  *    kernel, bucket join, exact re-rank of candidates only. Cost tracks
+  *    bucket occupancy, not n².
+  *  - [[annCosineIvf]] — inverted-file scale path: spherical k-means
+  *    coarse quantizer, NProbe-cell search, exact re-rank. Higher recall
+  *    than sign-LSH on this corpus's weak-similarity geometry.
   *
   * Determinism: cosine math is all-double with identical fold order in
   * Spark and DuckDB (float→double products are exact, 64-element sequential

@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Temporal operators the reference's users would need for log analytics:
-  * as-of join and typed JSON extraction over `events`.
+/** Temporal/log-analytics operators: as-of join and typed JSON
+  * extraction over `events`, plus deterministic stratified sampling of
+  * `documents` (hash-gated — grouped here with the other id-keyed
+  * row-selection operators).
   */
 object Temporal {
 

@@ -6,29 +6,22 @@ import graft.Tables
 
 /** Text-analysis operators over `documents` — the per-document scoring
   * passes of a training-data pipeline: language ID, quality scoring,
-  * token counting, winnowing fingerprints.
+  * token counting, winnowing fingerprints, TF-IDF term salience.
   *
-  * All four are scan → narrow per-row column math → (optional) agg: no
-  * shuffle except final ordering, fully codegen'd, no UDFs — at 100 TB
-  * these run at parquet-scan speed. Everything is exact integer or
-  * identical-order double arithmetic, so each query has a value-exact
-  * DuckDB twin.
+  * The per-doc scorers are scan → narrow column math (no shuffle except
+  * final ordering, fully codegen'd, no UDFs — at 100 TB they run at
+  * parquet-scan speed); TF-IDF adds a df aggregation and a per-doc top-k
+  * window. Everything is exact integer or identical-order double
+  * arithmetic, so each query has a value-exact DuckDB twin.
   */
 object TextAnalysis {
 
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
-  /** Deterministic 4-dp rounding: floor(x·10⁴+0.5)/10⁴ — pure IEEE ops, so
-    * identical inputs give identical outputs on every engine (unlike
-    * round(), whose tie-breaking differs between Spark's decimal-string
-    * HALF_UP and DuckDB's binary rounding at representation boundaries). */
-  private def r4(c: Column): Column =
-    floor(c * 10000 + 0.5).cast("double") / 10000
-
-  /** DuckDB twin of [[r4]]. */
-  private def r4Sql(x: String): String =
-    s"CAST(floor(($x) * 10000 + 0.5) AS DOUBLE) / 10000"
+  /** 4-dp deterministic rounding (see [[Det]] for why round() is unsafe). */
+  private def r4(c: Column): Column = Det.r(c, 4)
+  private def r4Sql(x: String): String = Det.rSql(x, 4)
 
 
   // --------------------------------------------------------------------
