@@ -136,13 +136,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal fusion: text metadata joined to the embedding modality
+    * (doc_id ≙ vec_id in the fixtures) — the "one row, many modalities"
+    * frame every multimodal trainer consumes. Inner join keeps ids with
+    * both modalities; the embedding contributes its L2 norm and a
+    * quantized first component as compact per-modality features. */
+  def mmFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"),
+        Det.r(sqrt(graft.functions.VectorFunctions.array_dot(col("v"), col("v"))), 4)
+          .as("emb_norm"),
+        Det.r(element_at(col("v"), 1), 4).as("emb_c0"))
+      .orderBy("doc_id")
+  }
+
+  val mmFusionSql: String =
+    """SELECT doc_id, lang, source, n_chars, label,
+      |       CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                        CAST(embedding AS DOUBLE[]))) * 10000 + 0.5) AS DOUBLE)/10000 AS emb_norm,
+      |       CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) AS DOUBLE)/10000 AS emb_c0
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> ((s, d) => mmFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
+    "mm_fusion"       -> ((s, d) => mmFusion(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesSql,
+    "mm_fusion"   -> mmFusionSql,
     // mm_frame_sample: binary output column — rows-only check + spec.
   )
 }
