@@ -22,11 +22,15 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's intra-query caches — otherwise cached
-      // partitions accumulate over 41 queries and GC noise lands on
+      // partitions accumulate over the suite and GC noise lands on
       // whatever runs late
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink fully materializes every output row/column; a bare
+      // count() lets Catalyst prune projections and sorts, so map-heavy
+      // queries would time only the parquet scan
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -27,6 +27,22 @@ object SparkEntry {
       graft.streaming.StreamingJobs.queries ++
       graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries
 
+  /** Parameterized variants — reference parity for the GREP_PATTERN env
+    * channel (examples/grep/mapper.py:15). Same operators as [[queries]],
+    * but taking user arguments (string map, like the reference's env);
+    * every key here also has a fixed-argument twin in [[queries]] so the
+    * driver's oracle contract is untouched. Exercised in ArgsSpec. */
+  def queriesWithArgs: Map[String, (SparkSession, String, Map[String, String]) => DataFrame] = Map(
+    "grep" -> ((s, d, a) =>
+      TextJobs.grep(s, d, a.getOrElse("pattern", "error"))),
+    "bigrams" -> ((s, d, a) =>
+      TextJobs.bigrams(s, d, a.getOrElse("top_n", "100").toInt)),
+    "ann_cosine_topk" -> ((s, d, a) =>
+      Similarity.bruteForceTopK(s, d, a.getOrElse("k", "5").toInt)),
+    "embedding_cosine_dedup" -> ((s, d, a) =>
+      Dedup.embeddingCosineDups(s, d, a.getOrElse("threshold", "0.47").toDouble)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   * before physical planning, so pushdown sees the range). */
 object YearPredicateRewrite extends Rule[LogicalPlan] {
 
+  /** Years where y and y+1 are safely constructible in every branch
+    * (LocalDate.of throws outside ±999,999,999; micros conversion is far
+    * tighter). Outside this window the rule backs off and leaves the
+    * original predicate — `year(d) = 2147483647` must return empty rows,
+    * not a planning-time DateTimeException (and y+1 must not overflow). */
+  private def saneYear(y: Int): Boolean = y >= 0 && y <= 9998
+
   private def bounds(col: Expression, y: Int): Option[(Literal, Literal)] =
     col.dataType match {
       case DateType =>
@@ -63,7 +70,8 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
   }
 
   private def range(colExpr: Expression, y: Int): Option[Expression] =
-    bounds(colExpr, y).map { case (lo, hi) =>
+    if (!saneYear(y)) None
+    else bounds(colExpr, y).map { case (lo, hi) =>
       And(GreaterThanOrEqual(colExpr, lo), LessThan(colExpr, hi))
     }
 

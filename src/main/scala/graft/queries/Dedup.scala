@@ -337,36 +337,63 @@ object Dedup {
     * below 0.47 — nothing sits near the boundary, so exact compare is
     * safe).
     *
-    * Exact all-pairs via a BLOCK GRID: vectors hash into B row-blocks;
-    * every block pair (bi ≤ bj) becomes one task holding just two blocks,
-    * whose kernel runs the pairwise dot products as tight JIT'd loops.
-    * This replaced a naive theta-join + `aggregate`/`zip_with` columns:
+    * Exact all-pairs via a TRIANGLE BLOCK GRID: vectors hash into B
+    * row-blocks; every block pair (bi ≤ bj) is one grid task. Each vector
+    * is shuffled to the B tasks it participates in (side "x" of row bi,
+    * side "y" of column bj), and `groupByKey(task).flatMapGroups` streams a
+    * task's two blocks into plain heap arrays inside the kernel — NO
+    * `collect_list`, so no single Spark row ever materializes a block (a
+    * block-as-one-row layout hits the 2 GB record limit long before the
+    * grid math helps). B is DERIVED, not hardcoded: the memory bound
+    * ceil(n·vecBytes / 64 MiB) keeps both blocks of a task comfortably in
+    * executor heap at any corpus size, with a floor of 8 (→ ≥36 grid
+    * tasks) so small corpora still parallelize. Shuffle volume is B× the
+    * corpus — the inherent cost of exact n² partitioning; the ANN queries
+    * (`ann_cosine_lsh`/`ann_cosine_ivf`) are the sub-quadratic scale path.
+    *
+    * The kernel runs pairwise dot products as tight JIT'd loops. This
+    * replaced a naive theta-join + `aggregate`/`zip_with` columns:
     * higher-order-function lambdas are interpreted per element, and at
     * 2M pairs × 64 dims that costed 33 s — the kernel does it in ~1 s.
-    * At 100 TB the same grid partitions the n² space into
-    * B(B+1)/2 bounded tasks (pick B so a block fits executor memory);
-    * no driver state, no full broadcast. Fold order (sequential 0..63)
-    * matches DuckDB's list_dot_product → bit-identical cosines. */
-  def embeddingCosineDups(spark: SparkSession, sfDir: String): DataFrame = {
+    * Fold order (sequential 0..63) matches DuckDB's list_dot_product →
+    * bit-identical cosines. */
+  def embeddingCosineDups(spark: SparkSession, sfDir: String,
+                          threshold: Double = 0.47): DataFrame = {
     import spark.implicits._
-    val numBlocks = 8
-    val blocks = Tables.embeddings(spark, sfDir)
-      .select((col("vec_id") % numBlocks).cast("int").as("b"),
-        struct(col("vec_id"), col("embedding").cast("array<double>").as("v")).as("rec"))
-      .groupBy("b").agg(collect_list("rec").as("recs"))
-      .as[(Int, Seq[(Long, Seq[Double])])]
-    val pairs = blocks.toDF("bi", "ra").join(
-        blocks.toDF("bj", "rb"), col("bi") <= col("bj"))
-      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
-    pairs.flatMap { case (bi, ra, bj, rb) =>
-      def prep(rs: Seq[(Long, Seq[Double])]): Array[(Long, Array[Double], Double)] =
-        rs.map { case (id, v) =>
-          val a = v.toArray
-          var s = 0.0; var i = 0
-          while (i < a.length) { s += a(i) * a(i); i += 1 }
-          (id, a, math.sqrt(s))
-        }.sortBy(_._1).toArray
-      val xs = prep(ra); val ys = if (bi == bj) xs else prep(rb)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    // Two metadata-cheap driver actions (parquet row-count stats + one-row
+    // head) size the grid; at 100 TB these cost seconds, not scans.
+    val n = emb.count()
+    val dim = if (n == 0) 0 else emb.head()._2.length
+    val vecBytes = dim * 8L + 16
+    val targetBlockBytes = 64L << 20
+    val numBlocks =
+      math.max(8L, math.ceil(n.toDouble * vecBytes / targetBlockBytes).toLong)
+        .min(4096L).toInt
+    val B = numBlocks
+    // Replicate each vector to its B grid tasks: as side x of tasks
+    // (b, bj≥b) and side y of tasks (bi<b, b). Task id = bi*B + bj.
+    val tagged = emb.flatMap { case (id, v) =>
+      val b = ((id % B + B) % B).toInt
+      val asX = Iterator.range(b, B).map(bj => (b * B + bj, 0.toByte, id, v))
+      val asY = Iterator.range(0, b).map(bi => (bi * B + b, 1.toByte, id, v))
+      asX ++ asY
+    }
+    tagged.groupByKey(_._1).flatMapGroups { (task, rows) =>
+      val bi = task / B; val bj = task % B
+      val xb = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val yb = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      rows.foreach { case (_, side, id, v) =>
+        val a = v.toArray
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val rec = (id, a, math.sqrt(s))
+        if (side == 0) xb += rec else yb += rec
+      }
+      val xs = xb.sortBy(_._1).toArray
+      val ys = if (bi == bj) xs else yb.sortBy(_._1).toArray
       // same block: enumerate ia < ib directly; cross block: every (x, y)
       // combination is one unordered pair — order the ids on emit (the
       // smaller id is NOT always in the lower-numbered block)
@@ -379,7 +406,7 @@ object Dedup {
           while (i < va.length) { s += va(i) * vb(i); i += 1 }
           math.floor(s / (na * nb) * 10000 + 0.5) / 10000
         }
-        if cos >= 0.47
+        if cos >= threshold
       } yield (math.min(ia, ib), math.max(ia, ib), cos)
     }.toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")

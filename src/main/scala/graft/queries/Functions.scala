@@ -76,7 +76,7 @@ object Functions {
       |       qs[-1] AS max_qty,
       |       array_to_string(list_slice(qs, 1, 3), ',') AS smallest3,
       |       list_contains(qs, 25) AS has_25,
-      |       list_sum(qs) AS sum_qty,
+      |       CAST(list_sum(qs) AS BIGINT) AS sum_qty,
       |       array_to_string(qs, ',') AS qty_list
       |FROM (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
       |      FROM lineitem GROUP BY l_orderkey)

@@ -14,11 +14,15 @@ import graft.Tables
   * bytes themselves. Everything around it is the real production shape:
   *  - `binary` column + metadata struct schema (what a parquet media lake
   *    stores);
-  *  - `repartition(modality)` so each partition sees one modality — the
-  *    prerequisite for batching through a modality-specific model;
-  *  - typed `Dataset.mapPartitions` with (a) one expensive decoder init
-  *    per partition and (b) fixed-size batch iteration (`grouped(64)`) —
-  *    the Scala analog of `mapInPandas`'s Arrow-batch contract;
+  *  - `repartitionByRange(modality, doc_id)` + `sortWithinPartitions` so
+  *    work spreads across ALL shuffle partitions (hash-partitioning on
+  *    modality alone collapses a 2-modality corpus to 2 tasks at 100 TB)
+  *    while each partition still sees long contiguous same-modality runs;
+  *  - typed `Dataset.mapPartitions` with (a) decoder init once per
+  *    modality per partition (cached, re-looked-up per batch — range
+  *    boundaries may mix modalities) and (b) fixed-size batch iteration
+  *    (`grouped(64)`) — the Scala analog of `mapInPandas`'s Arrow-batch
+  *    contract;
   *  - features emitted as columns + fixed-length Array[Double] vector.
   *
   * `mm_features` is value-exact DuckDB-oracle'd (the fake decode is pure
@@ -74,18 +78,24 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract: one decoder init per partition, 64-row
-    * batches — the exact execution shape of a GPU/codec UDF at scale. */
+  /** Decode + feature-extract: decoder init once per modality per
+    * partition, 64-row batches — the exact execution shape of a GPU/codec
+    * UDF at scale. Range partitioning on (modality, doc_id) keeps every
+    * shuffle partition busy; the sort gives contiguous modality runs so a
+    * partition touching the range boundary pays at most one extra decoder
+    * init, and each batch is split per-modality so a decoder never sees a
+    * foreign asset. */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     assets(spark, sfDir)
-      .repartition(col("modality"))
+      .repartitionByRange(col("modality"), col("doc_id"))
+      .sortWithinPartitions("modality", "doc_id")
       .mapPartitions { it =>
-        val grouped = it.grouped(64)
-        var decoder: FakeDecoder = null   // lazy per-partition init
-        grouped.flatMap { batch =>
-          if (decoder == null) decoder = new FakeDecoder(batch.head.modality)
-          decoder.decodeBatch(batch)
+        val decoders = scala.collection.mutable.HashMap.empty[String, FakeDecoder]
+        it.grouped(64).flatMap { batch =>
+          batch.groupBy(_.modality).toSeq.sortBy(_._1).flatMap { case (m, run) =>
+            decoders.getOrElseUpdate(m, new FakeDecoder(m)).decodeBatch(run)
+          }
         }
       }
       .toDF()
@@ -103,7 +113,7 @@ object Multimodal {
     s"""SELECT doc_id,
        |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
        |       length(text) AS n_bytes,
-       |       list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS checksum,
+       |       CAST(list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum,
        |       CAST(floor(CAST(list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))) AS DOUBLE)
        |                  / greatest(length(text), 1) * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_byte,
        |       CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
@@ -122,7 +132,7 @@ object Multimodal {
     import spark.implicits._
     val stride = 16
     assets(spark, sfDir)
-      .repartition(col("modality"))
+      .repartitionByRange(col("modality"), col("doc_id"))
       .mapPartitions { it =>
         it.map { a =>
           val sampled = a.payload.zipWithIndex.collect {

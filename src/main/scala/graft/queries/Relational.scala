@@ -74,7 +74,7 @@ object Relational {
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       sum(qty) AS sum_qty,
+      |       CAST(sum(qty) AS BIGINT) AS sum_qty,
       |       CAST(sum(price_c) AS DOUBLE)/100 AS sum_base_price,
       |       CAST(sum(price_c*(100-disc_p)) AS DOUBLE)/10000 AS sum_disc_price,
       |       CAST(sum(price_c*(100-disc_p)*(100+tax_p)) AS DOUBLE)/1000000 AS sum_charge,

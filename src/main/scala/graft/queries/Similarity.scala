@@ -47,7 +47,7 @@ object Similarity {
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The window partitions by query id — k·|Q|
     * result rows, never a global sort. */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
     val all = vecs(spark, sfDir)
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -56,7 +56,7 @@ object Similarity {
     all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
       .orderBy("qid", "rank")
   }
@@ -165,8 +165,9 @@ object Similarity {
   private val NProbe = 4
 
   /** IVF ANN: deterministic spherical k-means coarse quantizer (init =
-    * unit vectors of vec_id 0..15, 5 Lloyd iterations, ties to the lowest
-    * cell), then per-query search probes the NProbe nearest cells and
+    * unit vectors of vec_id 0..15, `IvfIters` = 3 Lloyd iterations, ties
+    * to the lowest cell), then per-query search probes the NProbe nearest
+    * cells and
     * exact-re-ranks only their members — the classic FAISS IVF topology.
     *
     * Distribution contract: vectors never leave the cluster; each Lloyd

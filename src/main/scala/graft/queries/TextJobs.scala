@@ -144,7 +144,7 @@ object TextJobs {
     * Array zip of tokens with its own tail — stays inside whole-stage
     * codegen, no window shuffle needed (the window alternative would
     * partition by doc and sort by position; zip_with is strictly cheaper). */
-  def bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+  def bigrams(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(split(lower(col("text")), "\\W+").as("t"))
       .select(filter(col("t"), x => length(x) > 0).as("t"))
@@ -155,11 +155,33 @@ object TextJobs {
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
-      .limit(100)
+      .limit(topN)
+  }
+
+  /** F8 TSV sink round-trip (worker/worker.py:164-171): `key\tvalue` text
+    * is the reference's only output format. Write wordcount as TSV lines,
+    * read them back, and re-parse — the registered result is the
+    * round-tripped table, oracled against the same wordcount SQL, so the
+    * sink's encode→decode is inside the driver's correctness gate. Output
+    * lands in the JVM temp dir (per-sfDir path, overwritten per run); the
+    * write is a distributed text sink — one file per partition, exactly
+    * the reference worker's sharded `part-*` layout. */
+  def wordcountTsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_tsv_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    wordcount(spark, sfDir)
+      .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(split(col("value"), "\t").as("kv"))
+      .select(col("kv")(0).as("word"), col("kv")(1).cast("long").as("cnt"))
+      .orderBy("word")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
+    "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
     // "error" is the reference default (grep/mapper.py:15) but absent from
     // this corpus's vocabulary; include "scan" so the query is non-vacuous.
     "grep"               -> ((s, d) => grep(s, d, "(error|scan)")),
@@ -172,6 +194,13 @@ object TextJobs {
 
   val oracles: Map[String, String] = Map(
     "wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin,
+    // TSV round-trip is lossless → same oracle as wordcount
+    "wordcount_tsv" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
         |      FROM documents)

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parameterized-query channel (SparkEntry.queriesWithArgs) — the
+  * engine's analog of the reference's GREP_PATTERN env argument
+  * (examples/grep/mapper.py:15). Each entry must honor its argument AND
+  * default to its fixed-registry twin's behavior. */
+class ArgsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("grep honors the pattern argument (two patterns, different results)") {
+    val run = SparkEntry.queriesWithArgs("grep")
+    val scan = run(spark, sf, Map("pattern" -> "scan")).as[(String, Long)].collect()
+    val data = run(spark, sf, Map("pattern" -> "data")).as[(String, Long)].collect()
+    assert(scan.nonEmpty && data.nonEmpty)
+    assert(scan.forall(_._1.toLowerCase.contains("scan")))
+    assert(data.forall(_._1.toLowerCase.contains("data")))
+    assert(scan.map(_._1).toSet != data.map(_._1).toSet)
+  }
+
+  test("grep with no args uses the reference default pattern 'error'") {
+    val byDefault = SparkEntry.queriesWithArgs("grep")(spark, sf, Map.empty)
+    val explicit = queries.TextJobs.grep(spark, sf, "error")
+    assert(byDefault.collect().toSeq == explicit.collect().toSeq)
+  }
+
+  test("bigrams honors top_n") {
+    val run = SparkEntry.queriesWithArgs("bigrams")
+    assert(run(spark, sf, Map("top_n" -> "7")).count() == 7)
+  }
+
+  test("ann_cosine_topk honors k") {
+    val run = SparkEntry.queriesWithArgs("ann_cosine_topk")
+    val rows = run(spark, sf, Map("k" -> "3")).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 3))
+  }
+
+  test("embedding_cosine_dedup honors threshold (lower threshold => superset)") {
+    val run = SparkEntry.queriesWithArgs("embedding_cosine_dedup")
+    def pairs(t: String) = run(spark, sf, Map("threshold" -> t))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val strict = pairs("0.47")
+    val loose = pairs("0.40")
+    assert(strict.subsetOf(loose))
+    assert(loose.size > strict.size, "lower threshold should admit more pairs")
+  }
+
+  test("every args entry has a fixed-registry twin") {
+    SparkEntry.queriesWithArgs.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
+    }
+  }
+}

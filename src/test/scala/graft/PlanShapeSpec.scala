@@ -52,4 +52,61 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("multikey_counts")
     assert("Expand".r.findAllIn(p).length == 1)
   }
+
+  test("mm queries range-partition on (modality, doc_id), not hash on modality") {
+    // hash-partitioning on modality alone collapses a 2-modality corpus to
+    // 2 tasks; range partitioning spreads the same contiguity guarantee
+    // over all shuffle partitions
+    Seq("mm_features", "mm_frame_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("rangepartitioning(modality"), s"$q:\n$p")
+      assert(!p.contains("hashpartitioning(modality#"), s"$q hash-partitions on modality:\n$p")
+    }
+  }
+
+  test("mm repartition yields >2 non-empty partitions") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // AQE rightly coalesces the 500-row test corpus to one partition; turn
+    // coalescing off to observe the partitioning scheme's scale behavior
+    // (at real volume AQE sizes partitions by bytes, not down to 2)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val nonEmpty = queries.Multimodal.assets(spark, sf)
+        .repartitionByRange(col("modality"), col("doc_id"))
+        .select(spark_partition_id().as("pid")).distinct().count()
+      assert(nonEmpty > 2, s"modality repartition landed in only $nonEmpty partitions")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("embedding_cosine_dedup: no collect_list block rows, grid spread over partitions") {
+    val p = plan("embedding_cosine_dedup")
+    assert(!p.contains("collect_list"),
+      s"a block materialized as one row (2 GB record limit at scale):\n$p")
+    assert(!p.contains("SinglePartition"), s"grid funnels to one partition:\n$p")
+  }
+
+  test("no registered query funnels data through SinglePartition or CollectLimit") {
+    // global sorts plan as range partitioning; a SinglePartition exchange
+    // carrying table data (or a CollectLimit) is a driver-width funnel.
+    // The ONE sanctioned SinglePartition shape is the final step of a
+    // global scalar aggregate (e.g. tfidf's corpus doc count): its input
+    // is pre-aggregated, so the exchange moves one row per partition.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CollectLimit"), s"$name has a CollectLimit")
+      val lines = p.linesIterator.toArray
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange SinglePartition")) {
+          val parent = if (i > 0) lines(i - 1) else ""
+          assert(
+            parent.contains("HashAggregate(keys=[]") ||
+              parent.contains("ObjectHashAggregate(keys=[]") ||
+              parent.contains("SortAggregate(keys=[]"),
+            s"$name funnels data through SinglePartition:\n$p")
+        }
+      }
+    }
+  }
 }

@@ -22,24 +22,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("LSH recall@5 >= 0.5 vs brute force (sign-LSH, 32 tables x 6 bits)") {
+  test("LSH recall@5 >= 0.7 vs brute force (sign-LSH, 32 tables x 6 bits)") {
     val truth = queries.Similarity.bruteForceTopK(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val got = queries.Similarity.annCosineLsh(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (truth & got).size.toDouble / truth.size
     info(s"recall@5 = $recall (candidates returned: ${got.size})")
-    assert(recall >= 0.5, s"recall $recall too low")
+    // measured 0.74 on this corpus; bound tight enough that a recall
+    // regression (changed planes/signature kernel) actually fails
+    assert(recall >= 0.7, s"recall $recall too low")
   }
 
-  test("IVF recall@5 >= 0.5 vs brute force (16 cells, 4 probes)") {
+  test("IVF recall@5 >= 0.85 vs brute force (16 cells, 4 probes)") {
     val truth = queries.Similarity.bruteForceTopK(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val got = queries.Similarity.annCosineIvf(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (truth & got).size.toDouble / truth.size
     info(s"IVF recall@5 = $recall (returned: ${got.size})")
-    assert(recall >= 0.5, s"recall $recall too low")
+    // measured 0.88 on this corpus (3 Lloyd iterations, NProbe=4)
+    assert(recall >= 0.85, s"recall $recall too low")
   }
 
   test("hyperplanes are deterministic across calls") {

@@ -50,6 +50,14 @@ def main():
         for c in got.columns:
             a, b = got[c], want[c]
             try:
+                # the driver's hash compare is TYPE-sensitive: an int64
+                # Spark column vs a HUGEINT-(→float64) oracle column fails
+                # there even when values match, so flag dtype-kind
+                # divergence instead of silently coercing it away
+                if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= {'i', 'u', 'f'}:
+                    bad.append(f"{c}: dtype mismatch spark={a.dtype} oracle={b.dtype} "
+                               "(driver hash compare would fail)")
+                    continue
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     ae = a.astype(float); be = b.astype(float)
                     neq = ~((ae == be) | (ae.isna() & be.isna()))
