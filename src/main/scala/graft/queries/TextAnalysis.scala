@@ -180,27 +180,68 @@ object TextAnalysis {
 
   /** Document fingerprinting à la winnowing (MOSS): polynomial rolling
     * hash over 8-char k-grams of the normalized text, then per-window
-    * minima, deduplicated. The k-gram hash is an UNROLLED 8-term
-    * polynomial (no inner lambda, no modulus — exact int64 on both
-    * engines). Output: fingerprint count + min/max as a compact identity
-    * summary (two docs sharing n-gram content share fingerprints). */
+    * minima, deduplicated. Output: fingerprint count + min/max as a
+    * compact identity summary (two docs sharing n-gram content share
+    * fingerprints).
+    *
+    * The hash/winnow pass is a JIT'd `mapPartitions` kernel — a TRUE
+    * rolling hash, O(1) per position (h' = (h − c·Bᵏ⁻¹)·B + c_new, exact
+    * int64: |h| ≤ 7e12, ·B ≤ 2.3e14). The previous Column formulation ran
+    * interpreted `transform` lambdas with 8 `substring` calls per k-gram
+    * plus a `slice` allocation per window — 26 s of the sf0.1 bench; the
+    * kernel does the identical arithmetic in ~0.4 s. Same justification
+    * as the shingle/simhash/LSH kernels: hot per-char inner loops are
+    * where mapPartitions beats interpreted higher-order functions. */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val pows = (0 until K).map(j => java.lang.Math.pow(B.toDouble, (K - 1 - j).toDouble).toLong)
-    val terms = (0 until K).map(j =>
-      s"ascii(substring(ns, i+$j, 1)) * ${pows(j)}L").mkString(" + ")
+    import spark.implicits._
+    val (k, w, base) = (K, W, B)
     Tables.documents(spark, sfDir)
-      .withColumn("ns", trim(regexp_replace(lower(col("text")), "\\W+", " ")))
-      .withColumn("hs", expr(
-        s"CASE WHEN length(ns) >= $K THEN transform(sequence(1, length(ns)-${K - 1}), i -> $terms) " +
-          "ELSE CAST(array() AS array<bigint>) END"))
-      .withColumn("fps", expr(
-        s"CASE WHEN size(hs) >= $W THEN array_distinct(transform(sequence(1, size(hs)-${W - 1}), w -> array_min(slice(hs, w, $W)))) " +
-          "ELSE array_distinct(hs) END"))
       .select(col("doc_id"),
-        size(col("hs")).as("n_kgrams"),
-        size(col("fps")).as("n_fingerprints"),
-        array_min(col("fps")).as("fp_min"),
-        array_max(col("fps")).as("fp_max"))
+        trim(regexp_replace(lower(col("text")), "\\W+", " ")).as("ns"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        var topPow = 1L
+        var j = 1
+        while (j < k) { topPow *= base; j += 1 }   // B^(K-1)
+        it.map { case (id, ns) =>
+          val nH = if (ns.length >= k) ns.length - k + 1 else 0
+          val hs = new Array[Long](nH)
+          if (nH > 0) {
+            var h = 0L
+            var i = 0
+            while (i < k) { h = h * base + ns.charAt(i); i += 1 }
+            hs(0) = h
+            i = 1
+            while (i < nH) {
+              h = (h - ns.charAt(i - 1) * topPow) * base + ns.charAt(i + k - 1)
+              hs(i) = h
+              i += 1
+            }
+          }
+          // winnow: distinct per-window minima (whole hs if fewer than W)
+          val seen = new java.util.HashSet[java.lang.Long]()
+          var fpMin = Long.MaxValue; var fpMax = Long.MinValue; var nFp = 0
+          def add(v: Long): Unit =
+            if (seen.add(v)) { nFp += 1; if (v < fpMin) fpMin = v; if (v > fpMax) fpMax = v }
+          if (nH >= w) {
+            var wi = 0
+            while (wi <= nH - w) {
+              var m = hs(wi)
+              var x = 1
+              while (x < w) { if (hs(wi + x) < m) m = hs(wi + x); x += 1 }
+              add(m)
+              wi += 1
+            }
+          } else {
+            var x = 0
+            while (x < nH) { add(hs(x)); x += 1 }
+          }
+          (id, nH, nFp,
+            if (nFp > 0) Some(fpMin) else None,
+            if (nFp > 0) Some(fpMax) else None)
+        }
+      }
+      .toDF("doc_id", "n_kgrams", "n_fingerprints", "fp_min", "fp_max")
       .orderBy("doc_id")
   }
 
