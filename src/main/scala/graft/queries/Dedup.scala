@@ -303,14 +303,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Oracle = brute-force Hamming over the identically-constructed
-    * signature (md5-derived, so DuckDB reproduces it bit-for-bit). */
-  val simhashDedupSql: String = {
+  /** Shared DuckDB CTE chain producing the per-doc simhash signature —
+    * identical to the Spark kernel bit-for-bit (same \W+ tokenizer, same
+    * first-12-hex-chars-of-md5 token hash, same majority vote). */
+  private val simhashSigCtes: String = {
     val bitSumSql = (0 until SimBits).map(b =>
       s"sum((h >> $b) & 1) AS b$b").mkString(",\n                  ")
     val simhashSql = (0 until SimBits).map(b =>
       s"(CASE WHEN b$b * 2 > n_tok THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+    s"""t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
        |                          x -> length(x) > 0)) AS tok
        |           FROM documents),
        |     th AS (SELECT doc_id,
@@ -320,13 +321,94 @@ object Dedup {
        |                  $bitSumSql,
        |                  count(*) AS n_tok
        |            FROM th GROUP BY doc_id),
-       |     sig AS (SELECT doc_id, $simhashSql AS simhash FROM bs)
+       |     sig AS (SELECT doc_id, $simhashSql AS simhash FROM bs)""".stripMargin
+  }
+
+  /** Oracle = brute-force Hamming over the identically-constructed
+    * signature (md5-derived, so DuckDB reproduces it bit-for-bit). */
+  val simhashDedupSql: String =
+    s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Duplicate-cluster resolution (connected components)
+  // --------------------------------------------------------------------
+
+  /** Dup-cluster resolution — the step every dedup pipeline needs AFTER
+    * pair generation: near-dup pairs are edges of an undirected graph;
+    * transitively-connected docs form one cluster; keep the minimum
+    * doc_id per cluster, drop the rest. Pairs come from [[simhashDedup]]
+    * (provable recall at hamming ≤ 3, so the edge set equals the
+    * brute-force oracle's).
+    *
+    * Algorithm: distributed min-label propagation WITH pointer jumping —
+    * each round takes the min over neighbor labels, then compresses one
+    * pointer hop (comp ← label(comp)), so convergence is O(log diameter)
+    * rounds instead of O(diameter) (simhash chains make components deep:
+    * plain propagation needed ~15 rounds on this corpus, ~37 s of pure
+    * job overhead; propagate+jump does it in 5). Labels monotonically
+    * decrease; the previous label rides along through `localCheckpoint`
+    * (which truncates lineage so plans stay bounded), making the
+    * convergence check a filter over in-memory data, not a re-join. At
+    * web scale with adversarial chains, swap the loop body for the
+    * large-star/small-star steps (Kiveris et al.), same driver contract.
+    * Only edge-touching docs enter the loop: singletons (the overwhelming
+    * mass at 100 TB) never shuffle. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = simhashDedup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 32) {
+      val minNeigh = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("comp").as("ncomp"))
+      val stepped = labels.withColumnRenamed("comp", "prev")
+        .join(minNeigh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("ncomp"), col("prev"))).as("c1"))
+      // pointer jump: follow one label hop (c1 is always a node id, so the
+      // lookup is total); keeps deep chains collapsing geometrically
+      val next = stepped
+        .join(labels.select(col("doc_id").as("c1"), col("comp").as("lc1")),
+          Seq("c1"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("c1"), coalesce(col("lc1"), col("c1"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select("doc_id", "comp")
+      iter += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("canonical_id"),
+        (col("doc_id") === col("comp")).as("keep"), col("n_members"))
+      .orderBy("doc_id")
   }
+
+  /** Oracle: recursive transitive closure over the same simhash pairs,
+    * min reachable id per doc (tiny at sf0.01 — 40 edges). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS canonical_id FROM reach GROUP BY doc_id)
+       |SELECT doc_id, canonical_id, doc_id = canonical_id AS keep,
+       |       count(*) OVER (PARTITION BY canonical_id) AS n_members
+       |FROM lab ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup
@@ -427,6 +509,7 @@ object Dedup {
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
+    "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +518,6 @@ object Dedup {
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
+    "dedup_clusters"       -> dedupClustersSql,
   )
 }

@@ -146,6 +146,101 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Repetition signals + composite quality gate
+  // --------------------------------------------------------------------
+
+  /** Tokens + bigram array + bigram-duplication fraction — the shared
+    * per-doc base of [[repetitionScore]] and [[qualityGate]]. Bigram
+    * construction is the same zip-with-tail shape as the `bigrams` query
+    * (no window shuffle); `dup_bigram_frac` = 1 − distinct/total is the
+    * Gopher-style "duplicate n-gram fraction" repetition signal. */
+  private def repetitionBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("bg", zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
+        Det.r(when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+          .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+
+  private val repetitionBaseSqlCte: String =
+    """rb AS (
+      |  SELECT doc_id, t, len(t) AS n_tokens,
+      |         CAST(floor((CASE WHEN len(bg) > 0
+      |                          THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |                          ELSE 0.0 END) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS dup_bigram_frac
+      |  FROM (SELECT doc_id, t,
+      |               list_transform(range(1, greatest(len(t), 1)),
+      |                              i -> t[i] || ' ' || t[i+1]) AS bg
+      |        FROM (SELECT doc_id,
+      |                     list_filter(string_split_regex(lower(text), '\W+'),
+      |                                 x -> length(x) > 0) AS t
+      |              FROM documents)))""".stripMargin
+
+  /** Per-doc repetition metrics (the quality signals a pretraining
+    * pipeline filters on): duplicate-bigram fraction and top-token mass
+    * (most frequent token's share of the doc). Top-token counting uses
+    * explode → two-level hash agg — fully distributed and codegen'd; an
+    * array-lambda formulation would run O(n·vocab) interpreted per doc. */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = repetitionBase(spark, sfDir)
+    val top = base.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_token_cnt"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+        coalesce(col("top_token_cnt"), lit(0L)).as("top_token_cnt"),
+        Det.r(coalesce(col("top_token_cnt"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1)), 6).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH $repetitionBaseSqlCte,
+       |tc AS (SELECT doc_id, max(c) AS top_token_cnt
+       |       FROM (SELECT doc_id, tok, count(*) AS c
+       |             FROM (SELECT doc_id, unnest(t) AS tok FROM rb)
+       |             GROUP BY doc_id, tok)
+       |       GROUP BY doc_id)
+       |SELECT rb.doc_id, n_tokens, dup_bigram_frac,
+       |       coalesce(top_token_cnt, 0) AS top_token_cnt,
+       |       ${Det.rSql("CAST(coalesce(top_token_cnt, 0) AS DOUBLE) / greatest(n_tokens, 1)", 6)} AS top_token_frac
+       |FROM rb LEFT JOIN tc ON rb.doc_id = tc.doc_id
+       |ORDER BY rb.doc_id""".stripMargin
+
+  /** Composite quality gate — the keep/drop decision a training-data
+    * pipeline applies before tokenization, with the REASON recorded (what
+    * production filters log for ablation). Rules in priority order:
+    * too_short (<20 tokens), repetitive (dup-bigram fraction > 0.05,
+    * ~p90 of this corpus), else ok. Thresholds compare the 6-dp-rounded
+    * fraction, computed identically in both engines, so the boundary is
+    * deterministic. One scan, no shuffle except the output sort. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionBase(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("dup_bigram_frac") > 0.05, "repetitive")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "dup_bigram_frac", "keep", "reason")
+      .orderBy("doc_id")
+
+  val qualityGateSql: String =
+    s"""WITH $repetitionBaseSqlCte
+       |SELECT doc_id, n_tokens, dup_bigram_frac,
+       |       (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |             WHEN dup_bigram_frac > 0.05 THEN 'repetitive'
+       |             ELSE 'ok' END) = 'ok' AS keep,
+       |       CASE WHEN n_tokens < 20 THEN 'too_short'
+       |            WHEN dup_bigram_frac > 0.05 THEN 'repetitive'
+       |            ELSE 'ok' END AS reason
+       |FROM rb
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Token counting
   // --------------------------------------------------------------------
 
@@ -321,18 +416,22 @@ object TextAnalysis {
        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lang_id"         -> ((s, d) => langId(s, d)),
-    "text_quality"    -> ((s, d) => textQuality(s, d)),
-    "token_counts"    -> ((s, d) => tokenCounts(s, d)),
-    "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
-    "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "lang_id"          -> ((s, d) => langId(s, d)),
+    "text_quality"     -> ((s, d) => textQuality(s, d)),
+    "token_counts"     -> ((s, d) => tokenCounts(s, d)),
+    "doc_fingerprint"  -> ((s, d) => docFingerprint(s, d)),
+    "tfidf_top_terms"  -> ((s, d) => tfidfTopTerms(s, d)),
+    "repetition_score" -> ((s, d) => repetitionScore(s, d)),
+    "quality_gate"     -> ((s, d) => qualityGate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
-    "lang_id"         -> langIdSql,
-    "text_quality"    -> textQualitySql,
-    "token_counts"    -> tokenCountsSql,
-    "doc_fingerprint" -> docFingerprintSql,
-    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "lang_id"          -> langIdSql,
+    "text_quality"     -> textQualitySql,
+    "token_counts"     -> tokenCountsSql,
+    "doc_fingerprint"  -> docFingerprintSql,
+    "tfidf_top_terms"  -> tfidfTopTermsSql,
+    "repetition_score" -> repetitionScoreSql,
+    "quality_gate"     -> qualityGateSql,
   )
 }

@@ -63,4 +63,25 @@ class DedupSpec extends AnyFunSuite {
       assert(c >= 0.47 && c <= 1.0)
     }
   }
+
+  test("dedup clusters: valid union-find over simhash pairs") {
+    val pairs = queries.Dedup.simhashDedup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val rows = queries.Dedup.dedupClusters(spark, sf).collect()
+    val label = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    // membership: exactly the docs touching an edge
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every edge is intra-cluster
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+    // canonical = min member; keep iff canonical; n_members = cluster size
+    val clusters = label.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    clusters.foreach { case (canon, members) => assert(canon == members.min) }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("keep") == (id == label(id)))
+      assert(r.getAs[Long]("n_members") == clusters(label(id)).size)
+    }
+    assert(clusters.exists(_._2.size > 1), "fixture has non-trivial clusters")
+  }
 }

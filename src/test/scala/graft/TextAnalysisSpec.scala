@@ -51,4 +51,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_max"))
     }
   }
+
+  test("repetition_score: fractions bounded, top token really is the max count") {
+    val rows = queries.TextAnalysis.repetitionScore(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
+      val topCnt = r.getAs[Long]("top_token_cnt")
+      assert(topCnt >= 1 && topCnt <= n)
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      val frac = r.getAs[Double]("top_token_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("quality_gate: keep iff reason ok; reasons honor rule priority") {
+    val rows = queries.TextAnalysis.qualityGate(spark, sf).collect()
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    assert(reasons.subsetOf(Set("ok", "too_short", "repetitive")))
+    assert(reasons.contains("ok") && reasons.size >= 2, "gate must discriminate")
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      val expected =
+        if (n < 20) "too_short" else if (dup > 0.05) "repetitive" else "ok"
+      assert(r.getAs[String]("reason") == expected)
+      assert(r.getAs[Boolean]("keep") == (expected == "ok"))
+    }
+  }
 }
