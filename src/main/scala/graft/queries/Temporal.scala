@@ -111,15 +111,44 @@ object Temporal {
       |WHERE h < frac * 1152921504606846976
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test assignment — the held-out-split step of
+    * a training pipeline. Same md5-gate idiom as [[stratifiedSample]]:
+    * bucket = hash(doc_id) mod 100 → test (<5) / val (<10) / train. A
+    * pure function of the id: reproducible across runs, engines, and
+    * repartitioning, and docs keep their split when the corpus grows
+    * (the property that matters for contamination control — a doc never
+    * migrates from test into train on re-ingestion). */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 5, "test")
+          .when(col("bucket") < 10, "val").otherwise("train"))
+      .select("doc_id", "lang", "bucket", "split")
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    """SELECT doc_id, lang, bucket,
+      |       CASE WHEN bucket < 5 THEN 'test'
+      |            WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+      |FROM (SELECT doc_id, lang,
+      |             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 100 AS INTEGER) AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
     "json_events"       -> ((s, d) => jsonEvents(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "split_assign"      -> ((s, d) => splitAssign(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "asof_join_orders"  -> asofJoinOrdersSql,
     "json_events"       -> jsonEventsSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "split_assign"      -> splitAssignSql,
   )
 }

@@ -241,6 +241,69 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Sequence packing (fixed token budget)
+  // --------------------------------------------------------------------
+
+  private val PackBudget = 256   // tokens per training sequence
+  private val PackShards = 32    // deterministic shard fan-out
+
+  /** Sequence packing — the batching step between filtering and training:
+    * greedily pack documents (in doc_id order) into fixed-budget token
+    * sequences. Packing is inherently sequential, so it runs SHARDED, the
+    * way production packers do: shard = doc_id % 32 (a pure function, so
+    * the layout is deterministic and engine-reproducible — unlike
+    * range-partition boundaries, which depend on sampling), greedy
+    * first-fit within each shard's doc_id order. At 100 TB the shard
+    * count is the parallelism/memory knob: pick shards so one shard's
+    * (doc_id, n_tokens) pairs fit an executor — the kernel holds only
+    * 12 B/doc, not text. Each group is one `flatMapGroups` stream; docs
+    * longer than the budget get a sequence of their own. */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = PackBudget
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
+        (col("doc_id") % PackShards).as("shard"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        var seq = 0; var fill = 0; var pos = 0
+        var first = true
+        docs.iterator.map { case (id, n, _) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= budget) { fill += n; pos += 1 }
+          else { seq += 1; fill = n; pos = 0 }
+          (id, shard, seq, pos, n)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_in_shard", "pos_in_seq", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same greedy fold per shard as a recursive CTE walking
+    * each shard's doc chain in order (chain depth = shard size — fine at
+    * oracle scale). */
+  val sequencePackSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                         x -> length(x) > 0)) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $PackShards
+       |                            ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack(shard, rn, doc_id, n_tokens, seq, fill, pos) AS (
+       |  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens, 0 FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |         CASE WHEN p.fill + d.n_tokens <= $PackBudget THEN p.seq ELSE p.seq + 1 END,
+       |         CASE WHEN p.fill + d.n_tokens <= $PackBudget THEN p.fill + d.n_tokens ELSE d.n_tokens END,
+       |         CASE WHEN p.fill + d.n_tokens <= $PackBudget THEN p.pos + 1 ELSE 0 END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT doc_id, shard, seq AS seq_in_shard, pos AS pos_in_seq, n_tokens
+       |FROM pack ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Token counting
   // --------------------------------------------------------------------
 
@@ -423,6 +486,7 @@ object TextAnalysis {
     "tfidf_top_terms"  -> ((s, d) => tfidfTopTerms(s, d)),
     "repetition_score" -> ((s, d) => repetitionScore(s, d)),
     "quality_gate"     -> ((s, d) => qualityGate(s, d)),
+    "sequence_pack"    -> ((s, d) => sequencePack(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,5 +497,6 @@ object TextAnalysis {
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,
+    "sequence_pack"    -> sequencePackSql,
   )
 }

@@ -66,6 +66,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_pack: greedy invariants — budget respected, positions/seqs contiguous") {
+    val rows = queries.TextAnalysis.sequencePack(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      sorted.foreach(r => assert(r.getAs[Long]("doc_id") % 32 == shard))
+      // seq ids non-decreasing in doc order, advancing by at most 1
+      val seqs = sorted.map(_.getAs[Int]("seq_in_shard"))
+      assert(seqs.head == 0)
+      seqs.zip(seqs.tail).foreach { case (a, b) => assert(b == a || b == a + 1) }
+      sorted.groupBy(_.getAs[Int]("seq_in_shard")).foreach { case (_, seqDocs) =>
+        val inOrder = seqDocs.sortBy(_.getAs[Long]("doc_id"))
+        // positions 0,1,2,... within the sequence
+        assert(inOrder.map(_.getAs[Int]("pos_in_seq")).toSeq ==
+          inOrder.indices.toSeq)
+        // total tokens fit the budget (every fixture doc is under budget)
+        assert(inOrder.map(_.getAs[Int]("n_tokens")).sum <= 256)
+      }
+      // greedy tightness: a new sequence only opens when the previous one
+      // could not have taken the doc
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        if (b.getAs[Int]("seq_in_shard") == a.getAs[Int]("seq_in_shard") + 1) {
+          val prevSeq = sorted.filter(_.getAs[Int]("seq_in_shard") == a.getAs[Int]("seq_in_shard"))
+          assert(prevSeq.map(_.getAs[Int]("n_tokens")).sum + b.getAs[Int]("n_tokens") > 256)
+        }
+      }
+    }
+  }
+
   test("quality_gate: keep iff reason ok; reasons honor rule priority") {
     val rows = queries.TextAnalysis.qualityGate(spark, sf).collect()
     val reasons = rows.map(_.getAs[String]("reason")).toSet
