@@ -182,19 +182,41 @@ object TextAnalysis {
 
   /** Per-doc repetition metrics (the quality signals a pretraining
     * pipeline filters on): duplicate-bigram fraction and top-token mass
-    * (most frequent token's share of the doc). Top-token counting uses
-    * explode → two-level hash agg — fully distributed and codegen'd; an
-    * array-lambda formulation would run O(n·vocab) interpreted per doc. */
+    * (most frequent token's share of the doc). All three metrics are
+    * per-doc local, so a single `mapPartitions` kernel computes them in
+    * ONE pass over one scan — the explode→agg→join alternative reads the
+    * text column twice and shuffles twice for what is embarrassingly
+    * parallel work. Rounding is the exact Det.r arithmetic
+    * (floor(x·10⁶+0.5)/10⁶ on identical IEEE inputs). */
   def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = repetitionBase(spark, sfDir)
-    val top = base.select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_token_cnt"))
-    base.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
-        coalesce(col("top_token_cnt"), lit(0L)).as("top_token_cnt"),
-        Det.r(coalesce(col("top_token_cnt"), lit(0L)).cast("double")
-          / greatest(col("n_tokens"), lit(1)), 6).as("top_token_frac"))
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\W+").filter(_.nonEmpty)
+          val n = toks.length
+          val counts = new java.util.HashMap[String, Int]()
+          var topCnt = 0
+          var i = 0
+          while (i < n) {
+            val c = counts.merge(toks(i), 1, Integer.sum)
+            if (c > topCnt) topCnt = c
+            i += 1
+          }
+          val nBg = math.max(n - 1, 0)
+          val distinctBg = new java.util.HashSet[String]()
+          i = 0
+          while (i < nBg) { distinctBg.add(toks(i) + " " + toks(i + 1)); i += 1 }
+          def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+          val dupFrac =
+            if (nBg > 0) r6(1.0 - distinctBg.size.toDouble / nBg) else 0.0
+          (id, n, dupFrac, topCnt.toLong,
+            r6(topCnt.toDouble / math.max(n, 1)))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "dup_bigram_frac", "top_token_cnt", "top_token_frac")
       .orderBy("doc_id")
   }
 

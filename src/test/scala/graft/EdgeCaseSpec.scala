@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: the fixture corpora are healthy, so these
+  * tests build tiny synthetic parquet fixtures (same schemas) covering
+  * what 100 TB of real data WILL contain — empty texts, separator-only
+  * texts, sub-k-gram texts, exact duplicates, empty tables — and assert
+  * the operators degrade gracefully instead of throwing or mis-counting. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write a throwaway fixture dir with documents + embeddings parquet. */
+  private def fixture(name: String,
+                      docs: Seq[(Long, String, String, String, Long)],
+                      embs: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_edge_$name").getAbsolutePath
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private lazy val edge: String = fixture("mixed",
+    docs = Seq(
+      (1L, "", "en", "web", 0L),                             // empty text
+      (2L, "!!! ??? ...", "en", "web", 11L),                 // separators only
+      (3L, "hello", "en", "web", 5L),                        // single token
+      (4L, "ab cd", "en", "web", 5L),                        // shorter than k-gram k=8
+      (5L, "the quick brown fox jumps over the lazy dog again", "en", "web", 49L),
+      (6L, "the quick brown fox jumps over the lazy dog again", "en", "web", 49L)), // exact dup
+    embs = Seq(
+      (1L, Seq.fill(64)(0.5f), 0),
+      (2L, Seq.fill(64)(0.5f), 0),                           // cosine-identical to 1
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 1f else -1f), 1)))
+
+  private lazy val empty: String =
+    fixture("empty", docs = Seq.empty, embs = Seq.empty)
+
+  test("wordcount: empty and separator-only docs contribute nothing") {
+    val rows = queries.TextJobs.wordcount(spark, edge).collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    // 1 + 5 + 2 + 2*10 tokens from docs 3,4,5,6
+    assert(total == 23)
+    assert(!rows.exists(_.getAs[String]("word").isEmpty))
+  }
+
+  test("doc_fingerprint: sub-k-gram docs yield zero kgrams and null min/max") {
+    val rows = queries.TextAnalysis.docFingerprint(spark, edge).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L, 4L).foreach { id =>
+      // normalized "ab cd" is 5 chars < k=8; "" and separators normalize to ""/short
+      assert(byId(id).getAs[Int]("n_kgrams") == 0, s"doc $id")
+      assert(byId(id).getAs[Int]("n_fingerprints") == 0)
+      assert(byId(id).isNullAt(byId(id).fieldIndex("fp_min")))
+    }
+    assert(byId(5L).getAs[Int]("n_kgrams") > 0)
+    assert(byId(5L).getAs[Long]("fp_min") == byId(6L).getAs[Long]("fp_min"))
+  }
+
+  test("quality_gate: zero-token docs gate as too_short, not crash") {
+    val rows = queries.TextAnalysis.qualityGate(spark, edge).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(byId(id).getAs[String]("reason") == "too_short")
+      assert(!byId(id).getAs[Boolean]("keep"))
+    }
+  }
+
+  test("repetition_score: zero-token docs score zero everywhere") {
+    val rows = queries.TextAnalysis.repetitionScore(spark, edge).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(byId(id).getAs[Int]("n_tokens") == 0)
+      assert(byId(id).getAs[Long]("top_token_cnt") == 0)
+      assert(byId(id).getAs[Double]("dup_bigram_frac") == 0.0)
+      assert(byId(id).getAs[Double]("top_token_frac") == 0.0)
+    }
+    // doc 5 repeats "the": top count 2 of 10 tokens
+    assert(byId(5L).getAs[Long]("top_token_cnt") == 2)
+  }
+
+  test("exact_dedup: dup pair collapses; blank-normalized docs dedup together") {
+    val rows = queries.Dedup.exactDedup(spark, edge).collect()
+    val byHash = rows.groupBy(_.getAs[String]("content_hash"))
+    // docs 1 ("") and 2 (separators only) both normalize to "" — they form
+    // one group, exactly like the all-boilerplate docs of a real crawl
+    val blankGroup = byHash.values.find(_.exists(_.getAs[Long]("doc_id") == 1L)).get
+    assert(blankGroup.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    val dupGroup = byHash.values.find(_.exists(_.getAs[Long]("doc_id") == 5L)).get
+    assert(dupGroup.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(5L, 6L))
+    byHash.values.foreach(g => assert(g.count(_.getAs[Boolean]("is_canonical")) == 1))
+  }
+
+  test("dedup_clusters: exact dups cluster; empty corpus yields empty output") {
+    val rows = queries.Dedup.dedupClusters(spark, edge).collect()
+    val pair = rows.filter(r => Set(5L, 6L).contains(r.getAs[Long]("doc_id")))
+    assert(pair.length == 2 && pair.forall(_.getAs[Long]("canonical_id") == 5L))
+    assert(queries.Dedup.dedupClusters(spark, empty).collect().isEmpty)
+  }
+
+  test("embedding_cosine_dedup: identical vectors pair up; empty/tiny corpora survive") {
+    val pairs = queries.Dedup.embeddingCosineDups(spark, edge).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("vec_a") == 1L && pairs.head.getAs[Long]("vec_b") == 2L)
+    assert(pairs.head.getAs[Double]("cosine") == 1.0)
+    assert(queries.Dedup.embeddingCosineDups(spark, empty).collect().isEmpty)
+  }
+
+  test("sequence_pack: every doc packed exactly once, zero-token docs included") {
+    val rows = queries.TextAnalysis.sequencePack(spark, edge).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(queries.TextAnalysis.sequencePack(spark, empty).collect().isEmpty)
+  }
+
+  test("simhash_dedup: duplicate docs collide at hamming 0") {
+    val rows = queries.Dedup.simhashDedup(spark, edge).collect()
+    assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&
+      r.getAs[Long]("doc_b") == 6L && r.getAs[Int]("hamming") == 0))
+  }
+}
