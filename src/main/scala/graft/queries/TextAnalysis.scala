@@ -155,7 +155,10 @@ object TextAnalysis {
     * (no window shuffle); `dup_bigram_frac` = 1 − distinct/total is the
     * Gopher-style "duplicate n-gram fraction" repetition signal. */
   private def repetitionBase(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    repetitionBaseFrame(Tables.documents(spark, sfDir))
+
+  private def repetitionBaseFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .withColumn("bg", zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
@@ -241,14 +244,20 @@ object TextAnalysis {
     * fraction, computed identically in both engines, so the boundary is
     * deterministic. One scan, no shuffle except the output sort. */
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionBase(spark, sfDir)
+    qualityGateFrame(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** Gate as a frame-in/frame-out transform: stateless narrow column
+    * math, so the SAME code runs over `readStream` unchanged (asserted in
+    * StreamingSpec) — filter documents as they arrive instead of in a
+    * nightly batch. */
+  def qualityGateFrame(docs: DataFrame): DataFrame =
+    repetitionBaseFrame(docs)
       .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
         when(col("n_tokens") < 20, "too_short")
           .when(col("dup_bigram_frac") > 0.05, "repetitive")
           .otherwise("ok").as("reason"))
       .withColumn("keep", col("reason") === "ok")
       .select("doc_id", "n_tokens", "dup_bigram_frac", "keep", "reason")
-      .orderBy("doc_id")
 
   val qualityGateSql: String =
     s"""WITH $repetitionBaseSqlCte

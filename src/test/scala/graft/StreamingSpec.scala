@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate == batch gate (stateless transform over readStream)") {
+    val schema = Tables.documents(spark, sf).schema
+    // fixture tables are single files, so stream the dir with a glob (the
+    // same pattern as StreamingJobs.readEventsStream)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = queries.TextAnalysis.qualityGateFrame(stream)
+      .writeStream.format("memory").queryName("qgate_test")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000L)
+      val streamed = spark.table("qgate_test")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val batch = queries.TextAnalysis.qualityGate(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops injected duplicates (dropDuplicates + watermark)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
