@@ -118,11 +118,20 @@ object Temporal {
     * repartitioning, and docs keep their split when the corpus grows
     * (the property that matters for contamination control — a doc never
     * migrates from test into train on re-ingestion). */
+  /** The split hash-bucket as a reusable Column (md5 of the id, first 15
+    * hex chars, mod 100) — shared with contamination_check so both sides
+    * of the audit agree on the split by construction. */
+  def bucketCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** DuckDB twin of [[bucketCol]]. */
+  def bucketSql(id: String): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15) AS UBIGINT) % 100 AS INTEGER)"
+
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).cast("int"))
+      .withColumn("bucket", bucketCol(col("doc_id")))
       .withColumn("split",
         when(col("bucket") < 5, "test")
           .when(col("bucket") < 10, "val").otherwise("train"))

@@ -381,53 +381,72 @@ object TextAnalysis {
     * kernel does the identical arithmetic in ~0.4 s. Same justification
     * as the shingle/simhash/LSH kernels: hot per-char inner loops are
     * where mapPartitions beats interpreted higher-order functions. */
-  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Rolling k-gram hashes of a normalized string (exact int64, O(1) per
+    * position: h' = (h − c·Bᵏ⁻¹)·B + c_new). */
+  private def kgramHashes(ns: String): Array[Long] = {
+    var topPow = 1L
+    var j = 1
+    while (j < K) { topPow *= B; j += 1 }   // B^(K-1)
+    val nH = if (ns.length >= K) ns.length - K + 1 else 0
+    val hs = new Array[Long](nH)
+    if (nH > 0) {
+      var h = 0L
+      var i = 0
+      while (i < K) { h = h * B + ns.charAt(i); i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < nH) {
+        h = (h - ns.charAt(i - 1) * topPow) * B + ns.charAt(i + K - 1)
+        hs(i) = h
+        i += 1
+      }
+    }
+    hs
+  }
+
+  /** Winnowing: distinct per-window minima (whole array if < W hashes),
+    * in first-occurrence order. */
+  private def winnowMins(hs: Array[Long]): java.util.LinkedHashSet[java.lang.Long] = {
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (hs.length >= W) {
+      var wi = 0
+      while (wi <= hs.length - W) {
+        var m = hs(wi)
+        var x = 1
+        while (x < W) { if (hs(wi + x) < m) m = hs(wi + x); x += 1 }
+        seen.add(m)
+        wi += 1
+      }
+    } else {
+      var x = 0
+      while (x < hs.length) { seen.add(hs(x)); x += 1 }
+    }
+    seen
+  }
+
+  private def normalized(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
-    val (k, w, base) = (K, W, B)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\W+", " ")).as("ns"))
       .as[(Long, String)]
+  }
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    normalized(spark, sfDir)
       .mapPartitions { it =>
-        var topPow = 1L
-        var j = 1
-        while (j < k) { topPow *= base; j += 1 }   // B^(K-1)
         it.map { case (id, ns) =>
-          val nH = if (ns.length >= k) ns.length - k + 1 else 0
-          val hs = new Array[Long](nH)
-          if (nH > 0) {
-            var h = 0L
-            var i = 0
-            while (i < k) { h = h * base + ns.charAt(i); i += 1 }
-            hs(0) = h
-            i = 1
-            while (i < nH) {
-              h = (h - ns.charAt(i - 1) * topPow) * base + ns.charAt(i + k - 1)
-              hs(i) = h
-              i += 1
-            }
+          val hs = kgramHashes(ns)
+          val fps = winnowMins(hs)
+          var fpMin = Long.MaxValue; var fpMax = Long.MinValue
+          fps.forEach { v =>
+            if (v < fpMin) fpMin = v
+            if (v > fpMax) fpMax = v
           }
-          // winnow: distinct per-window minima (whole hs if fewer than W)
-          val seen = new java.util.HashSet[java.lang.Long]()
-          var fpMin = Long.MaxValue; var fpMax = Long.MinValue; var nFp = 0
-          def add(v: Long): Unit =
-            if (seen.add(v)) { nFp += 1; if (v < fpMin) fpMin = v; if (v > fpMax) fpMax = v }
-          if (nH >= w) {
-            var wi = 0
-            while (wi <= nH - w) {
-              var m = hs(wi)
-              var x = 1
-              while (x < w) { if (hs(wi + x) < m) m = hs(wi + x); x += 1 }
-              add(m)
-              wi += 1
-            }
-          } else {
-            var x = 0
-            while (x < nH) { add(hs(x)); x += 1 }
-          }
-          (id, nH, nFp,
-            if (nFp > 0) Some(fpMin) else None,
-            if (nFp > 0) Some(fpMax) else None)
+          (id, hs.length, fps.size,
+            if (fps.size > 0) Some(fpMin) else None,
+            if (fps.size > 0) Some(fpMax) else None)
         }
       }
       .toDF("doc_id", "n_kgrams", "n_fingerprints", "fp_min", "fp_max")
@@ -456,6 +475,109 @@ object TextAnalysis {
        |                 trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS ns
        |          FROM documents)))
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Train/test contamination audit
+  // --------------------------------------------------------------------
+
+  private val ContamGram = 8   // 8-TOKEN n-grams (the eval-dedup standard)
+
+  /** Exploded (doc_id, fingerprint) pairs: md5-derived int64 hashes of
+    * distinct 8-token shingles. Token-level grams, not the winnowing
+    * char-grams: char 8-grams span ~1.5 words and saturate on shared
+    * vocabulary (measured 0.99 mean "contamination" on this corpus —
+    * useless), while an 8-token verbatim run is real leakage evidence.
+    * The hash is the engine-portable first-12-hex-of-md5 construction
+    * shared with simhash. */
+  private def tokenShinglePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\W+").filter(_.nonEmpty)
+          val seen = new java.util.LinkedHashSet[java.lang.Long]()
+          var i = 0
+          while (i + ContamGram - 1 < toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < ContamGram) { sb.append(' ').append(toks(i + j)); j += 1 }
+            md.reset()
+            val d = md.digest(sb.toString.getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 6) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+            seen.add(h)
+            i += 1
+          }
+          val out = new Array[(Long, Long)](seen.size)
+          var o = 0
+          seen.forEach { v => out(o) = (id, v); o += 1 }
+          out.iterator
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** Train→test contamination audit: for each TEST-split document, how
+    * much of its 8-token-shingle mass also appears verbatim in TRAIN-
+    * split documents — the leakage check run before any eval is trusted.
+    * The split is the same hash bucket as `split_assign` (shared Column),
+    * so the audit and the assignment can never disagree. Shape: shingle-
+    * hash equi-join (test side is ~5% of the corpus), then per-doc
+    * distinct counts. At 100 TB: one shuffle on fp; hot fingerprints
+    * (boilerplate) would be dropped by a frequency cap the same way
+    * PPJoin drops stop-shingles. */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = tokenShinglePairs(spark, sfDir)
+      .withColumn("bucket", Temporal.bucketCol(col("doc_id")))
+    val testFp = fp.filter(col("bucket") < 5).select(col("doc_id"), col("fp"))
+    val trainFp = fp.filter(col("bucket") >= 10)
+      .select(col("doc_id").as("train_doc"), col("fp"))
+    val nFps = testFp.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val coll = testFp.join(trainFp, "fp")
+      .groupBy("doc_id").agg(
+        countDistinct("fp").as("n_shared_fps"),
+        countDistinct("train_doc").as("n_train_docs"))
+    nFps.join(coll, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        Det.r(coalesce(col("n_shared_fps"), lit(0L)).cast("double") / col("n_fps"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationCheckSql: String = {
+    val join8 = (0 until ContamGram).map {
+      case 0 => "t[i]"
+      case j => s"t[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(t)-${ContamGram - 2}, 1)),
+       |                       i -> $join8)) AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text), '\\W+'),
+       |                           x -> length(x) > 0) AS t
+       |        FROM documents)),
+       |fp AS (SELECT doc_id, ${Temporal.bucketSql("doc_id")} AS bucket,
+       |              CAST(CAST('0x' || substr(md5(unnest(sh)), 1, 12) AS UBIGINT) AS BIGINT) AS fp
+       |       FROM sh),
+       |t AS (SELECT doc_id, fp FROM fp WHERE bucket < 5),
+       |tr AS (SELECT doc_id AS train_doc, fp FROM fp WHERE bucket >= 10),
+       |nf AS (SELECT doc_id, count(DISTINCT fp) AS n_fps FROM t GROUP BY doc_id),
+       |c AS (SELECT t.doc_id, count(DISTINCT t.fp) AS n_shared_fps,
+       |             count(DISTINCT tr.train_doc) AS n_train_docs
+       |      FROM t JOIN tr ON t.fp = tr.fp GROUP BY t.doc_id)
+       |SELECT nf.doc_id, n_fps,
+       |       coalesce(n_shared_fps, 0) AS n_shared_fps,
+       |       coalesce(n_train_docs, 0) AS n_train_docs,
+       |       ${Det.rSql("CAST(coalesce(n_shared_fps, 0) AS DOUBLE) / n_fps", 6)} AS contamination
+       |FROM nf LEFT JOIN c ON nf.doc_id = c.doc_id
+       |ORDER BY nf.doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -518,6 +640,7 @@ object TextAnalysis {
     "repetition_score" -> ((s, d) => repetitionScore(s, d)),
     "quality_gate"     -> ((s, d) => qualityGate(s, d)),
     "sequence_pack"    -> ((s, d) => sequencePack(s, d)),
+    "contamination_check" -> ((s, d) => contaminationCheck(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -529,5 +652,6 @@ object TextAnalysis {
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,
     "sequence_pack"    -> sequencePackSql,
+    "contamination_check" -> contaminationCheckSql,
   )
 }

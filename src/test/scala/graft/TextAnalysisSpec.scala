@@ -95,6 +95,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_check: bounded fractions, consistent counts, test split only") {
+    val rows = queries.TextAnalysis.contaminationCheck(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_fps")
+      val shared = r.getAs[Long]("n_shared_fps")
+      assert(nf > 0 && shared >= 0 && shared <= nf)
+      assert((r.getAs[Long]("n_train_docs") > 0) == (shared > 0))
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0)
+      // every audited doc must be in the test split (bucket < 5)
+      val id = r.getAs[Long]("doc_id")
+      val bucket = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(15), 16) % 100
+      assert(bucket < 5)
+    }
+  }
+
   test("quality_gate: keep iff reason ok; reasons honor rule priority") {
     val rows = queries.TextAnalysis.qualityGate(spark, sf).collect()
     val reasons = rows.map(_.getAs[String]("reason")).toSet
