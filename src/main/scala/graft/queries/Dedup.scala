@@ -259,7 +259,7 @@ object Dedup {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val toks = text.toLowerCase(java.util.Locale.ROOT)
             .split("\\W+").iterator.filter(_.nonEmpty)
           val bitCounts = new Array[Long](SimBits)
@@ -278,13 +278,21 @@ object Dedup {
             }
             n += 1
           }
-          var sig = 0L
-          var b = 0
-          while (b < SimBits) {
-            if (bitCounts(b) * 2 > n) sig |= (1L << b)
-            b += 1
+          // Zero-token docs have no content to hash: emit NOTHING, exactly
+          // like the oracle's unnest (no token rows -> no sig row). Emitting
+          // sig=0 instead would pair every blank doc with every other at
+          // hamming 0 — an O(blank²) explosion on real crawl data — and
+          // diverge from the DuckDB twin.
+          if (n == 0) Iterator.empty
+          else {
+            var sig = 0L
+            var b = 0
+            while (b < SimBits) {
+              if (bitCounts(b) * 2 > n) sig |= (1L << b)
+              b += 1
+            }
+            Iterator.single((id, sig))
           }
-          (id, sig)
         }
       }.toDF("doc_id", "simhash").cache()
     val bands = (0 until 4).map(b =>

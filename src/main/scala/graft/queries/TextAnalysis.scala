@@ -154,9 +154,6 @@ object TextAnalysis {
     * construction is the same zip-with-tail shape as the `bigrams` query
     * (no window shuffle); `dup_bigram_frac` = 1 − distinct/total is the
     * Gopher-style "duplicate n-gram fraction" repetition signal. */
-  private def repetitionBase(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionBaseFrame(Tables.documents(spark, sfDir))
-
   private def repetitionBaseFrame(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks(col("text")).as("t"))
@@ -531,8 +528,12 @@ object TextAnalysis {
     * (boilerplate) would be dropped by a frequency cap the same way
     * PPJoin drops stop-shingles. */
   def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    // cache: three consumers below (test counts, test join side, train
+    // join side) would otherwise each re-run the shingle+md5 kernel over
+    // the full corpus — two extra 100 TB passes
     val fp = tokenShinglePairs(spark, sfDir)
       .withColumn("bucket", Temporal.bucketCol(col("doc_id")))
+      .cache()
     val testFp = fp.filter(col("bucket") < 5).select(col("doc_id"), col("fp"))
     val trainFp = fp.filter(col("bucket") >= 10)
       .select(col("doc_id").as("train_doc"), col("fp"))

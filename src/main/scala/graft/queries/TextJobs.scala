@@ -167,9 +167,11 @@ object TextJobs {
     * write is a distributed text sink — one file per partition, exactly
     * the reference worker's sharded `part-*` layout. */
   def wordcountTsv(spark: SparkSession, sfDir: String): DataFrame = {
+    // encode the full sfDir in the path (not a 32-bit hash — hash collisions
+    // would silently serve another corpus's output)
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_tsv_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+      "graft_tsv_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     wordcount(spark, sfDir)
       .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
       .write.mode("overwrite").text(out)

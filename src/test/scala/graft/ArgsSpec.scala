@@ -22,9 +22,20 @@ class ArgsSpec extends AnyFunSuite {
   }
 
   test("grep with no args uses the reference default pattern 'error'") {
-    val byDefault = SparkEntry.queriesWithArgs("grep")(spark, sf, Map.empty)
-    val explicit = queries.TextJobs.grep(spark, sf, "error")
-    assert(byDefault.collect().toSeq == explicit.collect().toSeq)
+    // the fixture vocabulary lacks 'error', so comparing against the
+    // fixture would be vacuous (empty == empty) — build a corpus where
+    // the default pattern actually matches something
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_args_grep").getAbsolutePath
+    Seq((1L, "disk error detected", "en", "web", 19L),
+        (2L, "all systems normal", "en", "web", 18L),
+        (3L, "ERROR: retry failed", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queriesWithArgs("grep")(spark, dir, Map.empty)
+      .as[(String, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("ERROR: retry failed", "disk error detected"))
   }
 
   test("bigrams honors top_n") {

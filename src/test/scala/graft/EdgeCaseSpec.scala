@@ -117,9 +117,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.TextAnalysis.sequencePack(spark, empty).collect().isEmpty)
   }
 
-  test("simhash_dedup: duplicate docs collide at hamming 0") {
+  test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&
       r.getAs[Long]("doc_b") == 6L && r.getAs[Int]("hamming") == 0))
+    // zero-token docs (1, 2) have no signature at all — emitting sig=0 for
+    // them would pair every blank doc with every other (O(blank²)) and
+    // diverge from the oracle's unnest, which drops them
+    rows.foreach { r =>
+      assert(!Set(1L, 2L).contains(r.getAs[Long]("doc_a")))
+      assert(!Set(1L, 2L).contains(r.getAs[Long]("doc_b")))
+    }
   }
 }
