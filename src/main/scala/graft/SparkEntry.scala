@@ -41,6 +41,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(s, d, a.getOrElse("k", "5").toInt)),
     "embedding_cosine_dedup" -> ((s, d, a) =>
       Dedup.embeddingCosineDups(s, d, a.getOrElse("threshold", "0.47").toDouble)),
+    "quality_gate" -> ((s, d, a) =>
+      TextAnalysis.qualityGate(s, d,
+        a.getOrElse("min_tokens", "20").toInt,
+        a.getOrElse("max_dup_frac", "0.05").toDouble)),
+    "sequence_pack" -> ((s, d, a) =>
+      TextAnalysis.sequencePack(s, d, a.getOrElse("budget", "256").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -240,18 +240,21 @@ object TextAnalysis {
     * ~p90 of this corpus), else ok. Thresholds compare the 6-dp-rounded
     * fraction, computed identically in both engines, so the boundary is
     * deterministic. One scan, no shuffle except the output sort. */
-  def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
-    qualityGateFrame(Tables.documents(spark, sfDir)).orderBy("doc_id")
+  def qualityGate(spark: SparkSession, sfDir: String,
+                  minTokens: Int = 20, maxDupFrac: Double = 0.05): DataFrame =
+    qualityGateFrame(Tables.documents(spark, sfDir), minTokens, maxDupFrac)
+      .orderBy("doc_id")
 
   /** Gate as a frame-in/frame-out transform: stateless narrow column
     * math, so the SAME code runs over `readStream` unchanged (asserted in
     * StreamingSpec) — filter documents as they arrive instead of in a
     * nightly batch. */
-  def qualityGateFrame(docs: DataFrame): DataFrame =
+  def qualityGateFrame(docs: DataFrame, minTokens: Int = 20,
+                       maxDupFrac: Double = 0.05): DataFrame =
     repetitionBaseFrame(docs)
       .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
-        when(col("n_tokens") < 20, "too_short")
-          .when(col("dup_bigram_frac") > 0.05, "repetitive")
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("dup_bigram_frac") > maxDupFrac, "repetitive")
           .otherwise("ok").as("reason"))
       .withColumn("keep", col("reason") === "ok")
       .select("doc_id", "n_tokens", "dup_bigram_frac", "keep", "reason")
@@ -286,9 +289,9 @@ object TextAnalysis {
     * (doc_id, n_tokens) pairs fit an executor — the kernel holds only
     * 12 B/doc, not text. Each group is one `flatMapGroups` stream; docs
     * longer than the budget get a sequence of their own. */
-  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+  def sequencePack(spark: SparkSession, sfDir: String,
+                   budget: Int = PackBudget): DataFrame = {
     import spark.implicits._
-    val budget = PackBudget
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
         (col("doc_id") % PackShards).as("shard"))

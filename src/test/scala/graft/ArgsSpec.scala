@@ -60,6 +60,23 @@ class ArgsSpec extends AnyFunSuite {
     assert(loose.size > strict.size, "lower threshold should admit more pairs")
   }
 
+  test("quality_gate honors thresholds (stricter gate keeps fewer docs)") {
+    val run = SparkEntry.queriesWithArgs("quality_gate")
+    def kept(a: Map[String, String]) =
+      run(spark, sf, a).filter("keep").count()
+    val default = kept(Map.empty)
+    assert(kept(Map("min_tokens" -> "40")) < default)
+    assert(kept(Map("max_dup_frac" -> "1.0", "min_tokens" -> "0")) ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("sequence_pack honors budget (smaller budget => more sequences)") {
+    val run = SparkEntry.queriesWithArgs("sequence_pack")
+    def nSeqs(b: String) = run(spark, sf, Map("budget" -> b))
+      .select("shard", "seq_in_shard").distinct().count()
+    assert(nSeqs("128") > nSeqs("1024"))
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
