@@ -147,7 +147,63 @@ object Temporal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Ordered conversion funnel over `events` with a 24 h conversion
+    * window: how many users did view → click → purchase IN ORDER, each
+    * stage strictly after the previous stage's first occurrence and
+    * within 24 h of it — the classic product-analytics query a
+    * log-processing framework gets asked first (the window is what makes
+    * it a funnel rather than a trivial existence test: on this fixture
+    * 150 → 60 → 25 users, vs 150/150/150 unwindowed). Three phases, each
+    * one conditional min per user; phase k+1 joins phase k's timestamp
+    * and keeps only qualifying events. Per-user state is one timestamp
+    * per stage, so each phase is a shuffle on user_id against the
+    * (shrinking) qualified-user set. Fixture timestamps are
+    * µs-precision, so the `>` comparisons agree between Spark's µs and
+    * DuckDB's ns reads; the 24 h offset is exact in both. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr("INTERVAL 24 HOURS")
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    viewed.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(clicked.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_view").as("stage"), col("n_users")))
+      .unionByName(purchased.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |        AND e.ts <= v.t_view + INTERVAL 24 HOURS
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |        AND e.ts <= c.t_click + INTERVAL 24 HOURS
+      |      GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT '2_click_after_view', count(*) FROM c
+      |UNION ALL
+      |SELECT '3_purchase_after_click', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
     "json_events"       -> ((s, d) => jsonEvents(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -155,6 +211,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_funnel"     -> eventsFunnelSql,
     "asof_join_orders"  -> asofJoinOrdersSql,
     "json_events"       -> jsonEventsSql,
     "stratified_sample" -> stratifiedSampleSql,

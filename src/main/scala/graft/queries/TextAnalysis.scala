@@ -478,6 +478,48 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Corpus stats (dataset-card aggregates)
+  // --------------------------------------------------------------------
+
+  /** Per-(lang, source) corpus composition — the dataset-card numbers
+    * every training corpus publishes: doc/token/char totals and each
+    * cell's share of the corpus. One grouped agg plus a broadcast one-row
+    * total (the same sanctioned scalar-agg funnel as TF-IDF's doc count:
+    * the SinglePartition exchange moves one pre-aggregated row per
+    * partition, never data). */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).as("n_tokens"), length(col("text")).as("n_chars"))
+    val per = docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      sum("n_chars").as("total_chars"))
+    val tot = docs.agg(count(lit(1)).as("corpus_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_tokens"), col("total_chars"),
+        Det.r(col("n_docs").cast("double") / col("corpus_docs"), 6).as("doc_share"))
+      .orderBy("lang", "source")
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH d AS (SELECT lang, source,
+       |                  len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> length(x) > 0)) AS n_tokens,
+       |                  length(text) AS n_chars
+       |           FROM documents),
+       |per AS (SELECT lang, source, count(*) AS n_docs,
+       |               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |               CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |        FROM d GROUP BY lang, source),
+       |tot AS (SELECT count(*) AS corpus_docs FROM d)
+       |SELECT lang, source, n_docs, total_tokens, total_chars,
+       |       ${Det.rSql("CAST(n_docs AS DOUBLE) / corpus_docs", 6)} AS doc_share
+       |FROM per CROSS JOIN tot
+       |ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Train/test contamination audit
   // --------------------------------------------------------------------
 
@@ -645,6 +687,7 @@ object TextAnalysis {
     "quality_gate"     -> ((s, d) => qualityGate(s, d)),
     "sequence_pack"    -> ((s, d) => sequencePack(s, d)),
     "contamination_check" -> ((s, d) => contaminationCheck(s, d)),
+    "corpus_stats"     -> ((s, d) => corpusStats(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +700,6 @@ object TextAnalysis {
     "quality_gate"     -> qualityGateSql,
     "sequence_pack"    -> sequencePackSql,
     "contamination_check" -> contaminationCheckSql,
+    "corpus_stats"     -> corpusStatsSql,
   )
 }

@@ -100,4 +100,14 @@ class RelationalSpec extends AnyFunSuite {
     val regions = Tables.region(spark, sf).select("r_name").as[String].collect().toSet
     assert(rows.map(_.getAs[String]("region")).toSet.subsetOf(regions))
   }
+
+  test("events funnel: stages monotonically shrink and discriminate") {
+    val rows = queries.Temporal.eventsFunnel(spark, sf).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_view", "2_click_after_view", "3_purchase_after_click"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel must shrink: ${ns.toSeq}")
+    assert(ns(0) > ns(2), "24h conversion window must discriminate")
+  }
 }

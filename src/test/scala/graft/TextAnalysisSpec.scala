@@ -95,6 +95,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_stats: shares sum to ~1, totals consistent with the corpus") {
+    val rows = queries.TextAnalysis.corpusStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sf).count())
+    val shareSum = rows.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_chars") >= r.getAs[Long]("total_tokens"))
+    }
+  }
+
   test("contamination_check: bounded fractions, consistent counts, test split only") {
     val rows = queries.TextAnalysis.contaminationCheck(spark, sf).collect()
     assert(rows.nonEmpty)
