@@ -353,46 +353,88 @@ object Dedup {
     * (provable recall at hamming ≤ 3, so the edge set equals the
     * brute-force oracle's).
     *
-    * Algorithm: distributed min-label propagation WITH pointer jumping —
-    * each round takes the min over neighbor labels, then compresses one
-    * pointer hop (comp ← label(comp)), so convergence is O(log diameter)
-    * rounds instead of O(diameter) (simhash chains make components deep:
-    * plain propagation needed ~15 rounds on this corpus, ~37 s of pure
-    * job overhead; propagate+jump does it in 5). Labels monotonically
-    * decrease; the previous label rides along through `localCheckpoint`
-    * (which truncates lineage so plans stay bounded), making the
-    * convergence check a filter over in-memory data, not a re-join. At
-    * web scale with adversarial chains, swap the loop body for the
-    * large-star/small-star steps (Kiveris et al.), same driver contract.
-    * Only edge-touching docs enter the loop: singletons (the overwhelming
-    * mass at 100 TB) never shuffle. */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    * Two paths, switched on edge count — the same optimization
+    * production CC implementations make (GraphFrames, the VLDB
+    * "CC in MapReduce" line): near-dup edge sets are a tiny fraction of
+    * the corpus (dup density, not n), so:
+    *  - **edges ≤ localCcMaxEdges** (default 10M ≈ 160 MB): ONE
+    *    executor-side union-find task over the coalesced edge list —
+    *    O(E α(E)) sequential, but E is small by construction; no loop,
+    *    no per-round job overhead. This is `mapPartitions` on an
+    *    executor, NOT a driver collect.
+    *  - **above**: distributed min-label propagation WITH pointer
+    *    jumping — each round takes the min over neighbor labels, then
+    *    compresses one pointer hop (comp ← label(comp)), so convergence
+    *    is O(log diameter) rounds instead of O(diameter) (simhash chains
+    *    made plain propagation take ~15 rounds / 37 s of job overhead on
+    *    this corpus; propagate+jump does it in 5). Labels monotonically
+    *    decrease; the previous label rides along through
+    *    `localCheckpoint` (bounding lineage), making the convergence
+    *    check a filter over in-memory data. At web scale with
+    *    adversarial chains, swap the loop body for large-star/small-star
+    *    (Kiveris et al.), same driver contract.
+    * Only edge-touching docs enter either path: singletons (the
+    * overwhelming mass at 100 TB) never shuffle. Both paths produce the
+    * identical labeling (DedupSpec runs both). */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    localCcMaxEdges: Long = 10_000_000L): DataFrame = {
+    import spark.implicits._
     val pairs = simhashDedup(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 32) {
-      val minNeigh = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min("comp").as("ncomp"))
-      val stepped = labels.withColumnRenamed("comp", "prev")
-        .join(minNeigh, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("ncomp"), col("prev"))).as("c1"))
-      // pointer jump: follow one label hop (c1 is always a node id, so the
-      // lookup is total); keeps deep chains collapsing geometrically
-      val next = stepped
-        .join(labels.select(col("doc_id").as("c1"), col("comp").as("lc1")),
-          Seq("c1"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("c1"), coalesce(col("lc1"), col("c1"))).as("comp"))
-        .localCheckpoint()
-      changed = next.filter(col("comp") < col("prev")).count()
-      labels = next.select("doc_id", "comp")
-      iter += 1
-    }
+    val nEdges = sym.count() / 2
+    val labels =
+      if (nEdges <= localCcMaxEdges) {
+        // single-task union-find (path compression + union by attachment
+        // to the smaller root id, so the root IS the component minimum)
+        pairs.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.putIfAbsent(a, a)
+            parent.putIfAbsent(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          parent.keySet.forEach { k => out += ((k, find(k))) }
+          out.iterator
+        }.toDF("doc_id", "comp")
+      } else {
+        var ls = sym.select(col("src").as("doc_id")).distinct()
+          .withColumn("comp", col("doc_id")).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 32) {
+          val minNeigh = ls.withColumnRenamed("doc_id", "src")
+            .join(sym, "src")
+            .groupBy(col("dst").as("doc_id")).agg(min("comp").as("ncomp"))
+          val stepped = ls.withColumnRenamed("comp", "prev")
+            .join(minNeigh, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("prev"),
+              least(col("prev"), coalesce(col("ncomp"), col("prev"))).as("c1"))
+          // pointer jump: follow one label hop (c1 is always a node id, so
+          // the lookup is total); keeps deep chains collapsing geometrically
+          val next = stepped
+            .join(ls.select(col("doc_id").as("c1"), col("comp").as("lc1")),
+              Seq("c1"), "left")
+            .select(col("doc_id"), col("prev"),
+              least(col("c1"), coalesce(col("lc1"), col("c1"))).as("comp"))
+            .localCheckpoint()
+          changed = next.filter(col("comp") < col("prev")).count()
+          ls = next.select("doc_id", "comp")
+          iter += 1
+        }
+        ls
+      }
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "comp")
       .select(col("doc_id"), col("comp").as("canonical_id"),

@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: local union-find and distributed propagation agree") {
+    val local = queries.Dedup.dedupClusters(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // force the distributed label-propagation path (threshold 0)
+    val dist = queries.Dedup.dedupClusters(spark, sf, localCcMaxEdges = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("dedup clusters: valid union-find over simhash pairs") {
     val pairs = queries.Dedup.simhashDedup(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
