@@ -408,6 +408,9 @@ object Dedup {
           parent.keySet.forEach { k => out += ((k, find(k))) }
           out.iterator
         }.toDF("doc_id", "comp")
+          // materialize once — the two consumers below (size agg + join)
+          // would otherwise each re-run the union-find task
+          .localCheckpoint()
       } else {
         var ls = sym.select(col("src").as("doc_id")).distinct()
           .withColumn("comp", col("doc_id")).localCheckpoint()
