@@ -117,6 +117,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.TextAnalysis.sequencePack(spark, empty).collect().isEmpty)
   }
 
+  test("minhash and ngram-jaccard find exactly the duplicate pair; blanks never pair") {
+    Seq(
+      queries.Dedup.minhashLshDedup(spark, edge),
+      queries.Dedup.ngramJaccardPairs(spark, edge)
+    ).foreach { df =>
+      val pairs = df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((5L, 6L)),
+        s"expected only the exact-dup pair, got $pairs")
+    }
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&
