@@ -181,9 +181,31 @@ object TextJobs {
       .orderBy("word")
   }
 
+  /** CSV source round-trip: write `events` (id, type, value) as headered
+    * CSV, read it back with an explicit schema, aggregate — proving the
+    * CSV source end-to-end through the driver's oracle gate (the
+    * source-side complement of [[wordcountTsv]]'s text sink; quoting and
+    * type inference are where CSV round-trips usually break). */
+  def eventsCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_csv_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
     "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
+    "events_csv"         -> ((s, d) => eventsCsv(s, d)),
     // "error" is the reference default (grep/mapper.py:15) but absent from
     // this corpus's vocabulary; include "scan" so the query is non-vacuous.
     "grep"               -> ((s, d) => grep(s, d, "(error|scan)")),
@@ -201,6 +223,13 @@ object TextJobs {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin,
+    // CSV round-trip is lossless for these types → oracle on the original
+    // parquet (cents-integerised so the double sum is order-independent,
+    // per the money rule)
+    "events_csv" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
       """SELECT word, count(*) AS cnt
