@@ -376,6 +376,34 @@ object Dedup {
     * Only edge-touching docs enter either path: singletons (the
     * overwhelming mass at 100 TB) never shuffle. Both paths produce the
     * identical labeling (DedupSpec runs both). */
+  /** Pure union-find over an edge list → (node, component-min) labels.
+    * Path compression + union by attachment toward the smaller root id —
+    * parent pointers only ever decrease, so every root is its
+    * component's minimum by construction. Shared by the query's local
+    * path and PropertiesSpec (checked against BFS labeling on random
+    * graphs). */
+  private[graft] def unionFindLabels(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet.forEach { k => out += ((k, find(k))) }
+    out.iterator
+  }
+
   def dedupClusters(spark: SparkSession, sfDir: String,
                     localCcMaxEdges: Long = 10_000_000L): DataFrame = {
     import spark.implicits._
@@ -385,29 +413,10 @@ object Dedup {
     val nEdges = sym.count() / 2
     val labels =
       if (nEdges <= localCcMaxEdges) {
-        // single-task union-find (path compression + union by attachment
-        // to the smaller root id, so the root IS the component minimum)
-        pairs.as[(Long, Long)].coalesce(1).mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.get(r) != r) r = parent.get(r)
-            var c = x
-            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-            r
-          }
-          it.foreach { case (a, b) =>
-            parent.putIfAbsent(a, a)
-            parent.putIfAbsent(b, b)
-            val ra = find(a); val rb = find(b)
-            if (ra != rb) {
-              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-            }
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          parent.keySet.forEach { k => out += ((k, find(k))) }
-          out.iterator
-        }.toDF("doc_id", "comp")
+        // single-task union-find
+        pairs.as[(Long, Long)].coalesce(1)
+          .mapPartitions(it => unionFindLabels(it))
+          .toDF("doc_id", "comp")
           // materialize once — the two consumers below (size agg + join)
           // would otherwise each re-run the union-find task
           .localCheckpoint()

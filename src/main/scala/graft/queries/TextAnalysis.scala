@@ -289,6 +289,21 @@ object TextAnalysis {
     * (doc_id, n_tokens) pairs fit an executor — the kernel holds only
     * 12 B/doc, not text. Each group is one `flatMapGroups` stream; docs
     * longer than the budget get a sequence of their own. */
+  /** Pure greedy first-fit fold over one shard's (doc_id, n_tokens) in
+    * doc_id order → (doc_id, seq, pos, n_tokens). Shared by the query and
+    * PropertiesSpec. */
+  private[graft] def packGreedy(docs: Array[(Long, Int)],
+                                budget: Int): Iterator[(Long, Int, Int, Int)] = {
+    var seq = 0; var fill = 0; var pos = 0
+    var first = true
+    docs.sortBy(_._1).iterator.map { case (id, n) =>
+      if (first) { fill = n; first = false }
+      else if (fill + n <= budget) { fill += n; pos += 1 }
+      else { seq += 1; fill = n; pos = 0 }
+      (id, seq, pos, n)
+    }
+  }
+
   def sequencePack(spark: SparkSession, sfDir: String,
                    budget: Int = PackBudget): DataFrame = {
     import spark.implicits._
@@ -298,15 +313,8 @@ object TextAnalysis {
       .as[(Long, Int, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (shard, it) =>
-        val docs = it.toArray.sortBy(_._1)
-        var seq = 0; var fill = 0; var pos = 0
-        var first = true
-        docs.iterator.map { case (id, n, _) =>
-          if (first) { fill = n; first = false }
-          else if (fill + n <= budget) { fill += n; pos += 1 }
-          else { seq += 1; fill = n; pos = 0 }
-          (id, shard, seq, pos, n)
-        }
+        packGreedy(it.map(t => (t._1, t._2)).toArray, budget)
+          .map { case (id, seq, pos, n) => (id, shard, seq, pos, n) }
       }
       .toDF("doc_id", "shard", "seq_in_shard", "pos_in_seq", "n_tokens")
       .orderBy("doc_id")
@@ -382,8 +390,9 @@ object TextAnalysis {
     * as the shingle/simhash/LSH kernels: hot per-char inner loops are
     * where mapPartitions beats interpreted higher-order functions. */
   /** Rolling k-gram hashes of a normalized string (exact int64, O(1) per
-    * position: h' = (h − c·Bᵏ⁻¹)·B + c_new). */
-  private def kgramHashes(ns: String): Array[Long] = {
+    * position: h' = (h − c·Bᵏ⁻¹)·B + c_new). Property-tested against the
+    * direct polynomial in PropertiesSpec. */
+  private[graft] def kgramHashes(ns: String): Array[Long] = {
     var topPow = 1L
     var j = 1
     while (j < K) { topPow *= B; j += 1 }   // B^(K-1)

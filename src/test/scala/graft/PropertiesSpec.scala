@@ -61,4 +61,63 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rolling k-gram hash equals the direct polynomial on random strings") {
+    val strGen = Gen.listOfN(40, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    samples(strGen, 50).foreach { ns =>
+      val rolled = queries.TextAnalysis.kgramHashes(ns)
+      val k = 8; val b = 31L
+      val direct =
+        if (ns.length < k) Array.empty[Long]
+        else Array.tabulate(ns.length - k + 1) { i =>
+          var h = 0L
+          (0 until k).foreach(j => h = h * b + ns.charAt(i + j))
+          h
+        }
+      assert(rolled.sameElements(direct), s"mismatch on ${ns.take(20)}...")
+    }
+  }
+
+  test("greedy packing invariants hold on random token lengths") {
+    val docsGen = Gen.listOfN(25, Gen.choose(1, 120)).map(
+      _.zipWithIndex.map { case (n, i) => (i.toLong, n) })
+    samples(docsGen, 30).foreach { docs =>
+      val budget = 100
+      val packed = queries.TextAnalysis.packGreedy(docs.toArray, budget).toSeq
+      assert(packed.map(_._1) == docs.map(_._1).sorted)        // all docs, in order
+      val bySeq = packed.groupBy(_._2)
+      bySeq.foreach { case (_, ds) =>
+        assert(ds.map(_._3) == ds.indices.map(identity))       // contiguous positions
+        val tot = ds.map(_._4).sum
+        assert(tot <= budget || ds.length == 1)                // budget or lone overlong doc
+      }
+      // greedy tightness: first doc of seq s+1 would overflow seq s
+      packed.sliding(2).foreach {
+        case Seq((_, s1, _, _), (_, s2, _, n2)) if s2 == s1 + 1 =>
+          assert(bySeq(s1).map(_._4).sum + n2 > budget)
+        case _ =>
+      }
+    }
+  }
+
+  test("union-find labels match BFS components on random graphs") {
+    val edgesGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L))).map(_.filter(e => e._1 != e._2))
+    samples(edgesGen, 30).foreach { edges =>
+      val got = queries.Dedup.unionFindLabels(edges.iterator).toMap
+      // reference labeling: BFS from every node over the undirected graph
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expect = nodes.map { n =>
+        var frontier = Set(n); var seen = Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        n -> seen.min
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }
