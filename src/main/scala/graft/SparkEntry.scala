@@ -47,6 +47,10 @@ object SparkEntry {
         a.getOrElse("max_dup_frac", "0.05").toDouble)),
     "sequence_pack" -> ((s, d, a) =>
       TextAnalysis.sequencePack(s, d, a.getOrElse("budget", "256").toInt)),
+    "ann_cosine_ivf" -> ((s, d, a) =>
+      Similarity.annCosineIvf(s, d, a.getOrElse("n_probe", "4").toInt)),
+    "mm_frame_sample" -> ((s, d, a) =>
+      Multimodal.mmFrameSample(s, d, a.getOrElse("stride", "16").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -128,9 +128,9 @@ object Multimodal {
   /** Frame sampling: keep every 16th payload byte ("1 fps of a 16 fps
     * stream") — the decimation shape of video frame-sampling / audio
     * downsampling. Rows-only check; properties asserted in MultimodalSpec. */
-  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def mmFrameSample(spark: SparkSession, sfDir: String,
+                    stride: Int = 16): DataFrame = {
     import spark.implicits._
-    val stride = 16
     assets(spark, sfDir)
       .repartitionByRange(col("modality"), col("doc_id"))
       .mapPartitions { it =>

@@ -177,7 +177,8 @@ object Similarity {
     * on a sample; search cost = |probed cells| ≈ NProbe·n/k per query.
     * Rows-only check (approximate recall); SimilaritySpec bounds
     * recall@5 against the brute-force baseline. */
-  def annCosineIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def annCosineIvf(spark: SparkSession, sfDir: String,
+                   nProbe: Int = NProbe): DataFrame = {
     import spark.implicits._
     val unit = vecs(spark, sfDir)
       .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]
@@ -229,7 +230,7 @@ object Similarity {
           while (i < w.length) { s += w(i) * u(i); i += 1 }
           (c, s)
         }
-        scored.sortBy { case (c, s) => (-s, c) }.take(NProbe)
+        scored.sortBy { case (c, s) => (-s, c) }.take(nProbe)
           .map { case (c, _) => (qid, c) }
       }.toDF("qid", "cell")
     val cands = assigned.join(broadcast(probes), "cell")

@@ -77,6 +77,25 @@ class ArgsSpec extends AnyFunSuite {
     assert(nSeqs("128") > nSeqs("1024"))
   }
 
+  test("ann_cosine_ivf honors n_probe (full probe == brute force)") {
+    val run = SparkEntry.queriesWithArgs("ann_cosine_ivf")
+    // probing ALL 16 cells searches the whole corpus -> exact results
+    val full = run(spark, sf, Map("n_probe" -> "16"))
+      .select("qid", "rank", "vec_id").collect().map(_.toString).sorted.toSeq
+    val exact = queries.Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "rank", "vec_id").collect().map(_.toString).sorted.toSeq
+    assert(full == exact)
+  }
+
+  test("mm_frame_sample honors stride") {
+    val run = SparkEntry.queriesWithArgs("mm_frame_sample")
+    val s4 = run(spark, sf, Map("stride" -> "4")).collect()
+    s4.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      assert(r.getAs[Int]("n_frames") == (n + 3) / 4)
+    }
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
