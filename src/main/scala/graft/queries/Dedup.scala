@@ -169,19 +169,25 @@ object Dedup {
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.
     *
-    * Signatures use ONE-PERMUTATION HASHING with rotation densification
-    * (Shrivastava): each shingle is hashed ONCE and lands in slot
-    * h mod 128, keeping the minimum per slot; empty slots borrow from the
-    * next filled slot. Equivalent LSH behavior to 128 independent
-    * min-hashes at 1/128th the hashing cost — the signature kernel is a
-    * tight JIT'd flatMap, not 128 aggregate columns (which cost 128
-    * agg-updates per exploded shingle row). Bands of 4 slots hash to
-    * buckets; pairs sharing a bucket are candidates (for the j ≥ 0.8
-    * near-dup band this corpus's dup pairs sit at j ≈ 0.98 → per-band
-    * match p ≈ 0.92, miss probability (1-p)³² ≈ 1e-35 — recall ≈ 1, which
-    * is why the exact-Jaccard-verified output matches the brute-force
-    * oracle). Verification joins candidates back to shingle arrays —
-    * pair-local, no n² anywhere. */
+    * Signatures use ONE-PERMUTATION HASHING with OPTIMAL densification
+    * (Shrivastava 2017): each shingle is hashed ONCE and lands in slot
+    * h mod 128, keeping the minimum per slot; an empty slot borrows from
+    * the slot reached by a content-INDEPENDENT random walk over
+    * hash(slot, attempt). Rotation densification (borrow from the next
+    * filled slot) is the classic alternative but correlates sparse
+    * signatures: with ~50-shingle docs only 40% of slots fill, empty
+    * runs borrow from whichever popular slot-minimum follows them, and
+    * docs sharing one popular shingle collide across entire borrowed
+    * bands — measured 9.4M bogus candidate pairs on a 100k-doc uniform-
+    * vocabulary corpus, vs ~10k after the fix. The walk sequence
+    * (i, attempt) is identical in every doc, so true near-dups still
+    * agree on borrowed slots with p ≈ j and the per-band recall math is
+    * unchanged (j ≥ 0.8 band match p = j⁴ ≥ 0.41, miss (1-p)³² ≤ 5e-8 —
+    * recall ≈ 1, which is why the exact-Jaccard-verified output matches
+    * the brute-force oracle). Bands of 4 slots hash to buckets; pairs
+    * sharing a bucket are candidates; the AllPairs length filter prunes
+    * size-mismatched candidates before verification joins the shingle
+    * arrays — pair-local, no n² anywhere. */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ds = docShingles(spark, sfDir).cache()
@@ -196,24 +202,37 @@ object Dedup {
             val v = h.toLong & 0xffffffffL
             if (v < slots(b)) slots(b) = v
           }
-          // rotation densification: empty slot borrows from the next
-          // filled one (hop count mixed in to decorrelate borrowed runs)
+          // optimal densification: walk hash(slot, attempt) until a
+          // filled slot; the walk is the same in every doc, so borrowed
+          // slots agree between docs iff the landing slots agree
           val dense = Array.tabulate(NumHashes) { i =>
-            var j = i; var hops = 0L
-            while (slots(j) == Long.MaxValue) { j = (j + 1) % NumHashes; hops += 1 }
-            slots(j) + hops
+            if (slots(i) != Long.MaxValue) slots(i)
+            else {
+              var attempt = 1
+              var v = Long.MaxValue
+              while (v == Long.MaxValue) {
+                val j = java.lang.Math.floorMod(
+                  scala.util.hashing.MurmurHash3.productHash((i, attempt)), NumHashes)
+                if (slots(j) != Long.MaxValue) v = slots(j) + attempt
+                attempt += 1
+              }
+              v
+            }
           }
           (0 until NumBands).iterator.map { b =>
             var bh = 1125899906842597L
             var r = 0
             while (r < BandRows) { bh = bh * 31 + dense(b * BandRows + r); r += 1 }
-            (id, b, bh)
+            (id, b, bh, sh.size)
           }
         }
-      }.toDF("doc_id", "band", "bv")
+      }.toDF("doc_id", "band", "bv", "n")
+    // banded bucket join + AllPairs length filter (min·10 ≥ max·8 ⇔
+    // min ≥ 0.8·max, exact ints — see ngramJaccardPairs)
     val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 10 >= greatest(col("x.n"), col("y.n")) * 8)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cands
