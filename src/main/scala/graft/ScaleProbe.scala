@@ -91,7 +91,10 @@ object ScaleProbe {
         "ok"
       } catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}" }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"""{"query":"$name","sec":$dt%.2f,"status":"$res"}""")
+      // Locale.ROOT: the f-interpolator uses the default locale, which
+      // would emit comma decimals (invalid JSON) on non-English JVMs
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"%s","sec":%.2f,"status":"%s"}""", name, Double.box(dt), res))
     }
     spark.stop()
   }

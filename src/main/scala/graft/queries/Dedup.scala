@@ -125,15 +125,17 @@ object Dedup {
     // AllPairs LENGTH FILTER: j(A,B) ≥ t forces min(|A|,|B|) ≥ t·max
     // (intersection ≤ min, union ≥ max) — prunes size-mismatched
     // candidates before the expensive verify join. Exact integer form
-    // (min·10 ≥ max·8 for t=0.8) so no IEEE boundary can drop a true
-    // pair. Matters most when shingle frequencies are uniform (no rare
-    // prefix shingles to discriminate): on a synthetic worst-case corpus
-    // this cut candidates ~5× and verify time with them.
-    val t10 = math.round(t * 10).toInt
+    // with floor(t·10⁴) scaling: min ≥ t·max ⇒ min·10⁴ ≥ t·10⁴·max ≥
+    // ⌊t·10⁴⌋·max, so the filter stays a NECESSARY condition (never
+    // drops a true pair) for any t, not just multiples of 0.1. Matters
+    // most when shingle frequencies are uniform (no rare prefix shingles
+    // to discriminate): on a synthetic worst-case corpus this cut
+    // candidates ~5× and verify time with them.
+    val tScaled = math.floor(t * 10000).toLong
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 10 >=
-            greatest(col("a.n"), col("b.n")) * t10)
+          least(col("a.n"), col("b.n")) * 10000L >=
+            greatest(col("a.n"), col("b.n")) * tScaled)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
@@ -227,12 +229,13 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "band", "bv", "n")
-    // banded bucket join + AllPairs length filter (min·10 ≥ max·8 ⇔
-    // min ≥ 0.8·max, exact ints — see ngramJaccardPairs)
+    // banded bucket join + AllPairs length filter (min·10⁴ ≥ ⌊0.8·10⁴⌋·max
+    // ⇒ necessary for j ≥ 0.8, exact ints — see ngramJaccardPairs)
     val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) * 10 >= greatest(col("x.n"), col("y.n")) * 8)
+          least(col("x.n"), col("y.n")) * 10000L >=
+            greatest(col("x.n"), col("y.n")) * 8000L)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cands
@@ -442,8 +445,11 @@ object Dedup {
     val nEdges = sym.count() / 2
     val labels =
       if (nEdges <= localCcMaxEdges) {
-        // single-task union-find
-        pairs.as[(Long, Long)].coalesce(1)
+        // single-task union-find, fed from the CACHED symmetric edge list
+        // (src < dst recovers the original pairs) — going back to `pairs`
+        // would re-run the whole simhash candidate pipeline, whose cache
+        // sits on `sym`
+        sym.filter(col("src") < col("dst")).as[(Long, Long)].coalesce(1)
           .mapPartitions(it => unionFindLabels(it))
           .toDF("doc_id", "comp")
           // materialize once — the two consumers below (size agg + join)

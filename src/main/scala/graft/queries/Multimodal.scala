@@ -130,6 +130,7 @@ object Multimodal {
     * downsampling. Rows-only check; properties asserted in MultimodalSpec. */
   def mmFrameSample(spark: SparkSession, sfDir: String,
                     stride: Int = 16): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     assets(spark, sfDir)
       .repartitionByRange(col("modality"), col("doc_id"))

@@ -48,6 +48,7 @@ object Similarity {
     * corpus, rank per query. The window partitions by query id — k·|Q|
     * result rows, never a global sort. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -179,6 +180,8 @@ object Similarity {
     * recall@5 against the brute-force baseline. */
   def annCosineIvf(spark: SparkSession, sfDir: String,
                    nProbe: Int = NProbe): DataFrame = {
+    require(nProbe > 0 && nProbe <= IvfCells,
+      s"nProbe must be in 1..$IvfCells, got $nProbe")
     import spark.implicits._
     val unit = vecs(spark, sfDir)
       .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]

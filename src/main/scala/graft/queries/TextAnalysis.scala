@@ -306,6 +306,7 @@ object TextAnalysis {
 
   def sequencePack(spark: SparkSession, sfDir: String,
                    budget: Int = PackBudget): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
