@@ -202,10 +202,36 @@ object TextJobs {
       .orderBy("event_type")
   }
 
+  /** JSON-lines source round-trip: write `events` as JSONL, read back
+    * with an explicit schema, aggregate — the third leg of the source
+    * matrix (text/TSV sink, CSV, JSON). JSON round-trips stress nested
+    * quoting (the `props` column is itself a JSON string — it must
+    * survive being embedded inside a JSON document) and number
+    * formatting. */
+  def eventsJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("props"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, props STRING")
+      .json(out)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        count(when(col("k").isNull, 1)).as("n_null_k"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
     "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
     "events_csv"         -> ((s, d) => eventsCsv(s, d)),
+    "events_jsonl"       -> ((s, d) => eventsJsonl(s, d)),
     // "error" is the reference default (grep/mapper.py:15) but absent from
     // this corpus's vocabulary; include "scan" so the query is non-vacuous.
     "grep"               -> ((s, d) => grep(s, d, "(error|scan)")),
@@ -229,6 +255,13 @@ object TextJobs {
     "events_csv" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // JSONL round-trip is lossless for these columns → oracle on the
+    // original parquet; k re-extracted from the embedded props JSON
+    "events_jsonl" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       count(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
