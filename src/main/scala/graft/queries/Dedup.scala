@@ -98,18 +98,26 @@ object Dedup {
       }.toDF("doc_id", "hs").cache()
   }
 
-  /** DuckDB twin of [[docShingleHashes]] (requires the `sh` CTE). */
+  /** DuckDB twin of [[docShingleHashes]] (requires the `sh` CTE).
+    * Shingle-less docs are excluded: they can never share a shingle, and
+    * keeping them would make the all-pairs oracle divide 0/0 → NaN,
+    * which DuckDB orders ABOVE every threshold — a blank-blank pair the
+    * Spark side (which requires a shared shingle to even be a candidate)
+    * can never emit. */
   private val shingleHashSqlCte: String =
     """hv AS (SELECT doc_id,
       |              list_sort(list_distinct(list_transform(sh,
       |                s -> CAST(CAST('0x' || substr(md5(s), 1, 12) AS UBIGINT) AS BIGINT)))) AS hs
-      |       FROM sh)""".stripMargin
+      |       FROM sh WHERE len(sh) > 0)""".stripMargin
 
   /** Exact verification over hashed shingle sets: join each candidate
     * pair to both hash arrays, count the intersection with a two-pointer
-    * merge (arrays are sorted), round jaccard at 6 dp (Det discipline)
-    * and filter on the ROUNDED value — the oracle filters identically,
-    * so the boundary is deterministic. */
+    * merge (arrays are sorted), filter on the RAW jaccard (the same
+    * int/int IEEE division in both engines, and the quantity the prefix/
+    * length filters are necessary conditions FOR — filtering the rounded
+    * value would admit raw-j slightly below t that the candidate filters
+    * legitimately pruned), and emit the 6-dp-rounded value (Det
+    * discipline). */
   private def verifyJaccard(spark: SparkSession, cands: DataFrame,
                             hv: DataFrame, t: Double): DataFrame = {
     import spark.implicits._
@@ -119,7 +127,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
       .as[(Long, Long, Seq[Long], Seq[Long])]
       .mapPartitions { it =>
-        it.map { case (a, b, ha, hb) =>
+        it.flatMap { case (a, b, ha, hb) =>
           val x = ha.toArray; val y = hb.toArray
           var i = 0; var j = 0; var c = 0
           while (i < x.length && j < y.length) {
@@ -127,12 +135,12 @@ object Dedup {
             else if (x(i) < y(j)) i += 1
             else j += 1
           }
-          val jac =
-            math.floor(c.toDouble / (x.length + y.length - c) * 1000000 + 0.5) / 1000000
-          (a, b, c, jac)
+          val raw = c.toDouble / (x.length + y.length - c)
+          if (raw >= t)
+            Some((a, b, c, math.floor(raw * 1000000 + 0.5) / 1000000))
+          else None
         }
       }.toDF("doc_a", "doc_b", "n_common", "jaccard")
-      .filter(col("jaccard") >= t)
   }
 
   // --------------------------------------------------------------------
@@ -217,13 +225,15 @@ object Dedup {
   val ngramJaccardPairsSql: String =
     s"""WITH $shinglesSqlCte,
        |$shingleHashSqlCte
-       |SELECT doc_a, doc_b, n_common, jaccard FROM (
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(floor(raw_j * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         len(list_intersect(a.hs, b.hs)) AS n_common,
-       |         CAST(floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-       |               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS raw_j
        |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
-       |WHERE jaccard >= 0.8
+       |WHERE raw_j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
@@ -314,12 +324,14 @@ object Dedup {
   val minhashLshDedupSql: String =
     s"""WITH $shinglesSqlCte,
        |$shingleHashSqlCte
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |SELECT doc_a, doc_b,
+       |       CAST(floor(raw_j * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         CAST(floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-       |               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS raw_j
        |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
-       |WHERE jaccard >= 0.8
+       |WHERE raw_j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
@@ -540,6 +552,12 @@ object Dedup {
           ls = next.select("doc_id", "comp")
           iter += 1
         }
+        // loud, not silently wrong: an unconverged labeling would emit
+        // bogus canonical ids (the cap exists only as a runaway guard —
+        // propagate+jump converges in O(log diameter) rounds)
+        if (changed > 0)
+          throw new IllegalStateException(
+            s"dedupClusters: label propagation did not converge in $iter rounds")
         ls
       }
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))

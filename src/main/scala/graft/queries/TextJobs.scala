@@ -166,12 +166,19 @@ object TextJobs {
     * lands in the JVM temp dir (per-sfDir path, overwritten per run); the
     * write is a distributed text sink — one file per partition, exactly
     * the reference worker's sharded `part-*` layout. */
+  /** Injective temp-output path: readable sanitized dir name PLUS an md5
+    * tag of the exact original string — sanitization alone maps distinct
+    * dirs (`/a/sf0.1` vs `/a_sf0.1`) to one path, which would silently
+    * serve another corpus's output. */
+  private def tmpOut(prefix: String, sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + tag).getAbsolutePath
+  }
+
   def wordcountTsv(spark: SparkSession, sfDir: String): DataFrame = {
-    // encode the full sfDir in the path (not a 32-bit hash — hash collisions
-    // would silently serve another corpus's output)
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_tsv_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val out = tmpOut("graft_tsv_", sfDir)
     wordcount(spark, sfDir)
       .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
       .write.mode("overwrite").text(out)
@@ -187,9 +194,7 @@ object TextJobs {
     * source-side complement of [[wordcountTsv]]'s text sink; quoting and
     * type inference are where CSV round-trips usually break). */
   def eventsCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_csv_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val out = tmpOut("graft_csv_", sfDir)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -209,9 +214,7 @@ object TextJobs {
     * survive being embedded inside a JSON document) and number
     * formatting. */
   def eventsJsonl(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val out = tmpOut("graft_jsonl_", sfDir)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("props"))
       .write.mode("overwrite").json(out)
@@ -257,11 +260,13 @@ object TextJobs {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // JSONL round-trip is lossless for these columns → oracle on the
-    // original parquet; k re-extracted from the embedded props JSON
+    // original parquet; k re-extracted from the embedded props JSON.
+    // TRY_CAST mirrors Spark's null-on-failure cast: a non-integer k
+    // must count as null on BOTH sides, not error the oracle.
     "events_jsonl" ->
       """SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |       count(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null_k
+        |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       count(*) FILTER (TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL) AS n_null_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
