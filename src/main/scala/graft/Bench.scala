@@ -7,7 +7,17 @@ import org.apache.spark.sql.SparkSession
   * table) absorbs one-time session costs — Janino/codegen bootstrap, JIT
   * compilation, parquet footer reads — which otherwise land on whichever
   * query happens to run first (~6 s of noise on a ~0.5 s query). Queries
-  * then run in sorted name order for stable attribution. */
+  * then run in sorted name order for stable attribution.
+  *
+  * Contention-proofing: the whole suite runs TWICE inside one session and
+  * each query reports its per-query MINIMUM — a single contended window
+  * (another process stealing the box for a few seconds) distorts at most
+  * one pass, and the min recovers the query's true cost. The r2 driver
+  * artifact recorded 126 s that re-ran at 67 s for exactly this reason.
+  *
+  * Failures are RECORDED, not swallowed: a query that throws under the
+  * noop sink lands in the `failed` list (and contributes no time), so a
+  * correctness break can never masquerade as a fast benchmark number. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,7 +30,9 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // pass → name -> (seconds, succeeded)
+    def runPass(): Map[String, (Double, Boolean)] = names.map { name =>
       // drop the previous query's intra-query caches — otherwise cached
       // partitions accumulate over the suite and GC noise lands on
       // whatever runs late
@@ -29,14 +41,23 @@ object Bench {
       // noop sink fully materializes every output row/column; a bare
       // count() lets Catalyst prune projections and sorts, so map-heavy
       // queries would time only the parquet scan
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    }.toMap
+    val p1 = runPass(); val p2 = runPass()
+    val results = names.map { n =>
+      val (t1, ok1) = p1(n); val (t2, ok2) = p2(n)
+      val okTimes = Seq((t1, ok1), (t2, ok2)).collect { case (t, true) => t }
+      (n, if (okTimes.nonEmpty) okTimes.min else math.min(t1, t2), okTimes.nonEmpty)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,7 +46,10 @@ object SparkEntry {
         a.getOrElse("min_tokens", "20").toInt,
         a.getOrElse("max_dup_frac", "0.05").toDouble)),
     "sequence_pack" -> ((s, d, a) =>
-      TextAnalysis.sequencePack(s, d, a.getOrElse("budget", "256").toInt)),
+      TextAnalysis.sequencePack(s, d, a.getOrElse("budget", "256").toInt,
+        a.getOrElse("shards", "0").toInt)),
+    "contamination_check" -> ((s, d, a) =>
+      TextAnalysis.contaminationCheck(s, d, a.getOrElse("max_df", "1000").toInt)),
     "ann_cosine_ivf" -> ((s, d, a) =>
       Similarity.annCosineIvf(s, d, a.getOrElse("n_probe", "4").toInt)),
     "mm_frame_sample" -> ((s, d, a) =>

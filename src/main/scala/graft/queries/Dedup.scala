@@ -15,9 +15,10 @@ import graft.Tables
   * reproduced verbatim in the DuckDB oracles.
   *
   * Determinism: token hashes for SimHash derive from md5 hex (identical
-  * across engines); MinHash signatures use MurmurHash3 one-permutation
-  * hashing (no DuckDB twin — but the *output* is exact-Jaccard-verified
-  * pairs, which DuckDB reproduces by brute force at sf0.01).
+  * across engines); MinHash signatures are one-permutation hashing over
+  * splitmix64-mixed 48-bit md5 shingle hashes (no DuckDB twin — but the
+  * *output* is exact-Jaccard-verified pairs, which DuckDB reproduces by
+  * brute force at sf0.01).
   * Jaccard/cosine are single int-int or identical-order double ops, so
   * exact hash-compare holds.
   *
@@ -184,23 +185,31 @@ object Dedup {
     * the candidate join — cost tracks rare-shingle co-occurrence instead
     * of Σ freq² over the whole vocabulary (the difference between hours
     * and minutes at 100 TB, where stop-shingles have huge freq²).
+    *
+    * The ENTIRE candidate pipeline runs in the 48-bit md5 HASH space
+    * ([[docShingleHashes]]): prefix selection, the rarity ordering, the
+    * length filter, and the verified jaccard all see the same element
+    * universe, so the prefix/length filters are necessary conditions for
+    * exactly the quantity the verify step computes (selecting prefixes
+    * over raw strings but verifying over hashes would leave a ~n²/2⁴⁸
+    * collision gap in the proof — and hash-space candidates also ship
+    * 8-byte longs through the hot joins instead of ~30-byte strings).
     * Candidates are then verified exactly against full hashed shingle
-    * sets ([[verifyJaccard]] — a JIT'd sorted-merge over 48-bit md5
-    * hashes, cross-engine identical), so the output matches the naive
-    * all-pairs oracle. */
+    * sets ([[verifyJaccard]] — a JIT'd sorted-merge, cross-engine
+    * identical), so the output matches the naive all-pairs oracle. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.8
-    val ds = docShingles(spark, sfDir).cache()
-    val ex = ds.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
-    // global rarity order (freq asc, shingle asc as tiebreak), then keep
-    // each doc's prefix: the rarest n - ceil(t*n) + 1 shingles (n carried
-    // from size(sh) — no second window needed)
-    val w = Window.partitionBy("doc_id").orderBy(col("f").asc, col("s").asc)
-    val prefixes = ex.join(freq, "s")
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val ex = hv.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
+    // global rarity order (freq asc, hash asc as tiebreak), then keep
+    // each doc's prefix: the rarest n - ceil(t*n) + 1 hashes (n carried
+    // from size(hs) — no second window needed)
+    val w = Window.partitionBy("doc_id").orderBy(col("f").asc, col("h").asc)
+    val prefixes = ex.join(freq, "h")
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "n", "s")
+      .select("doc_id", "n", "h")
     // AllPairs LENGTH FILTER: j(A,B) ≥ t forces min(|A|,|B|) ≥ t·max
     // (intersection ≤ min, union ≥ max) — prunes size-mismatched
     // candidates before the expensive verify join. Exact integer form
@@ -212,12 +221,12 @@ object Dedup {
     // candidates ~5× and verify time with them.
     val tScaled = math.floor(t * 10000).toLong
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 10000L >=
             greatest(col("a.n"), col("b.n")) * tScaled)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, cands, docShingleHashes(spark, ds), t)
+    verifyJaccard(spark, cands, hv, t)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -244,39 +253,56 @@ object Dedup {
   private val BandRows = 4               // 32 bands × 4 rows
   private val NumBands = NumHashes / BandRows
 
+  /** splitmix64 finalizer — the content hash behind OPH slot assignment.
+    * Full-width 64-bit avalanche of the 48-bit shingle hash, so slot and
+    * value bits are independent of the md5 bits they came from. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 ^ 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verify.
     *
+    * Signatures are built over the SAME 48-bit md5 shingle-hash sets the
+    * verify step intersects ([[docShingleHashes]]) — one universe end to
+    * end, so the AllPairs length filter below (over |hs|) is a necessary
+    * condition for exactly the jaccard being verified, and the md5 pass
+    * is shared (cached) instead of re-tokenizing.
+    *
     * Signatures use ONE-PERMUTATION HASHING with OPTIMAL densification
-    * (Shrivastava 2017): each shingle is hashed ONCE and lands in slot
-    * h mod 128, keeping the minimum per slot; an empty slot borrows from
-    * the slot reached by a content-INDEPENDENT random walk over
-    * hash(slot, attempt). Rotation densification (borrow from the next
-    * filled slot) is the classic alternative but correlates sparse
-    * signatures: with ~50-shingle docs only 40% of slots fill, empty
-    * runs borrow from whichever popular slot-minimum follows them, and
-    * docs sharing one popular shingle collide across entire borrowed
-    * bands — measured 9.4M bogus candidate pairs on a 100k-doc uniform-
-    * vocabulary corpus, vs ~10k after the fix. The walk sequence
-    * (i, attempt) is identical in every doc, so true near-dups still
-    * agree on borrowed slots with p ≈ j and the per-band recall math is
-    * unchanged (j ≥ 0.8 band match p = j⁴ ≥ 0.41, miss (1-p)³² ≤ 5e-8 —
-    * recall ≈ 1, which is why the exact-Jaccard-verified output matches
-    * the brute-force oracle). Bands of 4 slots hash to buckets; pairs
-    * sharing a bucket are candidates; the AllPairs length filter prunes
-    * size-mismatched candidates before verification joins the shingle
-    * arrays — pair-local, no n² anywhere. */
+    * (Shrivastava 2017): each shingle hash is mixed ONCE (splitmix64
+    * avalanche) and lands in slot h mod 128, keeping the minimum per
+    * slot; an empty slot borrows from the slot reached by a
+    * content-INDEPENDENT random walk over hash(slot, attempt). Rotation
+    * densification (borrow from the next filled slot) is the classic
+    * alternative but correlates sparse signatures: with ~50-shingle docs
+    * only 40% of slots fill, empty runs borrow from whichever popular
+    * slot-minimum follows them, and docs sharing one popular shingle
+    * collide across entire borrowed bands — measured 9.4M bogus
+    * candidate pairs on a 100k-doc uniform-vocabulary corpus, vs ~10k
+    * after the fix. The walk sequence (i, attempt) is identical in every
+    * doc, so true near-dups still agree on borrowed slots with p ≈ j and
+    * the per-band recall math is unchanged (j ≥ 0.8 band match p = j⁴ ≥
+    * 0.41, miss (1-p)³² ≤ 5e-8 — recall ≈ 1, which is why the
+    * exact-Jaccard-verified output matches the brute-force oracle).
+    * Bands of 4 slots hash to buckets; pairs sharing a bucket are
+    * candidates; the AllPairs length filter prunes size-mismatched
+    * candidates before verification joins the hash arrays — pair-local,
+    * no n² anywhere. */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ds = docShingles(spark, sfDir).cache()
-    val bandRows = ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
-      .flatMap { case (id, sh) =>
-        if (sh.isEmpty) Iterator.empty
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val bandRows = hv.select(col("doc_id"), col("hs")).as[(Long, Seq[Long])]
+      .flatMap { case (id, hs) =>
+        if (hs.isEmpty) Iterator.empty
         else {
           val slots = Array.fill(NumHashes)(Long.MaxValue)
-          sh.foreach { sGram =>
-            val h = scala.util.hashing.MurmurHash3.stringHash(sGram, 0x9747b28c)
-            val b = java.lang.Math.floorMod(h, NumHashes)
-            val v = h.toLong & 0xffffffffL
+          hs.foreach { sh =>
+            val h = mix64(sh)
+            val b = java.lang.Math.floorMod(h, NumHashes.toLong).toInt
+            val v = h >>> 8   // positive, full-entropy; < MaxValue sentinel
             if (v < slots(b)) slots(b) = v
           }
           // optimal densification: walk hash(slot, attempt) until a
@@ -300,7 +326,7 @@ object Dedup {
             var bh = 1125899906842597L
             var r = 0
             while (r < BandRows) { bh = bh * 31 + dense(b * BandRows + r); r += 1 }
-            (id, b, bh, sh.size)
+            (id, b, bh, hs.size)
           }
         }
       }.toDF("doc_id", "band", "bv", "n")
@@ -313,7 +339,7 @@ object Dedup {
             greatest(col("x.n"), col("y.n")) * 8000L)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, cands, docShingleHashes(spark, ds), 0.8)
+    verifyJaccard(spark, cands, hv, 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

@@ -275,20 +275,38 @@ object TextAnalysis {
   // Sequence packing (fixed token budget)
   // --------------------------------------------------------------------
 
-  private val PackBudget = 256   // tokens per training sequence
-  private val PackShards = 32    // deterministic shard fan-out
+  private val PackBudget = 256      // tokens per training sequence
+  private val PackShards = 32       // shard-count FLOOR (and the fixture-scale value)
+  private val PackDocsPerShard = 4096L  // derivation quantum (see derivedPackShards)
+  private val PackShardsCap = 65536L    // task-count ceiling
+
+  /** Shard count DERIVED from corpus size — the same move as the cosine
+    * grid's B derivation (`Dedup.embeddingCosineDups`): a hardcoded 32
+    * would cap the packer at 32 tasks forever and grow one shard's
+    * (doc_id, n_tokens) state linearly with the corpus. Parallelism, not
+    * memory, is the binding constraint (shard state is 12 B/doc — even a
+    * 10⁶-doc shard is 12 MB), so the quantum is small: one shard per
+    * 4096 docs keeps task counts tracking corpus size (250k docs → 62
+    * shards, 10⁸ docs → 24k shards) up to a 65536-task cap, where
+    * per-shard state at 10⁹ docs is still only ~180 KB. The floor keeps
+    * small corpora at exactly 32 — the fixture-scale layout, so the
+    * DuckDB oracle (which bakes in 32) stays byte-identical. */
+  private[graft] def derivedPackShards(nDocs: Long): Int =
+    math.min(PackShardsCap,
+      math.max(PackShards.toLong,
+        (nDocs + PackDocsPerShard - 1) / PackDocsPerShard)).toInt
 
   /** Sequence packing — the batching step between filtering and training:
     * greedily pack documents (in doc_id order) into fixed-budget token
     * sequences. Packing is inherently sequential, so it runs SHARDED, the
-    * way production packers do: shard = doc_id % 32 (a pure function, so
-    * the layout is deterministic and engine-reproducible — unlike
+    * way production packers do: shard = doc_id % shards (a pure function,
+    * so the layout is deterministic and engine-reproducible — unlike
     * range-partition boundaries, which depend on sampling), greedy
-    * first-fit within each shard's doc_id order. At 100 TB the shard
-    * count is the parallelism/memory knob: pick shards so one shard's
-    * (doc_id, n_tokens) pairs fit an executor — the kernel holds only
-    * 12 B/doc, not text. Each group is one `flatMapGroups` stream; docs
-    * longer than the budget get a sequence of their own. */
+    * first-fit within each shard's doc_id order. The shard count is
+    * derived from the corpus size ([[derivedPackShards]]; one
+    * metadata-cheap parquet row-count action) unless pinned via the args
+    * channel. Each group is one `flatMapGroups` stream; docs longer than
+    * the budget get a sequence of their own. */
   /** Pure greedy first-fit fold over one shard's (doc_id, n_tokens) in
     * doc_id order → (doc_id, seq, pos, n_tokens). Shared by the query and
     * PropertiesSpec. */
@@ -305,12 +323,15 @@ object TextAnalysis {
   }
 
   def sequencePack(spark: SparkSession, sfDir: String,
-                   budget: Int = PackBudget): DataFrame = {
+                   budget: Int = PackBudget, shards: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val nShards =
+      if (shards > 0) shards
+      else derivedPackShards(Tables.documents(spark, sfDir).count())
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
-        (col("doc_id") % PackShards).as("shard"))
+        (col("doc_id") % nShards).as("shard"))
       .as[(Long, Int, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (shard, it) =>
@@ -323,7 +344,9 @@ object TextAnalysis {
 
   /** Oracle: the same greedy fold per shard as a recursive CTE walking
     * each shard's doc chain in order (chain depth = shard size — fine at
-    * oracle scale). */
+    * oracle scale). Bakes in shards = 32, which [[derivedPackShards]]
+    * returns (the floor) for any corpus ≤ 32·4096 docs — all fixture
+    * scales. */
   val sequencePackSql: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, doc_id % $PackShards AS shard,
@@ -374,7 +397,9 @@ object TextAnalysis {
 
   private val K = 8   // char k-gram size
   private val W = 4   // winnowing window
-  private val B = 31L // polynomial base; max hash 255·(31⁷+…) ≈ 7e12 — exact i64
+  private val B = 31L // polynomial base; max |h| ≤ 0x10FFFF·Σ31ʲ ≈ 3.2e16,
+                      // rolling step ≤ ·31 ≈ 9.8e17 — exact i64 even for
+                      // the largest Unicode code point
 
   /** Document fingerprinting à la winnowing (MOSS): polynomial rolling
     * hash over 8-char k-grams of the normalized text, then per-window
@@ -391,22 +416,28 @@ object TextAnalysis {
     * as the shingle/simhash/LSH kernels: hot per-char inner loops are
     * where mapPartitions beats interpreted higher-order functions. */
   /** Rolling k-gram hashes of a normalized string (exact int64, O(1) per
-    * position: h' = (h − c·Bᵏ⁻¹)·B + c_new). Property-tested against the
-    * direct polynomial in PropertiesSpec. */
+    * position: h' = (h − c·Bᵏ⁻¹)·B + c_new). Iterates CODE POINTS, not
+    * UTF-16 code units: DuckDB's `substr`/`ascii` are code-point-based, so
+    * a surrogate-pair character (emoji, rare CJK) must count as ONE k-gram
+    * position with its full code-point value on both engines — charAt
+    * iteration would split it into two bogus positions and diverge off the
+    * BMP. Property-tested against the direct polynomial in
+    * PropertiesSpec. */
   private[graft] def kgramHashes(ns: String): Array[Long] = {
+    val cps = ns.codePoints().toArray
     var topPow = 1L
     var j = 1
     while (j < K) { topPow *= B; j += 1 }   // B^(K-1)
-    val nH = if (ns.length >= K) ns.length - K + 1 else 0
+    val nH = if (cps.length >= K) cps.length - K + 1 else 0
     val hs = new Array[Long](nH)
     if (nH > 0) {
       var h = 0L
       var i = 0
-      while (i < K) { h = h * B + ns.charAt(i); i += 1 }
+      while (i < K) { h = h * B + cps(i); i += 1 }
       hs(0) = h
       i = 1
       while (i < nH) {
-        h = (h - ns.charAt(i - 1) * topPow) * B + ns.charAt(i + K - 1)
+        h = (h - cps(i - 1).toLong * topPow) * B + cps(i + K - 1)
         hs(i) = h
         i += 1
       }
@@ -579,21 +610,38 @@ object TextAnalysis {
     * The split is the same hash bucket as `split_assign` (shared Column),
     * so the audit and the assignment can never disagree. Shape: shingle-
     * hash equi-join (test side is ~5% of the corpus), then per-doc
-    * distinct counts. At 100 TB: one shuffle on fp; hot fingerprints
-    * (boilerplate) would be dropped by a frequency cap the same way
-    * PPJoin drops stop-shingles. */
-  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
-    // cache: three consumers below (test counts, test join side, train
-    // join side) would otherwise each re-run the shingle+md5 kernel over
-    // the full corpus — two extra 100 TB passes
+    * distinct counts.
+    *
+    * FREQUENCY CAP (the 100 TB guard): a fingerprint present in more
+    * than `maxDf` documents corpus-wide is boilerplate (license headers,
+    * navigation chrome), not leakage evidence — and it is also the join
+    * bomb: the test×train equi-join on one fp costs df_test·df_train
+    * pairs, quadratic in the document frequency of a ubiquitous shingle.
+    * Hot fingerprints are therefore dropped from BOTH join sides before
+    * the join (the same move PPJoin makes with stop-shingles); under
+    * Zipf the hot set is tiny, so it ships as a broadcast anti-join —
+    * no extra shuffle of the big frame. The per-doc denominator `n_fps`
+    * deliberately stays UNcapped: contamination reads as "fraction of
+    * this test doc's shingle mass that verbatim-overlaps train", and a
+    * doc made entirely of boilerplate should read 0 (clean), not 0/0.
+    * At fixture scale (500 docs < default cap 1000) the hot set is empty
+    * and the output is bit-identical to the uncapped oracle. */
+  def contaminationCheck(spark: SparkSession, sfDir: String,
+                         maxDf: Int = 1000): DataFrame = {
+    // cache: four consumers below (hot set, test counts, test join side,
+    // train join side) would otherwise each re-run the shingle+md5 kernel
+    // over the full corpus — three extra 100 TB passes
     val fp = tokenShinglePairs(spark, sfDir)
       .withColumn("bucket", Temporal.bucketCol(col("doc_id")))
       .cache()
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
     val testFp = fp.filter(col("bucket") < 5).select(col("doc_id"), col("fp"))
     val trainFp = fp.filter(col("bucket") >= 10)
       .select(col("doc_id").as("train_doc"), col("fp"))
     val nFps = testFp.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-    val coll = testFp.join(trainFp, "fp")
+    val coll = testFp.join(broadcast(hot), Seq("fp"), "left_anti")
+      .join(trainFp.join(broadcast(hot), Seq("fp"), "left_anti"), "fp")
       .groupBy("doc_id").agg(
         countDistinct("fp").as("n_shared_fps"),
         countDistinct("train_doc").as("n_train_docs"))

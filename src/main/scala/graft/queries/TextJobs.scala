@@ -169,16 +169,22 @@ object TextJobs {
   /** Injective temp-output path: readable sanitized dir name PLUS an md5
     * tag of the exact original string — sanitization alone maps distinct
     * dirs (`/a/sf0.1` vs `/a_sf0.1`) to one path, which would silently
-    * serve another corpus's output. */
-  private def tmpOut(prefix: String, sfDir: String): String = {
+    * serve another corpus's output. The path is additionally keyed by the
+    * session's applicationId: the round-trip write happens eagerly at
+    * DataFrame-construction time, and two concurrent sessions on the same
+    * sfDir must not race on one overwrite target (within a session the
+    * path is stable, so repeated construction just overwrites its own
+    * output — what the byte-stability double-Verify run expects). */
+  private def tmpOut(spark: SparkSession, prefix: String, sfDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      prefix + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + tag).getAbsolutePath
+      prefix + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + tag + "_" + app).getAbsolutePath
   }
 
   def wordcountTsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpOut("graft_tsv_", sfDir)
+    val out = tmpOut(spark, "graft_tsv_", sfDir)
     wordcount(spark, sfDir)
       .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
       .write.mode("overwrite").text(out)
@@ -194,7 +200,7 @@ object TextJobs {
     * source-side complement of [[wordcountTsv]]'s text sink; quoting and
     * type inference are where CSV round-trips usually break). */
   def eventsCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpOut("graft_csv_", sfDir)
+    val out = tmpOut(spark, "graft_csv_", sfDir)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -214,7 +220,7 @@ object TextJobs {
     * survive being embedded inside a JSON document) and number
     * formatting. */
   def eventsJsonl(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpOut("graft_jsonl_", sfDir)
+    val out = tmpOut(spark, "graft_jsonl_", sfDir)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("props"))
       .write.mode("overwrite").json(out)
@@ -261,13 +267,20 @@ object TextJobs {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // JSONL round-trip is lossless for these columns → oracle on the
     // original parquet; k re-extracted from the embedded props JSON.
-    // TRY_CAST mirrors Spark's null-on-failure cast: a non-integer k
-    // must count as null on BOTH sides, not error the oracle.
+    // The cast is GATED on an integer regexp before TRY_CAST: Spark's
+    // string→int cast is null for any non-integral string ('3.5' → NULL),
+    // but DuckDB's TRY_CAST parses '3.5' via double and ROUNDS to 4 — the
+    // regexp gate pins both engines to null-unless-integral; TRY_CAST
+    // then matches Spark's overflow→null for integers beyond int32.
     "events_jsonl" ->
       """SELECT event_type, count(*) AS n_events,
-        |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |       count(*) FILTER (TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL) AS n_null_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       count(*) FILTER (k IS NULL) AS n_null_k
+        |FROM (SELECT event_type,
+        |             CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+        |                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
       """SELECT word, count(*) AS cnt

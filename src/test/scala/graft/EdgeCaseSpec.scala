@@ -128,6 +128,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_check: frequency cap drops boilerplate fps, keeps real leakage") {
+    // pick doc_ids whose split bucket is known (same md5 bucket as the query)
+    val buckets = spark.range(0, 300)
+      .select(col("id"), queries.Temporal.bucketCol(col("id")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val testId = (0L until 300L).find(buckets(_) < 5).get
+    val trainIds = (0L until 300L).filter(buckets(_) >= 10).take(6)
+    val boiler = "all rights reserved by the site owner always"         // 8 tokens → 1 shingle
+    val genuine = "the secret answer to the evaluation question is"     // 8 tokens → 1 shingle
+    // test doc = boiler + genuine (16 tokens → 9 shingles: 1 boiler, 1
+    // genuine, 7 unique boundary-spanning); 5 train docs of pure
+    // boilerplate (df(boiler)=6), 1 train doc with the leaked sentence
+    // (df(genuine)=2)
+    val docs = ((testId, boiler + " " + genuine) +:
+      trainIds.take(5).map(id => (id, boiler))) :+ (trainIds(5), genuine)
+    val dir = fixture("contam_cap",
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) },
+      embs = Seq.empty)
+    def row(maxDf: Int) = {
+      val rows = queries.TextAnalysis.contaminationCheck(spark, dir, maxDf).collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("doc_id") == testId)
+      rows.head
+    }
+    val uncapped = row(1000)   // default cap: nothing hot at this size
+    assert(uncapped.getAs[Long]("n_fps") == 9)
+    assert(uncapped.getAs[Long]("n_shared_fps") == 2)    // boiler + genuine
+    assert(uncapped.getAs[Long]("n_train_docs") == 6)
+    val capped = row(3)        // df(boiler)=6 > 3 → dropped; df(genuine)=2 → kept
+    assert(capped.getAs[Long]("n_fps") == 9)             // denominator uncapped
+    assert(capped.getAs[Long]("n_shared_fps") == 1)
+    assert(capped.getAs[Long]("n_train_docs") == 1)
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&

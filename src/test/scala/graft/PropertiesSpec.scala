@@ -78,6 +78,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("k-gram hashes iterate code points (non-BMP chars are ONE position)") {
+    val ns = "a😀bcdefgh"   // a 😀(U+1F600) b c d e f g h
+    val cps = ns.codePoints().toArray
+    assert(cps.length == 9 && ns.length == 10)   // surrogate pair collapses
+    val rolled = queries.TextAnalysis.kgramHashes(ns)
+    assert(rolled.length == cps.length - 8 + 1)
+    val direct = Array.tabulate(cps.length - 7) { i =>
+      var h = 0L; (0 until 8).foreach(j => h = h * 31L + cps(i + j)); h
+    }
+    assert(rolled.sameElements(direct))
+  }
+
+  test("derived pack shard count: floored at 32, scales with corpus, capped") {
+    import queries.TextAnalysis.derivedPackShards
+    assert(derivedPackShards(0) == 32)
+    assert(derivedPackShards(500) == 32)          // fixture scale → oracle layout
+    assert(derivedPackShards(32 * 4096) == 32)    // last corpus at the floor
+    assert(derivedPackShards(32 * 4096 + 1) == 33)
+    assert(derivedPackShards(250000) == 62)       // the 50× probe: > 32-way
+    assert(derivedPackShards(Long.MaxValue / 2) == 65536)  // task-count ceiling
+    val pts = Seq(1L, 1000L, 100000L, 1000000L, 100000000L, 10000000000L)
+    pts.zip(pts.tail).foreach { case (a, b) =>
+      assert(derivedPackShards(a) <= derivedPackShards(b)) }
+  }
+
   test("greedy packing invariants hold on random token lengths") {
     val docsGen = Gen.listOfN(25, Gen.choose(1, 120)).map(
       _.zipWithIndex.map { case (n, i) => (i.toLong, n) })
