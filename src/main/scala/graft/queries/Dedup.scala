@@ -492,20 +492,34 @@ object Dedup {
     *    O(E α(E)) sequential, but E is small by construction; no loop,
     *    no per-round job overhead. This is `mapPartitions` on an
     *    executor, NOT a driver collect.
-    *  - **above**: distributed min-label propagation WITH pointer
-    *    jumping — each round takes the min over neighbor labels, then
-    *    compresses one pointer hop (comp ← label(comp)), so convergence
-    *    is O(log diameter) rounds instead of O(diameter) (simhash chains
-    *    made plain propagation take ~15 rounds / 37 s of job overhead on
-    *    this corpus; propagate+jump does it in 5). Labels monotonically
-    *    decrease; the previous label rides along through
-    *    `localCheckpoint` (bounding lineage), making the convergence
-    *    check a filter over in-memory data. At web scale with
-    *    adversarial chains, swap the loop body for large-star/small-star
-    *    (Kiveris et al.), same driver contract.
+    *  - **above**: alternating LARGE-STAR / SMALL-STAR rounds (Kiveris
+    *    et al., "Connected Components in MapReduce and Beyond", SoCC
+    *    2014). Large-star points every larger neighbor of u at
+    *    m = min(Γ(u) ∪ {u}); small-star folds each node's smaller
+    *    neighborhood onto its minimum. Both preserve connectivity, both
+    *    strictly shrink the potential function, and the edge set
+    *    CONTRACTS as it converges (O(log n) rounds; in practice ~3-5) —
+    *    unlike min-label propagation, which keeps the full edge set
+    *    alive every round and re-densifies it through the neighbor
+    *    join (the 50× probe measured 429 s there, dominated by exactly
+    *    that). Convergence = two consecutive rounds with identical
+    *    (count, hash-sum) signature, followed by an explicit
+    *    star-forest VALIDATION (every child has exactly one parent, no
+    *    parent is a child) so a signature collision can fail loudly
+    *    instead of mislabeling.
+    *
+    * Round results persist via `localCheckpoint` by default (fast, but
+    * lineage pins to executor storage — an executor loss mid-loop kills
+    * the job). Set `graft.cc.reliableCheckpoint=true` to use reliable
+    * `checkpoint` instead (HDFS-backed via the session checkpoint dir):
+    * survives executor loss at the cost of one distributed write per
+    * round — the right trade on a 1000-executor 100 TB run, where a
+    * multi-hour job WILL lose executors.
+    *
     * Only edge-touching docs enter either path: singletons (the
     * overwhelming mass at 100 TB) never shuffle. Both paths produce the
-    * identical labeling (DedupSpec runs both). */
+    * identical labeling (DedupSpec runs both, plus the reliable-
+    * checkpoint variant). */
   /** Pure union-find over an edge list → (node, component-min) labels.
     * Path compression + union by attachment toward the smaller root id —
     * parent pointers only ever decrease, so every root is its
@@ -534,9 +548,51 @@ object Dedup {
     out.iterator
   }
 
+  /** One large-star round: for every node u (over the SYMMETRIZED
+    * neighborhood), point each strictly-larger neighbor at
+    * m = min(Γ(u) ∪ {u}). Connectivity-preserving (Kiveris et al. lemma
+    * 1); output edges all satisfy dst < src except transient (v, m)
+    * where m came from a smaller neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nb = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = nb.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    nb.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge (larger, smaller); each node
+    * folds its smaller neighborhood (plus itself) onto that
+    * neighborhood's minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mins = or.groupBy("src").agg(min("dst").as("m"))
+    or.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   def dedupClusters(spark: SparkSession, sfDir: String,
                     localCcMaxEdges: Long = 10_000_000L): DataFrame = {
     import spark.implicits._
+    // reliable (HDFS-style) checkpointing per round, for clusters where
+    // executor loss mid-loop is expected; default stays localCheckpoint
+    // (sandbox / short jobs)
+    val reliable = spark.conf.getOption("graft.cc.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ckpt_${spark.sparkContext.applicationId}").getAbsolutePath)
+    def persistStep(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val pairs = simhashDedup(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
@@ -554,37 +610,42 @@ object Dedup {
           // would otherwise each re-run the union-find task
           .localCheckpoint()
       } else {
-        var ls = sym.select(col("src").as("doc_id")).distinct()
-          .withColumn("comp", col("doc_id")).localCheckpoint()
-        var changed = 1L
+        // (count, xor-of-hashes): order-independent, overflow-free (sum
+        // would trip ANSI overflow); xor cancellation needs duplicate
+        // rows, which distinct() rules out — and the star-forest check
+        // below catches a collision loudly anyway
+        def sig(e: DataFrame): (Long, Long) = {
+          val r = e.agg(count(lit(1)),
+            coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        var e = persistStep(sym.filter(col("src") < col("dst")))
+        var s = sig(e)
+        var converged = false
         var iter = 0
-        while (changed > 0 && iter < 32) {
-          val minNeigh = ls.withColumnRenamed("doc_id", "src")
-            .join(sym, "src")
-            .groupBy(col("dst").as("doc_id")).agg(min("comp").as("ncomp"))
-          val stepped = ls.withColumnRenamed("comp", "prev")
-            .join(minNeigh, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("prev"),
-              least(col("prev"), coalesce(col("ncomp"), col("prev"))).as("c1"))
-          // pointer jump: follow one label hop (c1 is always a node id, so
-          // the lookup is total); keeps deep chains collapsing geometrically
-          val next = stepped
-            .join(ls.select(col("doc_id").as("c1"), col("comp").as("lc1")),
-              Seq("c1"), "left")
-            .select(col("doc_id"), col("prev"),
-              least(col("c1"), coalesce(col("lc1"), col("c1"))).as("comp"))
-            .localCheckpoint()
-          changed = next.filter(col("comp") < col("prev")).count()
-          ls = next.select("doc_id", "comp")
+        while (!converged && iter < 32) {
+          val next = persistStep(smallStar(largeStar(e)))
+          val ns = sig(next)
+          converged = ns == s
+          e = next; s = ns
           iter += 1
         }
-        // loud, not silently wrong: an unconverged labeling would emit
-        // bogus canonical ids (the cap exists only as a runaway guard —
-        // propagate+jump converges in O(log diameter) rounds)
-        if (changed > 0)
+        if (!converged)
           throw new IllegalStateException(
-            s"dedupClusters: label propagation did not converge in $iter rounds")
-        ls
+            s"dedupClusters: large-star/small-star did not converge in $iter rounds")
+        // loud, not silently wrong: the signature equality above could in
+        // principle collide, so prove the fixpoint IS a star forest —
+        // every child exactly one parent, no parent is itself a child —
+        // before trusting it as the labeling
+        val nChild = e.count()
+        if (e.select("src").distinct().count() != nChild ||
+            e.select(col("dst").as("src")).distinct()
+              .join(e.select("src").distinct(), Seq("src"), "left_semi")
+              .count() > 0)
+          throw new IllegalStateException(
+            "dedupClusters: converged edge set is not a star forest")
+        e.select(col("src").as("doc_id"), col("dst").as("comp"))
+          .union(e.select(col("dst").as("doc_id"), col("dst").as("comp")).distinct())
       }
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "comp")

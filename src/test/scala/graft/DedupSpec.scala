@@ -73,6 +73,17 @@ class DedupSpec extends AnyFunSuite {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("dedup clusters: reliable-checkpoint star rounds agree with union-find") {
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
+    try {
+      val dist = queries.Dedup.dedupClusters(spark, sf, localCcMaxEdges = 0L)
+        .collect().map(_.toString).sorted.toSeq
+      val local = queries.Dedup.dedupClusters(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(dist == local && dist.nonEmpty)
+    } finally spark.conf.unset("graft.cc.reliableCheckpoint")
+  }
+
   test("dedup clusters: valid union-find over simhash pairs") {
     val pairs = queries.Dedup.simhashDedup(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
