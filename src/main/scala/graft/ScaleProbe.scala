@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   * 100×" claims — fixtures verify correctness, this probes the scaling
   * exponent (a quadratic candidate blowup shows up here long before a
   * cluster does).
-  * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir] */
+  *
+  * After the timing loop, the ANN family also gets a RECALL probe:
+  * top-5 overlap of the LSH/IVF output vs the exact brute-force baseline
+  * at probe scale — approximation quality must hold as the corpus grows
+  * (bucket occupancy and cell geometry both shift with n), not just at
+  * fixture scale where SimilaritySpec bounds it.
+  * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir] [q1,q2,...] */
 object ScaleProbe {
 
   private val Vocab: Array[String] = Array(
@@ -32,8 +38,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
     val nVecs = if (args.length > 1) args(1).toLong else 40000L
-    val dir = if (args.length > 2) args(2)
+    val dir = if (args.length > 2 && args(2).nonEmpty) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft_scale_${nDocs}"
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -82,7 +91,8 @@ object ScaleProbe {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
 
     println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs}""")
-    DocQueries.foreach { name =>
+    val run = if (only.isEmpty) DocQueries else DocQueries.filter(only)
+    run.foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val res = try {
@@ -95,6 +105,21 @@ object ScaleProbe {
       // would emit comma decimals (invalid JSON) on non-English JVMs
       println(String.format(java.util.Locale.ROOT,
         """{"query":"%s","sec":%.2f,"status":"%s"}""", name, Double.box(dt), res))
+    }
+    // -- ANN recall at probe scale (50 result rows per query — model-
+    //    sized collects, not data)
+    if (run.exists(Set("ann_cosine_lsh", "ann_cosine_ivf"))) {
+      def top5(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, dir).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = top5("ann_cosine_topk")
+      Seq("ann_cosine_lsh", "ann_cosine_ivf").filter(run.contains).foreach { name =>
+        val recall = if (bf.isEmpty) 0.0
+          else top5(name).intersect(bf).size.toDouble / bf.size
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"%s","recall_at_5":%.3f,"vs":"ann_cosine_topk","n_vecs":%d}""",
+          name, Double.box(recall), Long.box(nVecs)))
+      }
     }
     spark.stop()
   }

@@ -54,6 +54,8 @@ object SparkEntry {
       Similarity.annCosineIvf(s, d, a.getOrElse("n_probe", "4").toInt)),
     "mm_frame_sample" -> ((s, d, a) =>
       Multimodal.mmFrameSample(s, d, a.getOrElse("stride", "16").toInt)),
+    "results_limit" -> ((s, d, a) =>
+      TextJobs.resultsLimit(s, d, a.getOrElse("limit", "20").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -111,6 +111,8 @@ object Dedup {
       |                s -> CAST(CAST('0x' || substr(md5(s), 1, 12) AS UBIGINT) AS BIGINT)))) AS hs
       |       FROM sh WHERE len(sh) > 0)""".stripMargin
 
+  private val VerifyChunkPairs = 5_000_000L  // candidate pairs per verify slice
+
   /** Exact verification over hashed shingle sets: join each candidate
     * pair to both hash arrays, count the intersection with a two-pointer
     * merge (arrays are sorted), filter on the RAW jaccard (the same
@@ -118,13 +120,29 @@ object Dedup {
     * length filters are necessary conditions FOR — filtering the rounded
     * value would admit raw-j slightly below t that the candidate filters
     * legitimately pruned), and emit the 6-dp-rounded value (Det
-    * discipline). */
+    * discipline).
+    *
+    * Memory shape (what made the 50× adversarial probe fail before): the
+    * naive double sort-merge join ships BOTH hash arrays with every
+    * candidate row — at 10⁸ candidates × ~400 B/array that is tens of GB
+    * of shuffle for what is per-pair-local work. Two regimes instead:
+    *  - **hv fits an executor** (estimated bytes ≤
+    *    `graft.verify.broadcastMaxBytes`, default 512 MB ≈ 1M docs):
+    *    force BROADCAST hash joins on both sides — candidates stream
+    *    map-side through the merge kernel and no array ever shuffles.
+    *  - **above**: CHUNKED verification — candidates persist
+    *    (memory-and-disk), and ≤512 hash-salted slices of ≤5M pairs run
+    *    sequentially, so each slice's array-carrying shuffle is bounded
+    *    regardless of total candidate count. Exactness is never traded:
+    *    a frequency-capped prefix (the other standard move) silently
+    *    drops true pairs on dense corpora, which would break this
+    *    operator's guaranteed-exact contract — on corpora where even
+    *    chunked exact verification is too slow, simhash/minhash are the
+    *    documented in-family scale path. */
   private def verifyJaccard(spark: SparkSession, cands: DataFrame,
                             hv: DataFrame, t: Double): DataFrame = {
     import spark.implicits._
-    cands
-      .join(hv.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hv.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    def kernel(joined: DataFrame): DataFrame = joined
       .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
       .as[(Long, Long, Seq[Long], Seq[Long])]
       .mapPartitions { it =>
@@ -142,6 +160,30 @@ object Dedup {
           else None
         }
       }.toDF("doc_a", "doc_b", "n_common", "jaccard")
+    def joined(c: DataFrame, bc: Boolean): DataFrame = {
+      val a = hv.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = hv.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      c.join(if (bc) broadcast(a) else a, "doc_a")
+        .join(if (bc) broadcast(b) else b, "doc_b")
+    }
+    // one small agg on the cached hv sizes the broadcast decision
+    val st = hv.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("hs")).cast("long")), lit(0L)).as("tot")).head()
+    val hvBytes = st.getLong(1) * 8L + st.getLong(0) * 32L
+    val maxBc = spark.conf.getOption("graft.verify.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    if (hvBytes <= maxBc) kernel(joined(cands, bc = true))
+    else {
+      val persisted = cands.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = persisted.count()
+      val slices = math.min(512L,
+        math.max(1L, (n + VerifyChunkPairs - 1) / VerifyChunkPairs)).toInt
+      (0 until slices).map { i =>
+        kernel(joined(persisted.filter(
+          pmod(xxhash64(col("doc_a"), col("doc_b")), lit(slices)) === i), bc = false))
+      }.reduce(_ union _)
+    }
   }
 
   // --------------------------------------------------------------------

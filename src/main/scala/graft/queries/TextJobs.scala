@@ -194,6 +194,26 @@ object TextJobs {
       .orderBy("word")
   }
 
+  /** F10 results read + limit (client/client.py:120-142: concatenate the
+    * job's `reduce-*.txt` sorted, take the first N lines): write wordcount
+    * in the reference's TSV results format, read the results dir back, and
+    * return the first N entries in key order. The reference's "first N
+    * lines of name-sorted part files" is only deterministic because its
+    * reducers sort keys; the Spark twin makes that explicit with a global
+    * key order, planned as TakeOrderedAndProject (top-N per partition +
+    * driver merge of N rows — never a full sort or a single-partition
+    * funnel). */
+  def resultsLimit(spark: SparkSession, sfDir: String, n: Int = 20): DataFrame = {
+    val out = tmpOut(spark, "graft_results_", sfDir)
+    wordcount(spark, sfDir)
+      .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(split(col("value"), "\t").as("kv"))
+      .select(col("kv")(0).as("word"), col("kv")(1).cast("long").as("cnt"))
+      .orderBy("word").limit(n)
+  }
+
   /** CSV source round-trip: write `events` (id, type, value) as headered
     * CSV, read it back with an explicit schema, aggregate — proving the
     * CSV source end-to-end through the driver's oracle gate (the
@@ -239,6 +259,7 @@ object TextJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
     "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
+    "results_limit"      -> ((s, d) => resultsLimit(s, d)),
     "events_csv"         -> ((s, d) => eventsCsv(s, d)),
     "events_jsonl"       -> ((s, d) => eventsJsonl(s, d)),
     // "error" is the reference default (grep/mapper.py:15) but absent from
@@ -281,6 +302,15 @@ object TextJobs {
         |                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // results read-back is lossless → wordcount oracle, keyed-order LIMIT
+    "results_limit" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word)
+        |ORDER BY word LIMIT 20""".stripMargin,
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
       """SELECT word, count(*) AS cnt

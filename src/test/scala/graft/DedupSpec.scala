@@ -73,6 +73,17 @@ class DedupSpec extends AnyFunSuite {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("chunked verification path emits the same pairs as the broadcast path") {
+    val bc = queries.Dedup.ngramJaccardPairs(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.verify.broadcastMaxBytes", "0")   // force chunked
+    try {
+      val chunked = queries.Dedup.ngramJaccardPairs(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(chunked == bc && bc.nonEmpty)
+    } finally spark.conf.unset("graft.verify.broadcastMaxBytes")
+  }
+
   test("dedup clusters: reliable-checkpoint star rounds agree with union-find") {
     spark.conf.set("graft.cc.reliableCheckpoint", "true")
     try {
