@@ -77,6 +77,35 @@ class ArgsSpec extends AnyFunSuite {
     assert(nSeqs("128") > nSeqs("1024"))
   }
 
+  test("sequence_pack honors shards (more shards => more, smaller groups)") {
+    val run = SparkEntry.queriesWithArgs("sequence_pack")
+    def shards(a: Map[String, String]) =
+      run(spark, sf, a).select("shard").distinct().count()
+    assert(shards(Map("shards" -> "64")) == 64)
+    assert(shards(Map.empty) == 32)   // derived floor at fixture scale
+  }
+
+  test("contamination_check honors max_df (tiny cap drops every shared fp)") {
+    val run = SparkEntry.queriesWithArgs("contamination_check")
+    val default = run(spark, sf, Map.empty)
+      .agg(org.apache.spark.sql.functions.sum("n_shared_fps")).head().getLong(0)
+    assert(default > 0)   // the fixture has genuine near-dup leakage
+    // cap 0: every fingerprint has df >= 1 > 0 — all dropped, so no
+    // collisions survive, but denominators (n_fps) are untouched
+    val capped = run(spark, sf, Map("max_df" -> "0"))
+    assert(capped.agg(org.apache.spark.sql.functions.sum("n_shared_fps"))
+      .head().getLong(0) == 0)
+    assert(capped.count() == run(spark, sf, Map.empty).count())
+  }
+
+  test("results_limit honors limit") {
+    val run = SparkEntry.queriesWithArgs("results_limit")
+    assert(run(spark, sf, Map("limit" -> "7")).count() == 7)
+    val seven = run(spark, sf, Map("limit" -> "7"))
+      .select("word").as[String].collect().toSeq
+    assert(seven == seven.sorted, "top-N must come back in key order")
+  }
+
   test("ann_cosine_ivf honors n_probe (full probe == brute force)") {
     val run = SparkEntry.queriesWithArgs("ann_cosine_ivf")
     // probing ALL 16 cells searches the whole corpus -> exact results
