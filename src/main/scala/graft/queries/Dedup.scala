@@ -131,9 +131,12 @@ object Dedup {
     *    force BROADCAST hash joins on both sides — candidates stream
     *    map-side through the merge kernel and no array ever shuffles.
     *  - **above**: CHUNKED verification — candidates persist
-    *    (memory-and-disk), and ≤512 hash-salted slices of ≤5M pairs run
-    *    sequentially, so each slice's array-carrying shuffle is bounded
-    *    regardless of total candidate count. Exactness is never traded:
+    *    (memory-and-disk) and split into ≤512 hash-salted slices of ≤5M
+    *    pairs, each its own join stage, so per-stage sort/join state is
+    *    bounded by a slice regardless of total candidate count (the
+    *    scheduler interleaves slice stages; what matters for memory is
+    *    the per-stage bound, with spill-to-disk underneath).
+    *    Exactness is never traded:
     *    a frequency-capped prefix (the other standard move) silently
     *    drops true pairs on dense corpora, which would break this
     *    operator's guaranteed-exact contract — on corpora where even
