@@ -174,6 +174,7 @@ object Dedup {
       coalesce(sum(size(col("hs")).cast("long")), lit(0L)).as("tot")).head()
     val hvBytes = st.getLong(1) * 8L + st.getLong(0) * 32L
     val maxBc = spark.conf.getOption("graft.verify.broadcastMaxBytes")
+      .orElse(sys.props.get("graft.verify.broadcastMaxBytes"))  // probe/CLI override
       .map(_.toLong).getOrElse(512L << 20)
     if (hvBytes <= maxBc) kernel(joined(cands, bc = true))
     else {
