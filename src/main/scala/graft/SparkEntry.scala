@@ -25,7 +25,8 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Temporal.queries ++ Functions.queries ++
       graft.streaming.StreamingJobs.queries ++
-      graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries
+      graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries ++
+      graft.operators.BucketedJoin.queries
 
   /** Parameterized variants — reference parity for the GREP_PATTERN env
     * channel (examples/grep/mapper.py:15). Same operators as [[queries]],
@@ -56,6 +57,9 @@ object SparkEntry {
       Multimodal.mmFrameSample(s, d, a.getOrElse("stride", "16").toInt)),
     "results_limit" -> ((s, d, a) =>
       TextJobs.resultsLimit(s, d, a.getOrElse("limit", "20").toInt)),
+    "doc_chunk" -> ((s, d, a) =>
+      TextAnalysis.docChunk(s, d, a.getOrElse("budget", "64").toInt,
+        a.getOrElse("overlap", "16").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +69,6 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       Temporal.oracles ++ Functions.oracles ++
       graft.streaming.StreamingJobs.oracles ++
-      graft.operators.TopKAggregator.oracles ++ graft.operators.SkewJoin.oracles
+      graft.operators.TopKAggregator.oracles ++ graft.operators.SkewJoin.oracles ++
+      graft.operators.BucketedJoin.oracles
 }

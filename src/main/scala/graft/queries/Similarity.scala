@@ -253,14 +253,68 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // --------------------------------------------------------------------
+  // Embedding quantization (int8 storage path)
+  // --------------------------------------------------------------------
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× storage/bandwidth reduction for ANN at scale (a 100 TB float32
+    * embedding store becomes 25 TB with ~0.4% max per-element error).
+    * Per vector: scale = max|x_i|, q_i = ⌊x_i/scale·127 + 0.5⌋ ∈
+    * [−127, 127]; emitted stats are exact-by-construction cross-engine:
+    * scale (a max over exactly-widened floats), sum_q (integer sum,
+    * order-independent), n_sat (count of saturated cells), and the max
+    * absolute dequantization error in pure IEEE double math (identical
+    * inputs → identical doubles; see [[Det]] for the ⌊x+0.5⌋ rationale
+    * vs round()).
+    *
+    * Per-row kernel, zero shuffles before the final ORDER BY — scales
+    * linearly and would run as a streaming map at any corpus size. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = col("q")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .withColumn("q",
+        transform(col("v"), x => floor(x / col("scale") * 127 + 0.5).cast("long")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
+        size(filter(q, x => abs(x) === 127)).as("n_sat"),
+        Det.r(array_max(zip_with(col("v"), q,
+          (x, qi) => abs(x - qi * col("scale") / 127))), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizeSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |             list_max(list_transform(v, x -> abs(x))) AS scale
+       |      FROM v WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+       |q AS (SELECT vec_id, v, scale,
+       |             list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS q
+       |      FROM s)
+       |SELECT vec_id, scale,
+       |       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       |       CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat,
+       |       ${Det.rSql(
+              "list_max(list_transform(range(1, len(v) + 1), " +
+                "i -> abs(v[i] - q[i] * scale / 127)))", 6)} AS max_err
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
+    "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceTopKSql,
+    "embedding_quantize" -> embeddingQuantizeSql,
     // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
   )
 }

@@ -202,12 +202,47 @@ object Temporal {
       |SELECT '3_purchase_after_click', count(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts): per user,
+    * order events by (ts, event_id) and count each consecutive
+    * (from_type → to_type) pair, plus how many distinct users produced
+    * it — the session-modeling aggregate behind "what do users do after
+    * an error?".
+    *
+    * One window shuffle on user_id (high-cardinality — no funnel) feeding
+    * one partial-agg groupBy on the (from, to) pair; output is
+    * |event_type|² rows regardless of corpus size. The event_id tiebreak
+    * makes the lag deterministic under timestamp ties on both engines. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT from_type, event_type AS to_type, count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM t WHERE from_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
     "json_events"       -> ((s, d) => jsonEvents(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "split_assign"      -> ((s, d) => splitAssign(s, d)),
+    "event_transitions" -> ((s, d) => eventTransitions(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +251,6 @@ object Temporal {
     "json_events"       -> jsonEventsSql,
     "stratified_sample" -> stratifiedSampleSql,
     "split_assign"      -> splitAssignSql,
+    "event_transitions" -> eventTransitionsSql,
   )
 }

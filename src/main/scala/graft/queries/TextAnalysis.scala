@@ -685,6 +685,73 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Context-window chunking
+  // --------------------------------------------------------------------
+
+  private val ChunkBudget = 64
+  private val ChunkOverlap = 16
+
+  /** Context-window chunking — the step that turns filtered documents
+    * into model-sized training windows: split each doc's token stream
+    * into `budget`-token chunks whose starts advance by
+    * stride = budget − overlap, so consecutive chunks share `overlap`
+    * tokens of context. Chunk starts are 0, stride, 2·stride, … while
+    * start < n − overlap (a final start inside the overlap tail would
+    * yield a chunk fully contained in its predecessor); every doc with
+    * ≥1 token yields ≥1 chunk, and the last chunk is the only one that
+    * may be short.
+    *
+    * Pure per-doc kernel in codegen'd SQL functions (sequence →
+    * posexplode → slice arithmetic): no shuffle before the final
+    * ORDER BY, embarrassingly parallel at any corpus size — the chunk
+    * stream's cost is O(total tokens), and output rows ≈ n_tokens /
+    * stride per doc regardless of skew. */
+  def docChunk(spark: SparkSession, sfDir: String,
+               budget: Int = ChunkBudget, overlap: Int = ChunkOverlap): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget,
+      s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
+    val stride = budget - overlap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0),
+          greatest(col("n") - overlap - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col").as("start"),
+        least(lit(budget), col("n") - col("col")).as("n_chunk_tokens"),
+        element_at(col("t"), col("col") + 1).as("first_tok"),
+        element_at(col("t"),
+          col("col") + least(lit(budget), col("n") - col("col"))).as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Oracle: the same start arithmetic via the scalar list `range`
+    * (exclusive end, hence the +1 vs Spark's inclusive `sequence`) —
+    * DuckDB's table-function generate_series can't take lateral column
+    * bounds. */
+  val docChunkSql: String = {
+    val stride = ChunkBudget - ChunkOverlap
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\W+'),
+       |                     x -> length(x) > 0) AS t
+       |  FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |g AS (SELECT doc_id, t, n,
+       |             unnest(range(0, greatest(n - $ChunkOverlap - 1, 0) + 1, $stride)) AS g
+       |      FROM n)
+       |SELECT doc_id,
+       |       CAST(g // $stride AS INT) AS chunk_id,
+       |       CAST(g AS INT) AS start,
+       |       CAST(least($ChunkBudget, n - g) AS INT) AS n_chunk_tokens,
+       |       t[CAST(g + 1 AS INT)] AS first_tok,
+       |       t[CAST(g + least($ChunkBudget, n - g) AS INT)] AS last_tok
+       |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Term salience (TF-IDF family)
   // --------------------------------------------------------------------
 
@@ -746,6 +813,7 @@ object TextAnalysis {
     "sequence_pack"    -> ((s, d) => sequencePack(s, d)),
     "contamination_check" -> ((s, d) => contaminationCheck(s, d)),
     "corpus_stats"     -> ((s, d) => corpusStats(s, d)),
+    "doc_chunk"        -> ((s, d) => docChunk(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,5 +827,6 @@ object TextAnalysis {
     "sequence_pack"    -> sequencePackSql,
     "contamination_check" -> contaminationCheckSql,
     "corpus_stats"     -> corpusStatsSql,
+    "doc_chunk"        -> docChunkSql,
   )
 }

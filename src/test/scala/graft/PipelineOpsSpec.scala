@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior bounds for the round-3 pipeline additions: chunking coverage,
+  * quantization error bounds, transition-count identities, and the
+  * bucketed join's shuffle elision (the oracle gate proves values; these
+  * prove the properties the oracle can't see). */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("doc_chunk: every token covered, overlap honored, last chunk short only") {
+    val budget = 64; val overlap = 16; val stride = budget - overlap
+    val chunks = queries.TextAnalysis.docChunk(spark, sf, budget, overlap)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\W+"), t => length(t) > 0)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every doc with >=1 token chunks; chunk math covers [0, n) exactly
+    nToks.filter(_._2 > 0).foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_.getAs[Int]("chunk_id"))
+      // starts advance by exactly stride from 0
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_id") == i)
+        assert(c.getAs[Int]("start") == i * stride)
+        val len = c.getAs[Int]("n_chunk_tokens")
+        assert(len > 0 && len <= budget)
+        // only the final chunk may be short
+        if (i < cs.length - 1) assert(len == budget)
+      }
+      // union of [start, start+len) reaches n exactly
+      val last = cs.last
+      assert(last.getAs[Int]("start") + last.getAs[Int]("n_chunk_tokens") == n)
+      // consecutive chunks overlap: next start falls inside previous chunk
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start") ==
+            a.getAs[Int]("start") + a.getAs[Int]("n_chunk_tokens") - overlap ||
+            a.getAs[Int]("n_chunk_tokens") < budget)
+        case _ =>
+      }
+    }
+    // no chunk rows for zero-token docs, no doc unchunked
+    assert(chunks.keySet == nToks.filter(_._2 > 0).keySet)
+  }
+
+  test("doc_chunk: args change the window geometry") {
+    val wide = queries.TextAnalysis.docChunk(spark, sf, 128, 0).collect()
+    wide.foreach(r => assert(r.getAs[Int]("n_chunk_tokens") <= 128))
+    // zero overlap -> starts are multiples of the full budget
+    wide.foreach(r => assert(r.getAs[Int]("start") % 128 == 0))
+    intercept[IllegalArgumentException] {
+      queries.TextAnalysis.docChunk(spark, sf, 16, 16)
+    }
+  }
+
+  test("embedding_quantize: q in [-127,127], dequant error <= scale/254 + ulp") {
+    val rows = queries.Similarity.embeddingQuantize(spark, sf).collect()
+    assert(rows.length > 0)
+    val dim = 64
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // |sum_q| <= dim * 127
+      assert(math.abs(r.getAs[Long]("sum_q")) <= dim * 127L)
+      assert(r.getAs[Int]("n_sat") >= 1)  // the max element always saturates
+      // worst-case symmetric-quantization error is half a step = scale/254
+      assert(r.getAs[Double]("max_err") <= scale / 254 + 1e-6)
+    }
+  }
+
+  test("event_transitions: counts telescope to n_events - n_active_users") {
+    val rows = queries.Temporal.eventTransitions(spark, sf).collect()
+    val totalTransitions = rows.map(_.getAs[Long]("n")).sum
+    val events = Tables.events(spark, sf)
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(totalTransitions == nEvents - nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_users") >= 1)
+    }
+  }
+
+  test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
+    // construct once (writes the bucketed tables), then re-derive the join
+    // from the catalog tables the query just wrote
+    queries_bucketedPlanCheck()
+  }
+
+  private def queries_bucketedPlanCheck(): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.BucketedJoin.bucketedJoinOrders(spark, sf)
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected SMJ:\n${plan.toString.take(2000)}")
+      // the downstream groupBy(o_orderstatus) shuffles by design; the claim
+      // is that NEITHER join input does — bucketed scans satisfy the SMJ's
+      // required distribution directly
+      val joinShuffles = smj.get.collect { case e: Exchange => e }
+      assert(joinShuffles.isEmpty,
+        s"bucketed join inputs still shuffle:\n${smj.get.toString.take(2000)}")
+      assert(df.collect().length == 3)  // O/F/P orderstatus
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

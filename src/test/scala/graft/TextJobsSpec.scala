@@ -94,7 +94,8 @@ class TextJobsSpec extends AnyFunSuite {
       queries.TextAnalysis.queries.size, queries.Multimodal.queries.size,
       queries.Temporal.queries.size, queries.Functions.queries.size,
       streaming.StreamingJobs.queries.size,
-      operators.TopKAggregator.queries.size, operators.SkewJoin.queries.size)
+      operators.TopKAggregator.queries.size, operators.SkewJoin.queries.size,
+      operators.BucketedJoin.queries.size)
     assert(SparkEntry.queries.size == moduleSizes.sum,
       s"expected ${moduleSizes.sum} queries, got ${SparkEntry.queries.size} — a key collides")
   }
