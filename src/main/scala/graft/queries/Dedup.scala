@@ -719,6 +719,68 @@ object Dedup {
        |FROM lab ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Canonical-document selection (quality-ranked survivor per cluster)
+  // --------------------------------------------------------------------
+
+  /** Canonical-doc selection — the last step of a production dedup
+    * pipeline: [[dedupClusters]] labels transitively-connected near-dups;
+    * this picks WHICH member of each cluster survives. Min-id (what
+    * `dedupClusters.keep` encodes) is the usual arbitrary choice; the
+    * better policy is "keep the highest-quality member" — rank cluster
+    * members by the [[TextAnalysis.textQuality]] composite score
+    * (tiebreak: lower doc_id) and keep the argmax.
+    *
+    * Scale shape: only edge-touching docs reach the join (the cluster
+    * frame is the dup mass, a small fraction of the corpus — Spark
+    * broadcasts it when under the threshold, AQE decides otherwise);
+    * the quality side prunes to (doc_id, quality_score) before
+    * shuffling, and the ranking window partitions by cluster_id —
+    * cluster sizes are bounded by near-dup semantics, so no window
+    * partition can grow with corpus size the way a global sort would. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"),
+        col("n_members"))
+    val quality = TextAnalysis
+      .qualityScoredFrame(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("best_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("best_id"), (col("doc_id") === col("best_id")).as("keep"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the recursive-CTE clustering joined to the quality-score
+    * subquery (same literal expression as text_quality's oracle, so the
+    * ranking keys agree exactly — r4-rounded on both sides). */
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+       |q AS (SELECT doc_id, quality_score
+       |      FROM (${TextAnalysis.textQualitySql}))
+       |SELECT l.doc_id, l.cluster_id, q.quality_score,
+       |       first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |         ORDER BY q.quality_score DESC, l.doc_id) AS best_id,
+       |       l.doc_id = first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |         ORDER BY q.quality_score DESC, l.doc_id) AS keep,
+       |       count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |FROM lab l JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Embedding-cosine near-dup
   // --------------------------------------------------------------------
 
@@ -818,6 +880,7 @@ object Dedup {
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
+    "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -827,5 +890,6 @@ object Dedup {
     "simhash_dedup"        -> simhashDedupSql,
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
     "dedup_clusters"       -> dedupClustersSql,
+    "dedup_canonical"      -> dedupCanonicalSql,
   )
 }

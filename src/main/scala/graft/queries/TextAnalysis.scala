@@ -83,9 +83,19 @@ object TextAnalysis {
     * {low, medium, high}. Ratios are int/int double divisions (identical
     * across engines); the weighted sum is the same literal expression on
     * both sides, so even the bucket comparisons agree exactly. */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoredFrame(Tables.documents(spark, sfDir))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "avg_token_len", "punct_ratio", "stopword_ratio", "type_token_ratio",
+        "quality_score", "quality_bucket")
+      .orderBy("doc_id")
+
+  /** The per-doc quality columns without the output projection/sort —
+    * shared with [[Dedup.dedupCanonical]], which ranks cluster members by
+    * `quality_score` (column pruning drops the rest there). */
+  private[queries] def qualityScoredFrame(docs: DataFrame): DataFrame = {
     val enSet = stopwords.head._2
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(col("t")))
@@ -111,10 +121,6 @@ object TextAnalysis {
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.6, "high")
           .when(col("quality_score") >= 0.4, "medium").otherwise("low"))
-      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
-        "avg_token_len", "punct_ratio", "stopword_ratio", "type_token_ratio",
-        "quality_score", "quality_bucket")
-      .orderBy("doc_id")
   }
 
   val textQualitySql: String = {
@@ -752,6 +758,63 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Unigram-LM surprisal (perplexity-proxy quality signal)
+  // --------------------------------------------------------------------
+
+  /** Per-doc cross-entropy under the corpus's own unigram LM — the
+    * classic perplexity-proxy filter (a doc whose tokens are improbable
+    * under the corpus distribution is boilerplate, noise, or another
+    * language; CCNet/Gopher filter on exactly this signal, with a bigger
+    * LM). Two passes over the source, the inherent LM shape: pass 1
+    * builds the vocabulary counts (a groupBy whose result is vocab-sized,
+    * auto-broadcast when small), pass 2 scores the token stream against
+    * it — two cheap parquet scans beat caching a token stream larger
+    * than the source at 100 TB.
+    *
+    * Determinism: per-token surprisal −ln(cnt/total) is integerised to
+    * micros (floor(x·10⁶+0.5)) BEFORE summing — the integer sum is
+    * order-independent and exact, the same discipline as money-in-cents
+    * ([[Det]]). A libm 1-ulp disagreement between engines only matters
+    * if some token's surprisal·10⁶ sits within ~10⁻⁹ of an integer —
+    * probability ~10⁻⁹ per distinct vocab word. */
+  def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micros",
+        floor(-log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("nll_micros").as("nll_micros"))
+      .withColumn("avg_nll",
+        Det.r(col("nll_micros").cast("double") / 1e6 / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  val docSurprisalSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                            x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+       |s AS (SELECT doc_id,
+       |             CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 0.5)
+       |                  AS BIGINT) AS nll_micros
+       |      FROM tk JOIN f USING (tok) CROSS JOIN tot),
+       |g AS (SELECT doc_id, count(*) AS n_tokens,
+       |             CAST(sum(nll_micros) AS BIGINT) AS nll_micros
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, nll_micros,
+       |       ${Det.rSql("CAST(nll_micros AS DOUBLE) / 1e6 / n_tokens", 6)} AS avg_nll
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Term salience (TF-IDF family)
   // --------------------------------------------------------------------
 
@@ -814,6 +877,7 @@ object TextAnalysis {
     "contamination_check" -> ((s, d) => contaminationCheck(s, d)),
     "corpus_stats"     -> ((s, d) => corpusStats(s, d)),
     "doc_chunk"        -> ((s, d) => docChunk(s, d)),
+    "doc_surprisal"    -> ((s, d) => docSurprisal(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,5 +892,6 @@ object TextAnalysis {
     "contamination_check" -> contaminationCheckSql,
     "corpus_stats"     -> corpusStatsSql,
     "doc_chunk"        -> docChunkSql,
+    "doc_surprisal"    -> docSurprisalSql,
   )
 }

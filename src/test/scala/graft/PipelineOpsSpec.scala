@@ -85,6 +85,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_canonical: one survivor per cluster, and it is the quality argmax") {
+    val rows = queries.Dedup.dedupCanonical(spark, sf).collect()
+    val clusters = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (cid, ms) =>
+      assert(ms.length == ms.head.getAs[Long]("n_members"))
+      val keepers = ms.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $cid: ${keepers.length} keepers")
+      val best = keepers.head
+      // argmax by (quality desc, doc_id asc)
+      val top = ms.minBy(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      assert(best.getAs[Long]("doc_id") == top.getAs[Long]("doc_id"))
+      assert(ms.forall(_.getAs[Long]("best_id") == best.getAs[Long]("doc_id")))
+      // cluster label is the min member id (dedupClusters' labeling)
+      assert(cid == ms.map(_.getAs[Long]("doc_id")).min)
+    }
+    // same membership as dedup_clusters
+    val lab = queries.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap == lab)
+  }
+
+  test("doc_surprisal: token totals telescope and bounds hold") {
+    val rows = queries.TextAnalysis.docSurprisal(spark, sf).collect()
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)).as("tok"))
+    val total = corpusTokens.count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+    // every token's surprisal is in [0, ln(total)] ⇒ so is each doc's mean
+    val maxNll = math.log(total.toDouble)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_nll")
+      assert(avg >= 0 && avg <= maxNll + 1e-6)
+      assert(r.getAs[Long]("nll_micros") >= 0)
+    }
+    // rarer tokens ⇒ higher surprisal: doc of only frequent words scores
+    // below the corpus-mean surprisal of a doc of only rare words
+    val freq = corpusTokens.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = rows.map { r =>
+      r.getAs[Long]("nll_micros").toDouble / 1e6 / r.getAs[Long]("n_tokens")
+    }
+    assert(expected.max > expected.min || freq.values.toSet.size == 1)
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
