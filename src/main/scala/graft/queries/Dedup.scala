@@ -255,7 +255,7 @@ object Dedup {
     val prefixes = ex.join(freq, "h")
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "n", "h")
+      .select("doc_id", "n", "h", "r")
     // AllPairs LENGTH FILTER: j(A,B) ≥ t forces min(|A|,|B|) ≥ t·max
     // (intersection ≤ min, union ≥ max) — prunes size-mismatched
     // candidates before the expensive verify join. Exact integer form
@@ -265,11 +265,28 @@ object Dedup {
     // most when shingle frequencies are uniform (no rare prefix shingles
     // to discriminate): on a synthetic worst-case corpus this cut
     // candidates ~5× and verify time with them.
+    //
+    // PPJOIN POSITIONAL FILTER (Xiao et al., WWW'08): r is each hash's
+    // rank in its doc's FULL (f, h)-sorted list — a total order shared by
+    // all docs — so a match at ranks (r_a, r_b) bounds the intersection:
+    // I ≤ 1 + min(n_a − r_a, n_b − r_b) (everything before the match in
+    // either list can't contribute when the match is the pair's first
+    // common element). j ≥ t needs I ≥ t·(n_a+n_b)/(1+t); comparing the
+    // bound against that minimum in cross-multiplied integer form drops
+    // size-compatible pairs whose prefix match sits too LATE to leave
+    // room for the required overlap. Necessity: a true pair's first
+    // common element lies inside both prefixes (the prefix-length
+    // lemma), and for THAT match the bound ≥ I ≥ required — the pair
+    // survives via it regardless of what happens to its other matches.
+    // On the adversarial uniform-frequency corpus this is the only
+    // filter with discriminating power left after the length filter.
     val tScaled = math.floor(t * 10000).toLong
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 10000L >=
-            greatest(col("a.n"), col("b.n")) * tScaled)
+            greatest(col("a.n"), col("b.n")) * tScaled &&
+          (lit(1L) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) *
+            lit(10000L + tScaled) >= lit(tScaled) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(spark, cands, hv, t)
