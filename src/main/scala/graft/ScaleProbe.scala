@@ -32,6 +32,7 @@ object ScaleProbe {
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "lang_id", "text_quality",
     "token_counts", "tfidf_top_terms", "bigrams",
+    "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 
