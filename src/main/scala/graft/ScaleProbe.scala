@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * at probe scale — approximation quality must hold as the corpus grows
   * (bucket occupancy and cell geometry both shift with n), not just at
   * fixture scale where SimilaritySpec bounds it.
-  * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir] [q1,q2,...] */
+  * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir]
+  *          [q1,q2,...] [nEvents] */
 object ScaleProbe {
 
   private val Vocab: Array[String] = Array(
@@ -36,6 +37,12 @@ object ScaleProbe {
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 
+  /** Queries that read only events — probed when nEvents > 0. */
+  private val EventQueries = Seq(
+    "events_funnel", "event_transitions", "events_sessions",
+    "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
+    "events_error_context", "json_events")
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
     val nVecs = if (args.length > 1) args(1).toLong else 40000L
@@ -44,6 +51,7 @@ object ScaleProbe {
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    val nEvents = if (args.length > 4) args(4).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -91,8 +99,46 @@ object ScaleProbe {
       }.toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
 
-    println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs}""")
-    val run = if (only.isEmpty) DocQueries else DocQueries.filter(only)
+    // -- synthesize events (opt-in via the 5th arg): the fixture's shape
+    //    at scale — ~67 events/user over a fixed 34-day span (event
+    //    DENSITY grows with n while per-user session structure stays
+    //    constant, so sessions/windows/funnels should scale linearly),
+    //    5 weighted event types, 2-dp values, {"k": int} props. `ts` is
+    //    written as BIGINT epoch-nanos (µs-aligned) — Tables.eventsTs
+    //    normalizes it exactly as it does the fixture's TIMESTAMP(NANOS).
+    if (nEvents > 0) {
+      val nUsers = math.max(1L, nEvents / 67)
+      val epoch2024Nanos = 1704067200L * 1000000000L  // 2024-01-01T00:00Z
+      val spanMicros = 34L * 24 * 3600 * 1000000L
+      spark.range(nEvents).select(col("id").as("event_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            var s = lcg(id ^ 0x0E7E57AC1DL)
+            val ts = epoch2024Nanos +
+              java.lang.Math.floorMod(s >>> 13, spanMicros) * 1000L
+            s = lcg(s)
+            val user = java.lang.Math.floorMod(s >>> 17, nUsers)
+            s = lcg(s)
+            val ty = java.lang.Math.floorMod(s >>> 19, 20L) match {
+              case x if x < 8  => "view"
+              case x if x < 13 => "click"
+              case x if x < 15 => "purchase"
+              case x if x < 17 => "error"
+              case _           => "signup"
+            }
+            s = lcg(s)
+            val value = java.lang.Math.floorMod(s >>> 21, 100000L) / 100.0
+            s = lcg(s)
+            val k = java.lang.Math.floorMod(s >>> 23, 100L)
+            (id, ts, user, ty, value, s"""{"k": $k}""")
+          }
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    }
+
+    println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents}""")
+    val all = if (nEvents > 0) DocQueries ++ EventQueries else DocQueries
+    val run = if (only.isEmpty) all else all.filter(only)
     run.foreach { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
