@@ -60,6 +60,8 @@ object SparkEntry {
     "doc_chunk" -> ((s, d, a) =>
       TextAnalysis.docChunk(s, d, a.getOrElse("budget", "64").toInt,
         a.getOrElse("overlap", "16").toInt)),
+    "mixture_weights" -> ((s, d, a) =>
+      TextAnalysis.mixtureWeights(s, d, a.getOrElse("alpha", "0.7").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -305,16 +305,81 @@ object Similarity {
                 "i -> abs(v[i] - q[i] * scale / 127)))", 6)} AS max_err
        |FROM q ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Quantized (int8) exact top-k
+  // --------------------------------------------------------------------
+
+  /** Top-k cosine over the int8-QUANTIZED vectors — the search half of
+    * the [[embeddingQuantize]] storage path: at 100 TB the index reads
+    * 4× fewer bytes and the dot products run over 8-bit lanes (SIMD
+    * int8 µkernels on a real deployment; here the point is the Spark
+    * plumbing and the accuracy contract, which SimilaritySpec pins as
+    * recall@5 vs the float baseline).
+    *
+    * Fully oracle-able, unlike LSH/IVF: quantized components are small
+    * INTEGERS, so every dot product and squared norm is integer-exact in
+    * double arithmetic REGARDLESS of fold order (products ≤ 127², sums
+    * ≤ 64·127² ≪ 2⁵³) — the one place a cosine needs no fold-order
+    * discipline. Ranking ties break on vec_id. */
+  def quantizedTopK(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q8 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x / col("scale") * 127 + 0.5))
+          .cast("array<double>").as("q"))
+      .withColumn("qnorm", sqrt(dot(col("q"), col("q"))))
+    val qs = q8.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("a"), col("qnorm").as("anorm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("qcos_raw").desc, col("vec_id").asc)
+    q8.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("qcos_raw", dot(col("q"), col("a")) / (col("qnorm") * col("anorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        Det.r(col("qcos_raw"), 4).as("qcosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val quantizedTopKSql: String =
+    s"""WITH v AS (SELECT vec_id,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |             list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+       |z AS (SELECT vec_id,
+       |             list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS q
+       |      FROM s WHERE scale > 0),
+       |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qnorm FROM z),
+       |qq AS (SELECT vec_id AS qid, q AS a, qnorm AS anorm
+       |       FROM n WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |         list_dot_product(q, a) / (qnorm * anorm) AS c,
+       |         row_number() OVER (PARTITION BY qid
+       |            ORDER BY list_dot_product(q, a) / (qnorm * anorm) DESC,
+       |                     vec_id ASC) AS rank
+       |  FROM n JOIN qq ON vec_id <> qid)
+       |SELECT qid, rank, vec_id,
+       |       CAST(floor(c * 10000 + 0.5) AS DOUBLE) / 10000 AS qcosine
+       |FROM scored WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
     "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
+    "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceTopKSql,
     "embedding_quantize" -> embeddingQuantizeSql,
+    "ann_cosine_topk_q8" -> quantizedTopKSql,
     // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
   )
 }

@@ -567,6 +567,70 @@ object TextAnalysis {
        |ORDER BY lang, source""".stripMargin
 
   // --------------------------------------------------------------------
+  // Temperature-based mixture weights
+  // --------------------------------------------------------------------
+
+  private val MixAlpha = 0.7
+
+  /** Temperature-based source mixing — the sampling weights a training
+    * run draws each source with: raw token share p_s is flattened to
+    * q_s ∝ p_s^α (α < 1 upsamples rare sources, the multilingual/
+    * data-mixing standard), and boost = q_s/p_s is the per-source
+    * sampling factor. Two grouped aggs + two broadcast one-row totals —
+    * output is |sources| rows at any corpus size.
+    *
+    * Determinism: p_s is an exact BIGINT ratio; p_s^α is integerised to
+    * micros before the normalizing sum (integer sum — order-independent,
+    * same discipline as [[docSurprisal]]), so both engines normalize by
+    * the identical integer and every output double is a pure function of
+    * identical inputs. */
+  def mixtureWeights(spark: SparkSession, sfDir: String,
+                     alpha: Double = MixAlpha): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), size(toks(col("text"))).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total_tokens"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share_raw",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("pow_micros",
+        floor(pow(col("share_raw"), alpha) * 1e6 + 0.5).cast("long"))
+    val powTot = shared.agg(sum("pow_micros").as("pow_total"))
+    shared.crossJoin(broadcast(powTot))
+      .withColumn("weight_raw",
+        col("pow_micros").cast("double") / col("pow_total"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.r(col("share_raw"), 6).as("share"),
+        Det.r(col("weight_raw"), 6).as("weight"),
+        Det.r(col("weight_raw") / col("share_raw"), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH d AS (SELECT source,
+       |                  len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> length(x) > 0)) AS n_tokens
+       |           FROM documents),
+       |per AS (SELECT source, count(*) AS n_docs,
+       |               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |        FROM d GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |sh AS (SELECT source, n_docs, n_tokens,
+       |              CAST(n_tokens AS DOUBLE) / total_tokens AS share_raw,
+       |              CAST(floor(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+       |                             $MixAlpha) * 1e6 + 0.5) AS BIGINT) AS pow_micros
+       |       FROM per CROSS JOIN tot),
+       |pt AS (SELECT CAST(sum(pow_micros) AS BIGINT) AS pow_total FROM sh)
+       |SELECT source, n_docs, n_tokens,
+       |       ${Det.rSql("share_raw", 6)} AS share,
+       |       ${Det.rSql("CAST(pow_micros AS DOUBLE) / pow_total", 6)} AS weight,
+       |       ${Det.rSql("(CAST(pow_micros AS DOUBLE) / pow_total) / share_raw", 6)} AS boost
+       |FROM sh CROSS JOIN pt
+       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Train/test contamination audit
   // --------------------------------------------------------------------
 
@@ -878,6 +942,7 @@ object TextAnalysis {
     "corpus_stats"     -> ((s, d) => corpusStats(s, d)),
     "doc_chunk"        -> ((s, d) => docChunk(s, d)),
     "doc_surprisal"    -> ((s, d) => docSurprisal(s, d)),
+    "mixture_weights"  -> ((s, d) => mixtureWeights(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -893,5 +958,6 @@ object TextAnalysis {
     "corpus_stats"     -> corpusStatsSql,
     "doc_chunk"        -> docChunkSql,
     "doc_surprisal"    -> docSurprisalSql,
+    "mixture_weights"  -> mixtureWeightsSql,
   )
 }

@@ -133,6 +133,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.max > expected.min || freq.values.toSet.size == 1)
   }
 
+  test("ann_cosine_topk_q8: int8 ranking preserves the float baseline's top-5") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(queries.Similarity.bruteForceTopK(spark, sf))
+    val q8 = pairs(queries.Similarity.quantizedTopK(spark, sf))
+    assert(exact.nonEmpty)
+    val recall = q8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@5 = $recall")
+  }
+
+  test("mixture_weights: weights normalize, and boost inverts the share order") {
+    val rows = queries.TextAnalysis.mixtureWeights(spark, sf).collect()
+    assert(rows.length > 1)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    // alpha < 1 flattens: smaller share => larger boost (strictly, modulo
+    // the 1e-6 integerisation)
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    byShare.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("boost") >= hi.getAs[Double]("boost") - 1e-4)
+      case _ =>
+    }
+    // alpha = 1 is the identity mix: weight == share within rounding
+    val id = queries.TextAnalysis.mixtureWeights(spark, sf, alpha = 1.0).collect()
+    id.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") - r.getAs[Double]("share")) < 1e-4)
+      assert(math.abs(r.getAs[Double]("boost") - 1.0) < 1e-4)
+    }
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
