@@ -587,10 +587,13 @@ object TextAnalysis {
   def mixtureWeights(spark: SparkSession, sfDir: String,
                      alpha: Double = MixAlpha): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    // |sources| rows — cached so the corpus scan+agg runs ONCE; the two
+    // one-row totals and the final projection all fan out from it
     val per = Tables.documents(spark, sfDir)
       .select(col("source"), size(toks(col("text"))).as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .cache()
     val tot = per.agg(sum("n_tokens").as("total_tokens"))
     val shared = per.crossJoin(broadcast(tot))
       .withColumn("share_raw",
@@ -844,7 +847,10 @@ object TextAnalysis {
   def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // vocab-sized — cached so the LM pass runs once (its two consumers,
+    // the total and the score join, would otherwise each rescan the
+    // corpus through it)
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
     val total = freq.agg(sum("cnt").as("total"))
     tok.join(freq, "tok")
       .crossJoin(broadcast(total))
