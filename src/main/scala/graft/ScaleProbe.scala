@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * (bucket occupancy and cell geometry both shift with n), not just at
   * fixture scale where SimilaritySpec bounds it.
   * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir]
-  *          [q1,q2,...] [nEvents] */
+  *          [q1,q2,...] [nEvents] [relScale] */
 object ScaleProbe {
 
   private val Vocab: Array[String] = Array(
@@ -44,6 +44,18 @@ object ScaleProbe {
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
     "events_error_context", "json_events")
 
+  /** Queries that read only the TPC-H-ish tables — probed when
+    * relScale > 0 (Audit-verified table usage; asof_join_orders is out
+    * because it also reads events). */
+  private val RelQueries = Seq(
+    "pricing_summary", "regional_revenue", "customer_order_stats",
+    "top_parts_revenue", "semi_join_heavy", "anti_join_idle",
+    "window_top_orders", "window_running_spend", "window_order_gaps",
+    "salted_join_stats", "stats_agg", "percentile_prices", "distinct_agg",
+    "distinct_part_kinds", "set_ops_nations", "rollup_orders",
+    "cube_orders", "scalar_battery", "string_battery", "array_battery",
+    "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders")
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
     val nVecs = if (args.length > 1) args(1).toLong else 40000L
@@ -53,6 +65,7 @@ object ScaleProbe {
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
     val nEvents = if (args.length > 4) args(4).toLong else 0L
+    val relScale = if (args.length > 5) args(5).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -137,8 +150,33 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
     }
 
-    println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents}""")
-    val all = if (nEvents > 0) DocQueries ++ EventQueries else DocQueries
+    // -- scale the TPC-H-ish tables (opt-in via the 6th arg): dims copied
+    //    verbatim from the sf0.1 fixture, the two fact tables replicated
+    //    relScale× with the order key shifted per replica (so joins stay
+    //    key-consistent while per-customer/part fan-out grows with scale —
+    //    what another decade of orders against a stable dimension base
+    //    looks like). relScale=10 ≈ TPC-H sf1 row counts.
+    if (relScale > 0) {
+      val relSrc = sys.env.getOrElse("SPARK_GRAFT_REL_SRC", "/root/testdata/sf0.1")
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$relSrc/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+      }
+      val stride = 1L << 32
+      Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach {
+        case (t, key) =>
+          val base = spark.read.parquet(s"$relSrc/$t.parquet")
+          (0 until relScale)
+            .map(i => base.withColumn(key, col(key) + lit(i * stride)))
+            .reduce(_ union _)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+      }
+    }
+
+    println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"rel_scale":$relScale}""")
+    val all = DocQueries ++
+      (if (nEvents > 0) EventQueries else Nil) ++
+      (if (relScale > 0) RelQueries else Nil)
     val run = if (only.isEmpty) all else all.filter(only)
     run.foreach { name =>
       spark.catalog.clearCache()

@@ -48,7 +48,15 @@ object Relational {
 
   /** TPC-H Q1-shaped pricing summary over lineitem (hash agg, partial+final,
     * no join). disc_price = ext*(1-disc); charge = ext*(1-disc)*(1+tax) —
-    * computed exactly in integer cents×pct units, divided back once. */
+    * computed exactly in integer cents×pct units, divided back once.
+    *
+    * Product sums accumulate in decimal(38,0), not long: each TERM fits a
+    * long (cents·pct² ≤ ~10¹¹), but a per-group Σ reaches ~10²² at 100 TB
+    * — past Long.MaxValue, where ANSI mode would kill the job (the 10×
+    * relational probe caught exactly this on stats_agg's Σx²). DuckDB's
+    * BIGINT sums already widen to HUGEINT, so the oracle is unchanged;
+    * plain cents sums stay long (≈20× headroom per group at 100 TB,
+    * noted here deliberately rather than paying decimal agg cost). */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
@@ -62,10 +70,11 @@ object Relational {
       .agg(
         sum("qty").as("sum_qty"),
         (sum("price_c").cast("double") / 100).as("sum_base_price"),
-        (sum(col("price_c") * (lit(100) - col("disc_p"))).cast("double") / 10000)
+        (sum((col("price_c") * (lit(100) - col("disc_p")))
+          .cast("decimal(38,0)")).cast("double") / 10000)
           .as("sum_disc_price"),
-        (sum(col("price_c") * (lit(100) - col("disc_p")) * (lit(100) + col("tax_p")))
-          .cast("double") / 1000000).as("sum_charge"),
+        (sum((col("price_c") * (lit(100) - col("disc_p")) * (lit(100) + col("tax_p")))
+          .cast("decimal(38,0)")).cast("double") / 1000000).as("sum_charge"),
         (sum("qty").cast("double") / count(lit(1))).as("avg_qty"),
         (sum("price_c").cast("double") / count(lit(1)) / 100).as("avg_price"),
         (sum("disc_p").cast("double") / count(lit(1)) / 100).as("avg_disc"),
@@ -178,14 +187,18 @@ object Relational {
     * division + sqrt over exact int128-range numerators, so results are
     * bit-identical across engines (a streaming/Welford stddev would not
     * be: its accumulation order varies with partitioning). Population
-    * variance; Σx² of cents fits decimal(38,0) far beyond this SF. */
+    * variance. Σx² ACCUMULATES in decimal(38,0) — each x² fits a long
+    * but the sum was within 7% of Long.MaxValue at sf0.1 and the 10×
+    * relational probe overflowed it under ANSI (the cast used to sit
+    * outside the sum, which is too late); DuckDB widens to HUGEINT, so
+    * the oracle was always exact. */
   def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("x"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"),
-        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       .select(col("l_returnflag"), col("n"),
         (col("sx").cast("double") / col("n") / 100).as("mean_price"),
         Det.r(sqrt((col("sxx").cast("double") * col("n") - col("sx").cast("double") * col("sx"))
@@ -236,7 +249,7 @@ object Relational {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
-      .agg((sum("rev_e4").cast("double") / 10000).as("revenue"),
+      .agg((sum(col("rev_e4").cast("decimal(38,0)")).cast("double") / 10000).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("region", "nation")
   }
@@ -396,7 +409,7 @@ object Relational {
         (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
           .as("rev_e4"))
       .groupBy("l_partkey")
-      .agg((sum("rev_e4").cast("double") / 10000).as("revenue"),
+      .agg((sum(col("rev_e4").cast("decimal(38,0)")).cast("double") / 10000).as("revenue"),
         count(lit(1)).as("n_lines"))
     li.join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_name", "p_brand")),
         col("l_partkey") === col("p_partkey"))
