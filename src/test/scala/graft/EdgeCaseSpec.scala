@@ -173,4 +173,60 @@ class EdgeCaseSpec extends AnyFunSuite {
       assert(!Set(1L, 2L).contains(r.getAs[Long]("doc_b")))
     }
   }
+
+  test("doc_chunk: blank docs chunk to nothing; budget=1 makes one chunk per token") {
+    val rows = queries.TextAnalysis.docChunk(spark, edge).collect()
+    // empty/separator-only docs (1, 2) yield no chunks at all
+    assert(!rows.exists(r => Set(1L, 2L).contains(r.getAs[Long]("doc_id"))))
+    // single-token doc -> exactly one chunk of length 1
+    val d3 = rows.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.length == 1 && d3.head.getAs[Int]("n_chunk_tokens") == 1)
+    assert(d3.head.getAs[String]("first_tok") == "hello" &&
+      d3.head.getAs[String]("last_tok") == "hello")
+    // budget=1, overlap=0: every token becomes its own chunk
+    val unit = queries.TextAnalysis.docChunk(spark, edge, budget = 1, overlap = 0)
+      .filter(col("doc_id") === 5L).collect()
+    assert(unit.length == 10)
+    assert(unit.forall(_.getAs[Int]("n_chunk_tokens") == 1))
+  }
+
+  test("doc_surprisal: blank docs excluded; empty corpus yields empty output") {
+    val rows = queries.TextAnalysis.docSurprisal(spark, edge).collect()
+    assert(!rows.exists(r => Set(1L, 2L).contains(r.getAs[Long]("doc_id"))))
+    // the two exact-dup docs see identical token streams -> identical nll
+    val nll = rows.filter(r => Set(5L, 6L).contains(r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("nll_micros"))
+    assert(nll.length == 2 && nll.distinct.length == 1)
+    assert(queries.TextAnalysis.docSurprisal(spark, empty).collect().isEmpty)
+  }
+
+  test("mixture_weights: empty corpus yields empty output, single source gets weight 1") {
+    assert(queries.TextAnalysis.mixtureWeights(spark, empty).collect().isEmpty)
+    val rows = queries.TextAnalysis.mixtureWeights(spark, edge).collect()
+    // edge fixture is all one source ("web") -> weight = share = 1, boost = 1
+    assert(rows.length == 1)
+    assert(math.abs(rows.head.getAs[Double]("weight") - 1.0) < 1e-6)
+    assert(math.abs(rows.head.getAs[Double]("boost") - 1.0) < 1e-6)
+  }
+
+  test("embedding_quantize and q8 top-k: zero vectors are excluded, not divided by") {
+    val dir = fixture("zerovec",
+      docs = Seq((1L, "x", "en", "web", 1L)),
+      embs = Seq(
+        (1L, Seq.fill(64)(0f), 0),                 // all-zero: scale 0
+        (2L, Seq.fill(64)(0.5f), 0),
+        (3L, Seq.fill(64)(-0.5f), 1)))
+    val q = queries.Similarity.embeddingQuantize(spark, dir).collect()
+    assert(q.map(_.getAs[Long]("vec_id")).toSet == Set(2L, 3L))
+    q.foreach { r =>
+      assert(r.getAs[Int]("n_sat") == 64)          // constant vectors saturate fully
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 254 + 1e-9)
+    }
+    val topk = queries.Similarity.quantizedTopK(spark, dir).collect()
+    // qid 2 ranks 3 (the only other nonzero vec) at cosine -1; vec 1 never appears
+    assert(!topk.exists(r => r.getAs[Long]("vec_id") == 1L))
+    val q2 = topk.filter(_.getAs[Long]("qid") == 2L)
+    assert(q2.length == 1 && q2.head.getAs[Long]("vec_id") == 3L &&
+      math.abs(q2.head.getAs[Double]("qcosine") + 1.0) < 1e-9)
+  }
 }
