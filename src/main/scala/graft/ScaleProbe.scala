@@ -176,7 +176,8 @@ object ScaleProbe {
     println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"rel_scale":$relScale}""")
     val all = DocQueries ++
       (if (nEvents > 0) EventQueries else Nil) ++
-      (if (relScale > 0) RelQueries else Nil)
+      (if (relScale > 0) RelQueries else Nil) ++
+      (if (nEvents > 0 && relScale > 0) Seq("asof_join_orders") else Nil)
     val run = if (only.isEmpty) all else all.filter(only)
     run.foreach { name =>
       spark.catalog.clearCache()
