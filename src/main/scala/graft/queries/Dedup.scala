@@ -135,7 +135,15 @@ object Dedup {
     *    pairs, each its own join stage, so per-stage sort/join state is
     *    bounded by a slice regardless of total candidate count (the
     *    scheduler interleaves slice stages; what matters for memory is
-    *    the per-stage bound, with spill-to-disk underneath).
+    *    the per-stage bound, with spill-to-disk underneath). The DISK
+    *    bill is O(candidates · array bytes): the second join shuffles
+    *    each pair with its first array attached. On a cluster that
+    *    shuffle is spread across executors (and only corpora past ~1M
+    *    docs reach this regime at all); on ONE node it is the binding
+    *    resource — the forced-chunk 100× probe (4·10⁸ adversarial
+    *    candidates ≈ 180 GB of intermediate) exceeded the sandbox's
+    *    single-node disk, while the default broadcast regime covers the
+    *    same corpus in 197 s (PERF.md).
     *    Exactness is never traded:
     *    a frequency-capped prefix (the other standard move) silently
     *    drops true pairs on dense corpora, which would break this
