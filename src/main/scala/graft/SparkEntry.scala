@@ -62,6 +62,8 @@ object SparkEntry {
         a.getOrElse("overlap", "16").toInt)),
     "mixture_weights" -> ((s, d, a) =>
       TextAnalysis.mixtureWeights(s, d, a.getOrElse("alpha", "0.7").toDouble)),
+    "group_sample" -> ((s, d, a) =>
+      Temporal.groupSample(s, d, a.getOrElse("k", "3").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -147,6 +147,53 @@ object Temporal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Fixed-size per-group sample
+  // --------------------------------------------------------------------
+
+  private val SampleK = 3
+
+  /** Fixed-size deterministic per-group sample: the k docs with the
+    * smallest md5 hash key per (lang, source) cell — how an eval set or
+    * human-inspection batch gets drawn from a production corpus.
+    * Complements [[stratifiedSample]] (RATE-based, output grows with the
+    * corpus): the hash ORDER gives each cell exactly min(k, |cell|) rows
+    * no matter how big the cell is, re-ingestion-stable for whatever
+    * subset of doc_ids survives upstream filters.
+    *
+    * One window shuffle on the (lang, source) grouping key. Group counts
+    * are bounded (|langs|·|sources|), but cell SIZES grow with the
+    * corpus — at 100 TB the full-sort window would be the bottleneck, so
+    * a real deployment adds a cheap pre-filter (hash < threshold chosen
+    * from cell-count stats) before the window; at fixture scale the
+    * window alone is the honest shape. Ranking ties cannot happen (the
+    * key is injective per doc_id within 60 bits). */
+  def groupSample(spark: SparkSession, sfDir: String, k: Int = SampleK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hkey = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), hkey.as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"), col("hkey"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  val groupSampleSql: String =
+    s"""SELECT lang, source, rk, doc_id, hkey
+       |FROM (SELECT lang, source, doc_id, hkey,
+       |             row_number() OVER (PARTITION BY lang, source
+       |                                ORDER BY hkey, doc_id) AS rk
+       |      FROM (SELECT doc_id, lang, source,
+       |                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |                        AS UBIGINT) AS BIGINT) AS hkey
+       |            FROM documents))
+       |WHERE rk <= $SampleK
+       |ORDER BY lang, source, rk""".stripMargin
+
   /** Ordered conversion funnel over `events` with a 24 h conversion
     * window: how many users did view → click → purchase IN ORDER, each
     * stage strictly after the previous stage's first occurrence and
@@ -243,6 +290,7 @@ object Temporal {
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "split_assign"      -> ((s, d) => splitAssign(s, d)),
     "event_transitions" -> ((s, d) => eventTransitions(s, d)),
+    "group_sample"      -> ((s, d) => groupSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +300,6 @@ object Temporal {
     "stratified_sample" -> stratifiedSampleSql,
     "split_assign"      -> splitAssignSql,
     "event_transitions" -> eventTransitionsSql,
+    "group_sample"      -> groupSampleSql,
   )
 }

@@ -165,6 +165,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("group_sample: exactly min(k, |cell|) rows per cell; k=1 is a prefix of k=3") {
+    val rows = queries.Temporal.groupSample(spark, sf).collect()
+    val cells = Tables.documents(spark, sf).groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byCell = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(byCell.keySet == cells.keySet)
+    byCell.foreach { case (cell, ms) =>
+      assert(ms.length == math.min(3L, cells(cell)))
+      assert(ms.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to ms.length))
+    }
+    // the hash order is fixed, so the k=1 draw is the rk=1 slice of k=3
+    val k1 = queries.Temporal.groupSample(spark, sf, k = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("doc_id"))).toSet
+    val rk1 = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("doc_id"))).toSet
+    assert(k1 == rk1)
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
