@@ -34,7 +34,7 @@ object ScaleProbe {
     "contamination_check", "corpus_stats", "lang_id", "text_quality",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
-    "mixture_weights", "ann_cosine_topk_q8",
+    "mixture_weights", "ann_cosine_topk_q8", "group_sample",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 
