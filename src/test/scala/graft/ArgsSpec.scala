@@ -125,6 +125,35 @@ class ArgsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunk honors budget/overlap (smaller budget => more chunks)") {
+    val run = SparkEntry.queriesWithArgs("doc_chunk")
+    val narrow = run(spark, sf, Map("budget" -> "16", "overlap" -> "0")).count()
+    val wide = run(spark, sf, Map("budget" -> "128", "overlap" -> "0")).count()
+    assert(narrow > wide)
+    val dflt = run(spark, sf, Map.empty).count()
+    assert(dflt == SparkEntry.queries("doc_chunk")(spark, sf).count())
+  }
+
+  test("mixture_weights honors alpha (smaller alpha => flatter weights)") {
+    val run = SparkEntry.queriesWithArgs("mixture_weights")
+    def spread(a: String): Double = {
+      val w = run(spark, sf, Map("alpha" -> a)).collect()
+        .map(_.getAs[Double]("weight"))
+      w.max - w.min
+    }
+    // alpha -> 0 flattens toward uniform, alpha = 1 reproduces the share
+    assert(spread("0.3") < spread("1.0"))
+  }
+
+  test("group_sample honors k") {
+    val run = SparkEntry.queriesWithArgs("group_sample")
+    val k1 = run(spark, sf, Map("k" -> "1"))
+    val k5 = run(spark, sf, Map("k" -> "5"))
+    assert(k1.groupBy("lang", "source").count().collect()
+      .forall(_.getAs[Long]("count") == 1))
+    assert(k5.count() > k1.count())
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
