@@ -153,6 +153,35 @@ object Temporal {
 
   private val SampleK = 3
 
+  /** Bounded min-k buffer over (hkey, doc_id) pairs, ascending — the
+    * [[graft.operators.Top3Prices]] pattern with a parameterized k and a
+    * MIN ordering. O(k) serialized state per group; merge is
+    * associative, so Spark combines buffers map-side before the
+    * shuffle. */
+  private class MinKByHash(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    // invariant: the buffer is always sorted ascending, so the common
+    // case (a row outside the current top-k) is one comparison against
+    // the buffer's last element and NO allocation — the naive
+    // sorted.take-per-row formulation measurably lost to the window at
+    // probe scale on exactly that garbage
+    override def zero: Seq[(Long, Long)] = Nil
+    override def reduce(b: Seq[(Long, Long)], a: (String, String, Long, Long)): Seq[(Long, Long)] = {
+      val p = (a._3, a._4)
+      if (b.length < k) (p +: b).sorted
+      else if (Ordering[(Long, Long)].lt(p, b.last)) ((p +: b).sorted).take(k)
+      else b
+    }
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (x ++ y).sorted.take(k)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Fixed-size deterministic per-group sample: the k docs with the
     * smallest md5 hash key per (lang, source) cell — how an eval set or
     * human-inspection batch gets drawn from a production corpus.
@@ -161,24 +190,29 @@ object Temporal {
     * no matter how big the cell is, re-ingestion-stable for whatever
     * subset of doc_ids survives upstream filters.
     *
-    * One window shuffle on the (lang, source) grouping key. Group counts
-    * are bounded (|langs|·|sources|), but cell SIZES grow with the
-    * corpus — at 100 TB the full-sort window would be the bottleneck, so
-    * a real deployment adds a cheap pre-filter (hash < threshold chosen
-    * from cell-count stats) before the window; at fixture scale the
-    * window alone is the honest shape. Ranking ties cannot happen (the
-    * key is injective per doc_id within 60 bits). */
+    * Min-k is DISTRIBUTIVE (global k-smallest ⊆ union of per-partition
+    * k-smallest), so this runs as a typed [[MinKByHash]] Aggregator
+    * rather than a window: partial aggregation keeps O(k) state per cell
+    * per task map-side, and the shuffle carries at most k·cells·tasks
+    * buffered pairs instead of the whole corpus — the window-ranking
+    * formulation would full-sort every cell (cell sizes grow with the
+    * corpus even though cell COUNT is bounded). Ranking ties cannot
+    * happen (the hash key is injective per doc_id within 60 bits). */
   def groupSample(spark: SparkSession, sfDir: String, k: Int = SampleK): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
     val hkey = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val w = Window.partitionBy("lang", "source")
-      .orderBy(col("hkey").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"), hkey.as("hkey"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("lang"), col("source"), col("rk"), col("doc_id"), col("hkey"))
+      .select(col("lang"), col("source"), hkey.as("hkey"), col("doc_id"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .agg(new MinKByHash(k).toColumn.name("top"))
+      .toDF("cell", "top")
+      .select(col("cell._1").as("lang"), col("cell._2").as("source"),
+        posexplode(col("top")))
+      .select(col("lang"), col("source"), (col("pos") + 1).as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("hkey"))
       .orderBy("lang", "source", "rk")
   }
 
