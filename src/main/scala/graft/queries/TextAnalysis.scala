@@ -780,11 +780,21 @@ object TextAnalysis {
     * stream's cost is O(total tokens), and output rows ≈ n_tokens /
     * stride per doc regardless of skew. */
   def docChunk(spark: SparkSession, sfDir: String,
-               budget: Int = ChunkBudget, overlap: Int = ChunkOverlap): DataFrame = {
+               budget: Int = ChunkBudget, overlap: Int = ChunkOverlap): DataFrame =
+    docChunkFrame(Tables.documents(spark, sfDir), budget, overlap)
+      .orderBy("doc_id", "chunk_id")
+
+  /** The chunking transform without the output sort — STATELESS, so it
+    * runs unchanged on a streaming frame (chunk-on-ingest; StreamingSpec
+    * proves streaming == batch the same way it does for the quality
+    * gate). */
+  private[graft] def docChunkFrame(docs: DataFrame,
+                                   budget: Int = ChunkBudget,
+                                   overlap: Int = ChunkOverlap): DataFrame = {
     require(budget > 0 && overlap >= 0 && overlap < budget,
       s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
     val stride = budget - overlap
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") > 0)
@@ -797,7 +807,6 @@ object TextAnalysis {
         element_at(col("t"), col("col") + 1).as("first_tok"),
         element_at(col("t"),
           col("col") + least(lit(budget), col("n") - col("col"))).as("last_tok"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Oracle: the same start arithmetic via the scalar list `range`

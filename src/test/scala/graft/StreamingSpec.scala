@@ -88,6 +88,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming doc_chunk == batch doc_chunk (chunk-on-ingest is stateless)") {
+    val schema = Tables.documents(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = queries.TextAnalysis.docChunkFrame(stream)
+      .writeStream.format("memory").queryName("chunk_test")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000L)
+      val streamed = spark.table("chunk_test")
+        .orderBy("doc_id", "chunk_id").collect().map(_.toString).toSeq
+      val batch = queries.TextAnalysis.docChunk(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming quality gate == batch gate (stateless transform over readStream)") {
     val schema = Tables.documents(spark, sf).schema
     // fixture tables are single files, so stream the dir with a glob (the
