@@ -806,6 +806,71 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Dedup dataset-card summary
+  // --------------------------------------------------------------------
+
+  /** The dedup numbers a dataset card publishes: corpus size, exact-dup
+    * coverage and removable-row count, near-dup cluster coverage and the
+    * corresponding removable count — one (metric, value) row each, all
+    * exact integers. Composes [[exactDedup]] and [[dedupClusters]]; each
+    * branch is a grouped/derived aggregate funneling to one row, so the
+    * query's cost is its inputs' and the output is 6 rows at any corpus
+    * size. */
+  def dedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    def m(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+    val exact = exactDedup(spark, sfDir).cache()
+    val clusters = dedupClusters(spark, sfDir).cache()
+    m("n_docs", Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).as("value")))
+      .union(m("exact_dup_docs", exact.filter(col("n_copies") > 1)
+        .agg(count(lit(1)).as("value"))))
+      .union(m("exact_removable", exact.filter(!col("is_canonical"))
+        .agg(count(lit(1)).as("value"))))
+      .union(m("near_dup_docs", clusters.agg(count(lit(1)).as("value"))))
+      .union(m("near_dup_clusters", clusters.filter(col("keep"))
+        .agg(count(lit(1)).as("value"))))
+      .union(m("near_dup_removable", clusters.filter(!col("keep"))
+        .agg(count(lit(1)).as("value"))))
+      .orderBy("metric")
+  }
+
+  /** Oracle: the exact-dedup hash groups plus the recursive-CTE
+    * clustering, aggregated to the same six metrics. */
+  val dedupStatsSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+       |h AS (SELECT doc_id,
+       |             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch
+       |      FROM documents),
+       |g AS (SELECT ch, min(doc_id) AS canon, count(*) AS n_copies
+       |      FROM h GROUP BY ch)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, count(*) AS value FROM documents
+       |  UNION ALL
+       |  SELECT 'exact_dup_docs', count(*) FROM h JOIN g USING (ch)
+       |  WHERE n_copies > 1
+       |  UNION ALL
+       |  SELECT 'exact_removable', count(*) FROM h JOIN g USING (ch)
+       |  WHERE doc_id <> canon
+       |  UNION ALL
+       |  SELECT 'near_dup_docs', count(*) FROM lab
+       |  UNION ALL
+       |  SELECT 'near_dup_clusters', count(*) FROM lab WHERE doc_id = cluster_id
+       |  UNION ALL
+       |  SELECT 'near_dup_removable', count(*) FROM lab WHERE doc_id <> cluster_id)
+       |ORDER BY metric""".stripMargin
+
+  // --------------------------------------------------------------------
   // Embedding-cosine near-dup
   // --------------------------------------------------------------------
 
@@ -906,6 +971,7 @@ object Dedup {
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
+    "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -916,5 +982,6 @@ object Dedup {
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
     "dedup_clusters"       -> dedupClustersSql,
     "dedup_canonical"      -> dedupCanonicalSql,
+    "dedup_stats"          -> dedupStatsSql,
   )
 }

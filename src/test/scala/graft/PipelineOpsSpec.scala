@@ -183,6 +183,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(k1 == rk1)
   }
 
+  test("dedup_stats: metrics telescope against their source queries") {
+    val m = queries.Dedup.dedupStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("n_docs", "exact_dup_docs", "exact_removable",
+      "near_dup_docs", "near_dup_clusters", "near_dup_removable"))
+    assert(m("near_dup_removable") == m("near_dup_docs") - m("near_dup_clusters"))
+    assert(m("exact_removable") <= m("exact_dup_docs"))
+    assert(m("n_docs") >= m("near_dup_docs"))
+    val clusters = queries.Dedup.dedupClusters(spark, sf).count()
+    assert(m("near_dup_docs") == clusters)
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
