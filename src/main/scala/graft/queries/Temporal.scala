@@ -317,6 +317,50 @@ object Temporal {
       |FROM t WHERE from_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cohort retention matrix: users cohorted by first-active day; for
+    * each (cohort_day, days_since) cell, how many of that cohort were
+    * active again that many days later, and what fraction of the cohort
+    * that is — the standard product-analytics retention triangle (the
+    * companion readout to [[eventsFunnel]]'s conversion view).
+    *
+    * Two shuffles on user_id (first-day min and the (user, day)
+    * distinct — high-cardinality, unskewed) and one shuffle join back on
+    * user_id; cohort sizes are |days| rows, so that join broadcasts.
+    * Output is bounded by days² regardless of corpus size, and the
+    * retention fraction divides two exact integers (one IEEE division —
+    * engine-identical), so the whole matrix is hash-exact. */
+  def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("days_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("days_since"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_day", "days_since")
+  }
+
+  val userRetentionSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT f.cohort_day,
+      |             CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS days_since,
+      |             count(*) AS n_active
+      |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      |c AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1)
+      |SELECT r.cohort_day, r.days_since, r.n_active, c.cohort_size,
+      |       CAST(r.n_active AS DOUBLE) / c.cohort_size AS retention
+      |FROM r JOIN c USING (cohort_day)
+      |ORDER BY cohort_day, days_since""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -325,6 +369,7 @@ object Temporal {
     "split_assign"      -> ((s, d) => splitAssign(s, d)),
     "event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "group_sample"      -> ((s, d) => groupSample(s, d)),
+    "user_retention"    -> ((s, d) => userRetention(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +380,6 @@ object Temporal {
     "split_assign"      -> splitAssignSql,
     "event_transitions" -> eventTransitionsSql,
     "group_sample"      -> groupSampleSql,
+    "user_retention"    -> userRetentionSql,
   )
 }

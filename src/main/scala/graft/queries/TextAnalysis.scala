@@ -634,6 +634,130 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
+  // Token-length histogram (dataset-card length distribution)
+  // --------------------------------------------------------------------
+
+  private val HistBinTokens = 64
+
+  /** Per-source histogram of per-doc token counts in fixed 64-token bins
+    * — the length-distribution panel of a dataset card (context-budget
+    * planning and truncation-loss estimates read straight off it).
+    *
+    * Shape: per-doc codegen'd token count (no shuffle) → one grouped agg
+    * on (source, bin). Output is |sources|·|occupied bins| rows at any
+    * corpus size; the bin index is exact integer math (floor of an exact
+    * small-int division — no width_bucket dialect variance), and the
+    * within-source share divides two exact integers broadcast-joined
+    * from a |sources|-row agg. */
+  def tokenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), size(toks(col("text"))).as("n_tokens"))
+    val binned = docs.withColumn("bin",
+      floor(col("n_tokens").cast("double") / HistBinTokens).cast("long"))
+    val per = binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+    val totals = binned.groupBy("source").agg(count(lit(1)).as("source_docs"))
+    per.join(broadcast(totals), "source")
+      .select(col("source"), col("bin"),
+        (col("bin") * HistBinTokens).as("lo_tokens"),
+        (col("bin") * HistBinTokens + (HistBinTokens - 1)).as("hi_tokens"),
+        col("n_docs"), col("min_tokens"), col("max_tokens"),
+        Det.r(col("n_docs").cast("double") / col("source_docs"), 6).as("share"))
+      .orderBy("source", "bin")
+  }
+
+  val tokenHistogramSql: String =
+    s"""WITH d AS (SELECT source,
+       |                  len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> length(x) > 0)) AS n_tokens
+       |           FROM documents),
+       |b AS (SELECT source, n_tokens,
+       |             CAST(floor(CAST(n_tokens AS DOUBLE) / $HistBinTokens) AS BIGINT) AS bin
+       |      FROM d),
+       |per AS (SELECT source, bin, count(*) AS n_docs,
+       |               CAST(min(n_tokens) AS INTEGER) AS min_tokens,
+       |               CAST(max(n_tokens) AS INTEGER) AS max_tokens
+       |        FROM b GROUP BY 1, 2),
+       |tot AS (SELECT source, count(*) AS source_docs FROM b GROUP BY 1)
+       |SELECT source, bin,
+       |       bin * $HistBinTokens AS lo_tokens,
+       |       bin * $HistBinTokens + ${HistBinTokens - 1} AS hi_tokens,
+       |       n_docs, min_tokens, max_tokens,
+       |       ${Det.rSql("CAST(n_docs AS DOUBLE) / source_docs", 6)} AS share
+       |FROM per JOIN tot USING (source)
+       |ORDER BY source, bin""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-source vocabulary divergence (mixture diagnostics)
+  // --------------------------------------------------------------------
+
+  /** KL(source ‖ corpus) over unigram distributions — the vocabulary-
+    * drift readout of a mixture dashboard: a source whose token
+    * distribution diverges from the corpus is another register, another
+    * language, or template spam, and it's the number that says which
+    * sources [[mixtureWeights]]' flattening actually moves.
+    *
+    * Shape: explode → one (source, tok) agg (cached — the corpus
+    * marginal and the per-source totals both fold from it, the
+    * vocab-sized frame, instead of rescanning the corpus), corpus
+    * marginal via a second fold on tok, then an equi-join on tok and one
+    * final |sources|-row agg. All joins are vocab-sized or broadcast.
+    *
+    * Determinism: both probabilities are single exact-int divisions;
+    * the per-term contribution p_s·ln(p_s/p_c) is integerised to NANOS
+    * (surprisal-weighted shares are ~1e-6..1e-2 — micros would quantise
+    * real signal away) before the order-independent integer sum, the
+    * [[docSurprisal]] discipline. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val corpus = st.groupBy("tok").agg(sum("cnt").as("ccnt"))
+    val perSource = st.groupBy("source").agg(sum("cnt").as("stotal"))
+    val total = corpus.agg(sum("ccnt").as("ctotal"))
+    st.join(corpus, "tok")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("ps", col("cnt").cast("double") / col("stotal"))
+      .withColumn("pc", col("ccnt").cast("double") / col("ctotal"))
+      .withColumn("contrib_nanos",
+        floor(col("ps") * log(col("ps") / col("pc")) * 1e9 + 0.5).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        max("stotal").as("n_tokens"),
+        sum("contrib_nanos").as("kl_nanos"))
+      .withColumn("kl", Det.r(col("kl_nanos").cast("double") / 1e9, 6))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceSql: String =
+    s"""WITH tk AS (
+       |  SELECT source,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                            x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |st AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+       |corpus AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ccnt FROM st GROUP BY 1),
+       |per AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stotal FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctotal FROM corpus),
+       |c AS (SELECT st.source,
+       |             CAST(floor((CAST(cnt AS DOUBLE) / stotal)
+       |                        * ln((CAST(cnt AS DOUBLE) / stotal)
+       |                             / (CAST(ccnt AS DOUBLE) / ctotal))
+       |                        * 1e9 + 0.5) AS BIGINT) AS contrib_nanos,
+       |             stotal
+       |      FROM st JOIN corpus USING (tok) JOIN per ON st.source = per.source
+       |      CROSS JOIN tot),
+       |g AS (SELECT source, count(*) AS n_terms, max(stotal) AS n_tokens,
+       |             CAST(sum(contrib_nanos) AS BIGINT) AS kl_nanos
+       |      FROM c GROUP BY source)
+       |SELECT source, n_terms, n_tokens, kl_nanos,
+       |       ${Det.rSql("CAST(kl_nanos AS DOUBLE) / 1e9", 6)} AS kl
+       |FROM g ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Train/test contamination audit
   // --------------------------------------------------------------------
 
@@ -958,6 +1082,8 @@ object TextAnalysis {
     "doc_chunk"        -> ((s, d) => docChunk(s, d)),
     "doc_surprisal"    -> ((s, d) => docSurprisal(s, d)),
     "mixture_weights"  -> ((s, d) => mixtureWeights(s, d)),
+    "token_histogram"  -> ((s, d) => tokenHistogram(s, d)),
+    "source_divergence" -> ((s, d) => sourceDivergence(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,5 +1100,7 @@ object TextAnalysis {
     "doc_chunk"        -> docChunkSql,
     "doc_surprisal"    -> docSurprisalSql,
     "mixture_weights"  -> mixtureWeightsSql,
+    "token_histogram"  -> tokenHistogramSql,
+    "source_divergence" -> sourceDivergenceSql,
   )
 }

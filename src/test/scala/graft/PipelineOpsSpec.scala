@@ -195,6 +195,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m("near_dup_docs") == clusters)
   }
 
+  test("user_retention: day-0 is the full cohort, later cells only shrink vs it") {
+    val rows = queries.Temporal.userRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (day, ms) =>
+      val d0 = ms.filter(_.getAs[Int]("days_since") == 0)
+      assert(d0.length == 1, s"cohort $day missing its day-0 row")
+      // the cohort's defining day: everyone is active
+      assert(d0.head.getAs[Long]("n_active") == d0.head.getAs[Long]("cohort_size"))
+      assert(d0.head.getAs[Double]("retention") == 1.0)
+      ms.foreach { r =>
+        assert(r.getAs[Int]("days_since") >= 0)
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      }
+    }
+    // cohorts partition the user base
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val cohortSum = byCohort.values
+      .map(_.head.getAs[Long]("cohort_size")).sum
+    assert(cohortSum == totalUsers)
+  }
+
+  test("token_histogram: bins partition each source and shares sum to 1") {
+    val rows = queries.TextAnalysis.tokenHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docsPerSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, ms) =>
+      assert(ms.map(_.getAs[Long]("n_docs")).sum == docsPerSource(src))
+      assert(math.abs(ms.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+      ms.foreach { r =>
+        assert(r.getAs[Int]("min_tokens") >= r.getAs[Long]("lo_tokens"))
+        assert(r.getAs[Int]("max_tokens") <= r.getAs[Long]("hi_tokens"))
+        assert(r.getAs[Int]("min_tokens") <= r.getAs[Int]("max_tokens"))
+      }
+    }
+  }
+
+  test("source_divergence: KL is non-negative (mod nano rounding) and totals telescope") {
+    val rows = queries.TextAnalysis.sourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // per-term integerisation rounds by <=0.5 nano; Gibbs' inequality
+      // guarantees the true KL >= 0
+      assert(r.getAs[Double]("kl") >= -1e-6 * r.getAs[Long]("n_terms"),
+        s"${r.getString(0)}: kl=${r.getAs[Double]("kl")}")
+    }
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)).as("t")).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+    // a source's vocab can't exceed the corpus vocab
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "\\W+"),
+        t => length(t) > 0)).as("t")).distinct().count()
+    rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
