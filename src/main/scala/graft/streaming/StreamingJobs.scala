@@ -95,6 +95,25 @@ object StreamingJobs {
         col("act_id"), col("action"), col("act_ts"))
   }
 
+  /** Stream-static enrichment join: each event picks up its user's market
+    * segment from the (static, batch-loaded) `customer` dimension, then
+    * aggregates per (hour, segment) — the canonical "enrich the stream
+    * with a dimension table" shape. The static side is a broadcast hash
+    * join probe INSIDE each micro-batch: no streaming state for the join
+    * at all (only the windowed agg holds state, bounded by the
+    * watermark), and the dimension refreshes per micro-batch read — at
+    * 100 TB/day of stream the dimension is still just |customers| rows
+    * shipped once per executor. */
+  def segmentActivity(events: DataFrame, customer: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .join(broadcast(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("total_value"))
+
   // --------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState sessionizer
   // --------------------------------------------------------------------
@@ -189,6 +208,9 @@ object StreamingJobs {
     "events_error_context" -> ((s, d) =>
       errorContextJoin(batchEvents(s, d), batchEvents(s, d))
         .orderBy("err_id", "act_id")),
+    "events_by_segment" -> ((s, d) =>
+      segmentActivity(batchEvents(s, d), Tables.customer(s, d))
+        .orderBy("window_start", "segment")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +259,11 @@ object StreamingJobs {
         | AND a.ts >= e.ts - INTERVAL 1 HOUR
         | AND a.ts < e.ts
         |ORDER BY err_id, act_id""".stripMargin,
+    "events_by_segment" ->
+      """SELECT date_trunc('hour', e.ts) AS window_start,
+        |       c.c_mktsegment AS segment, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
   )
 }

@@ -43,6 +43,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static segment enrichment join == batch twin (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val dim = Tables.customer(spark, sf)
+    val q = StreamingJobs.segmentActivity(df, dim).writeStream
+      .format("memory").queryName("segment_test").outputMode(OutputMode.Complete)
+      .start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      val streamed = spark.table("segment_test")
+        .orderBy("window_start", "segment")
+        .collect().map(_.toString).toSeq
+      val batch = StreamingJobs.segmentActivity(Tables.eventsTs(spark, sf), dim)
+        .orderBy("window_start", "segment")
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) == built-in session_window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
