@@ -368,18 +368,66 @@ object Similarity {
        |FROM scored WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Per-label centroids (class prototypes)
+  // --------------------------------------------------------------------
+
+  /** Dimension-wise centroid of each label's embeddings — the class
+    * prototype every embedding-space diagnostic starts from (nearest-
+    * centroid baselines, per-class drift monitoring, [[annCosineIvf]]'s
+    * coarse quantizer is exactly this computed over learned cells).
+    *
+    * Shape: posexplode → one grouped agg on (label, dim). The explode is
+    * 64× the row count but narrow (three columns), and partial
+    * aggregation folds it to |labels|·64 rows per task before the only
+    * shuffle — at 100 TB this is a map-side-combined scan, not a 64×
+    * shuffle.
+    *
+    * Determinism: each component is integerised to micros BEFORE the sum
+    * (integer sums are fold-order-free; a double sum would depend on
+    * Spark's partition order), making the centroid a pure function of
+    * the multiset of inputs on both engines. */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .withColumn("x_micros", floor(col("col") * 1e6 + 0.5).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("x_micros").as("sum_micros"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        Det.r(col("sum_micros").cast("double") / 1e6 / col("n_vecs"), 6)
+          .as("centroid"))
+      .orderBy("label", "pos")
+
+  val embeddingCentroidsSql: String =
+    s"""WITH v AS (SELECT label,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |u AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM v),
+       |p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       |             CAST(floor(v[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT) AS x_micros
+       |      FROM u),
+       |g AS (SELECT label, pos, count(*) AS n_vecs,
+       |             CAST(sum(x_micros) AS BIGINT) AS sum_micros
+       |      FROM p GROUP BY 1, 2)
+       |SELECT label, pos, n_vecs,
+       |       ${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)} AS centroid
+       |FROM g ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
     "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
     "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
+    "embedding_centroids" -> ((s, d) => embeddingCentroids(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceTopKSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk_q8" -> quantizedTopKSql,
+    "embedding_centroids" -> embeddingCentroidsSql,
     // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
   )
 }

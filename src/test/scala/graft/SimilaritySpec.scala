@@ -45,6 +45,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall too low")
   }
 
+  test("embedding_centroids: one full prototype per label, mixing back to the global mean") {
+    val rows = queries.Similarity.embeddingCentroids(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    val total = Tables.embeddings(spark, sf).count()
+    // every label has all 64 dims, with one consistent member count
+    byLabel.foreach { case (l, ms) =>
+      assert(ms.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until 64))
+      assert(ms.map(_.getAs[Long]("n_vecs")).distinct.length == 1, s"label $l")
+    }
+    assert(byLabel.values.map(_.head.getAs[Long]("n_vecs")).sum == total)
+    // n_vecs-weighted mix of label centroids == global centroid (per dim,
+    // up to the 1e-6 quantisation each centroid carries)
+    val globalByDim = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>")))
+      .groupBy("pos").agg(org.apache.spark.sql.functions.avg("col").as("g"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("g")).toMap
+    rows.groupBy(_.getAs[Int]("pos")).foreach { case (pos, ms) =>
+      val mixed = ms.map(r =>
+        r.getAs[Double]("centroid") * r.getAs[Long]("n_vecs")).sum / total
+      assert(math.abs(mixed - globalByDim(pos)) < 2e-6,
+        s"dim $pos: mixed $mixed vs global ${globalByDim(pos)}")
+    }
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = queries.Similarity.hyperplane(2, 7)
     val b = queries.Similarity.hyperplane(2, 7)
