@@ -35,6 +35,7 @@ object ScaleProbe {
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
+    "token_histogram", "source_divergence", "embedding_centroids",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 
@@ -42,7 +43,7 @@ object ScaleProbe {
   private val EventQueries = Seq(
     "events_funnel", "event_transitions", "events_sessions",
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
-    "events_error_context", "json_events")
+    "events_error_context", "json_events", "user_retention")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -177,7 +178,8 @@ object ScaleProbe {
     val all = DocQueries ++
       (if (nEvents > 0) EventQueries else Nil) ++
       (if (relScale > 0) RelQueries else Nil) ++
-      (if (nEvents > 0 && relScale > 0) Seq("asof_join_orders") else Nil)
+      (if (nEvents > 0 && relScale > 0)
+        Seq("asof_join_orders", "events_by_segment") else Nil)
     val run = if (only.isEmpty) all else all.filter(only)
     run.foreach { name =>
       spark.catalog.clearCache()
