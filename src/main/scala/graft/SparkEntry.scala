@@ -64,6 +64,9 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(s, d, a.getOrElse("alpha", "0.7").toDouble)),
     "group_sample" -> ((s, d, a) =>
       Temporal.groupSample(s, d, a.getOrElse("k", "3").toInt)),
+    "quality_percentile_gate" -> ((s, d, a) =>
+      TextAnalysis.qualityPercentileGate(s, d,
+        a.getOrElse("drop_pct", "0.25").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

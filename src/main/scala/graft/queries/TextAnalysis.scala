@@ -96,7 +96,9 @@ object TextAnalysis {
   private[queries] def qualityScoredFrame(docs: DataFrame): DataFrame = {
     val enSet = stopwords.head._2
     docs
-      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      // source rides along for the per-source consumers
+      // (qualityPercentileGate); Catalyst prunes it everywhere else
+      .select(col("doc_id"), col("source"), col("text"), toks(col("text")).as("t"))
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(col("t")))
       .withColumn("n_distinct_tokens", size(array_distinct(col("t"))))
@@ -149,6 +151,86 @@ object TextAnalysis {
        |                             x -> length(x) > 0) AS t
        |          FROM documents)))
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Relative (percentile) quality gate
+  // --------------------------------------------------------------------
+
+  private val GateDropPct = 0.25
+
+  /** Relative quality gate: drop each source's bottom quartile by
+    * quality score instead of applying one absolute threshold — the
+    * filter that keeps a clean source from swamping a noisy one (an
+    * absolute cut like [[qualityGate]]'s would pass ~all of the former
+    * and gut the latter; a per-source percentile removes the same
+    * fraction everywhere, preserving the mixture).
+    *
+    * percent_rank = (rank−1)/(n−1) is an exact integer ratio over the
+    * already-4dp-rounded score, so both engines compute identical ranks
+    * and identical doubles — ties share a rank and therefore share a
+    * keep/drop decision (no arbitrary tie-break drops among equals).
+    *
+    * NOT a window: `source` is low-cardinality, so percent_rank() over
+    * (PARTITION BY source) would sort the whole corpus in ≤|sources|
+    * tasks — the one plan shape that cannot scale out. Instead the 4dp
+    * quantisation is the scale lever: a score has ≤10⁴+1 distinct
+    * values, so the rank distribution is a bounded (source, score)
+    * histogram — one map-side-combined agg, a window over THAT (tiny)
+    * frame for the cumulative count-below, and a broadcast join back.
+    * The corpus itself never shuffles at all; rank-below/(n−1) equals
+    * percent_rank exactly (rank of a tied row = 1 + count below it). */
+  def qualityPercentileGate(spark: SparkSession, sfDir: String,
+                            dropPct: Double = GateDropPct): DataFrame = {
+    require(dropPct >= 0 && dropPct < 1, s"need 0 <= dropPct < 1, got $dropPct")
+    import org.apache.spark.sql.expressions.Window
+    // 3 narrow columns — cached so the heavy quality kernel runs ONCE
+    // (the histogram branch and the probe side would each re-run it)
+    val scored = qualityScoredFrame(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .cache()
+    val w = Window.partitionBy("source").orderBy(col("quality_score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy("source", "quality_score")
+      .agg(count(lit(1)).as("n_at"))
+      .withColumn("below", coalesce(sum("n_at").over(w), lit(0L)))
+      .withColumn("n", sum("n_at").over(Window.partitionBy("source")))
+      .select(col("source"), col("quality_score"),
+        when(col("n") > 1,
+          col("below").cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"))
+    scored.join(broadcast(hist), Seq("source", "quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("pct_rank"), (col("pct_rank") >= dropPct).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileGateSql: String = {
+    val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val score = r4Sql("""0.3 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+             + 0.3 * type_token_ratio
+             + 0.2 * stopword_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))""")
+    s"""WITH q AS (
+       |  SELECT doc_id, source, $score AS quality_score
+       |  FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |           ${r4Sql(s"CAST(len(list_filter(t, x -> x IN ($set))) AS DOUBLE) / greatest(n_tokens, 1)")} AS stopword_ratio,
+       |           ${r4Sql("CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1)")} AS type_token_ratio,
+       |           punct_ratio
+       |    FROM (
+       |      SELECT doc_id, source, t, len(t) AS n_tokens,
+       |             len(list_distinct(t)) AS n_distinct_tokens,
+       |             ${r4Sql("CAST(len(string_split_regex(text, '[^\\w\\s]')) - 1 AS DOUBLE) / greatest(length(text), 1)")} AS punct_ratio
+       |      FROM (SELECT doc_id, source, text,
+       |                   list_filter(string_split_regex(lower(text), '\\W+'),
+       |                               x -> length(x) > 0) AS t
+       |            FROM documents))))
+       |SELECT doc_id, source, quality_score,
+       |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score) AS pct_rank,
+       |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score)
+       |         >= $GateDropPct AS keep
+       |FROM q ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -1084,6 +1166,7 @@ object TextAnalysis {
     "mixture_weights"  -> ((s, d) => mixtureWeights(s, d)),
     "token_histogram"  -> ((s, d) => tokenHistogram(s, d)),
     "source_divergence" -> ((s, d) => sourceDivergence(s, d)),
+    "quality_percentile_gate" -> ((s, d) => qualityPercentileGate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1102,5 +1185,6 @@ object TextAnalysis {
     "mixture_weights"  -> mixtureWeightsSql,
     "token_histogram"  -> tokenHistogramSql,
     "source_divergence" -> sourceDivergenceSql,
+    "quality_percentile_gate" -> qualityPercentileGateSql,
   )
 }

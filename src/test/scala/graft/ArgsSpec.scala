@@ -154,6 +154,19 @@ class ArgsSpec extends AnyFunSuite {
     assert(k5.count() > k1.count())
   }
 
+  test("quality_percentile_gate honors drop_pct") {
+    val run = SparkEntry.queriesWithArgs("quality_percentile_gate")
+    def kept(p: String): Long =
+      run(spark, sf, Map("drop_pct" -> p))
+        .filter(org.apache.spark.sql.functions.col("keep")).count()
+    val all = run(spark, sf, Map("drop_pct" -> "0.0")).count()
+    assert(kept("0.0") == all)        // drop nothing
+    assert(kept("0.5") < kept("0.25"))  // deeper cut keeps fewer
+    intercept[IllegalArgumentException] {
+      queries.TextAnalysis.qualityPercentileGate(spark, sf, 1.0)
+    }
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")

@@ -253,6 +253,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("quality_percentile_gate: per-source drop is bounded and order-consistent") {
+    val rows = queries.TextAnalysis.qualityPercentileGate(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total)  // a gate flags, it never loses rows
+    rows.groupBy(_.getString(1)).foreach { case (src, ms) =>
+      val n = ms.length
+      val dropped = ms.filter(!_.getAs[Boolean]("keep"))
+      // percent_rank < p strictly bounds the dropped count; ties only shrink it
+      assert(dropped.length <= 0.25 * n + 1, s"$src dropped ${dropped.length}/$n")
+      assert(dropped.length < n, s"$src dropped everything")
+      // no kept doc scores below a dropped doc
+      if (dropped.nonEmpty) {
+        val worstKept = ms.filter(_.getAs[Boolean]("keep"))
+          .map(_.getAs[Double]("quality_score")).min
+        val bestDropped = dropped.map(_.getAs[Double]("quality_score")).max
+        assert(worstKept >= bestDropped, s"$src: kept $worstKept < dropped $bestDropped")
+      }
+    }
+  }
+
   test("bucketed_join_orders: join runs without an Exchange when SMJ is forced") {
     // construct once (writes the bucketed tables), then re-derive the join
     // from the catalog tables the query just wrote
