@@ -414,6 +414,73 @@ object Similarity {
        |       ${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)} AS centroid
        |FROM g ORDER BY label, pos""".stripMargin
 
+  /** Nearest-centroid assignment + confusion matrix: every vector is
+    * assigned to its closest label prototype (squared L2, expanded as
+    * v·v − 2·v·c + c·c so each term is one deterministic sequential
+    * fold), and the output counts (true_label, assigned_label) cells —
+    * the zero-training classification baseline that says how separable
+    * the label geometry is, and the evaluation readout for any
+    * embedding model swap.
+    *
+    * Scale shape: the "model" is |labels|·64 doubles — a broadcast join
+    * probe against a single scan of the corpus. The per-vector argmin is
+    * min(struct(dist, label)) — an agg, NOT a ranking window: partial
+    * aggregation collapses the |labels|-way fan-out back to one row per
+    * vector map-side, so the shuffle carries n rows instead of sorting
+    * n·|labels| (the struct's (dist, label) field order IS the
+    * dist-then-label tie-break). Then a ≤|labels|² confusion agg. The
+    * centroids reuse [[embeddingCentroids]]' micros-integerised exact
+    * sums, so the whole pipeline stays hash-exact cross-engine. */
+  def centroidAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = embeddingCentroids(spark, sfDir)
+      .groupBy(col("label").as("c_label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("c_label"),
+        transform(col("pc"), s => s.getField("centroid")).as("c"))
+      .withColumn("cc", dot(col("c"), col("c")))
+    val vec = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    vec.join(broadcast(cent))
+      .withColumn("dist", col("vv") - lit(2) * dot(col("v"), col("c")) + col("cc"))
+      .groupBy("vec_id", "true_label")
+      .agg(min(struct(col("dist"), col("c_label"))).as("m"))
+      .groupBy(col("true_label"), col("m.c_label").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "assigned_label")
+  }
+
+  val centroidAssignSql: String =
+    s"""WITH v AS (SELECT vec_id, label,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |u AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM v),
+       |p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       |             CAST(floor(v[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT) AS x_micros
+       |      FROM u),
+       |g AS (SELECT label, pos, count(*) AS n_vecs,
+       |             CAST(sum(x_micros) AS BIGINT) AS sum_micros
+       |      FROM p GROUP BY 1, 2),
+       |cent AS (SELECT label AS c_label,
+       |                list(${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)}
+       |                     ORDER BY pos) AS c
+       |         FROM g GROUP BY label),
+       |scored AS (
+       |  SELECT vec_id, label AS true_label, c_label,
+       |         list_dot_product(v, v) - 2 * list_dot_product(v, c)
+       |           + list_dot_product(c, c) AS dist
+       |  FROM v CROSS JOIN cent),
+       |best AS (
+       |  SELECT vec_id, true_label, c_label,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY dist ASC, c_label ASC) AS rk
+       |  FROM scored)
+       |SELECT true_label, c_label AS assigned_label, count(*) AS n
+       |FROM best WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
@@ -421,6 +488,7 @@ object Similarity {
     "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
     "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => embeddingCentroids(s, d)),
+    "centroid_assign" -> ((s, d) => centroidAssign(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +496,7 @@ object Similarity {
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk_q8" -> quantizedTopKSql,
     "embedding_centroids" -> embeddingCentroidsSql,
+    "centroid_assign" -> centroidAssignSql,
     // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
   )
 }

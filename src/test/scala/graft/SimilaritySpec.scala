@@ -70,6 +70,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("centroid_assign: confusion matrix partitions the corpus") {
+    val rows = queries.Similarity.centroidAssign(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getAs[Int]("true_label")))
+      assert(labels.contains(r.getAs[Int]("assigned_label")))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // every true label appears (no label's vectors vanish)
+    assert(rows.map(_.getAs[Int]("true_label")).toSet == labels)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = queries.Similarity.hyperplane(2, 7)
     val b = queries.Similarity.hyperplane(2, 7)
