@@ -332,7 +332,10 @@ object Temporal {
   def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.eventsTs(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
+    // |users| rows — cached so its two consumers (the size rollup and
+    // the activity join) don't each re-scan and re-aggregate the corpus
     val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      .cache()
     val sizes = cohort.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
     ev.distinct()
