@@ -198,10 +198,14 @@ object TextAnalysis {
       .select(col("source"), col("quality_score"),
         when(col("n") > 1,
           col("below").cast("double") / (col("n") - 1))
-          .otherwise(lit(0.0)).as("pct_rank"))
+          .otherwise(lit(0.0)).as("pct_rank"),
+        col("n"))
     scored.join(broadcast(hist), Seq("source", "quality_score"))
       .select(col("doc_id"), col("source"), col("quality_score"),
-        col("pct_rank"), (col("pct_rank") >= dropPct).as("keep"))
+        col("pct_rank"),
+        // a singleton source is its own best doc — never dropped (its
+        // pct_rank is 0 on both engines, below any positive dropPct)
+        (col("pct_rank") >= dropPct || col("n") === 1).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -229,7 +233,8 @@ object TextAnalysis {
        |SELECT doc_id, source, quality_score,
        |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score) AS pct_rank,
        |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score)
-       |         >= $GateDropPct AS keep
+       |         >= $GateDropPct
+       |         OR count(*) OVER (PARTITION BY source) = 1 AS keep
        |FROM q ORDER BY doc_id""".stripMargin
   }
 

@@ -209,6 +209,61 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getAs[Double]("boost") - 1.0) < 1e-6)
   }
 
+  test("token_histogram: zero-token docs land in bin 0; empty corpus is empty") {
+    val rows = queries.TextAnalysis.tokenHistogram(spark, edge).collect()
+    // all 6 edge docs have < 64 tokens -> one bin per source
+    assert(rows.length == 1)
+    val b = rows.head
+    assert(b.getAs[Long]("bin") == 0 && b.getAs[Long]("n_docs") == 6)
+    assert(b.getAs[Int]("min_tokens") == 0)  // the empty doc
+    assert(b.getAs[Double]("share") == 1.0)
+    assert(queries.TextAnalysis.tokenHistogram(spark, empty).collect().isEmpty)
+  }
+
+  test("source_divergence: a single-source corpus has exactly zero KL") {
+    val rows = queries.TextAnalysis.sourceDivergence(spark, edge).collect()
+    assert(rows.length == 1)
+    // p_s == p_c for every term -> ln(1) == 0, integerised exactly
+    assert(rows.head.getAs[Long]("kl_nanos") == 0L)
+    assert(rows.head.getAs[Double]("kl") == 0.0)
+    assert(queries.TextAnalysis.sourceDivergence(spark, empty).collect().isEmpty)
+  }
+
+  test("quality_percentile_gate: singleton sources keep their only doc") {
+    val dir = fixture("singleton",
+      docs = Seq(
+        (1L, "lonely doc of a tiny source", "en", "solo", 27L),
+        (2L, "the quick brown fox jumps over the lazy dog", "en", "big", 44L),
+        (3L, "bad", "en", "big", 3L),
+        (4L, "the quick brown fox jumps over the lazy dog again", "en", "big", 49L),
+        (5L, "worse !!", "en", "big", 8L),
+        (6L, "another decent document with several proper tokens", "en", "big", 50L)),
+      embs = Seq((1L, Seq.fill(64)(0.5f), 0)))
+    val rows = queries.TextAnalysis.qualityPercentileGate(spark, dir, 0.25).collect()
+    val solo = rows.filter(_.getString(1) == "solo")
+    assert(solo.length == 1 && solo.head.getAs[Boolean]("keep"))
+    assert(solo.head.getAs[Double]("pct_rank") == 0.0)
+    // the 5-doc source still drops its bottom quartile
+    val big = rows.filter(_.getString(1) == "big")
+    assert(big.count(!_.getAs[Boolean]("keep")) >= 1)
+    assert(queries.TextAnalysis.qualityPercentileGate(spark, empty).collect().isEmpty)
+  }
+
+  test("embedding_centroids and centroid_assign on degenerate label geometry") {
+    val cent = queries.Similarity.embeddingCentroids(spark, edge).collect()
+    // label 0: two identical vectors -> centroid == the vector, exactly
+    cent.filter(_.getAs[Int]("label") == 0).foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 2 && r.getAs[Double]("centroid") == 0.5)
+    }
+    val conf = queries.Similarity.centroidAssign(spark, edge).collect()
+    // both labels' vectors sit exactly on their own prototype
+    conf.foreach { r =>
+      assert(r.getAs[Int]("true_label") == r.getAs[Int]("assigned_label"))
+    }
+    assert(conf.map(_.getAs[Long]("n")).sum == 3)
+    assert(queries.Similarity.centroidAssign(spark, empty).collect().isEmpty)
+  }
+
   test("embedding_quantize and q8 top-k: zero vectors are excluded, not divided by") {
     val dir = fixture("zerovec",
       docs = Seq((1L, "x", "en", "web", 1L)),
