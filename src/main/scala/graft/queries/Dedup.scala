@@ -450,7 +450,13 @@ object Dedup {
     * hamming. Threshold 3 (not higher) because this corpus's shared tiny
     * vocabulary makes signatures cluster (hamming histogram is dense from
     * 4 up), and 4-band blocking only guarantees recall through 3. */
-  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** [[simhashDedup]] without the presentation sort — the shape its
+    * downstream consumers ([[dedupClusters]], [[dupPairSources]]) want,
+    * since they immediately re-shuffle into their own aggregation. */
+  private[queries] def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Per-doc signature KERNEL: tokenization + md5 + bit majority in one
     // JIT'd pass, no explode shuffle and no 48 aggregate columns. The
@@ -509,7 +515,24 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-source near-dup matrix: how many simhash near-dup pairs link
+    * each (unordered) pair of sources — the dataset-card view that says
+    * WHERE the duplication lives (intra-source boilerplate vs one source
+    * mirroring another; the decision input for source-level dedup
+    * ordering). Pairs are dup-density-sized — vastly smaller than the
+    * corpus — so both enrichment joins broadcast the pair side under AQE;
+    * output is ≤|sources|² rows. */
+  def dupPairSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    simhashPairs(spark, sfDir)
+      .join(src.toDF("doc_a", "source_a"), "doc_a")
+      .join(src.toDF("doc_b", "source_b"), "doc_b")
+      .groupBy(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
   }
 
   /** Shared DuckDB CTE chain producing the per-doc simhash signature —
@@ -542,6 +565,20 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dupPairSourcesSql: String =
+    s"""WITH $simhashSigCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT least(da.source, db.source) AS source_x,
+       |       greatest(da.source, db.source) AS source_y,
+       |       count(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON pairs.doc_a = da.doc_id
+       |JOIN documents db ON pairs.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
   // Duplicate-cluster resolution (connected components)
@@ -664,7 +701,7 @@ object Dedup {
           s"graft_ckpt_${spark.sparkContext.applicationId}").getAbsolutePath)
     def persistStep(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val pairs = simhashDedup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val pairs = simhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
     val nEdges = sym.count() / 2
@@ -968,6 +1005,7 @@ object Dedup {
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
+    "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
@@ -979,6 +1017,7 @@ object Dedup {
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,
+    "dup_pair_sources"     -> dupPairSourcesSql,
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
     "dedup_clusters"       -> dedupClustersSql,
     "dedup_canonical"      -> dedupCanonicalSql,

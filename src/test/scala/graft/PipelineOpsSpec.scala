@@ -253,6 +253,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("dup_pair_sources: matrix cells telescope to the simhash pair count") {
+    val cells = queries.Dedup.dupPairSources(spark, sf).collect()
+    val nPairs = queries.Dedup.simhashDedup(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    cells.foreach { r =>
+      // unordered normalization: x <= y always
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
   test("quality_percentile_gate: per-source drop is bounded and order-consistent") {
     val rows = queries.TextAnalysis.qualityPercentileGate(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
