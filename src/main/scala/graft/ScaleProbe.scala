@@ -44,7 +44,8 @@ object ScaleProbe {
   private val EventQueries = Seq(
     "events_funnel", "event_transitions", "events_sessions",
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
-    "events_error_context", "json_events", "user_retention")
+    "events_error_context", "json_events", "user_retention",
+    "events_rolling_24h")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

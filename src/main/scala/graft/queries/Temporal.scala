@@ -364,6 +364,44 @@ object Temporal {
       |FROM r JOIN c USING (cohort_day)
       |ORDER BY cohort_day, days_since""".stripMargin
 
+  /** Per-event trailing-24h activity: at every event, how many events
+    * (and how much value) the same user produced in the preceding 24
+    * hours INCLUDING this one — the rate-limiting / anomaly-detection
+    * feature a log pipeline computes per record. This is a RANGE window
+    * frame (bounded by time, not row count) over epoch-micros: the frame
+    * a rows-frame can't express when per-user event density varies, and
+    * deliberately the one frame kind the relational family's windows
+    * don't already cover.
+    *
+    * One shuffle on user_id (high-cardinality, unskewed); the range
+    * frame is evaluated with a sliding two-pointer pass per partition —
+    * O(n) state, never materializing the frame. Value sums are
+    * integer cents (order-independent), bounds are exact µs arithmetic,
+    * and RANGE includes timestamp ties identically on both engines. */
+  def eventsRolling24h(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-dayUs, 0)
+    Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("val_24h",
+        (sum(round(col("value") * 100).cast("long")).over(w)
+          .cast("double") / 100))
+      .select("event_id", "user_id", "ts", "n_24h", "val_24h")
+      .orderBy("event_id")
+  }
+
+  val eventsRolling24hSql: String =
+    """SELECT event_id, user_id, ts,
+      |       count(*) OVER w AS n_24h,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS val_24h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -373,6 +411,7 @@ object Temporal {
     "event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "group_sample"      -> ((s, d) => groupSample(s, d)),
     "user_retention"    -> ((s, d) => userRetention(s, d)),
+    "events_rolling_24h" -> ((s, d) => eventsRolling24h(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,5 +423,6 @@ object Temporal {
     "event_transitions" -> eventTransitionsSql,
     "group_sample"      -> groupSampleSql,
     "user_retention"    -> userRetentionSql,
+    "events_rolling_24h" -> eventsRolling24hSql,
   )
 }

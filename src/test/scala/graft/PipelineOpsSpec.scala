@@ -253,6 +253,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("events_rolling_24h: matches an in-memory recompute of the range frame") {
+    val rows = queries.Temporal.eventsRolling24h(spark, sf).collect()
+    val events = Tables.eventsTs(spark, sf)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + (r.getTimestamp(2).getNanos / 1000) % 1000,
+        Math.round(r.getDouble(3) * 100)))
+    val byUser = events.groupBy(_._2)
+    val dayUs = 24L * 3600 * 1000000
+    val expected = events.map { case (id, uid, ts, _) =>
+      val in = byUser(uid).filter(e => e._3 > ts - dayUs - 1 && e._3 <= ts)
+      id -> (in.length.toLong, in.map(_._4).sum / 100.0)
+    }.toMap
+    assert(rows.length == events.length)
+    rows.foreach { r =>
+      val (n, v) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_24h") == n, s"event ${r.getLong(0)}")
+      assert(math.abs(r.getAs[Double]("val_24h") - v) < 1e-9)
+    }
+  }
+
   test("dup_pair_sources: matrix cells telescope to the simhash pair count") {
     val cells = queries.Dedup.dupPairSources(spark, sf).collect()
     val nPairs = queries.Dedup.simhashDedup(spark, sf).count()
