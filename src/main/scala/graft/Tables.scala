@@ -45,7 +45,14 @@ object Tables {
     * reference's job-submission surface. `events` registers with the
     * normalized µs timestamp. */
   def registerViews(s: SparkSession, d: String): Unit = names.foreach { n =>
-    val df = if (n == "events") eventsTs(s, d) else apply(s, d, n)
-    df.createOrReplaceTempView(n)
+    // partial corpora (ScaleProbe synthesizes only the table families a
+    // probe needs) register what they have; a view for an absent table
+    // would fail here anyway, just less legibly
+    val p = new org.apache.hadoop.fs.Path(d, s"$n.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val df = if (n == "events") eventsTs(s, d) else apply(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
   }
 }

@@ -507,6 +507,40 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** The ONE shared SQL text for [[sqlAboveAvgOrders]] — the Spark side
+    * executes it verbatim through `spark.sql` over the registered views,
+    * and the oracle hands the identical string to DuckDB, which is the
+    * strongest possible cross-engine claim for the SQL surface. */
+  private val aboveAvgOrdersSqlText: String =
+    """WITH oc AS (SELECT o_custkey,
+      |                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |            FROM orders)
+      |SELECT o.o_custkey AS custkey, count(*) AS n_above
+      |FROM oc o
+      |WHERE o.cents * (SELECT count(*) FROM oc i WHERE i.o_custkey = o.o_custkey)
+      |      > (SELECT sum(i.cents) FROM oc i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Registered query that runs THROUGH the `spark.sql` surface: each
+    * customer's orders priced above that customer's own average — the
+    * classic correlated-scalar-subquery shape (two correlated aggregates,
+    * which Catalyst decorrelates into per-custkey aggregate joins: one
+    * shuffle on the correlation key, never a per-row re-scan). The
+    * above-average test is cents·n > Σcents — pure integers, so no
+    * double average ever exists to diverge between engines.
+    *
+    * The other 23 relational queries pin the DataFrame API; this one
+    * pins the SQL entry path end-to-end (views + parser + decorrelation)
+    * inside the same oracle gate, running the IDENTICAL SQL text on both
+    * engines. */
+  def sqlAboveAvgOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(aboveAvgOrdersSqlText)
+  }
+
+  val sqlAboveAvgOrdersSql: String = aboveAvgOrdersSqlText
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
@@ -526,6 +560,7 @@ object Relational {
     "distinct_part_kinds" -> ((s, d) => distinctPartKinds(s, d)),
     "scalar_battery"      -> ((s, d) => scalarBattery(s, d)),
     "approx_distinct_parts" -> ((s, d) => approxDistinctParts(s, d)),
+    "sql_above_avg_orders" -> ((s, d) => sqlAboveAvgOrders(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,6 +581,7 @@ object Relational {
     "set_ops_nations"      -> setOpsNationsSql,
     "distinct_part_kinds"  -> distinctPartKindsSql,
     "scalar_battery"       -> scalarBatterySql,
+    "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
     // approx_distinct_parts: intentionally no oracle (approximate result)
   )
 }

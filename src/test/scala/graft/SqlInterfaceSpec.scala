@@ -33,6 +33,27 @@ class SqlInterfaceSpec extends AnyFunSuite {
     assert(sqlResult == dfResult && sqlResult.nonEmpty)
   }
 
+  test("sql_above_avg_orders decorrelates — no nested-loop join in the plan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = queries.Relational.sqlAboveAvgOrders(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bad = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"correlated subquery did not decorrelate:\n${plan.toString.take(1500)}")
+    // every customer with >1 distinct price has at least one above-average
+    // order; count sanity against the distinct customer base
+    val n = df.count()
+    val customers = Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey").distinct().count()
+    assert(n > 0 && n <= customers)
+  }
+
   test("array_dot works over SQL views (extension function end-to-end)") {
     Tables.registerViews(spark, TestSpark.sf)
     val n = spark.sql(
