@@ -37,6 +37,7 @@ object ScaleProbe {
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
     "token_histogram", "source_divergence", "embedding_centroids",
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
+    "lang_confusion",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 
@@ -45,7 +46,7 @@ object ScaleProbe {
     "events_funnel", "event_transitions", "events_sessions",
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
     "events_error_context", "json_events", "user_retention",
-    "events_rolling_24h")
+    "events_rolling_24h", "events_pivot_daily")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

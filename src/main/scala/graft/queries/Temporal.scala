@@ -402,6 +402,30 @@ object Temporal {
       |             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Daily event-type pivot: one row per day, one column per event type
+    * — the wide-format report table (`pivot` is the reshaping operator
+    * every BI layer asks of an engine). The type list is EXPLICIT, which
+    * matters twice: the output schema is deterministic, and Spark skips
+    * the extra values-discovery job an unlisted pivot runs over the
+    * corpus first. One grouped agg; output is |days| rows. */
+  def eventsPivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsTs(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("view", "click", "purchase", "error", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val eventsPivotDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(*) FILTER (WHERE event_type = 'view') AS "view",
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -412,6 +436,7 @@ object Temporal {
     "group_sample"      -> ((s, d) => groupSample(s, d)),
     "user_retention"    -> ((s, d) => userRetention(s, d)),
     "events_rolling_24h" -> ((s, d) => eventsRolling24h(s, d)),
+    "events_pivot_daily" -> ((s, d) => eventsPivotDaily(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,5 +449,6 @@ object Temporal {
     "group_sample"      -> groupSampleSql,
     "user_retention"    -> userRetentionSql,
     "events_rolling_24h" -> eventsRolling24hSql,
+    "events_pivot_daily" -> eventsPivotDailySql,
   )
 }

@@ -39,7 +39,12 @@ object TextAnalysis {
     * preference order (en > de > fr > es) on ties. The fixture's `lang`
     * column is a generator label, not a property of the (English-ish)
     * token soup — so the output keeps both for confusion analysis. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langScoredFrame(spark, sfDir).orderBy("doc_id")
+
+  /** [[langId]] without the presentation sort ([[langConfusion]]
+    * re-shuffles straight into its rollup). */
+  private def langScoredFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
     val withHits = stopwords.foldLeft(base) { case (df, (l, ws)) =>
@@ -53,7 +58,6 @@ object TextAnalysis {
           .when(de >= fr && de >= es, "de")
           .when(fr >= es, "fr").otherwise("es"))
       .select("doc_id", "lang", "pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es")
-      .orderBy("doc_id")
   }
 
   val langIdSql: String = {
@@ -74,6 +78,35 @@ object TextAnalysis {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Confusion rollup of [[langId]]: generator label × predicted
+    * language with doc counts — the eval readout that says whether the
+    * classifier (or the labels) can be trusted before `lang` gates any
+    * filtering decision. Folds the per-doc frame to ≤|langs|² rows; the
+    * argmax inside langId is already deterministic, so the rollup is
+    * exact. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langScoredFrame(spark, sfDir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  val langConfusionSql: String =
+    s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
+       |SELECT doc_id, lang, CASE
+       |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+       |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+       |         WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |       ${stopwords.map { case (l, ws) =>
+                val set = ws.map(w => s"'$w'").mkString(", ")
+                s"len(list_filter(t, x -> x IN ($set))) AS hits_$l"
+              }.mkString(",\n       ")}
+       |      FROM (SELECT doc_id, lang,
+       |                   list_filter(string_split_regex(lower(text), '\\W+'),
+       |                               x -> length(x) > 0) AS t
+       |            FROM documents)))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
   // Quality scoring
@@ -1172,6 +1205,7 @@ object TextAnalysis {
     "token_histogram"  -> ((s, d) => tokenHistogram(s, d)),
     "source_divergence" -> ((s, d) => sourceDivergence(s, d)),
     "quality_percentile_gate" -> ((s, d) => qualityPercentileGate(s, d)),
+    "lang_confusion"   -> ((s, d) => langConfusion(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1191,5 +1225,6 @@ object TextAnalysis {
     "token_histogram"  -> tokenHistogramSql,
     "source_divergence" -> sourceDivergenceSql,
     "quality_percentile_gate" -> qualityPercentileGateSql,
+    "lang_confusion"   -> langConfusionSql,
   )
 }

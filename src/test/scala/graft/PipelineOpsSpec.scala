@@ -253,6 +253,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("lang_confusion and events_pivot_daily: rollups partition their inputs") {
+    val conf = queries.TextAnalysis.langConfusion(spark, sf).collect()
+    assert(conf.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    val pivot = queries.Temporal.eventsPivotDaily(spark, sf).collect()
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val cells = pivot.map(r => types.map(t => r.getAs[Long](t)).sum).sum
+    assert(cells == Tables.events(spark, sf).count())
+    assert(pivot.map(_.getAs[java.sql.Date]("day")).distinct.length == pivot.length)
+  }
+
   test("events_rolling_24h: matches an in-memory recompute of the range frame") {
     val rows = queries.Temporal.eventsRolling24h(spark, sf).collect()
     val events = Tables.eventsTs(spark, sf)
