@@ -426,6 +426,56 @@ object Temporal {
       |       count(*) FILTER (WHERE event_type = 'signup') AS signup
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Per-event z-score against the SAME user's value distribution — the
+    * feature-engineering/anomaly standardization a log pipeline emits per
+    * record ("is this purchase unusual FOR THIS USER"). The user moments
+    * (n, Σcents, Σcents² in decimal(38,0) — cents² sums overflow long at
+    * 100 TB group sizes, the stats_agg lesson) come from one grouped agg
+    * joined back on user_id. No broadcast hint on purpose: the moment
+    * frame is |users|-sized, which AQE can broadcast at fixture scale
+    * but must shuffle-join when a 100 TB corpus has 10⁸ users — both
+    * sides already key on user_id, so it's one co-partitioned exchange.
+    *
+    * Determinism: moments are exact integers; mean/std/z are the same
+    * literal double expressions on both engines ([[Det]] r4 at the end).
+    * Single-event or constant-valued users get z = null (no variance to
+    * standardize against), matching SQL NULL semantics cross-engine. */
+  def eventsZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val mom = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("scc"))
+    // population variance in cents²: (n·Σc² − (Σc)²) / n²
+    val varNum = col("scc").cast("double") * col("n") -
+      col("sc").cast("double") * col("sc")
+    ev.join(mom, "user_id")
+      .withColumn("mean_c", col("sc").cast("double") / col("n"))
+      .withColumn("sd_c", sqrt(varNum / (col("n").cast("double") * col("n"))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("c").cast("double") / 100).as("value"),
+        Det.r(col("mean_c") / 100, 4).as("user_mean"),
+        Det.r(when(col("sd_c") > 0,
+          (col("c") - col("mean_c")) / col("sd_c")), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val eventsZscoreSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |                  CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events),
+       |m AS (SELECT user_id, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+       |      FROM e GROUP BY user_id)
+       |SELECT event_id, user_id, event_type,
+       |       CAST(c AS DOUBLE) / 100 AS value,
+       |       ${Det.rSql("(CAST(sc AS DOUBLE) / n) / 100", 4)} AS user_mean,
+       |       ${Det.rSql(
+              "CASE WHEN sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) > 0 " +
+              "THEN (c - CAST(sc AS DOUBLE) / n) / sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) END", 4)} AS z
+       |FROM e JOIN m USING (user_id)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -437,6 +487,7 @@ object Temporal {
     "user_retention"    -> ((s, d) => userRetention(s, d)),
     "events_rolling_24h" -> ((s, d) => eventsRolling24h(s, d)),
     "events_pivot_daily" -> ((s, d) => eventsPivotDaily(s, d)),
+    "events_zscore"     -> ((s, d) => eventsZscore(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +501,6 @@ object Temporal {
     "user_retention"    -> userRetentionSql,
     "events_rolling_24h" -> eventsRolling24hSql,
     "events_pivot_daily" -> eventsPivotDailySql,
+    "events_zscore"     -> eventsZscoreSql,
   )
 }

@@ -253,6 +253,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("events_zscore: per-user standardization has zero mean and unit variance") {
+    val rows = queries.Temporal.eventsZscore(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (uid, ms) =>
+      val zs = ms.filter(!_.isNullAt(ms.head.fieldIndex("z")))
+        .map(_.getAs[Double]("z"))
+      if (zs.nonEmpty) {
+        // 4dp rounding on each z bounds the drift of the moments
+        assert(math.abs(zs.sum / zs.length) < 1e-3, s"user $uid mean")
+        val v = zs.map(z => z * z).sum / zs.length
+        assert(math.abs(v - 1.0) < 1e-2, s"user $uid var $v")
+      } else {
+        // z is null only when the user's values are constant
+        assert(ms.map(_.getAs[Double]("value")).distinct.length == 1, s"user $uid")
+      }
+    }
+  }
+
   test("lang_confusion and events_pivot_daily: rollups partition their inputs") {
     val conf = queries.TextAnalysis.langConfusion(spark, sf).collect()
     assert(conf.map(_.getAs[Long]("n_docs")).sum ==
