@@ -59,7 +59,7 @@ object ScaleProbe {
     "distinct_part_kinds", "set_ops_nations", "rollup_orders",
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
-    "sql_above_avg_orders")
+    "sql_above_avg_orders", "part_affinity")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L

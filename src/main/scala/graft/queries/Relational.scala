@@ -507,6 +507,40 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  private val AffinityTopN = 50
+
+  /** Market-basket part affinity: the top co-ordered part pairs with
+    * support counts — the classic co-occurrence analytic. The self-join
+    * on orderkey is the fan-out to control at scale: pairs per order
+    * grow as k², so the lineitems are first deduped to DISTINCT
+    * (order, part) and the join emits each unordered pair once
+    * (p_a < p_b). TPC-H-shaped orders hold ~4 lines, so the blowup is
+    * ~6 pairs/order — bounded fan-out, one shuffle on orderkey, then a
+    * map-side-combined pair agg. An adversarial mega-order (k in the
+    * thousands) would need a per-order line cap before the join; real
+    * order data doesn't, and the shape documents the knob.
+    * Top-N via TakeOrderedAndProject (never a global sort). */
+  def partAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(AffinityTopN)
+  }
+
+  val partAffinitySql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem)
+       |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+       |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, part_a, part_b
+       |LIMIT $AffinityTopN""".stripMargin
+
   /** The ONE shared SQL text for [[sqlAboveAvgOrders]] — the Spark side
     * executes it verbatim through `spark.sql` over the registered views,
     * and the oracle hands the identical string to DuckDB, which is the
@@ -561,6 +595,7 @@ object Relational {
     "scalar_battery"      -> ((s, d) => scalarBattery(s, d)),
     "approx_distinct_parts" -> ((s, d) => approxDistinctParts(s, d)),
     "sql_above_avg_orders" -> ((s, d) => sqlAboveAvgOrders(s, d)),
+    "part_affinity"       -> ((s, d) => partAffinity(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -582,6 +617,7 @@ object Relational {
     "distinct_part_kinds"  -> distinctPartKindsSql,
     "scalar_battery"       -> scalarBatterySql,
     "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
+    "part_affinity"        -> partAffinitySql,
     // approx_distinct_parts: intentionally no oracle (approximate result)
   )
 }
