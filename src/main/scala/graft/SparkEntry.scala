@@ -67,6 +67,12 @@ object SparkEntry {
     "quality_percentile_gate" -> ((s, d, a) =>
       TextAnalysis.qualityPercentileGate(s, d,
         a.getOrElse("drop_pct", "0.25").toDouble)),
+    "token_histogram" -> ((s, d, a) =>
+      TextAnalysis.tokenHistogram(s, d, a.getOrElse("bin_tokens", "64").toInt)),
+    "events_rolling_24h" -> ((s, d, a) =>
+      Temporal.eventsRolling24h(s, d, a.getOrElse("window_hours", "24").toInt)),
+    "part_affinity" -> ((s, d, a) =>
+      Relational.partAffinity(s, d, a.getOrElse("top_n", "50").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -520,7 +520,9 @@ object Relational {
     * thousands) would need a per-order line cap before the join; real
     * order data doesn't, and the shape documents the knob.
     * Top-N via TakeOrderedAndProject (never a global sort). */
-  def partAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+  def partAffinity(spark: SparkSession, sfDir: String,
+                   topN: Int = AffinityTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
     val op = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -529,7 +531,7 @@ object Relational {
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
-      .limit(AffinityTopN)
+      .limit(topN)
   }
 
   val partAffinitySql: String =

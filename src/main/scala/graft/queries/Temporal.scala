@@ -378,8 +378,10 @@ object Temporal {
     * O(n) state, never materializing the frame. Value sums are
     * integer cents (order-independent), bounds are exact µs arithmetic,
     * and RANGE includes timestamp ties identically on both engines. */
-  def eventsRolling24h(spark: SparkSession, sfDir: String): DataFrame = {
-    val dayUs = 24L * 3600 * 1000000
+  def eventsRolling24h(spark: SparkSession, sfDir: String,
+                       windowHours: Int = 24): DataFrame = {
+    require(windowHours > 0, s"windowHours must be positive, got $windowHours")
+    val dayUs = windowHours.toLong * 3600 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
       .rangeBetween(-dayUs, 0)
     Tables.eventsTs(spark, sfDir)

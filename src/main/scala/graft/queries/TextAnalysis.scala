@@ -769,19 +769,21 @@ object TextAnalysis {
     * small-int division — no width_bucket dialect variance), and the
     * within-source share divides two exact integers broadcast-joined
     * from a |sources|-row agg. */
-  def tokenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+  def tokenHistogram(spark: SparkSession, sfDir: String,
+                     binTokens: Int = HistBinTokens): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
     val docs = Tables.documents(spark, sfDir)
       .select(col("source"), size(toks(col("text"))).as("n_tokens"))
     val binned = docs.withColumn("bin",
-      floor(col("n_tokens").cast("double") / HistBinTokens).cast("long"))
+      floor(col("n_tokens").cast("double") / binTokens).cast("long"))
     val per = binned.groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),
         min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
     val totals = binned.groupBy("source").agg(count(lit(1)).as("source_docs"))
     per.join(broadcast(totals), "source")
       .select(col("source"), col("bin"),
-        (col("bin") * HistBinTokens).as("lo_tokens"),
-        (col("bin") * HistBinTokens + (HistBinTokens - 1)).as("hi_tokens"),
+        (col("bin") * binTokens).as("lo_tokens"),
+        (col("bin") * binTokens + (binTokens - 1)).as("hi_tokens"),
         col("n_docs"), col("min_tokens"), col("max_tokens"),
         Det.r(col("n_docs").cast("double") / col("source_docs"), 6).as("share"))
       .orderBy("source", "bin")

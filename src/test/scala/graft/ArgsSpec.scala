@@ -167,6 +167,22 @@ class ArgsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_histogram honors bin_tokens; rolling window honors window_hours; affinity honors top_n") {
+    val hist = SparkEntry.queriesWithArgs("token_histogram")
+    // finer bins -> at least as many (source, bin) rows
+    val coarse = hist(spark, sf, Map("bin_tokens" -> "128")).count()
+    val fine = hist(spark, sf, Map("bin_tokens" -> "16")).count()
+    assert(fine >= coarse)
+    val roll = SparkEntry.queriesWithArgs("events_rolling_24h")
+    val w1 = roll(spark, sf, Map("window_hours" -> "1"))
+      .agg(org.apache.spark.sql.functions.sum("n_24h")).head().getLong(0)
+    val w48 = roll(spark, sf, Map("window_hours" -> "48"))
+      .agg(org.apache.spark.sql.functions.sum("n_24h")).head().getLong(0)
+    assert(w48 > w1)  // wider window strictly sees more activity
+    val aff = SparkEntry.queriesWithArgs("part_affinity")
+    assert(aff(spark, sf, Map("top_n" -> "10")).count() == 10)
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
