@@ -510,25 +510,29 @@ object Relational {
   private val AffinityTopN = 50
 
   /** Market-basket part affinity: the top co-ordered part pairs with
-    * support counts — the classic co-occurrence analytic. The self-join
-    * on orderkey is the fan-out to control at scale: pairs per order
-    * grow as k², so the lineitems are first deduped to DISTINCT
-    * (order, part) and the join emits each unordered pair once
-    * (p_a < p_b). TPC-H-shaped orders hold ~4 lines, so the blowup is
-    * ~6 pairs/order — bounded fan-out, one shuffle on orderkey, then a
-    * map-side-combined pair agg. An adversarial mega-order (k in the
-    * thousands) would need a per-order line cap before the join; real
-    * order data doesn't, and the shape documents the knob.
-    * Top-N via TakeOrderedAndProject (never a global sort). */
+    * support counts — the classic co-occurrence analytic. NOT the
+    * textbook self-join: Spark does not reuse the distinct exchange
+    * across a re-aliased self-join (verified — both sides scan and
+    * shuffle the corpus), so the baskets are built ONCE per order
+    * (collect_list over distinct (order, part), state bounded by basket
+    * size) and the unordered pairs are emitted by an indexed transform
+    * over the sorted list — codegen'd, each pair exactly once (sorted ⇒
+    * a < b). TPC-H-shaped orders hold ~4 lines → ~6 pairs/order; an
+    * adversarial mega-order would get a `slice` cap on the basket before
+    * pairing, and this shape is where that knob naturally lives. One
+    * scan, one shuffle per aggregation level, top-N via
+    * TakeOrderedAndProject (never a global sort). */
   def partAffinity(spark: SparkSession, sfDir: String,
                    topN: Int = AffinityTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    val op = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(topN)

@@ -304,6 +304,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("part_affinity: basket shape scans the corpus once, no join at all") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val df = queries.Relational.partAffinity(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves()
+    assert(scans.length == 1, s"expected 1 scan:\n${plan.toString.take(1200)}")
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.isEmpty, "pair generation should not join")
+    // pair math sanity: a 4-part basket contributes C(4,2)=6 pairs
+    assert(df.collect().forall(_.getAs[Long]("n_orders") >= 1))
+  }
+
   test("dup_pair_sources: matrix cells telescope to the simhash pair count") {
     val cells = queries.Dedup.dupPairSources(spark, sf).collect()
     val nPairs = queries.Dedup.simhashDedup(spark, sf).count()
