@@ -398,6 +398,53 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // End-of-pipeline export (gate → split → partitioned sink → manifest)
+  // --------------------------------------------------------------------
+
+  /** The pipeline's terminal materialization: gate-surviving docs land in
+    * a split-partitioned parquet dataset, and the query returns the
+    * read-back MANIFEST (per-split doc/token totals + id range) — so the
+    * oracle gate covers the composed gate→split→write→read round trip,
+    * not just each stage in isolation (the F8/F9 story at pipeline
+    * level, the way wordcount_tsv covers the raw text sink).
+    *
+    * `partitionBy(split)` is the layout decision that matters at 100 TB:
+    * a training run reads ONLY its split's directories (partition
+    * pruning at the source), and the 3-way split keys keep file counts
+    * sane. The write is session-keyed like the other sink round-trips
+    * (no cross-run collisions); the manifest agg is one shuffle over the
+    * read-back. */
+  def pipelineExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = TextJobs.tmpOut(spark, "graft_export_", sfDir)
+    val b = Temporal.bucketCol(col("doc_id"))
+    qualityGateFrame(Tables.documents(spark, sfDir))
+      .filter(col("keep"))
+      .withColumn("split",
+        when(b < 5, "test").when(b < 10, "val").otherwise("train"))
+      .select("doc_id", "n_tokens", "split")
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+  }
+
+  val pipelineExportSql: String =
+    s"""WITH $repetitionBaseSqlCte,
+       |kept AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN ${Temporal.bucketSql("doc_id")} < 5 THEN 'test'
+       |              WHEN ${Temporal.bucketSql("doc_id")} < 10 THEN 'val'
+       |              ELSE 'train' END AS split
+       |  FROM rb
+       |  WHERE NOT (n_tokens < 20 OR dup_bigram_frac > 0.05))
+       |SELECT split, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM kept GROUP BY split ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------------------
   // Sequence packing (fixed token budget)
   // --------------------------------------------------------------------
 
@@ -1208,6 +1255,7 @@ object TextAnalysis {
     "source_divergence" -> ((s, d) => sourceDivergence(s, d)),
     "quality_percentile_gate" -> ((s, d) => qualityPercentileGate(s, d)),
     "lang_confusion"   -> ((s, d) => langConfusion(s, d)),
+    "pipeline_export"  -> ((s, d) => pipelineExport(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1228,5 +1276,6 @@ object TextAnalysis {
     "source_divergence" -> sourceDivergenceSql,
     "quality_percentile_gate" -> qualityPercentileGateSql,
     "lang_confusion"   -> langConfusionSql,
+    "pipeline_export"  -> pipelineExportSql,
   )
 }

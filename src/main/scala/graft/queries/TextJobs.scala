@@ -175,7 +175,7 @@ object TextJobs {
     * sfDir must not race on one overwrite target (within a session the
     * path is stable, so repeated construction just overwrites its own
     * output — what the byte-stability double-Verify run expects). */
-  private def tmpOut(spark: SparkSession, prefix: String, sfDir: String): String = {
+  private[queries] def tmpOut(spark: SparkSession, prefix: String, sfDir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_")

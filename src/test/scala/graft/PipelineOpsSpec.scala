@@ -304,6 +304,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_export: manifest telescopes to the gate, and the layout partition-prunes") {
+    val manifest = queries.TextAnalysis.pipelineExport(spark, sf).collect()
+    val kept = queries.TextAnalysis.qualityGate(spark, sf)
+      .filter(col("keep")).count()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == kept)
+    assert(manifest.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // the written dataset prunes at the source when a split is selected
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_export_")).maxBy(_.lastModified).getAbsolutePath
+    val train = spark.read.parquet(dir).filter(col("split") === "train")
+    val planStr = train.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("split"),
+      s"no partition pruning:\n${planStr.take(800)}")
+    assert(train.count() ==
+      manifest.find(_.getString(0) == "train").get.getAs[Long]("n_docs"))
+  }
+
   test("part_affinity: basket shape scans the corpus once, no join at all") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec}
