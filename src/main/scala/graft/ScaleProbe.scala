@@ -37,7 +37,7 @@ object ScaleProbe {
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
     "token_histogram", "source_divergence", "embedding_centroids",
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
-    "lang_confusion", "pipeline_export",
+    "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
 

@@ -73,6 +73,8 @@ object SparkEntry {
       Temporal.eventsRolling24h(s, d, a.getOrElse("window_hours", "24").toInt)),
     "part_affinity" -> ((s, d, a) =>
       Relational.partAffinity(s, d, a.getOrElse("top_n", "50").toInt)),
+    "mixture_apply" -> ((s, d, a) =>
+      TextAnalysis.mixtureApply(s, d, a.getOrElse("rate", "0.5").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -800,6 +800,58 @@ object TextAnalysis {
        |FROM sh CROSS JOIN pt
        |ORDER BY source""".stripMargin
 
+  private val MixApplyRate = 0.5
+
+  /** APPLY the [[mixtureWeights]]: downsample the corpus to ~`rate` of
+    * its docs, reshaped toward the α-flattened mixture — each source
+    * keeps docs at rate·boost (boost = q_s/p_s), so over-represented
+    * sources thin out and rare sources keep (capped at 1.0: a filter
+    * can't upsample — boosts above 1/rate need epoch repetition on the
+    * training side, which is the standard split of responsibilities).
+    * Selection is the md5-threshold rule (hash(doc_id) mod 10⁶ <
+    * rate·boost·10⁶, both sides exact integers) — deterministic,
+    * re-ingestion-stable, and consistent with split_assign's bucketing
+    * so resampling never migrates docs across splits.
+    *
+    * One corpus scan joined to the broadcast |sources|-row rate frame;
+    * output is the per-source audit (kept vs target). */
+  def mixtureApply(spark: SparkSession, sfDir: String,
+                   rate: Double = MixApplyRate): DataFrame = {
+    require(rate > 0 && rate <= 1, s"need 0 < rate <= 1, got $rate")
+    val rates = mixtureWeights(spark, sfDir)
+      .select(col("source"),
+        least(floor(lit(rate) * col("boost") * 1e6 + 0.5), lit(1000000.0))
+          .cast("long").as("rate_micros"))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    Tables.documents(spark, sfDir)
+      .select(col("source"), h.as("h"))
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("h") < col("rate_micros")).cast("long")).as("n_kept"),
+        max("rate_micros").as("rate_micros"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        Det.r(col("rate_micros").cast("double") / 1e6, 6).as("target_rate"))
+      .orderBy("source")
+  }
+
+  val mixtureApplySql: String =
+    s"""WITH mw AS ($mixtureWeightsSql),
+       |r AS (SELECT source,
+       |             CAST(least(floor($MixApplyRate * boost * 1e6 + 0.5), 1000000.0)
+       |                  AS BIGINT) AS rate_micros
+       |      FROM mw),
+       |d AS (SELECT source,
+       |             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |                  AS UBIGINT) AS BIGINT) % 1000000 AS h
+       |      FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN h < rate_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       ${Det.rSql("CAST(rate_micros AS DOUBLE) / 1e6", 6)} AS target_rate
+       |FROM d JOIN r USING (source)
+       |GROUP BY source, rate_micros ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------------
   // Token-length histogram (dataset-card length distribution)
   // --------------------------------------------------------------------
@@ -1256,6 +1308,7 @@ object TextAnalysis {
     "quality_percentile_gate" -> ((s, d) => qualityPercentileGate(s, d)),
     "lang_confusion"   -> ((s, d) => langConfusion(s, d)),
     "pipeline_export"  -> ((s, d) => pipelineExport(s, d)),
+    "mixture_apply"    -> ((s, d) => mixtureApply(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1277,5 +1330,6 @@ object TextAnalysis {
     "quality_percentile_gate" -> qualityPercentileGateSql,
     "lang_confusion"   -> langConfusionSql,
     "pipeline_export"  -> pipelineExportSql,
+    "mixture_apply"    -> mixtureApplySql,
   )
 }

@@ -304,6 +304,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture_apply: kept counts track the capped per-source rates") {
+    val rows = queries.TextAnalysis.mixtureApply(spark, sf).collect()
+    rows.foreach { r =>
+      val target = r.getAs[Double]("target_rate")
+      assert(target >= 0 && target <= 1)
+      val kept = r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_docs")
+      // 25 docs/source at sf0.01 -> binomial noise; bound loosely
+      assert(math.abs(kept - target) < 0.35, s"${r.getString(0)}: $kept vs $target")
+    }
+    // a higher global rate keeps at least as many docs everywhere
+    val hi = queries.TextAnalysis.mixtureApply(spark, sf, rate = 0.9).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    rows.foreach(r => assert(hi(r.getString(0)) >= r.getAs[Long]("n_kept")))
+  }
+
   test("pipeline_export: manifest telescopes to the gate, and the layout partition-prunes") {
     val manifest = queries.TextAnalysis.pipelineExport(spark, sf).collect()
     val kept = queries.TextAnalysis.qualityGate(spark, sf)
