@@ -53,6 +53,10 @@ object Tables {
     if (fs.exists(p)) {
       val df = if (n == "events") eventsTs(s, d) else apply(s, d, n)
       df.createOrReplaceTempView(n)
+    } else {
+      // drop any stale view from a previous registerViews(otherDir) —
+      // leaving it would silently serve the OTHER corpus's data to SQL
+      s.catalog.dropTempView(n)
     }
   }
 }

@@ -399,20 +399,27 @@ object Similarity {
           .as("centroid"))
       .orderBy("label", "pos")
 
+  /** Shared DuckDB CTE chain for the per-(label, dim) micros-integerised
+    * centroid sums — the ONE definition both [[embeddingCentroidsSql]]
+    * and [[centroidAssignSql]] build on, so the integerisation can never
+    * drift between the prototype report and the assignment that uses it. */
+  private val centroidSqlCtes: String =
+    """cv AS (SELECT vec_id, label,
+      |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |cu AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM cv),
+      |cp AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      |              CAST(floor(v[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT) AS x_micros
+      |       FROM cu),
+      |cg AS (SELECT label, pos, count(*) AS n_vecs,
+      |              CAST(sum(x_micros) AS BIGINT) AS sum_micros
+      |       FROM cp GROUP BY 1, 2)""".stripMargin
+
   val embeddingCentroidsSql: String =
-    s"""WITH v AS (SELECT label,
-       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |u AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM v),
-       |p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-       |             CAST(floor(v[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT) AS x_micros
-       |      FROM u),
-       |g AS (SELECT label, pos, count(*) AS n_vecs,
-       |             CAST(sum(x_micros) AS BIGINT) AS sum_micros
-       |      FROM p GROUP BY 1, 2)
+    s"""WITH $centroidSqlCtes
        |SELECT label, pos, n_vecs,
        |       ${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)} AS centroid
-       |FROM g ORDER BY label, pos""".stripMargin
+       |FROM cg ORDER BY label, pos""".stripMargin
 
   /** Nearest-centroid assignment + confusion matrix: every vector is
     * assigned to its closest label prototype (squared L2, expanded as
@@ -453,25 +460,16 @@ object Similarity {
   }
 
   val centroidAssignSql: String =
-    s"""WITH v AS (SELECT vec_id, label,
-       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |u AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM v),
-       |p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-       |             CAST(floor(v[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT) AS x_micros
-       |      FROM u),
-       |g AS (SELECT label, pos, count(*) AS n_vecs,
-       |             CAST(sum(x_micros) AS BIGINT) AS sum_micros
-       |      FROM p GROUP BY 1, 2),
+    s"""WITH $centroidSqlCtes,
        |cent AS (SELECT label AS c_label,
        |                list(${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)}
        |                     ORDER BY pos) AS c
-       |         FROM g GROUP BY label),
+       |         FROM cg GROUP BY label),
        |scored AS (
        |  SELECT vec_id, label AS true_label, c_label,
        |         list_dot_product(v, v) - 2 * list_dot_product(v, c)
        |           + list_dot_product(c, c) AS dist
-       |  FROM v CROSS JOIN cent),
+       |  FROM cv CROSS JOIN cent),
        |best AS (
        |  SELECT vec_id, true_label, c_label,
        |         row_number() OVER (PARTITION BY vec_id

@@ -449,16 +449,22 @@ object Temporal {
     val mom = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("c").as("sc"),
         sum((col("c") * col("c")).cast("decimal(38,0)")).as("scc"))
-    // population variance in cents²: (n·Σc² − (Σc)²) / n²
+    // population variance NUMERATOR in cents²: n·Σc² − (Σc)². The null
+    // guard tests THIS, not sqrt(var) > 0: past 2^53 the two double
+    // products can round to a tiny negative for a constant-valued user,
+    // sqrt goes NaN, and NaN > 0 is TRUE under Spark's total ordering —
+    // NaN would leak into z where the contract says null
     val varNum = col("scc").cast("double") * col("n") -
       col("sc").cast("double") * col("sc")
     ev.join(mom, "user_id")
       .withColumn("mean_c", col("sc").cast("double") / col("n"))
-      .withColumn("sd_c", sqrt(varNum / (col("n").cast("double") * col("n"))))
+      .withColumn("var_num", varNum)
+      .withColumn("sd_c",
+        sqrt(col("var_num") / (col("n").cast("double") * col("n"))))
       .select(col("event_id"), col("user_id"), col("event_type"),
         (col("c").cast("double") / 100).as("value"),
         Det.r(col("mean_c") / 100, 4).as("user_mean"),
-        Det.r(when(col("sd_c") > 0,
+        Det.r(when(col("var_num") > 0,
           (col("c") - col("mean_c")) / col("sd_c")), 4).as("z"))
       .orderBy("event_id")
   }
@@ -473,7 +479,7 @@ object Temporal {
        |       CAST(c AS DOUBLE) / 100 AS value,
        |       ${Det.rSql("(CAST(sc AS DOUBLE) / n) / 100", 4)} AS user_mean,
        |       ${Det.rSql(
-              "CASE WHEN sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) > 0 " +
+              "CASE WHEN CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) > 0 " +
               "THEN (c - CAST(sc AS DOUBLE) / n) / sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) END", 4)} AS z
        |FROM e JOIN m USING (user_id)
        |ORDER BY event_id""".stripMargin

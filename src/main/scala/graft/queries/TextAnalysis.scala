@@ -60,12 +60,17 @@ object TextAnalysis {
       .select("doc_id", "lang", "pred_lang", "hits_en", "hits_de", "hits_fr", "hits_es")
   }
 
-  val langIdSql: String = {
+  /** Shared DuckDB CTE for the per-doc language scores + argmax — the ONE
+    * definition [[langIdSql]] and [[langConfusionSql]] both build on
+    * (the SQL twin of [[langScoredFrame]]), so the tie-break preference
+    * order can never drift between the per-doc report and the rollup. */
+  private val langScoredSqlCte: String = {
     val hits = stopwords.map { case (l, ws) =>
       val set = ws.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(t, x -> x IN ($set))) AS hits_$l"
     }.mkString(",\n       ")
-    s"""SELECT doc_id, lang, CASE
+    s"""lsc AS (
+       |SELECT doc_id, lang, CASE
        |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
        |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
        |         WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang,
@@ -75,9 +80,13 @@ object TextAnalysis {
        |      FROM (SELECT doc_id, lang,
        |                   list_filter(string_split_regex(lower(text), '\\W+'),
        |                               x -> length(x) > 0) AS t
-       |            FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |            FROM documents)))""".stripMargin
   }
+
+  val langIdSql: String =
+    s"""WITH $langScoredSqlCte
+       |SELECT doc_id, lang, pred_lang, hits_en, hits_de, hits_fr, hits_es
+       |FROM lsc ORDER BY doc_id""".stripMargin
 
   /** Confusion rollup of [[langId]]: generator label × predicted
     * language with doc counts — the eval readout that says whether the
@@ -92,21 +101,9 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
 
   val langConfusionSql: String =
-    s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
-       |SELECT doc_id, lang, CASE
-       |         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
-       |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
-       |         WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang
-       |FROM (SELECT doc_id, lang,
-       |       ${stopwords.map { case (l, ws) =>
-                val set = ws.map(w => s"'$w'").mkString(", ")
-                s"len(list_filter(t, x -> x IN ($set))) AS hits_$l"
-              }.mkString(",\n       ")}
-       |      FROM (SELECT doc_id, lang,
-       |                   list_filter(string_split_regex(lower(text), '\\W+'),
-       |                               x -> length(x) > 0) AS t
-       |            FROM documents)))
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""WITH $langScoredSqlCte
+       |SELECT lang, pred_lang, count(*) AS n_docs
+       |FROM lsc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------
   // Quality scoring
@@ -158,33 +155,45 @@ object TextAnalysis {
           .when(col("quality_score") >= 0.4, "medium").otherwise("low"))
   }
 
-  val textQualitySql: String = {
+  /** Shared DuckDB CTE for the per-doc quality columns — the SQL twin of
+    * [[qualityScoredFrame]], and the ONE place the score formula lives on
+    * the oracle side: [[textQualitySql]] and [[qualityPercentileGateSql]]
+    * both build on it, so a weight tweak can never make the gate rank by
+    * a different score than text_quality reports. */
+  private val qualityScoredSqlCte: String = {
     val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
     val score = r4Sql("""0.3 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
              + 0.3 * type_token_ratio
              + 0.2 * stopword_ratio
              + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))""")
-    s"""SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    s"""qsc AS (
+       |SELECT doc_id, source, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
        |       punct_ratio, stopword_ratio, type_token_ratio,
        |       $score AS quality_score,
        |       CASE WHEN $score >= 0.6 THEN 'high'
        |            WHEN $score >= 0.4 THEN 'medium'
        |            ELSE 'low' END AS quality_bucket
        |FROM (
-       |  SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len, punct_ratio,
+       |  SELECT doc_id, source, n_chars, n_tokens, n_distinct_tokens, avg_token_len, punct_ratio,
        |         ${r4Sql(s"CAST(len(list_filter(t, x -> x IN ($set))) AS DOUBLE) / greatest(n_tokens, 1)")} AS stopword_ratio,
        |         ${r4Sql("CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1)")} AS type_token_ratio
        |  FROM (
-       |    SELECT doc_id, t, length(text) AS n_chars, len(t) AS n_tokens,
+       |    SELECT doc_id, source, t, length(text) AS n_chars, len(t) AS n_tokens,
        |           len(list_distinct(t)) AS n_distinct_tokens,
        |           ${r4Sql("CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)")} AS avg_token_len,
        |           ${r4Sql("CAST(len(string_split_regex(text, '[^\\w\\s]')) - 1 AS DOUBLE) / greatest(length(text), 1)")} AS punct_ratio
-       |    FROM (SELECT doc_id, text,
+       |    FROM (SELECT doc_id, source, text,
        |                 list_filter(string_split_regex(lower(text), '\\W+'),
        |                             x -> length(x) > 0) AS t
-       |          FROM documents)))
-       |ORDER BY doc_id""".stripMargin
+       |          FROM documents))))""".stripMargin
   }
+
+  val textQualitySql: String =
+    s"""WITH $qualityScoredSqlCte
+       |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+       |       punct_ratio, stopword_ratio, type_token_ratio,
+       |       quality_score, quality_bucket
+       |FROM qsc ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Relative (percentile) quality gate
@@ -218,7 +227,11 @@ object TextAnalysis {
     require(dropPct >= 0 && dropPct < 1, s"need 0 <= dropPct < 1, got $dropPct")
     import org.apache.spark.sql.expressions.Window
     // 3 narrow columns — cached so the heavy quality kernel runs ONCE
-    // (the histogram branch and the probe side would each re-run it)
+    // (the histogram branch and the probe side would each re-run it:
+    // measured 61 s vs 16 s at 500k docs). This IS a corpus-sized cache,
+    // but a ~24 B/row projection of it: storage is evictable under
+    // pressure (recompute, not failure), and the suite harnesses clear
+    // caches between queries so it never outlives its query
     val scored = qualityScoredFrame(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("source"), col("quality_score"))
       .cache()
@@ -242,34 +255,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val qualityPercentileGateSql: String = {
-    val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    val score = r4Sql("""0.3 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
-             + 0.3 * type_token_ratio
-             + 0.2 * stopword_ratio
-             + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))""")
-    s"""WITH q AS (
-       |  SELECT doc_id, source, $score AS quality_score
-       |  FROM (
-       |    SELECT doc_id, source, n_tokens,
-       |           ${r4Sql(s"CAST(len(list_filter(t, x -> x IN ($set))) AS DOUBLE) / greatest(n_tokens, 1)")} AS stopword_ratio,
-       |           ${r4Sql("CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1)")} AS type_token_ratio,
-       |           punct_ratio
-       |    FROM (
-       |      SELECT doc_id, source, t, len(t) AS n_tokens,
-       |             len(list_distinct(t)) AS n_distinct_tokens,
-       |             ${r4Sql("CAST(len(string_split_regex(text, '[^\\w\\s]')) - 1 AS DOUBLE) / greatest(length(text), 1)")} AS punct_ratio
-       |      FROM (SELECT doc_id, source, text,
-       |                   list_filter(string_split_regex(lower(text), '\\W+'),
-       |                               x -> length(x) > 0) AS t
-       |            FROM documents))))
+  val qualityPercentileGateSql: String =
+    s"""WITH $qualityScoredSqlCte
        |SELECT doc_id, source, quality_score,
        |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score) AS pct_rank,
        |       percent_rank() OVER (PARTITION BY source ORDER BY quality_score)
        |         >= $GateDropPct
        |         OR count(*) OVER (PARTITION BY source) = 1 AS keep
-       |FROM q ORDER BY doc_id""".stripMargin
-  }
+       |FROM qsc ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Repetition signals + composite quality gate
@@ -417,13 +410,15 @@ object TextAnalysis {
   def pipelineExport(spark: SparkSession, sfDir: String): DataFrame = {
     val out = TextJobs.tmpOut(spark, "graft_export_", sfDir)
     val b = Temporal.bucketCol(col("doc_id"))
-    qualityGateFrame(Tables.documents(spark, sfDir))
+    val kept = qualityGateFrame(Tables.documents(spark, sfDir))
       .filter(col("keep"))
       .withColumn("split",
         when(b < 5, "test").when(b < 10, "val").otherwise("train"))
       .select("doc_id", "n_tokens", "split")
-      .write.mode("overwrite").partitionBy("split").parquet(out)
-    spark.read.parquet(out)
+    kept.write.mode("overwrite").partitionBy("split").parquet(out)
+    // explicit schema: a fully-gated corpus writes zero files and schema
+    // inference would throw instead of returning the empty manifest
+    spark.read.schema(kept.schema).parquet(out)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))

@@ -264,6 +264,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Similarity.centroidAssign(spark, empty).collect().isEmpty)
   }
 
+  test("pipeline_export: a fully-gated corpus exports an empty manifest, not a crash") {
+    // every edge doc fails the 20-token gate -> zero files written
+    assert(queries.TextAnalysis.pipelineExport(spark, edge).collect().isEmpty)
+    assert(queries.TextAnalysis.pipelineExport(spark, empty).collect().isEmpty)
+  }
+
+  test("registerViews drops stale views for tables absent from the new corpus") {
+    Tables.registerViews(spark, TestSpark.sf)
+    assert(spark.catalog.tableExists("orders"))
+    // edge fixture has only documents + embeddings: the orders view from
+    // the previous corpus must NOT survive and silently serve stale data
+    Tables.registerViews(spark, edge)
+    assert(!spark.catalog.tableExists("orders"))
+    assert(spark.catalog.tableExists("documents"))
+    Tables.registerViews(spark, TestSpark.sf)  // restore for other specs
+    assert(spark.catalog.tableExists("orders"))
+  }
+
   test("embedding_quantize and q8 top-k: zero vectors are excluded, not divided by") {
     val dir = fixture("zerovec",
       docs = Seq((1L, "x", "en", "web", 1L)),
