@@ -484,6 +484,67 @@ object Temporal {
        |FROM e JOIN m USING (user_id)
        |ORDER BY event_id""".stripMargin
 
+  private val PathLen = 3
+  private val PathTopN = 25
+
+  /** Top session-opening paths: sessionize (4 h inactivity gap, the
+    * [[graft.streaming.StreamingJobs.sessions4h]] boundary rule), take
+    * each session's first 3 event types in (ts, event_id) order, and
+    * count the resulting paths — "how do sessions start", the sequence-
+    * mining readout behind onboarding and funnel-entry analysis.
+    *
+    * Two window passes on user_id (gaps-and-islands sid, then the
+    * within-session rank — both shuffle-compatible: the second window's
+    * (user_id, sid) partitioning is a refinement of the first's, so
+    * Spark reuses the exchange), a per-session ordered fold to the path
+    * string, and a bounded path agg. Output ≤ |event_types|³ rows before
+    * the top-N; ties break on path text. */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wSess = Window.partitionBy("user_id", "sid")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wUser).isNull ||
+          col("ts") - lag(col("ts"), 1).over(wUser) >= expr("INTERVAL 4 HOURS"),
+          1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(wSess))
+      .filter(col("rk") <= PathLen)
+      .groupBy("user_id", "sid")
+      .agg(concat_ws("->",
+        transform(sort_array(collect_list(struct(col("rk"), col("event_type")))),
+          s => s.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopN)
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, ts, event_id, event_type,
+       |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM o),
+       |r AS (SELECT user_id, sid, event_type,
+       |             row_number() OVER (PARTITION BY user_id, sid
+       |                                ORDER BY ts, event_id) AS rk
+       |      FROM s),
+       |p AS (SELECT user_id, sid,
+       |             string_agg(event_type, '->' ORDER BY rk) AS path
+       |      FROM r WHERE rk <= $PathLen GROUP BY user_id, sid)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path ASC
+       |LIMIT $PathTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -496,6 +557,7 @@ object Temporal {
     "events_rolling_24h" -> ((s, d) => eventsRolling24h(s, d)),
     "events_pivot_daily" -> ((s, d) => eventsPivotDaily(s, d)),
     "events_zscore"     -> ((s, d) => eventsZscore(s, d)),
+    "session_paths"     -> ((s, d) => sessionPaths(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +572,6 @@ object Temporal {
     "events_rolling_24h" -> eventsRolling24hSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "events_zscore"     -> eventsZscoreSql,
+    "session_paths"     -> sessionPathsSql,
   )
 }

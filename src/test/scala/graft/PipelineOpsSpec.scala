@@ -253,6 +253,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_terms") <= vocab))
   }
 
+  test("session_paths: paths are valid type sequences bounded by the session count") {
+    val rows = queries.Temporal.sessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val types = Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val steps = r.getString(0).split("->")
+      assert(steps.nonEmpty && steps.length <= 3)
+      steps.foreach(t => assert(types.contains(t), s"bad step $t"))
+    }
+    // counts are presented in non-increasing order and can't exceed the
+    // total session count from the sessions query
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val totalSessions = graft.streaming.StreamingJobs
+      .sessions4h(Tables.eventsTs(spark, sf)).count()
+    assert(counts.sum <= totalSessions)
+  }
+
   test("events_zscore: per-user standardization has zero mean and unit variance") {
     val rows = queries.Temporal.eventsZscore(spark, sf).collect()
     assert(rows.length == Tables.events(spark, sf).count())
