@@ -52,12 +52,24 @@ object Bench {
       val okTimes = Seq((t1, ok1), (t2, ok2)).collect { case (t, true) => t }
       (n, if (okTimes.nonEmpty) okTimes.min else math.min(t1, t2), okTimes.nonEmpty)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line short enough that a tail-capture
+    // of driver stdout retains every per-query entry (the r3 artifact
+    // head-truncated 29 of 92 entries off a full-double-precision line)
+    def ms(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"sf":"$sfDir"}"""
+    // durable copy: the stdout artifact is a bounded tail-capture, so the
+    // authoritative full record also lands on disk next to the run
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
+    // LAST line, so tail-capture truncation can only cut earlier log noise
+    println(json)
     spark.stop()
   }
 }

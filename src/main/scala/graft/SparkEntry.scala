@@ -72,7 +72,8 @@ object SparkEntry {
     "events_rolling_24h" -> ((s, d, a) =>
       Temporal.eventsRolling24h(s, d, a.getOrElse("window_hours", "24").toInt)),
     "part_affinity" -> ((s, d, a) =>
-      Relational.partAffinity(s, d, a.getOrElse("top_n", "50").toInt)),
+      Relational.partAffinity(s, d, a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
     "mixture_apply" -> ((s, d, a) =>
       TextAnalysis.mixtureApply(s, d, a.getOrElse("rate", "0.5").toDouble)),
   )

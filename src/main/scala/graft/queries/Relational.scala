@@ -508,6 +508,7 @@ object Relational {
       .orderBy("l_returnflag")
 
   private val AffinityTopN = 50
+  private val AffinityMaxBasket = 256
 
   /** Market-basket part affinity: the top co-ordered part pairs with
     * support counts — the classic co-occurrence analytic. NOT the
@@ -515,16 +516,28 @@ object Relational {
     * across a re-aliased self-join (verified — both sides scan and
     * shuffle the corpus), so the baskets are built ONCE per order
     * (collect_list over distinct (order, part), state bounded by basket
-    * size) and the unordered pairs are emitted by an indexed transform
-    * over the sorted list — codegen'd, each pair exactly once (sorted ⇒
-    * a < b). TPC-H-shaped orders hold ~4 lines → ~6 pairs/order; an
-    * adversarial mega-order would get a `slice` cap on the basket before
-    * pairing, and this shape is where that knob naturally lives. One
-    * scan, one shuffle per aggregation level, top-N via
+    * size) and the unordered pairs are emitted by an indexed loop over
+    * the sorted list — each pair exactly once (sorted ⇒ a < b).
+    *
+    * BASKET CAP (the skew guard): one adversarial mega-order with k
+    * distinct parts emits k²/2 pairs FROM A SINGLE TASK — a 100k-part
+    * order is 5·10⁹ pairs, one executor's memory and the stage's
+    * wall-clock. The sorted basket is therefore sliced to its first
+    * `maxBasket` parts (ascending partkey — deterministic, engine-
+    * reproducible) before pairing, bounding per-row fan-out at
+    * C(maxBasket, 2) ≈ 32k pairs. A basket that size is data corruption
+    * or bot traffic, not co-purchase signal — the cap loses only pairs
+    * whose support evidence was already suspect. TPC-H-shaped orders
+    * hold ~4 lines, so the default cap is invisible at every fixture
+    * and probe scale; the DuckDB oracle applies the IDENTICAL cap via
+    * a per-order partkey rank so both engines verify capped semantics.
+    * One scan, one shuffle per aggregation level, top-N via
     * TakeOrderedAndProject (never a global sort). */
   def partAffinity(spark: SparkSession, sfDir: String,
-                   topN: Int = AffinityTopN): DataFrame = {
+                   topN: Int = AffinityTopN,
+                   maxBasket: Int = AffinityMaxBasket): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
+    require(maxBasket > 1, s"maxBasket must be > 1, got $maxBasket")
     import spark.implicits._
     // pair emission is a typed flatMap KERNEL, not nested higher-order
     // functions: transform/slice/flatten sit outside whole-stage codegen
@@ -536,11 +549,12 @@ object Relational {
       .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
       .select(col("ps")).as[Seq[Long]]
       .flatMap { ps =>
+        val n = math.min(ps.length, maxBasket)  // the skew cap
         val b = Seq.newBuilder[(Long, Long)]
         var i = 0
-        while (i < ps.length - 1) {
+        while (i < n - 1) {
           var j = i + 1
-          while (j < ps.length) { b += ((ps(i), ps(j))); j += 1 }
+          while (j < n) { b += ((ps(i), ps(j))); j += 1 }
           i += 1
         }
         b.result()
@@ -554,9 +568,13 @@ object Relational {
 
   val partAffinitySql: String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-       |            FROM lineitem)
+       |            FROM lineitem),
+       |r AS (SELECT ok, pk,
+       |             row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk
+       |      FROM op)
        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
-       |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |FROM r a JOIN r b ON a.ok = b.ok AND a.pk < b.pk
+       |WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $AffinityTopN""".stripMargin

@@ -161,32 +161,55 @@ object Similarity {
   // IVF (inverted-file) ANN
   // --------------------------------------------------------------------
 
-  private val IvfCells = 16
+  private val IvfMinCells = 16
+  private val IvfCellsCap = 65536
   private val IvfIters = 3
   private val NProbe = 4
 
+  /** Cell count DERIVED from corpus size — the `derivedPackShards` move
+    * ([[TextAnalysis]]): a hardcoded 16 makes per-query probe cost
+    * nProbe·n/16 — LINEAR in n, so at 500k vectors 4 probes covered 25%
+    * of the space and the "ANN" path was a slow exact scan (the r3
+    * recall@5 = 1.00 tell). cells ≈ √(n/2) balances the two per-query
+    * costs that trade against each other — centroid scoring (∝ cells)
+    * and member re-rank (∝ nProbe·n/cells) — both O(√n). The floor
+    * keeps corpora ≤ 512 vectors at exactly 16 cells (the fixture-scale
+    * layout SimilaritySpec's recall bound was measured on); the cap
+    * bounds driver-side model state (65536×64 doubles = 33 MB). */
+  private[graft] def derivedIvfCells(nVecs: Long): Int =
+    math.min(IvfCellsCap.toLong,
+      math.max(IvfMinCells.toLong,
+        math.round(math.sqrt(nVecs.toDouble / 2.0)))).toInt
+
   /** IVF ANN: deterministic spherical k-means coarse quantizer (init =
-    * unit vectors of vec_id 0..15, `IvfIters` = 3 Lloyd iterations, ties
-    * to the lowest cell), then per-query search probes the NProbe nearest
-    * cells and
-    * exact-re-ranks only their members — the classic FAISS IVF topology.
+    * unit vectors of the first `cells` vec_ids, `IvfIters` = 3 Lloyd
+    * iterations, ties to the lowest cell), then per-query search probes
+    * the NProbe nearest cells and exact-re-ranks only their members —
+    * the classic FAISS IVF topology. `cells` = [[derivedIvfCells]](n).
     *
     * Distribution contract: vectors never leave the cluster; each Lloyd
     * iteration is one distributed assign+reduce, and only the k centroid
     * rows (k×64 doubles — model state, not data) come back to the driver
-    * to be rebroadcast. At 100 TB: same loop, k in the thousands, train
-    * on a sample; search cost = |probed cells| ≈ NProbe·n/k per query.
+    * to be re-broadcast via a real `sparkContext.broadcast` (NOT the task
+    * closure — at the 65536-cell cap the model is 33 MB, which torrent
+    * broadcast ships once per executor instead of once per task). At
+    * 100 TB: same loop, √n cells, train on a sample; per-query search
+    * cost = cells + nProbe·n/cells ≈ O(√n), not O(n).
     * Rows-only check (approximate recall); SimilaritySpec bounds
-    * recall@5 against the brute-force baseline. */
+    * recall@5 against the brute-force baseline at fixture scale and
+    * ScaleProbe re-measures it at ≥100×. */
   def annCosineIvf(spark: SparkSession, sfDir: String,
                    nProbe: Int = NProbe): DataFrame = {
-    require(nProbe > 0 && nProbe <= IvfCells,
-      s"nProbe must be in 1..$IvfCells, got $nProbe")
+    require(nProbe > 0 && nProbe <= IvfMinCells,
+      s"nProbe must be in 1..$IvfMinCells, got $nProbe")
     import spark.implicits._
     val unit = vecs(spark, sfDir)
       .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]
       .map { case (id, v, n) => (id, v.toArray.map(_ / n).toSeq) }
       .toDF("vec_id", "u").cache()
+    // one count action against the (about-to-be-cached) unit frame; the
+    // cells→n curve is the whole point, so the count is not optional
+    val cells = derivedIvfCells(unit.count())
 
     def nearestCell(cs: Array[Array[Double]], u: Seq[Double]): Int = {
       var best = 0; var bestDot = Double.NegativeInfinity
@@ -201,11 +224,11 @@ object Similarity {
     }
 
     var centroids: Array[Array[Double]] = unit.as[(Long, Seq[Double])]
-      .filter(_._1 < IvfCells).collect().sortBy(_._1).map(_._2.toArray)
+      .filter(_._1 < cells).collect().sortBy(_._1).map(_._2.toArray)
     for (_ <- 1 to IvfIters) {
-      val cs = centroids
+      val bcIter = spark.sparkContext.broadcast(centroids)
       val next = unit.as[(Long, Seq[Double])]
-        .map { case (_, u) => (nearestCell(cs, u), u) }
+        .map { case (_, u) => (nearestCell(bcIter.value, u), u) }
         .groupByKey(_._1)
         .mapGroups { (cell, it) =>
           val sum = new Array[Double](Dim); var n = 0L
@@ -218,16 +241,18 @@ object Similarity {
           (cell, (if (norm > 0) sum.map(_ / norm) else sum).toSeq)
         }.collect()  // k rows of model state, not data
       next.foreach { case (cell, c) => centroids(cell) = c.toArray }
+      bcIter.destroy()
     }
 
-    val cs = centroids
+    val bc = spark.sparkContext.broadcast(centroids)
     val assigned = unit.as[(Long, Seq[Double])]
-      .map { case (id, u) => (id, nearestCell(cs, u)) }
+      .map { case (id, u) => (id, nearestCell(bc.value, u)) }
       .toDF("vec_id", "cell")
     // each query probes its NProbe nearest cells
     val probes = unit.as[(Long, Seq[Double])]
       .filter(_._1 < NumQueries)
       .flatMap { case (qid, u) =>
+        val cs = bc.value
         val scored = cs.zipWithIndex.map { case (w, c) =>
           var s = 0.0; var i = 0
           while (i < w.length) { s += w(i) * u(i); i += 1 }

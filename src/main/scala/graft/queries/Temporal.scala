@@ -446,9 +446,12 @@ object Temporal {
     val ev = Tables.eventsTs(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("c"))
+    // cast BEFORE the multiply: c*c in LongType wraps silently past
+    // |value| ≈ $30.4M (c ≈ 3e9 cents); the decimal product is exact and
+    // matches the oracle's decimal multiply instead of diverging
     val mom = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("c").as("sc"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("scc"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"))
     // population variance NUMERATOR in cents²: n·Σc² − (Σc)². The null
     // guard tests THIS, not sqrt(var) > 0: past 2^53 the two double
     // products can round to a tiny negative for a constant-valued user,
@@ -473,7 +476,8 @@ object Temporal {
     s"""WITH e AS (SELECT event_id, user_id, event_type,
        |                  CAST(round(value * 100) AS BIGINT) AS c
        |           FROM events),
-       |m AS (SELECT user_id, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+       |m AS (SELECT user_id, count(*) AS n, sum(c) AS sc,
+       |             sum(CAST(c AS DECIMAL(38,0)) * c) AS scc
        |      FROM e GROUP BY user_id)
        |SELECT event_id, user_id, event_type,
        |       CAST(c AS DOUBLE) / 100 AS value,

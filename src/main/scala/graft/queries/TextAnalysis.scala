@@ -978,6 +978,7 @@ object TextAnalysis {
   // --------------------------------------------------------------------
 
   private val ContamGram = 8   // 8-TOKEN n-grams (the eval-dedup standard)
+  private val ContamMaxDf = 1000 // default boilerplate df cap (both engines)
 
   /** Exploded (doc_id, fingerprint) pairs: md5-derived int64 hashes of
     * distinct 8-token shingles. Token-level grams, not the winnowing
@@ -1037,10 +1038,12 @@ object TextAnalysis {
     * deliberately stays UNcapped: contamination reads as "fraction of
     * this test doc's shingle mass that verbatim-overlaps train", and a
     * doc made entirely of boilerplate should read 0 (clean), not 0/0.
-    * At fixture scale (500 docs < default cap 1000) the hot set is empty
-    * and the output is bit-identical to the uncapped oracle. */
+    * The DuckDB oracle carries the SAME df>maxDf hot-set exclusion
+    * (its `hot` CTE), so both engines verify the SHIPPED
+    * capped semantics — not the uncapped special case a cool fixture
+    * happens to coincide with. */
   def contaminationCheck(spark: SparkSession, sfDir: String,
-                         maxDf: Int = 1000): DataFrame = {
+                         maxDf: Int = ContamMaxDf): DataFrame = {
     // cache: four consumers below (hot set, test counts, test join side,
     // train join side) would otherwise each re-run the shingle+md5 kernel
     // over the full corpus — three extra 100 TB passes
@@ -1085,10 +1088,13 @@ object TextAnalysis {
        |       FROM sh),
        |t AS (SELECT doc_id, fp FROM fp WHERE bucket < 5),
        |tr AS (SELECT doc_id AS train_doc, fp FROM fp WHERE bucket >= 10),
+       |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > $ContamMaxDf),
+       |tc AS (SELECT doc_id, fp FROM t WHERE fp NOT IN (SELECT fp FROM hot)),
+       |trc AS (SELECT train_doc, fp FROM tr WHERE fp NOT IN (SELECT fp FROM hot)),
        |nf AS (SELECT doc_id, count(DISTINCT fp) AS n_fps FROM t GROUP BY doc_id),
-       |c AS (SELECT t.doc_id, count(DISTINCT t.fp) AS n_shared_fps,
-       |             count(DISTINCT tr.train_doc) AS n_train_docs
-       |      FROM t JOIN tr ON t.fp = tr.fp GROUP BY t.doc_id)
+       |c AS (SELECT tc.doc_id, count(DISTINCT tc.fp) AS n_shared_fps,
+       |             count(DISTINCT trc.train_doc) AS n_train_docs
+       |      FROM tc JOIN trc ON tc.fp = trc.fp GROUP BY tc.doc_id)
        |SELECT nf.doc_id, n_fps,
        |       coalesce(n_shared_fps, 0) AS n_shared_fps,
        |       coalesce(n_train_docs, 0) AS n_train_docs,

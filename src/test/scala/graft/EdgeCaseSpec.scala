@@ -161,6 +161,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(capped.getAs[Long]("n_train_docs") == 1)
   }
 
+  test("part_affinity: mega-order basket is capped, genuine pairs unaffected") {
+    // one adversarial 10k-part order (uncapped: C(10k,2) ≈ 50M pairs from
+    // ONE task) + two normal orders sharing a genuine pair
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_affinity").getAbsolutePath
+    val mega = (0 until 10000).map(i => (1L, 100000L + i))
+    val normal = Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+    (mega ++ normal).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = queries.Relational.partAffinity(spark, dir, topN = 50000).collect()
+    // the genuinely repeated pair ranks first
+    assert(rows.head.getAs[Long]("part_a") == 1L)
+    assert(rows.head.getAs[Long]("part_b") == 2L)
+    assert(rows.head.getAs[Long]("n_orders") == 2L)
+    // mega-order contributes C(256,2) pairs (its 256 SMALLEST partkeys),
+    // not C(10000,2)
+    assert(rows.length == 256 * 255 / 2 + 1)
+    val megaPairs = rows.filter(_.getAs[Long]("part_a") >= 100000L)
+    assert(megaPairs.forall(r => r.getAs[Long]("part_b") <= 100255L))
+    // a tighter cap tightens the bound: first pair per basket only
+    val tight = queries.Relational
+      .partAffinity(spark, dir, topN = 50000, maxBasket = 2).collect()
+    assert(tight.length == 2)
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&

@@ -34,7 +34,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
-  test("IVF recall@5 >= 0.85 vs brute force (16 cells, 4 probes)") {
+  test("derivedIvfCells: sqrt(n/2) clamped to [16, 65536]") {
+    import queries.Similarity.derivedIvfCells
+    assert(derivedIvfCells(0) == 16)
+    assert(derivedIvfCells(500) == 16)    // sf0.01 fixture: floor holds
+    assert(derivedIvfCells(512) == 16)    // boundary of the floor
+    assert(derivedIvfCells(5000) == 50)   // sf0.1 bench layout
+    assert(derivedIvfCells(500000) == 500)
+    assert(derivedIvfCells(1000000) == 707)
+    assert(derivedIvfCells(Long.MaxValue / 4) == 65536) // cap holds
+    // monotone non-decreasing over decades
+    val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(derivedIvfCells)
+    assert(pts.zip(pts.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("IVF recall@5 >= 0.85 vs brute force (derived cells — 16 at fixture, 4 probes)") {
     val truth = queries.Similarity.bruteForceTopK(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val got = queries.Similarity.annCosineIvf(spark, sf)
