@@ -73,6 +73,15 @@ object ScaleProbe {
     val nEvents = if (args.length > 4) args(4).toLong else 0L
     val relScale = if (args.length > 5) args(5).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_PROBE_REUSE=1: skip synthesis for tables already in
+    // `dir` — lets a multi-batch sweep over one big corpus (100M events
+    // takes minutes to write) generate once and probe many times. The
+    // generators are deterministic LCG, so a reused corpus is identical
+    // to a regenerated one; the caller owns deleting a stale dir when
+    // changing n.
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
+    def have(table: String): Boolean =
+      reuse && new java.io.File(s"$dir/$table.parquet/_SUCCESS").exists()
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,7 +90,7 @@ object ScaleProbe {
     // -- synthesize documents: LCG text over the fixture vocabulary;
     //    every 100th doc is a near-dup of its predecessor (one token off)
     def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
-    spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
+    if (!have("documents")) spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val base = if (id % 100 == 99) id - 1 else id   // near-dup source
@@ -104,7 +113,7 @@ object ScaleProbe {
 
     // -- synthesize embeddings: unit-ish LCG vectors; every 50th is a
     //    near-copy of its predecessor (tiny perturbation)
-    spark.range(nVecs).select(col("id").as("vec_id")).as[Long]
+    if (!have("embeddings")) spark.range(nVecs).select(col("id").as("vec_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val base = if (id % 50 == 49) id - 1 else id
@@ -126,7 +135,7 @@ object ScaleProbe {
     //    5 weighted event types, 2-dp values, {"k": int} props. `ts` is
     //    written as BIGINT epoch-nanos (µs-aligned) — Tables.eventsTs
     //    normalizes it exactly as it does the fixture's TIMESTAMP(NANOS).
-    if (nEvents > 0) {
+    if (nEvents > 0 && !have("events")) {
       val nUsers = math.max(1L, nEvents / 67)
       val epoch2024Nanos = 1704067200L * 1000000000L  // 2024-01-01T00:00Z
       val spanMicros = 34L * 24 * 3600 * 1000000L
@@ -162,7 +171,7 @@ object ScaleProbe {
     //    key-consistent while per-customer/part fan-out grows with scale —
     //    what another decade of orders against a stable dimension base
     //    looks like). relScale=10 ≈ TPC-H sf1 row counts.
-    if (relScale > 0) {
+    if (relScale > 0 && !have("lineitem")) {
       val relSrc = sys.env.getOrElse("SPARK_GRAFT_REL_SRC", "/root/testdata/sf0.1")
       Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$relSrc/$t.parquet")
