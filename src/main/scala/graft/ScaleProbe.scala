@@ -39,7 +39,8 @@ object ScaleProbe {
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
-    "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion")
+    "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
+    "winnow_overlap", "token_pmi", "vocab_growth")
 
   /** Queries that read only events — probed when nEvents > 0. */
   private val EventQueries = Seq(

@@ -76,6 +76,10 @@ object SparkEntry {
         a.getOrElse("max_basket", "256").toInt)),
     "mixture_apply" -> ((s, d, a) =>
       TextAnalysis.mixtureApply(s, d, a.getOrElse("rate", "0.5").toDouble)),
+    "winnow_overlap" -> ((s, d, a) =>
+      TextAnalysis.winnowOverlap(s, d, a.getOrElse("top_n", "50").toInt)),
+    "token_pmi" -> ((s, d, a) =>
+      TextAnalysis.tokenPmi(s, d, a.getOrElse("top_n", "50").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1290,6 +1290,276 @@ object TextAnalysis {
        |      FROM scored)
        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Winnowing-fingerprint overlap join (MOSS-style near-dup ranking)
+  // --------------------------------------------------------------------
+
+  private val WinnowMaxDf = 256
+  private val WinnowMinShared = 3
+  private val WinnowTopN = 50
+
+  /** Fingerprint-overlap pair ranking — the MOSS move: two docs are
+    * similar when they share many WINNOWING fingerprints (the sampled
+    * k-gram minima [[docFingerprint]] emits), giving a 5th member of the
+    * dedup family at a different granularity: char-k-gram sampled (vs
+    * token-shingle exact in ngram_jaccard, bit-signature in
+    * sim/minhash, embedding in cosine). Containment = shared / smaller
+    * doc's fingerprint count; pairs rank by the raw count ratio
+    * (integer-over-integer division — bit-identical cross-engine) with
+    * (doc_a, doc_b) tie-breaks.
+    *
+    * Scale shape: the ONLY join key is the fingerprint — an inverted
+    * index, never all-pairs. The df > maxDf hot set (boilerplate
+    * k-grams, and the df² join bomb) is dropped from both sides via a
+    * broadcast anti-join BEFORE pairing, the [[contaminationCheck]]
+    * discipline; per-doc denominators stay uncapped (a boilerplate-only
+    * doc reads 0 overlap, not 0/0). Per-doc counts join WITHOUT a
+    * broadcast hint — that frame is |docs|-sized and must shuffle-join
+    * at 100 TB (the pair side is dup-mass-sized, so AQE broadcasts it
+    * instead when it fits). Top-N via TakeOrderedAndProject. */
+  def winnowOverlap(spark: SparkSession, sfDir: String,
+                    topN: Int = WinnowTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    import spark.implicits._
+    val fp = normalized(spark, sfDir)
+      .flatMap { case (id, ns) =>
+        val mins = winnowMins(kgramHashes(ns))
+        val out = new Array[(Long, Long)](mins.size)
+        var i = 0
+        val it = mins.iterator()
+        while (it.hasNext) { out(i) = (id, it.next()); i += 1 }
+        out
+      }.toDF("doc_id", "fp").cache() // fingerprint rows ≈ corpus/K chars — 3 consumers below
+    val nFps = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowMaxDf).select("fp")
+    val cold = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val shared = cold.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(cold.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    shared
+      .join(nFps.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(nFps.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment_raw",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .orderBy(col("containment_raw").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topN)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"), Det.r(col("containment_raw"), 6).as("containment"))
+  }
+
+  /** Oracle: the [[docFingerprintSql]] fingerprint construction unnested
+    * to (doc_id, fp) rows, the same df cap, the same inverted-index
+    * self-join. */
+  val winnowOverlapSql: String = {
+    val pows = (0 until K).map(j =>
+      java.lang.Math.pow(B.toDouble, (K - 1 - j).toDouble).toLong)
+    val terms = (0 until K).map(j =>
+      s"CAST(ascii(substr(ns, i+$j, 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+    s"""WITH hsrc AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(ns) >= $K
+       |              THEN list_transform(range(1, length(ns)-${K - 2}),
+       |                                  i -> $terms)
+       |              ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM (SELECT doc_id,
+       |               trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS ns
+       |        FROM documents)),
+       |fpl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(hs) >= $W
+       |              THEN list_distinct(list_transform(range(1, len(hs)-${W - 2}),
+       |                                 w -> list_min(hs[w:w+${W - 1}])))
+       |              ELSE list_distinct(hs) END AS fps
+       |  FROM hsrc),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+       |nf AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+       |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > $WinnowMaxDf),
+       |cold AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |       FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= $WinnowMinShared)
+       |SELECT doc_a, doc_b, n_shared, na.n AS n_a, nb.n AS n_b,
+       |       ${Det.rSql("CAST(n_shared AS DOUBLE) / least(na.n, nb.n)", 6)} AS containment
+       |FROM sh JOIN nf na ON sh.doc_a = na.doc_id
+       |        JOIN nf nb ON sh.doc_b = nb.doc_id
+       |ORDER BY CAST(n_shared AS DOUBLE) / least(na.n, nb.n) DESC, doc_a, doc_b
+       |LIMIT $WinnowTopN""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Windowed co-occurrence PMI (collocation mining)
+  // --------------------------------------------------------------------
+
+  private val PmiWindow = 4
+  private val PmiMinSupport = 50
+  private val PmiTopN = 50
+
+  /** Pointwise mutual information of token pairs co-occurring within a
+    * ±[[PmiWindow]]-token window — the collocation readout (word2vec's
+    * training signal, phrase-table induction, tokenizer-merge
+    * candidates). A pair slot is (tokᵢ, tokⱼ), i < j ≤ i+window,
+    * UNORDERED (lexicographic normalization); pmi =
+    * ln(n_pair·N / (n_a·n_b)) over pair-slot counts, support-filtered.
+    *
+    * Shape: one typed flatMap kernel emits ≤ window pairs per token
+    * position (the [[graft.queries.Relational.partAffinity]] two-index
+    * loop — no HOF allocation), one (tok_a, tok_b) grouped agg with
+    * map-side combine; marginals fold FROM the pair-count frame (no
+    * second corpus scan) and join WITHOUT broadcast hints — the
+    * marginal frame is vocab-sized, which grows with the corpus; the
+    * one-row total crosses in as the sanctioned scalar funnel. Ranking
+    * uses the raw count ratio (identical IEEE mult/div on both
+    * engines — ln() differs by libm and is confined to the DISPLAYED
+    * value, which [[Det.r]] rounds); ties break lexicographically. */
+  def tokenPmi(spark: SparkSession, sfDir: String,
+               topN: Int = PmiTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    import spark.implicits._
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("text")).as[String]
+      .flatMap { text =>
+        val ts = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty)
+        val b = Seq.newBuilder[(String, String)]
+        var i = 0
+        while (i < ts.length) {
+          val e = math.min(i + PmiWindow, ts.length - 1)
+          var j = i + 1
+          while (j <= e) {
+            b += (if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i)))
+            j += 1
+          }
+          i += 1
+        }
+        b.result()
+      }.toDF("tok_a", "tok_b")
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_pair"))
+      .cache() // observed-pair-bounded (≤ corpus·window slots, vocab²-capped)
+    val marg = pairs.select(col("tok_a").as("tok"), col("n_pair"))
+      .union(pairs.select(col("tok_b").as("tok"), col("n_pair")))
+      .groupBy("tok").agg(sum("n_pair").as("n_tok"))
+    val total = pairs.agg(sum("n_pair").as("n_total"))
+    pairs.filter(col("n_pair") >= PmiMinSupport)
+      .join(marg.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), "tok_a")
+      .join(marg.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), "tok_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_raw",
+        col("n_pair").cast("double") * col("n_total") /
+          (col("n_a").cast("double") * col("n_b")))
+      .orderBy(col("lift_raw").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(topN)
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("n_a"),
+        col("n_b"), Det.r(log(col("lift_raw")), 6).as("pmi"))
+  }
+
+  val tokenPmiSql: String =
+    s"""WITH tk AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+       |                     x -> length(x) > 0) AS t
+       |  FROM documents),
+       |pl AS (
+       |  SELECT unnest(flatten(list_transform(range(1, len(t) + 1),
+       |           i -> list_transform(range(i + 1, least(i + $PmiWindow, len(t)) + 1),
+       |                j -> CASE WHEN t[CAST(i AS INT)] <= t[CAST(j AS INT)]
+       |                          THEN [t[CAST(i AS INT)], t[CAST(j AS INT)]]
+       |                          ELSE [t[CAST(j AS INT)], t[CAST(i AS INT)]] END)))) AS pr
+       |  FROM tk),
+       |pc AS (SELECT pr[1] AS tok_a, pr[2] AS tok_b, count(*) AS n_pair
+       |       FROM pl GROUP BY 1, 2),
+       |mg AS (SELECT tok, CAST(sum(n_pair) AS BIGINT) AS n_tok
+       |       FROM (SELECT tok_a AS tok, n_pair FROM pc
+       |             UNION ALL SELECT tok_b, n_pair FROM pc)
+       |       GROUP BY tok),
+       |tt AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM pc)
+       |SELECT tok_a, tok_b, n_pair, a.n_tok AS n_a, b.n_tok AS n_b,
+       |       ${Det.rSql(
+              "ln(CAST(n_pair AS DOUBLE) * n_total / (CAST(a.n_tok AS DOUBLE) * b.n_tok))", 6)} AS pmi
+       |FROM pc JOIN mg a ON pc.tok_a = a.tok
+       |        JOIN mg b ON pc.tok_b = b.tok
+       |        CROSS JOIN tt
+       |WHERE n_pair >= $PmiMinSupport
+       |ORDER BY CAST(n_pair AS DOUBLE) * n_total / (CAST(a.n_tok AS DOUBLE) * b.n_tok) DESC,
+       |         tok_a, tok_b
+       |LIMIT $PmiTopN""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Vocabulary growth (Heaps-law curve)
+  // --------------------------------------------------------------------
+
+  private val GrowthBuckets = 10
+
+  /** Vocabulary-growth curve: new distinct token types per corpus decile
+    * (by doc_id) plus the cumulative vocabulary — the Heaps-law readout
+    * behind tokenizer sizing and dedup health checks (a corpus whose
+    * curve keeps climbing is still diverse; a flat tail says the crawl
+    * is recycling). Bucket = ⌊doc_id·10/(max_id+1)⌋, a pure function of
+    * doc_id against the one-row max broadcast.
+    *
+    * Shape: one token explode → min(doc_id) per type (ONE shuffle on
+    * the token — first-occurrence is an agg, not a sort), fold to ≤10
+    * bucket rows; occurrences fold in a sibling agg of the same
+    * explode; the cumulative sum is a triangular join over the ≤10-row
+    * bucket frame (bounded — a windowed cumsum would funnel through
+    * SinglePartition). All counts exact integers at any scale. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val maxId = Tables.documents(spark, sfDir).agg(max("doc_id").as("max_id"))
+    def bucketOf(id: Column): Column =
+      floor(id * GrowthBuckets / (col("max_id") + 1)).cast("int")
+    val newTypes = tk.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val occ = tk.crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val cum = occ.select(col("bucket"))
+      .join(newTypes.select(col("bucket").as("b"), col("n_new_types").as("nv")),
+        col("b") <= col("bucket"), "left")
+      .groupBy("bucket")
+      .agg(coalesce(sum("nv"), lit(0L)).as("n_types_cum"))
+    occ
+      .join(newTypes, Seq("bucket"), "left")
+      .join(cum, "bucket")
+      .select(col("bucket"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+        col("n_types_cum"), col("n_occurrences"),
+        Det.r(coalesce(col("n_new_types"), lit(0L)).cast("double") /
+          col("n_occurrences"), 6).as("novelty_rate"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                            x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |fd AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+       |nt AS (SELECT CAST(floor(first_doc * $GrowthBuckets / (max_id + 1)) AS INTEGER) AS bucket,
+       |              count(*) AS n_new_types
+       |       FROM fd CROSS JOIN mx GROUP BY 1),
+       |ob AS (SELECT CAST(floor(doc_id * $GrowthBuckets / (max_id + 1)) AS INTEGER) AS bucket,
+       |              count(*) AS n_occurrences
+       |       FROM tk CROSS JOIN mx GROUP BY 1),
+       |cm AS (SELECT o.bucket,
+       |              CAST(coalesce(sum(n.n_new_types), 0) AS BIGINT) AS n_types_cum
+       |       FROM ob o LEFT JOIN nt n ON n.bucket <= o.bucket
+       |       GROUP BY o.bucket)
+       |SELECT ob.bucket,
+       |       CAST(coalesce(n_new_types, 0) AS BIGINT) AS n_new_types,
+       |       n_types_cum, n_occurrences,
+       |       ${Det.rSql(
+              "CAST(coalesce(n_new_types, 0) AS DOUBLE) / n_occurrences", 6)} AS novelty_rate
+       |FROM ob LEFT JOIN nt USING (bucket) JOIN cm USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -1310,6 +1580,9 @@ object TextAnalysis {
     "lang_confusion"   -> ((s, d) => langConfusion(s, d)),
     "pipeline_export"  -> ((s, d) => pipelineExport(s, d)),
     "mixture_apply"    -> ((s, d) => mixtureApply(s, d)),
+    "winnow_overlap"   -> ((s, d) => winnowOverlap(s, d)),
+    "token_pmi"        -> ((s, d) => tokenPmi(s, d)),
+    "vocab_growth"     -> ((s, d) => vocabGrowth(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1332,5 +1605,8 @@ object TextAnalysis {
     "lang_confusion"   -> langConfusionSql,
     "pipeline_export"  -> pipelineExportSql,
     "mixture_apply"    -> mixtureApplySql,
+    "winnow_overlap"   -> winnowOverlapSql,
+    "token_pmi"        -> tokenPmiSql,
+    "vocab_growth"     -> vocabGrowthSql,
   )
 }

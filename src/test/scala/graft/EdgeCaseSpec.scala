@@ -186,6 +186,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(tight.length == 2)
   }
 
+  test("winnow_overlap, token_pmi, vocab_growth degrade gracefully on edge corpora") {
+    // only docs 5/6 have >= K normalized chars AND duplicate content:
+    // the one pair, full containment; blank/short docs never appear
+    val ov = queries.TextAnalysis.winnowOverlap(spark, edge).collect()
+    assert(ov.length == 1)
+    assert(ov.head.getAs[Long]("doc_a") == 5L && ov.head.getAs[Long]("doc_b") == 6L)
+    assert(ov.head.getAs[Double]("containment") == 1.0)
+    assert(ov.head.getAs[Long]("n_shared") == ov.head.getAs[Long]("n_a"))
+    // support floor (50) exceeds anything a 6-doc corpus can produce
+    assert(queries.TextAnalysis.tokenPmi(spark, edge).collect().isEmpty)
+    // empty corpora yield empty frames, not crashes
+    assert(queries.TextAnalysis.winnowOverlap(spark, empty).collect().isEmpty)
+    assert(queries.TextAnalysis.tokenPmi(spark, empty).collect().isEmpty)
+    assert(queries.TextAnalysis.vocabGrowth(spark, empty).collect().isEmpty)
+    // growth curve telescopes on the tiny corpus too
+    val vg = queries.TextAnalysis.vocabGrowth(spark, edge).collect()
+    val toks = queries.TextJobs.wordcount(spark, edge).collect()
+    assert(vg.map(_.getAs[Long]("n_new_types")).sum == toks.length)
+    assert(vg.map(_.getAs[Long]("n_occurrences")).sum ==
+      toks.map(_.getAs[Long]("cnt")).sum)
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&

@@ -212,6 +212,73 @@ class PipelineOpsSpec extends AnyFunSuite {
       "canonical should scan documents once (quality side only)")
   }
 
+  test("winnow_overlap: bounds hold and the denominator matches doc_fingerprint") {
+    val rows = queries.TextAnalysis.winnowOverlap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val nfp = queries.TextAnalysis.docFingerprint(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_fingerprints")).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 3)
+      // per-doc totals are the UNcapped fingerprint counts — same number
+      // doc_fingerprint reports
+      assert(r.getAs[Long]("n_a") == nfp(a))
+      assert(r.getAs[Long]("n_b") == nfp(b))
+      assert(shared <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val c = r.getAs[Double]("containment")
+      assert(c > 0 && c <= 1.0)
+    }
+    // ranked by containment (rounded view may tie; raw ordering refines it)
+    val cs = rows.map(_.getAs[Double]("containment"))
+    assert(cs.zip(cs.tail).forall { case (x, y) => x + 1e-9 >= y })
+  }
+
+  test("token_pmi: pmi recomputes from the emitted counts and global total") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.TextAnalysis.tokenPmi(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // recompute the pair-slot total the same way the query does
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+    var nTotal = 0L
+    docs.foreach { r =>
+      val n = r.getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\W+").count(_.nonEmpty)
+      var i = 0
+      while (i < n) { nTotal += math.min(4, n - 1 - i); i += 1 }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("tok_a") <= r.getAs[String]("tok_b"))
+      assert(r.getAs[Long]("n_pair") >= 50)
+      val expect = math.floor(math.log(
+        r.getAs[Long]("n_pair").toDouble * nTotal /
+          (r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b"))) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("pmi") - expect) < 1e-9,
+        s"pmi mismatch for ${r.getAs[String]("tok_a")}/${r.getAs[String]("tok_b")}")
+    }
+  }
+
+  test("vocab_growth: telescopes to corpus totals, cumulative is monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.TextAnalysis.vocabGrowth(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    val tk = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\W+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum == tk.count())
+    assert(rows.map(_.getAs[Long]("n_new_types")).sum ==
+      tk.distinct().count())
+    assert(rows.last.getAs[Long]("n_types_cum") == tk.distinct().count())
+    val cum = rows.map(_.getAs[Long]("n_types_cum"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      val nr = r.getAs[Double]("novelty_rate")
+      assert(nr >= 0 && nr <= 1)
+      assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 10)
+    }
+  }
+
   test("user_retention: day-0 is the full cohort, later cells only shrink vs it") {
     val rows = queries.Temporal.userRetention(spark, sf).collect()
     assert(rows.nonEmpty)
