@@ -40,7 +40,7 @@ object ScaleProbe {
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
-    "winnow_overlap", "token_pmi", "vocab_growth")
+    "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts")
 
   /** Queries that read only events — probed when nEvents > 0. */
   private val EventQueries = Seq(
@@ -61,7 +61,7 @@ object ScaleProbe {
     "distinct_part_kinds", "set_ops_nations", "rollup_orders",
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
-    "sql_above_avg_orders", "part_affinity")
+    "sql_above_avg_orders", "part_affinity", "key_skew_report")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L

@@ -579,6 +579,45 @@ object Relational {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $AffinityTopN""".stripMargin
 
+  private val SkewTopN = 20
+
+  /** Key-skew diagnostic over the lineitem part key — the pre-flight
+    * report a 100 TB join plan reads before choosing salting or AQE skew
+    * handling ([[graft.operators.SkewJoin]] is the treatment; this is
+    * the diagnosis): the hottest keys, each with its corpus share and
+    * its ratio to the mean key frequency. One grouped count (map-side
+    * combined), a one-row total/cardinality cross (the sanctioned
+    * scalar funnel), top-N via TakeOrderedAndProject — the report costs
+    * one scan regardless of key cardinality. Counts are exact integers;
+    * both ratios are single divisions of exact integers, rounded via
+    * [[Det.r]]; ties break on the key. */
+  def keySkewReport(spark: SparkSession, sfDir: String,
+                    topN: Int = SkewTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        Det.r(col("cnt").cast("double") / col("total"), 6).as("share"),
+        Det.r(col("cnt").cast("double") * col("n_keys") / col("total"), 4)
+          .as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(topN)
+  }
+
+  val keySkewReportSql: String =
+    s"""WITH c AS (SELECT l_partkey, count(*) AS cnt
+       |           FROM lineitem GROUP BY l_partkey),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |             count(*) AS n_keys FROM c)
+       |SELECT l_partkey, cnt,
+       |       ${Det.rSql("CAST(cnt AS DOUBLE) / total", 6)} AS share,
+       |       ${Det.rSql("CAST(cnt AS DOUBLE) * n_keys / total", 4)} AS skew_ratio
+       |FROM c CROSS JOIN t
+       |ORDER BY cnt DESC, l_partkey
+       |LIMIT $SkewTopN""".stripMargin
+
   /** The ONE shared SQL text for [[sqlAboveAvgOrders]] — the Spark side
     * executes it verbatim through `spark.sql` over the registered views,
     * and the oracle hands the identical string to DuckDB, which is the
@@ -634,6 +673,7 @@ object Relational {
     "approx_distinct_parts" -> ((s, d) => approxDistinctParts(s, d)),
     "sql_above_avg_orders" -> ((s, d) => sqlAboveAvgOrders(s, d)),
     "part_affinity"       -> ((s, d) => partAffinity(s, d)),
+    "key_skew_report"     -> ((s, d) => keySkewReport(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -656,6 +696,7 @@ object Relational {
     "scalar_battery"       -> scalarBatterySql,
     "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
     "part_affinity"        -> partAffinitySql,
+    "key_skew_report"      -> keySkewReportSql,
     // approx_distinct_parts: intentionally no oracle (approximate result)
   )
 }

@@ -1560,6 +1560,50 @@ object TextAnalysis {
        |FROM ob LEFT JOIN nt USING (bucket) JOIN cm USING (bucket)
        |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // BPE merge-pair counts (tokenizer training, step one)
+  // --------------------------------------------------------------------
+
+  private val BpeTopN = 50
+
+  /** Adjacent-symbol pair counts over token occurrences — the first
+    * iteration of BPE tokenizer training (count all adjacent character
+    * pairs inside tokens, weighted by occurrence; the argmax is the
+    * first merge). Emitted as the top-[[BpeTopN]] candidate merges.
+    *
+    * Deliberately KERNEL-FREE: tokenize → explode, then the pair stream
+    * is `transform(sequence(...), i -> substring(tok, i, 2))` — all
+    * codegen'd builtins, the whole pipeline is one WholeStageCodegen
+    * span into the pair agg. Counts are exact integers; ties break on
+    * the pair text. One shuffle (pair agg, map-side combined, ≤
+    * |alphabet|² cells), top-N via TakeOrderedAndProject. */
+  def bpePairCounts(spark: SparkSession, sfDir: String,
+                    topN: Int = BpeTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    Tables.documents(spark, sfDir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2) // sequence(1,0) would DESCEND in Spark
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  val bpePairCountsSql: String =
+    s"""SELECT pair, count(*) AS n_occurrences
+       |FROM (
+       |  SELECT unnest(list_transform(range(1, length(tok)),
+       |                i -> substr(tok, CAST(i AS INT), 2))) AS pair
+       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> length(x) > 0)) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) >= 2)
+       |GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair
+       |LIMIT $BpeTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -1583,6 +1627,7 @@ object TextAnalysis {
     "winnow_overlap"   -> ((s, d) => winnowOverlap(s, d)),
     "token_pmi"        -> ((s, d) => tokenPmi(s, d)),
     "vocab_growth"     -> ((s, d) => vocabGrowth(s, d)),
+    "bpe_pair_counts"  -> ((s, d) => bpePairCounts(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1608,5 +1653,6 @@ object TextAnalysis {
     "winnow_overlap"   -> winnowOverlapSql,
     "token_pmi"        -> tokenPmiSql,
     "vocab_growth"     -> vocabGrowthSql,
+    "bpe_pair_counts"  -> bpePairCountsSql,
   )
 }

@@ -256,12 +256,34 @@ object TextJobs {
       .orderBy("event_type")
   }
 
+  /** ORC source/sink round-trip — the second COLUMNAR leg of the source
+    * matrix (parquet is the fixture native; ORC ships built-in with
+    * Spark). Unlike the CSV/JSONL legs there is no schema re-declaration:
+    * ORC stores types natively, so the read-back schema IS the written
+    * one, and stripe stats give the same pushdown behavior as parquet at
+    * scale. The min/max aggregates ride on exactly those stats. Oracle
+    * reads the parquet ORIGINAL — lossless round-trip is the assertion. */
+  def eventsOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpOut(spark, "graft_orc_", sfDir)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        min("event_id").as("min_event"),
+        max("event_id").as("max_event"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
     "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
     "results_limit"      -> ((s, d) => resultsLimit(s, d)),
     "events_csv"         -> ((s, d) => eventsCsv(s, d)),
     "events_jsonl"       -> ((s, d) => eventsJsonl(s, d)),
+    "events_orc"         -> ((s, d) => eventsOrc(s, d)),
     // "error" is the reference default (grep/mapper.py:15) but absent from
     // this corpus's vocabulary; include "scan" so the query is non-vacuous.
     "grep"               -> ((s, d) => grep(s, d, "(error|scan)")),
@@ -285,6 +307,13 @@ object TextJobs {
     "events_csv" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ORC round-trip is lossless (native columnar types) → oracle on the
+    // original parquet, same cents-integerised sum
+    "events_orc" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       min(event_id) AS min_event, max(event_id) AS max_event
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // JSONL round-trip is lossless for these columns → oracle on the
     // original parquet; k re-extracted from the embedded props JSON.

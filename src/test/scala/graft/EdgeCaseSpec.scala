@@ -200,6 +200,13 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.TextAnalysis.winnowOverlap(spark, empty).collect().isEmpty)
     assert(queries.TextAnalysis.tokenPmi(spark, empty).collect().isEmpty)
     assert(queries.TextAnalysis.vocabGrowth(spark, empty).collect().isEmpty)
+    assert(queries.TextAnalysis.bpePairCounts(spark, empty).collect().isEmpty)
+    // bpe pairs: single-char and blank docs contribute nothing; "hello"
+    // contributes he/el/ll/lo once each
+    val bpe = queries.TextAnalysis.bpePairCounts(spark, edge).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_occurrences")).toMap
+    Seq("he", "el", "ll", "lo").foreach(p => assert(bpe(p) >= 1L, s"pair $p"))
+    assert(!bpe.contains("a "))
     // growth curve telescopes on the tiny corpus too
     val vg = queries.TextAnalysis.vocabGrowth(spark, edge).collect()
     val toks = queries.TextJobs.wordcount(spark, edge).collect()

@@ -279,6 +279,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_pair_counts: counts match an in-memory recount of adjacent pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.TextAnalysis.bpePairCounts(spark, sf).collect()
+    assert(rows.length == 50)
+    // recount the full pair distribution from the raw corpus
+    val expect = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\W+").filter(t => t.length >= 2).foreach { t =>
+          var i = 0
+          while (i < t.length - 1) {
+            val p = t.substring(i, i + 2)
+            expect(p) = expect.getOrElse(p, 0L) + 1; i += 1
+          }
+        }
+    }
+    rows.foreach { r =>
+      val p = r.getAs[String]("pair")
+      assert(p.length == 2)
+      assert(r.getAs[Long]("n_occurrences") == expect(p), s"pair $p")
+    }
+    val cs = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // the emitted 50 are the true top 50 (boundary count honored)
+    val cut = cs.last
+    assert(expect.values.count(_ > cut) < 50)
+  }
+
+  test("key_skew_report: shares and ratios recompute from the key histogram") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Relational.keySkewReport(spark, sf).collect()
+    assert(rows.length == 20)
+    val hist = Tables.lineitem(spark, sf).groupBy("l_partkey").count()
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("count")).toMap
+    val total = hist.values.sum.toDouble
+    val nKeys = hist.size.toDouble
+    rows.foreach { r =>
+      val k = r.getAs[Long]("l_partkey"); val c = r.getAs[Long]("cnt")
+      assert(hist(k) == c)
+      assert(math.abs(r.getAs[Double]("share") -
+        math.floor(c / total * 1e6 + 0.5) / 1e6) < 1e-12)
+      assert(math.abs(r.getAs[Double]("skew_ratio") -
+        math.floor(c * nKeys / total * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+    val cs = rows.map(_.getAs[Long]("cnt"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(cs.head == hist.values.max)
+  }
+
   test("user_retention: day-0 is the full cohort, later cells only shrink vs it") {
     val rows = queries.Temporal.userRetention(spark, sf).collect()
     assert(rows.nonEmpty)
