@@ -87,6 +87,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"grid funnels to one partition:\n$p")
   }
 
+  test("round-4 additions: top-N via TakeOrdered, pruned scans") {
+    Seq("bpe_pair_counts", "key_skew_report", "token_pmi", "winnow_overlap")
+      .foreach { q =>
+        assert(plan(q).contains("TakeOrderedAndProject"),
+          s"$q should plan its top-N as TakeOrderedAndProject")
+      }
+    // bpe's whole pair stream is builtins — partial agg proves the pair
+    // explosion folds map-side before its one shuffle
+    assert(plan("bpe_pair_counts").contains("partial_count"))
+    // the two documents-only queries read exactly the columns they use
+    Seq("vocab_growth" -> "struct<doc_id:bigint,text:string>",
+        "bpe_pair_counts" -> "struct<text:string>").foreach { case (q, rs) =>
+      assert(plan(q).contains(rs), s"$q scan should be pruned to $rs")
+    }
+  }
+
   test("no registered query funnels data through SinglePartition or CollectLimit") {
     // global sorts plan as range partitioning; a SinglePartition exchange
     // carrying table data (or a CollectLimit) is a driver-width funnel.
