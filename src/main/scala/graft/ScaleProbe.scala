@@ -40,7 +40,8 @@ object ScaleProbe {
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
-    "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts")
+    "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
+    "mm_resize")
 
   /** Queries that read only events — probed when nEvents > 0. */
   private val EventQueries = Seq(

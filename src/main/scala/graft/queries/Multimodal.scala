@@ -125,6 +125,85 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  case class Resized(doc_id: Long, modality: String, n_bytes: Int,
+                     new_w: Int, new_h: Int, new_rate: Int,
+                     stride: Int, n_resized: Int, checksum_resized: Long)
+
+  /** ==== STUBBED RESIZER ==== — the resize/resample verb of the media
+    * pipeline (thumbnail an image to fit 64×64, halve an audio sample
+    * rate), stubbed the same way [[FakeDecoder]] stubs decode: the
+    * geometry is REAL integer math on the stored metadata
+    * (aspect-preserving fit, floor division — exactly what a thumbnailer
+    * computes) and the payload "resample" is a stride decimation to a
+    * ≤256-byte budget whose checksum the oracle reproduces byte-for-byte.
+    * Swap `resizeBatch` for libvips/ffmpeg in production; the
+    * init-per-modality / fixed-batch plumbing is the contract. */
+  private final class FakeResizer(val modality: String) {
+    def resizeBatch(batch: Seq[Asset]): Seq[Resized] = batch.map { a =>
+      val n = a.payload.length
+      val (nw, nh, nr) =
+        if (a.modality == "image") {
+          val s = math.max(a.width, a.height)
+          (math.max(1, a.width * 64 / s), math.max(1, a.height * 64 / s), 0)
+        } else (0, 0, a.sample_rate / 2)
+      val stride = math.max(1, (n + 255) / 256)
+      var i = 0; var cnt = 0; var sum = 0L
+      while (i < n) { sum += (a.payload(i) & 0xFF); cnt += 1; i += stride }
+      Resized(a.doc_id, a.modality, n, nw, nh, nr, stride, cnt, sum)
+    }
+  }
+
+  /** Resize/resample over the media lake — same scale shape as
+    * [[mmFeatures]]: range partition on (modality, doc_id), one resizer
+    * per modality per partition, 64-row batches. Fully value-oracled:
+    * every output is integer arithmetic over metadata and ASCII payload
+    * bytes. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, sfDir)
+      .repartitionByRange(col("modality"), col("doc_id"))
+      .sortWithinPartitions("modality", "doc_id")
+      .mapPartitions { it =>
+        val resizers = scala.collection.mutable.HashMap.empty[String, FakeResizer]
+        it.grouped(64).flatMap { batch =>
+          batch.groupBy(_.modality).toSeq.sortBy(_._1).flatMap { case (m, run) =>
+            resizers.getOrElseUpdate(m, new FakeResizer(m)).resizeBatch(run)
+          }
+        }
+      }
+      .toDF()
+      .select("doc_id", "modality", "n_bytes", "new_w", "new_h", "new_rate",
+        "stride", "n_resized", "checksum_resized")
+      .orderBy("doc_id")
+  }
+
+  val mmResizeSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n,
+      |         CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS w,
+      |         CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS h,
+      |         doc_id % 2 = 0 AS is_img
+      |  FROM documents),
+      |b AS (SELECT doc_id, text, n, w, h, is_img,
+      |             greatest(1, CAST(floor((n + 255) / 256) AS INTEGER)) AS stride
+      |      FROM a)
+      |SELECT doc_id,
+      |       CASE WHEN is_img THEN 'image' ELSE 'audio' END AS modality,
+      |       n AS n_bytes,
+      |       CASE WHEN is_img
+      |            THEN greatest(1, CAST(floor(w * 64 / greatest(w, h)) AS INTEGER))
+      |            ELSE 0 END AS new_w,
+      |       CASE WHEN is_img
+      |            THEN greatest(1, CAST(floor(h * 64 / greatest(w, h)) AS INTEGER))
+      |            ELSE 0 END AS new_h,
+      |       CASE WHEN is_img THEN 0 ELSE 8000 END AS new_rate,
+      |       stride,
+      |       CAST(len(range(1, n + 1, stride)) AS INTEGER) AS n_resized,
+      |       CAST(coalesce(list_sum(list_transform(range(1, n + 1, stride),
+      |                     i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+      |         AS checksum_resized
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** Frame sampling: keep every 16th payload byte ("1 fps of a 16 fps
     * stream") — the decimation shape of video frame-sampling / audio
     * downsampling. Rows-only check; properties asserted in MultimodalSpec. */
@@ -179,11 +258,13 @@ object Multimodal {
     "mm_features"     -> ((s, d) => mmFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_fusion"       -> ((s, d) => mmFusion(s, d)),
+    "mm_resize"       -> ((s, d) => mmResize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesSql,
     "mm_fusion"   -> mmFusionSql,
+    "mm_resize"   -> mmResizeSql,
     // mm_frame_sample: binary output column — rows-only check + spec.
   )
 }

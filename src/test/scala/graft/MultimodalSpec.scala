@@ -29,6 +29,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize: thumbnail fits 64x64 aspect-preserved; resample respects its budget") {
+    val rows = queries.Multimodal.mmResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val img = r.getAs[String]("modality") == "image"
+      val (nw, nh) = (r.getAs[Int]("new_w"), r.getAs[Int]("new_h"))
+      if (img) {
+        assert(nw >= 1 && nw <= 64 && nh >= 1 && nh <= 64)
+        assert(nw == 64 || nh == 64) // the long side saturates the box
+        assert(r.getAs[Int]("new_rate") == 0)
+      } else {
+        assert(nw == 0 && nh == 0 && r.getAs[Int]("new_rate") == 8000)
+      }
+      val n = r.getAs[Int]("n_bytes"); val stride = r.getAs[Int]("stride")
+      val cnt = r.getAs[Int]("n_resized")
+      assert(stride == math.max(1, (n + 255) / 256))
+      assert(cnt == (if (n == 0) 0 else (n - 1) / stride + 1))
+      assert(cnt <= 256 || stride == 1)
+      assert(r.getAs[Long]("checksum_resized") >= 0)
+    }
+  }
+
   test("mm_frame_sample: ceil(n/16) frames, frames are the strided bytes") {
     val frames = queries.Multimodal.mmFrameSample(spark, sf).collect()
     val texts = Tables.documents(spark, sf)

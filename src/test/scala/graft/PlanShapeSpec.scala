@@ -57,7 +57,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // hash-partitioning on modality alone collapses a 2-modality corpus to
     // 2 tasks; range partitioning spreads the same contiguity guarantee
     // over all shuffle partitions
-    Seq("mm_features", "mm_frame_sample").foreach { q =>
+    Seq("mm_features", "mm_frame_sample", "mm_resize").foreach { q =>
       val p = plan(q)
       assert(p.contains("rangepartitioning(modality"), s"$q:\n$p")
       assert(!p.contains("hashpartitioning(modality#"), s"$q hash-partitions on modality:\n$p")
