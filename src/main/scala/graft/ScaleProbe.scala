@@ -26,8 +26,11 @@ object ScaleProbe {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
 
-  /** Queries that read only documents/embeddings (the LLM-pipeline family). */
-  private val DocQueries = Seq(
+  /** Queries that read only documents/embeddings (the LLM-pipeline family).
+    * ProbeCoverageSpec asserts every registered query appears in exactly
+    * one of these lists (or the two dual-input entries below) — a query
+    * missing here is SILENTLY dropped by the `only` filter. */
+  private[graft] val DocQueries = Seq(
     "wordcount", "exact_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "ngram_jaccard_dedup", "dedup_clusters", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
@@ -41,20 +44,22 @@ object ScaleProbe {
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
-    "mm_resize")
+    "mm_resize", "dedup_stats", "grep", "inverted_index",
+    "inverted_index_raw", "multikey_counts", "multikey_flat",
+    "wordcount_tsv", "results_limit", "stratified_sample")
 
   /** Queries that read only events — probed when nEvents > 0. */
-  private val EventQueries = Seq(
+  private[graft] val EventQueries = Seq(
     "events_funnel", "event_transitions", "events_sessions",
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
     "events_error_context", "json_events", "user_retention",
     "events_rolling_24h", "events_pivot_daily", "events_zscore",
-    "session_paths")
+    "session_paths", "events_csv", "events_jsonl", "events_orc")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
     * because it also reads events). */
-  private val RelQueries = Seq(
+  private[graft] val RelQueries = Seq(
     "pricing_summary", "regional_revenue", "customer_order_stats",
     "top_parts_revenue", "semi_join_heavy", "anti_join_idle",
     "window_top_orders", "window_running_spend", "window_order_gaps",
@@ -63,6 +68,9 @@ object ScaleProbe {
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report")
+
+  /** Queries needing BOTH events and the relational tables. */
+  private[graft] val DualInputQueries = Seq("asof_join_orders", "events_by_segment")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
@@ -194,8 +202,7 @@ object ScaleProbe {
     val all = DocQueries ++
       (if (nEvents > 0) EventQueries else Nil) ++
       (if (relScale > 0) RelQueries else Nil) ++
-      (if (nEvents > 0 && relScale > 0)
-        Seq("asof_join_orders", "events_by_segment") else Nil)
+      (if (nEvents > 0 && relScale > 0) DualInputQueries else Nil)
     val run = if (only.isEmpty) all else all.filter(only)
     run.foreach { name =>
       spark.catalog.clearCache()
