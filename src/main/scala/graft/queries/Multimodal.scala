@@ -25,10 +25,11 @@ import graft.Tables
   *    contract;
   *  - features emitted as columns + fixed-length Array[Double] vector.
   *
-  * `mm_features` is value-exact DuckDB-oracle'd (the fake decode is pure
-  * integer byte math DuckDB reproduces from the text column);
-  * `mm_frame_sample` is rows-only-checked + property-tested in
-  * MultimodalSpec.
+  * All four registered queries are value-exact DuckDB-oracle'd: the fake
+  * decode/resize/sample kernels are pure integer byte math DuckDB
+  * reproduces from the text column (byte k == ascii(char k) on this
+  * ASCII corpus). The raw sampled frame bytes (binary, not
+  * hash-oracle-able) stay spec-checked via [[mmFrameSampleBytes]].
   */
 object Multimodal {
 
@@ -42,7 +43,8 @@ object Multimodal {
                       feat: Array[Double])
 
   case class Frames(doc_id: Long, modality: String, n_bytes: Int,
-                    n_frames: Int, frame_bytes: Array[Byte])
+                    n_frames: Int, first_frame: Int, checksum_frames: Long,
+                    frame_bytes: Array[Byte])
 
   /** Deterministic asset table derived from `documents` (payload = UTF-8
     * text bytes — ASCII in this corpus, so byte k == ascii(char k), which
@@ -206,9 +208,13 @@ object Multimodal {
 
   /** Frame sampling: keep every 16th payload byte ("1 fps of a 16 fps
     * stream") — the decimation shape of video frame-sampling / audio
-    * downsampling. Rows-only check; properties asserted in MultimodalSpec. */
-  def mmFrameSample(spark: SparkSession, sfDir: String,
-                    stride: Int = 16): DataFrame = {
+    * downsampling. The registered query emits only integer summaries of
+    * the sampled frames (count, first byte, byte checksum) — all exact
+    * ASCII arithmetic the DuckDB twin reproduces, same pattern as
+    * [[mmResize]]; the raw sampled bytes stay available via
+    * [[mmFrameSampleBytes]] and are property-checked in MultimodalSpec. */
+  private def frameSampleDs(spark: SparkSession, sfDir: String,
+                            stride: Int): Dataset[Frames] = {
     require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     assets(spark, sfDir)
@@ -218,13 +224,45 @@ object Multimodal {
           val sampled = a.payload.zipWithIndex.collect {
             case (b, i) if i % stride == 0 => b
           }
-          Frames(a.doc_id, a.modality, a.payload.length, sampled.length, sampled)
+          val first = if (sampled.isEmpty) -1 else sampled(0) & 0xFF
+          val checksum = sampled.foldLeft(0L)((s, b) => s + (b & 0xFF))
+          Frames(a.doc_id, a.modality, a.payload.length, sampled.length,
+            first, checksum, sampled)
         }
       }
+  }
+
+  def mmFrameSample(spark: SparkSession, sfDir: String,
+                    stride: Int = 16): DataFrame =
+    frameSampleDs(spark, sfDir, stride)
+      .toDF()
+      .select("doc_id", "modality", "n_bytes", "n_frames", "first_frame",
+        "checksum_frames")
+      .orderBy("doc_id")
+
+  /** Spec-facing variant keeping the raw sampled bytes (binary column —
+    * not hash-oracle-able, which is why the registered query drops it). */
+  def mmFrameSampleBytes(spark: SparkSession, sfDir: String,
+                         stride: Int = 16): DataFrame =
+    frameSampleDs(spark, sfDir, stride)
       .toDF()
       .select("doc_id", "modality", "n_bytes", "n_frames", "frame_bytes")
       .orderBy("doc_id")
-  }
+
+  /** DuckDB twin of [[mmFrameSample]]: sampled positions are
+    * `range(1, n+1, 16)` 1-indexed; byte k == ascii(char k) on this ASCII
+    * corpus (same identity [[mmResizeSql]] uses). */
+  val mmFrameSampleSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+      |       CAST(length(text) AS INTEGER) AS n_bytes,
+      |       CAST(len(range(1, length(text) + 1, 16)) AS INTEGER) AS n_frames,
+      |       CASE WHEN length(text) = 0 THEN -1
+      |            ELSE ascii(substr(text, 1, 1)) END AS first_frame,
+      |       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1, 16),
+      |                     i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT)
+      |         AS checksum_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Cross-modal fusion: text metadata joined to the embedding modality
     * (doc_id ≙ vec_id in the fixtures) — the "one row, many modalities"
@@ -262,9 +300,9 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
-    "mm_features" -> mmFeaturesSql,
-    "mm_fusion"   -> mmFusionSql,
-    "mm_resize"   -> mmResizeSql,
-    // mm_frame_sample: binary output column — rows-only check + spec.
+    "mm_features"     -> mmFeaturesSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_fusion"       -> mmFusionSql,
+    "mm_resize"       -> mmResizeSql,
   )
 }

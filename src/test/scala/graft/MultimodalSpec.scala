@@ -52,7 +52,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("mm_frame_sample: ceil(n/16) frames, frames are the strided bytes") {
-    val frames = queries.Multimodal.mmFrameSample(spark, sf).collect()
+    val frames = queries.Multimodal.mmFrameSampleBytes(spark, sf).collect()
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     frames.foreach { r =>
@@ -62,6 +62,19 @@ class MultimodalSpec extends AnyFunSuite {
       val expect = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
         .zipWithIndex.collect { case (b, i) if i % 16 == 0 => b }
       assert(r.getAs[Array[Byte]]("frame_bytes").toSeq == expect.toSeq)
+    }
+  }
+
+  test("mm_frame_sample: scalar summaries match the sampled bytes") {
+    val scalars = queries.Multimodal.mmFrameSample(spark, sf).collect()
+    val bytes = queries.Multimodal.mmFrameSampleBytes(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("frame_bytes")).toMap
+    assert(scalars.nonEmpty)
+    scalars.foreach { r =>
+      val fb = bytes(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("first_frame") == (if (fb.isEmpty) -1 else fb(0) & 0xFF))
+      assert(r.getAs[Long]("checksum_frames") == fb.map(b => (b & 0xFF).toLong).sum)
+      assert(r.getAs[Int]("n_frames") == fb.length)
     }
   }
 }
