@@ -497,15 +497,45 @@ object Relational {
       |       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** HLL approximate distinct — value is approximate so there is no DuckDB
-    * twin (driver records rows-only); paired with [[distinctAgg]] whose
-    * exact counts bound it. rsd 1.5% ≙ ~2^12 HLL registers. */
+  private val ApproxDistinctRsd = 0.015
+
+  /** HLL approximate distinct, bound-checked: the HLL estimate itself is
+    * engine-specific (DuckDB cannot reproduce Spark's sketch), so instead
+    * of going oracle-less the query emits the exact distinct count plus a
+    * `within_rsd` boolean asserting |approx − exact| ≤ 3·rsd·exact; the
+    * DuckDB twin computes the exact columns and pins the boolean TRUE,
+    * moving the error bound INSIDE the driver's hash gate. rsd 1.5% ≙
+    * ~2^12 HLL registers; 3×rsd is a ≈99.7% band, and on the fixtures
+    * the observed error is well under 1×. The exact count_distinct leg is
+    * the verification harness, not the production shape — at 100 TB a
+    * user runs [[approxDistinctPartsRaw]] (one partial-aggregating scan,
+    * sketch-sized shuffle) and skips the exact leg entirely. */
   def approxDistinctParts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), ApproxDistinctRsd).as("approx"),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <=
+          lit(3 * ApproxDistinctRsd) * col("exact_parts")).as("within_rsd"))
+      .orderBy("l_returnflag")
+
+  /** The production shape: HLL only, no exact leg (see
+    * [[approxDistinctParts]]'s scaladoc). Spec-checked in RelationalSpec. */
+  def approxDistinctPartsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), ApproxDistinctRsd).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  val approxDistinctPartsSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_rows,
+      |       count(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS within_rsd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private val AffinityTopN = 50
   private val AffinityMaxBasket = 256
@@ -697,6 +727,6 @@ object Relational {
     "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
     "part_affinity"        -> partAffinitySql,
     "key_skew_report"      -> keySkewReportSql,
-    // approx_distinct_parts: intentionally no oracle (approximate result)
+    "approx_distinct_parts" -> approxDistinctPartsSql,
   )
 }

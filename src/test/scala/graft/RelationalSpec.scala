@@ -86,10 +86,15 @@ class RelationalSpec extends AnyFunSuite {
   test("approx distinct within rsd bound of exact") {
     val exact = queries.Relational.distinctAgg(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
-    queries.Relational.approxDistinctParts(spark, sf).collect().foreach { r =>
+    queries.Relational.approxDistinctPartsRaw(spark, sf).collect().foreach { r =>
       val e = exact(r.getString(0)).toDouble
       val a = r.getAs[Long]("approx_parts").toDouble
       assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+    }
+    // the oracled variant's bound column must hold (the oracle pins TRUE)
+    queries.Relational.approxDistinctParts(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("within_rsd"))
+      assert(r.getAs[Long]("exact_parts") == exact(r.getString(0)))
     }
   }
 
