@@ -87,9 +87,23 @@ object ScaleProbe {
     // `dir` — lets a multi-batch sweep over one big corpus (100M events
     // takes minutes to write) generate once and probe many times. The
     // generators are deterministic LCG, so a reused corpus is identical
-    // to a regenerated one; the caller owns deleting a stale dir when
-    // changing n.
-    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
+    // to a regenerated one. A manifest of the generation parameters is
+    // written beside the tables and reuse REFUSES on mismatch — a dir
+    // generated with different nDocs/nVecs/nEvents/relScale would
+    // otherwise be silently reused and the probe numbers mislabeled.
+    val manifest = s"nDocs=$nDocs nVecs=$nVecs nEvents=$nEvents relScale=$relScale"
+    val manifestPath = java.nio.file.Paths.get(s"$dir/MANIFEST")
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") && {
+      val ok = java.nio.file.Files.exists(manifestPath) &&
+        new String(java.nio.file.Files.readAllBytes(manifestPath),
+          java.nio.charset.StandardCharsets.UTF_8) == manifest
+      if (!ok && java.nio.file.Files.exists(manifestPath))
+        sys.error(s"PROBE_REUSE refused: $dir was generated with '" +
+          new String(java.nio.file.Files.readAllBytes(manifestPath),
+            java.nio.charset.StandardCharsets.UTF_8) +
+          s"' but this run wants '$manifest' — delete the dir or match the params")
+      ok
+    }
     def have(table: String): Boolean =
       reuse && new java.io.File(s"$dir/$table.parquet/_SUCCESS").exists()
     val spark = GraftSession.configure(
@@ -198,6 +212,8 @@ object ScaleProbe {
       }
     }
 
+    java.nio.file.Files.write(manifestPath,
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"corpus":"$dir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"rel_scale":$relScale}""")
     val all = DocQueries ++
       (if (nEvents > 0) EventQueries else Nil) ++

@@ -832,11 +832,29 @@ object Dedup {
   // Materialized cluster intermediate (write-once pipeline composition)
   // --------------------------------------------------------------------
 
-  /** Paths whose cluster parquet has been written this JVM; the
-    * `computeIfAbsent` write gives at-most-once semantics per path even
-    * under concurrent query construction (R4's concurrent-jobs parity). */
+  /** Paths whose cluster parquet has been (or is being) written this
+    * JVM. Values are futures so at-most-once-per-path holds under
+    * concurrent query construction (R4's concurrent-jobs parity) while
+    * the multi-minute simhash+CC job runs OUTSIDE any CHM bin lock —
+    * `putIfAbsent` only publishes the future; losers await it. */
   private val clusterSinks =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** One JVM-wide shutdown hook deletes every materialized sink —
+    * without it each (sfDir, applicationId) pair leaks a parquet dir in
+    * java.io.tmpdir across sessions. */
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }))
 
   /** Write-once materialization of [[dedupClusters]] — pipeline
     * COMPOSITION, the thing the reference's every-job-recomputes model
@@ -855,10 +873,22 @@ object Dedup {
     * the oracle (and therefore this parquet's contents) every round. */
   def dedupClustersMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
     val out = TextJobs.tmpOut(spark, "graft_clusters_", sfDir)
-    clusterSinks.computeIfAbsent(out, { path =>
-      dedupClusters(spark, sfDir).write.mode("overwrite").parquet(path)
-      path
-    })
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = clusterSinks.putIfAbsent(out, fresh)
+    if (prior == null) {
+      try {
+        cleanupHook; cleanupDirs.add(out)
+        dedupClusters(spark, sfDir).write.mode("overwrite").parquet(out)
+        fresh.complete(out): Unit
+      } catch {
+        case t: Throwable =>
+          // un-publish so a later call can retry; wake any waiters with
+          // the failure instead of deadlocking them
+          clusterSinks.remove(out, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+    } else prior.join()
     spark.read.parquet(out)
   }
 

@@ -237,8 +237,13 @@ object Similarity {
       best
     }
 
-    var centroids: Array[Array[Double]] = unit.as[(Long, Array[Double])]
-      .filter(_._1 < cells).collect().sortBy(_._1).map(_._2)
+    // init from the first `cells` rows BY ORDER of vec_id, not by the
+    // predicate vec_id < cells — a sparse-id embeddings table would
+    // otherwise silently train with fewer (possibly zero) centroids
+    var centroids: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(cells)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    assert(centroids.length == math.min(cells.toLong, n),
+      s"IVF init collected ${centroids.length} centroids, expected min($cells, $n)")
     for (_ <- 1 to IvfIters) {
       val bcIter = spark.sparkContext.broadcast(centroids)
       val next = train.as[(Long, Array[Double])]

@@ -1402,8 +1402,12 @@ object TextAnalysis {
     * ±[[PmiWindow]]-token window — the collocation readout (word2vec's
     * training signal, phrase-table induction, tokenizer-merge
     * candidates). A pair slot is (tokᵢ, tokⱼ), i < j ≤ i+window,
-    * UNORDERED (lexicographic normalization); pmi =
-    * ln(n_pair·N / (n_a·n_b)) over pair-slot counts, support-filtered.
+    * UNORDERED (lexicographic normalization); the association score is
+    * the LIFT ratio n_pair·N / (n_a·n_b) over pair-slot counts,
+    * support-filtered (pmi = ln(lift) — the ln is left to the consumer:
+    * libm ln() may differ between JVMs and DuckDB in the last ulp, which
+    * at a ⌊x·10⁶+0.5⌋ boundary would flake the hash gate, whereas the
+    * lift itself is exact-rounded IEEE mult/div, identical everywhere).
     *
     * Shape: one typed flatMap kernel emits ≤ window pairs per token
     * position (the [[graft.queries.Relational.partAffinity]] two-index
@@ -1412,9 +1416,8 @@ object TextAnalysis {
     * second corpus scan) and join WITHOUT broadcast hints — the
     * marginal frame is vocab-sized, which grows with the corpus; the
     * one-row total crosses in as the sanctioned scalar funnel. Ranking
-    * uses the raw count ratio (identical IEEE mult/div on both
-    * engines — ln() differs by libm and is confined to the DISPLAYED
-    * value, which [[Det.r]] rounds); ties break lexicographically. */
+    * and the displayed score both use the raw count ratio (identical
+    * IEEE mult/div on both engines); ties break lexicographically. */
   def tokenPmi(spark: SparkSession, sfDir: String,
                topN: Int = PmiTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
@@ -1453,7 +1456,7 @@ object TextAnalysis {
       .orderBy(col("lift_raw").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(topN)
       .select(col("tok_a"), col("tok_b"), col("n_pair"), col("n_a"),
-        col("n_b"), Det.r(log(col("lift_raw")), 6).as("pmi"))
+        col("n_b"), Det.r(col("lift_raw"), 6).as("lift"))
   }
 
   val tokenPmiSql: String =
@@ -1477,7 +1480,7 @@ object TextAnalysis {
        |tt AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM pc)
        |SELECT tok_a, tok_b, n_pair, a.n_tok AS n_a, b.n_tok AS n_b,
        |       ${Det.rSql(
-              "ln(CAST(n_pair AS DOUBLE) * n_total / (CAST(a.n_tok AS DOUBLE) * b.n_tok))", 6)} AS pmi
+              "CAST(n_pair AS DOUBLE) * n_total / (CAST(a.n_tok AS DOUBLE) * b.n_tok)", 6)} AS lift
        |FROM pc JOIN mg a ON pc.tok_a = a.tok
        |        JOIN mg b ON pc.tok_b = b.tok
        |        CROSS JOIN tt

@@ -235,7 +235,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cs.zip(cs.tail).forall { case (x, y) => x + 1e-9 >= y })
   }
 
-  test("token_pmi: pmi recomputes from the emitted counts and global total") {
+  test("token_pmi: lift recomputes from the emitted counts and global total") {
     import org.apache.spark.sql.functions._
     val rows = queries.TextAnalysis.tokenPmi(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
@@ -251,11 +251,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[String]("tok_a") <= r.getAs[String]("tok_b"))
       assert(r.getAs[Long]("n_pair") >= 50)
-      val expect = math.floor(math.log(
+      val expect = math.floor(
         r.getAs[Long]("n_pair").toDouble * nTotal /
-          (r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b"))) * 1e6 + 0.5) / 1e6
-      assert(math.abs(r.getAs[Double]("pmi") - expect) < 1e-9,
-        s"pmi mismatch for ${r.getAs[String]("tok_a")}/${r.getAs[String]("tok_b")}")
+          (r.getAs[Long]("n_a").toDouble * r.getAs[Long]("n_b")) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-9,
+        s"lift mismatch for ${r.getAs[String]("tok_a")}/${r.getAs[String]("tok_b")}")
     }
   }
 
