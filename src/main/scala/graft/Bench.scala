@@ -56,7 +56,10 @@ object Bench {
     // the targeted re-run gives those queries a median-of-3 instead
     val noisy = names.filter { n =>
       val (t1, ok1) = p1(n); val (t2, ok2) = p2(n)
-      ok1 && ok2 && math.abs(t1 - t2) > 0.25 * math.min(t1, t2)
+      // the 0.5 s floor keeps sub-100ms queries (where 25% is scheduler
+      // jitter, not signal) from triggering pointless third runs
+      ok1 && ok2 && math.max(t1, t2) > 0.5 &&
+        math.abs(t1 - t2) > 0.25 * math.min(t1, t2)
     }
     val p3: Map[String, (Double, Boolean)] =
       if (noisy.isEmpty) Map.empty else runPass(noisy)

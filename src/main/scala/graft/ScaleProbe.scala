@@ -31,7 +31,8 @@ object ScaleProbe {
     * one of these lists (or the two dual-input entries below) — a query
     * missing here is SILENTLY dropped by the `only` filter. */
   private[graft] val DocQueries = Seq(
-    "wordcount", "exact_dedup", "simhash_dedup", "minhash_lsh_dedup",
+    "wordcount", "exact_dedup", "para_dedup", "para_dedup_stats",
+    "simhash_dedup", "minhash_lsh_dedup",
     "ngram_jaccard_dedup", "dedup_clusters", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "lang_id", "text_quality",
@@ -44,6 +45,7 @@ object ScaleProbe {
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
+    "bpe_train",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
     "inverted_index_raw", "multikey_counts", "multikey_flat",
     "wordcount_tsv", "results_limit", "stratified_sample")

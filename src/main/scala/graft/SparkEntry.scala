@@ -80,6 +80,8 @@ object SparkEntry {
       TextAnalysis.winnowOverlap(s, d, a.getOrElse("top_n", "50").toInt)),
     "token_pmi" -> ((s, d, a) =>
       TextAnalysis.tokenPmi(s, d, a.getOrElse("top_n", "50").toInt)),
+    "bpe_train" -> ((s, d, a) =>
+      TextAnalysis.bpeTrain(s, d, a.getOrElse("n_merges", "20").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

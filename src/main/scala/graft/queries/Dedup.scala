@@ -229,6 +229,102 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Paragraph-granularity exact dedup (CCNet/Gopher-style)
+  // --------------------------------------------------------------------
+
+  private val ParaTokens = 16
+
+  /** Paragraph-granularity dedup — the CCNet/Gopher pipeline step that
+    * [[exactDedup]]'s whole-document hash can't express: boilerplate
+    * paragraphs (headers, navboxes, license blurbs) repeat across
+    * millions of otherwise-distinct pages, and dropping the REPEATED
+    * PARAGRAPHS while keeping their host documents is where most of the
+    * dup mass in a web corpus actually goes. The fixture text has no
+    * newline boundaries, so the paragraph boundary is derived exactly
+    * like [[TextAnalysis.docChunk]] derives chunks: consecutive
+    * [[ParaTokens]]-token windows of the token stream (last may be
+    * short). A paragraph instance is RETAINED iff it is the first
+    * occurrence of its md5 corpus-wide, "first" = (doc_id, para_idx)
+    * order — the same min-id canonicality rule the doc-level family
+    * uses. Emits per-doc (n_paras, n_retained, retained_frac).
+    *
+    * Scale shape: the explode is ~n_tokens/16 rows per doc (linear,
+    * skew-free — md5 keys are uniform); first-occurrence is a keyed
+    * window over para_hash (ONE hash shuffle carrying 16-byte keys +
+    * two ints, never the text) followed by the per-doc fold (second
+    * shuffle on doc_id). No corpus-sized state, no broadcast, nothing
+    * grows super-linearly at 100 TB. */
+  def paraDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = row_number().over(
+      Window.partitionBy("para_hash").orderBy("doc_id", "para_idx"))
+    paraHashes(spark, sfDir)
+      .withColumn("retained", (first === 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum("retained").as("n_retained"))
+      .select(col("doc_id"), col("n_paras"), col("n_retained"),
+        Det.r(col("n_retained").cast("double") / col("n_paras"), 6)
+          .as("retained_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level readout of [[paraDedup]]: total paragraph instances,
+    * distinct paragraphs, and the dup mass (fraction of instances that a
+    * paragraph-dedup pass would drop) — the one-row health metric a
+    * crawl pipeline alarms on. Same explode, two global folds. */
+  def paraDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    paraHashes(spark, sfDir)
+      .agg(count(lit(1)).as("n_paras"),
+        count_distinct(col("para_hash")).as("n_distinct"))
+      .select(col("n_paras"), col("n_distinct"),
+        Det.r((col("n_paras") - col("n_distinct")).cast("double") /
+          col("n_paras"), 6).as("dup_mass"))
+
+  /** (doc_id, para_idx, para_hash) for every [[ParaTokens]]-token
+    * paragraph window; md5 over the space-rejoined token slice. */
+  private def paraHashes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ParaTokens))))
+      .select(col("doc_id"), col("pos").as("para_idx"),
+        md5(concat_ws(" ", slice(col("t"), col("col") + 1, lit(ParaTokens))))
+          .as("para_hash"))
+
+  private val paraHashCtes: String =
+    s"""d AS (SELECT doc_id,
+       |             list_filter(string_split_regex(lower(text), '\\W+'),
+       |                         x -> length(x) > 0) AS t
+       |      FROM documents),
+       |p AS (SELECT doc_id, CAST(g // $ParaTokens AS INT) AS para_idx,
+       |             md5(array_to_string(list_slice(t, CAST(g + 1 AS INT),
+       |                                            CAST(g + $ParaTokens AS INT)), ' ')) AS para_hash
+       |      FROM (SELECT doc_id, t, unnest(range(0, len(t), $ParaTokens)) AS g
+       |            FROM d WHERE len(t) > 0))""".stripMargin
+
+  val paraDedupSql: String =
+    s"""WITH $paraHashCtes,
+       |r AS (SELECT doc_id,
+       |             CASE WHEN row_number() OVER (PARTITION BY para_hash
+       |                                          ORDER BY doc_id, para_idx) = 1
+       |                  THEN 1 ELSE 0 END AS retained
+       |      FROM p)
+       |SELECT doc_id, count(*) AS n_paras,
+       |       CAST(sum(retained) AS BIGINT) AS n_retained,
+       |       ${Det.rSql("CAST(sum(retained) AS DOUBLE) / count(*)", 6)} AS retained_frac
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val paraDedupStatsSql: String =
+    s"""WITH $paraHashCtes
+       |SELECT count(*) AS n_paras,
+       |       count(DISTINCT para_hash) AS n_distinct,
+       |       ${Det.rSql(
+            "CAST(count(*) - count(DISTINCT para_hash) AS DOUBLE) / count(*)", 6)} AS dup_mass
+       |FROM p""".stripMargin
+
+  // --------------------------------------------------------------------
   // Exact n-gram Jaccard (inverted-index blocking)
   // --------------------------------------------------------------------
 
@@ -1116,6 +1212,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
+    "para_dedup"           -> ((s, d) => paraDedup(s, d)),
+    "para_dedup_stats"     -> ((s, d) => paraDedupStats(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
@@ -1128,6 +1226,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "exact_dedup"          -> exactDedupSql,
+    "para_dedup"           -> paraDedupSql,
+    "para_dedup_stats"     -> paraDedupStatsSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,

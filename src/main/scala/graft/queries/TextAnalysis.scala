@@ -16,7 +16,7 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private def toks(c: Column): Column =
+  private[queries] def toks(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
   /** 4-dp deterministic rounding (see [[Det]] for why round() is unsafe). */
@@ -1607,6 +1607,110 @@ object TextAnalysis {
        |ORDER BY n_occurrences DESC, pair
        |LIMIT $BpeTopN""".stripMargin
 
+  // --------------------------------------------------------------------
+  // BPE merge loop (tokenizer training, the full iterative trainer)
+  // --------------------------------------------------------------------
+
+  private val BpeMerges = 20
+
+  /** The iterative BPE trainer [[bpePairCounts]] is step one of: N merge
+    * rounds, each taking the current most-frequent adjacent symbol pair
+    * (tie-break: pair text) and rewriting every word's symbol sequence by
+    * leftmost non-overlapping replacement — Sennrich-style training over
+    * word TYPES weighted by occurrence count. Emits one row per merge:
+    * (merge_rank, sym_a, sym_b, n_occurrences).
+    *
+    * Scale shape: the corpus is scanned ONCE, folding to the word-type
+    * frequency frame — VOCAB-sized (Heaps law: ~1M types at 100 TB), not
+    * corpus-sized, which is what makes the `.cache()` on it legitimate
+    * under CLAUDE.md invariant 4 (without it every one of the N rounds
+    * re-scans the corpus; with it each round is a small agg over ≤1M
+    * rows). Each round is one distributed pair-count agg (map-side
+    * combined, alphabet²-bounded cells) plus a 1-ROW collect of the
+    * argmax — model state, the same sanctioned driver round-trip as IVF's
+    * Lloyd iterations; the merge rewrite is a codegen'd builtin
+    * `replace`.
+    *
+    * DETERMINISM ACROSS ENGINES hinges on the symbol encoding: a word is
+    * stored as every symbol wrapped in single spaces (`"hello"` →
+    * `" h  e  l  l  o "`), so merging (a,b) is EXACTLY
+    * `replace(rep, ' a  b ', ' ab ')` — both java.lang.String.replace
+    * and DuckDB replace() scan left-to-right non-overlapping, each match
+    * consumes only its own symbols' delimiters (neighbors keep theirs),
+    * and a pattern can never match inside a longer symbol because the
+    * wrapping spaces act as boundaries. The DuckDB twin unrolls the N
+    * rounds as a MATERIALIZED-CTE chain (materialization keeps the
+    * doubly-referenced per-round frames linear, not exponential). */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+               nMerges: Int = BpeMerges): DataFrame = {
+    require(nMerges > 0 && nMerges <= 500,
+      s"nMerges must be in [1, 500], got $nMerges")
+    import spark.implicits._
+    val wordFreq = Tables.documents(spark, sfDir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("tok"), "(.)", " $1 ").as("rep"), col("freq"))
+      .cache() // vocab-sized (see scaladoc) — prevents N corpus re-scans
+    try {
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var wt: DataFrame = wordFreq
+      var r = 1
+      var exhausted = false
+      while (r <= nMerges && !exhausted) {
+        val top = wt
+          .select(col("freq"), split(trim(col("rep")), "  ").as("s"))
+          .filter(size(col("s")) >= 2) // sequence(1,0) would DESCEND in Spark
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect() // 1 row of model state per round
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val n = top(0).getLong(1)
+          val Array(a, b) = pair.split(" ") // symbols are \w+, never spaced
+          merges += ((r, a, b, n))
+          // symbols are [a-z0-9_] so embedding them in the SQL literal is safe
+          wt = wt.withColumn("rep", expr(s"replace(rep, ' $a  $b ', ' $a$b ')"))
+          r += 1
+        }
+      }
+      merges.result().toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
+        .orderBy("merge_rank")
+    } finally { wordFreq.unpersist(); () }
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[bpeTrain]] at the default
+    * [[BpeMerges]] — generated round-by-round; see [[bpeTrain]]'s
+    * scaladoc for why replace() semantics agree across engines. */
+  val bpeTrainSql: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""w AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> length(x) > 0)) AS tok FROM documents)
+       |  GROUP BY tok),
+       |wt0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS rep, freq FROM w)""".stripMargin
+    val sels = Seq.newBuilder[String]
+    for (r <- 1 to BpeMerges) {
+      ctes += s"""pr$r AS (SELECT unnest(list_transform(range(1, len(s)),
+         |    i -> s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1])) AS pair, freq
+         |  FROM (SELECT string_split(trim(rep), '  ') AS s, freq FROM wt${r - 1})
+         |  WHERE len(s) >= 2)""".stripMargin
+      ctes += s"""best$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM pr$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+      ctes += s"""wt$r AS MATERIALIZED (SELECT
+         |    replace(rep, ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |            ' ' || replace(b.pair, ' ', '') || ' ') AS rep, freq
+         |  FROM wt${r - 1} CROSS JOIN best$r b)""".stripMargin
+      sels += s"""SELECT $r AS merge_rank, split_part(pair, ' ', 1) AS sym_a,
+         |  split_part(pair, ' ', 2) AS sym_b, n AS n_occurrences FROM best$r""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") + "\n" +
+      sels.result().mkString(" UNION ALL ") + " ORDER BY merge_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -1631,6 +1735,7 @@ object TextAnalysis {
     "token_pmi"        -> ((s, d) => tokenPmi(s, d)),
     "vocab_growth"     -> ((s, d) => vocabGrowth(s, d)),
     "bpe_pair_counts"  -> ((s, d) => bpePairCounts(s, d)),
+    "bpe_train"        -> ((s, d) => bpeTrain(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1657,5 +1762,6 @@ object TextAnalysis {
     "token_pmi"        -> tokenPmiSql,
     "vocab_growth"     -> vocabGrowthSql,
     "bpe_pair_counts"  -> bpePairCountsSql,
+    "bpe_train"        -> bpeTrainSql,
   )
 }

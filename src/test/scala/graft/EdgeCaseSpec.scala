@@ -215,6 +215,46 @@ class EdgeCaseSpec extends AnyFunSuite {
       toks.map(_.getAs[Long]("cnt")).sum)
   }
 
+  test("bpe_train: degenerate corpora terminate; merge counts are sound") {
+    // empty corpus and a corpus whose only token is one char: no pairs,
+    // the loop stops on round 1 with an empty (correctly-typed) frame
+    assert(queries.TextAnalysis.bpeTrain(spark, empty).collect().isEmpty)
+    val oneTok = fixture("onetok", docs = Seq((1L, "a a a", "en", "web", 5L)),
+      embs = Seq.empty)
+    assert(queries.TextAnalysis.bpeTrain(spark, oneTok).collect().isEmpty)
+    // edge corpus, hand-computed round 1: "he" = 4 (from "the"×4) + 1
+    // (from "hello") = 5, strictly above every other pair
+    val m = queries.TextAnalysis.bpeTrain(spark, edge, nMerges = 3).collect()
+    assert(m.length == 3)
+    assert(m.map(_.getAs[Int]("merge_rank")).toSeq == Seq(1, 2, 3))
+    assert(m.head.getAs[String]("sym_a") == "h" &&
+      m.head.getAs[String]("sym_b") == "e" &&
+      m.head.getAs[Long]("n_occurrences") == 5L)
+    // the best-pair count can never rise across rounds: a merged symbol's
+    // new pairs inherit at most the merged pair's support
+    val ns = m.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("para_dedup: duplicate doc retains nothing; stats reconcile; empty corpus empty") {
+    val rows = queries.Dedup.paraDedup(spark, edge).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1,2 tokenize to nothing -> absent; docs 3,4,5,6 each have one
+    // <=16-token paragraph; 5 and 6 are identical so 6 retains nothing
+    assert(!rows.contains(1L) && !rows.contains(2L))
+    assert(rows(5L).getAs[Long]("n_retained") == 1L)
+    assert(rows(6L).getAs[Long]("n_retained") == 0L)
+    assert(rows(6L).getAs[Double]("retained_frac") == 0.0)
+    assert(rows(3L).getAs[Double]("retained_frac") == 1.0)
+    // per-doc retained sums to the corpus distinct-paragraph count
+    val st = queries.Dedup.paraDedupStats(spark, edge).collect().head
+    assert(rows.values.map(_.getAs[Long]("n_retained")).sum ==
+      st.getAs[Long]("n_distinct"))
+    assert(rows.values.map(_.getAs[Long]("n_paras")).sum ==
+      st.getAs[Long]("n_paras"))
+    assert(queries.Dedup.paraDedup(spark, empty).collect().isEmpty)
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&
