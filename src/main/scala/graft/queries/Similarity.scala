@@ -22,9 +22,11 @@ import graft.Tables
   *
   * Determinism: cosine math is all-double with identical fold order in
   * Spark and DuckDB (float→double products are exact, 64-element sequential
-  * sums) → bit-identical values, safe to rank and hash-compare. LSH output
-  * has no SQL twin (recall < 1 by construction) — it's covered by a
-  * ScalaTest recall bound against the brute-force baseline instead.
+  * sums) → bit-identical values, safe to rank and hash-compare. That
+  * extends to the LSH path end-to-end ([[annCosineLshSql]] reproduces
+  * hyperplanes, signatures, banding, and re-rank exactly); only IVF stays
+  * oracle-less (iterative Lloyd in SQL isn't worth it) with ScalaTest +
+  * probe recall bounds instead.
   */
 object Similarity {
 
@@ -130,10 +132,16 @@ object Similarity {
       }.toDF("vec_id", "t", "sig")
   }
 
-  /** ANN top-k via sign-LSH: vectors sharing any of 4 table buckets with a
+  /** ANN top-k via sign-LSH: vectors sharing any table bucket with a
     * query become candidates; exact cosine re-ranks candidates only.
-    * Rows-only check (no SQL twin); recall@5 vs [[bruteForceTopK]] is
-    * asserted in SimilaritySpec. At 100 TB: bucket join shuffles
+    * FULLY value-oracled despite being "approximate": approximation here
+    * means recall < 1 vs brute force, but every step — LCG hyperplanes,
+    * sign projections, banding, exact re-rank — is deterministic
+    * arithmetic, so [[annCosineLshSql]] reproduces the output
+    * bit-for-bit (the LCG runs in HUGEINT mod-2⁶⁴; the projections use
+    * list_dot_product, whose ascending fold matches the JIT'd kernel;
+    * the sig fold is integer, order-free). Recall@5 vs [[bruteForceTopK]]
+    * stays asserted in SimilaritySpec. At 100 TB: bucket join shuffles
     * (table, sig) keys — tune SigBits so E[bucket size] = n / 2^SigBits
     * stays executor-local; add multiprobe for recall. */
   def annCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
@@ -156,6 +164,51 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
       .orderBy("qid", "rank")
   }
+
+  /** DuckDB twin of [[annCosineLsh]]. The [[hyperplane]] LCG is 64-bit
+    * wrapping arithmetic, which DuckDB reproduces in HUGEINT with an
+    * explicit mod 2⁶⁴ (the 64×64-bit product peaks below 2¹²⁷, inside
+    * signed HUGEINT); the xor-seed is built in signed BIGINT and shifted
+    * to the unsigned domain. `>>> 11` is integer division by 2¹¹, and
+    * the [-1,1) mapping repeats the Scala op order exactly (each IEEE
+    * op is exactly rounded, so same ops ⇒ same bits). Projections fold
+    * via list_dot_product over the d-ordered weight lists — the same
+    * ascending fold as the JIT'd signature kernel. */
+  val annCosineLshSql: String =
+    s"""WITH RECURSIVE
+       |tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, $SigBits) r2(b)),
+       |seeds AS (SELECT t, b,
+       |    CAST(xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) AS HUGEINT)
+       |      + CASE WHEN xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) < 0
+       |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS st
+       |  FROM tb),
+       |pl AS (
+       |  SELECT t, b, 0 AS d, st AS state FROM seeds
+       |  UNION ALL
+       |  SELECT t, b, d + 1,
+       |         (state * 6364136223846793005 + 1442695040888963407) % CAST(18446744073709551616 AS HUGEINT)
+       |  FROM pl WHERE d < $Dim),
+       |wl AS (SELECT t, b, list(CAST(state // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY d) AS wv
+       |       FROM pl WHERE d >= 1 GROUP BY t, b),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |sigs AS (SELECT e.vec_id, w.t,
+       |           CAST(sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1 << w.b) ELSE 0 END) AS INT) AS sig
+       |         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.t),
+       |qs AS (SELECT vec_id AS qid, t, sig FROM sigs WHERE vec_id < $NumQueries),
+       |cands AS (SELECT DISTINCT qs.qid, s.vec_id
+       |          FROM sigs s JOIN qs ON s.t = qs.t AND s.sig = qs.sig
+       |          WHERE s.vec_id <> qs.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY c.qid
+       |                            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                                     c.vec_id ASC) AS rank
+       |  FROM cands c JOIN n a ON c.vec_id = a.vec_id
+       |               JOIN n q ON c.qid = q.vec_id)
+       |SELECT qid, rank, vec_id, CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN
@@ -539,6 +592,7 @@ object Similarity {
     "ann_cosine_topk_q8" -> quantizedTopKSql,
     "embedding_centroids" -> embeddingCentroidsSql,
     "centroid_assign" -> centroidAssignSql,
-    // ann_cosine_lsh: no oracle (approximate recall); ScalaTest bounds it.
+    "ann_cosine_lsh" -> annCosineLshSql,
+    // ann_cosine_ivf: no oracle (iterative Lloyd); ScalaTest + probe recall bounds.
   )
 }
