@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * (bucket occupancy and cell geometry both shift with n), not just at
   * fixture scale where SimilaritySpec bounds it.
   * Usage: tools/run.sh graft.ScaleProbe [nDocs] [nVecs] [outDir]
-  *          [q1,q2,...] [nEvents] [relScale] */
+  *          [q1,q2,...] [nEvents] [relScale] [skewPct] */
 object ScaleProbe {
 
   private val Vocab: Array[String] = Array(
@@ -84,6 +84,10 @@ object ScaleProbe {
       else Set.empty
     val nEvents = if (args.length > 4) args(4).toLong else 0L
     val relScale = if (args.length > 5) args(5).toInt else 0
+    // skewPct > 0: ONE bot user (user_id 0) owns ~skewPct% of all events
+    // on top of its uniform share — the adversarial shape for every
+    // query that shuffles or windows on user_id
+    val skewPct = if (args.length > 6) args(6).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_PROBE_REUSE=1: skip synthesis for tables already in
     // `dir` — lets a multi-batch sweep over one big corpus (100M events
@@ -93,7 +97,8 @@ object ScaleProbe {
     // written beside the tables and reuse REFUSES on mismatch — a dir
     // generated with different nDocs/nVecs/nEvents/relScale would
     // otherwise be silently reused and the probe numbers mislabeled.
-    val manifest = s"nDocs=$nDocs nVecs=$nVecs nEvents=$nEvents relScale=$relScale"
+    val manifest =
+      s"nDocs=$nDocs nVecs=$nVecs nEvents=$nEvents relScale=$relScale skewPct=$skewPct"
     val manifestPath = java.nio.file.Paths.get(s"$dir/MANIFEST")
     val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") && {
       val ok = java.nio.file.Files.exists(manifestPath) &&
@@ -172,7 +177,10 @@ object ScaleProbe {
             val ts = epoch2024Nanos +
               java.lang.Math.floorMod(s >>> 13, spanMicros) * 1000L
             s = lcg(s)
-            val user = java.lang.Math.floorMod(s >>> 17, nUsers)
+            val uniform = java.lang.Math.floorMod(s >>> 17, nUsers)
+            val user =
+              if (skewPct > 0 && java.lang.Math.floorMod(s >>> 5, 100L) < skewPct) 0L
+              else uniform
             s = lcg(s)
             val ty = java.lang.Math.floorMod(s >>> 19, 20L) match {
               case x if x < 8  => "view"

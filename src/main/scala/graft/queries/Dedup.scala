@@ -558,8 +558,13 @@ object Dedup {
     // Per-doc signature KERNEL: tokenization + md5 + bit majority in one
     // JIT'd pass, no explode shuffle and no 48 aggregate columns. The
     // construction matches the DuckDB oracle bit-for-bit: same \\W+
-    // tokenizer, same first-12-hex-chars-of-md5 token hash.
-    val sigs = Tables.documents(spark, sfDir)
+    // tokenizer, same first-12-hex-chars-of-md5 token hash. Cache
+    // MEASURED at the 1M probe (PERF.md "intra-query caches"): 119.4 s
+    // cached vs 131.6 s recomputed — the sig frame is 16 B/doc and
+    // feeds the band explode plus the occupancy guard's recursive
+    // sub-banding, and recomputing re-runs the md5 kernel over the
+    // whole corpus per consumer. Kept.
+    val sigs = TextAnalysis.maybeCache(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -598,7 +603,7 @@ object Dedup {
             Iterator.single((id, sig))
           }
         }
-      }.toDF("doc_id", "simhash").cache()
+      }.toDF("doc_id", "simhash"))
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(0xFFF).as("chunk")))

@@ -367,30 +367,51 @@ object Temporal {
   /** Per-event trailing-24h activity: at every event, how many events
     * (and how much value) the same user produced in the preceding 24
     * hours INCLUDING this one — the rate-limiting / anomaly-detection
-    * feature a log pipeline computes per record. This is a RANGE window
-    * frame (bounded by time, not row count) over epoch-micros: the frame
-    * a rows-frame can't express when per-user event density varies, and
-    * deliberately the one frame kind the relational family's windows
-    * don't already cover.
+    * feature a log pipeline computes per record. Semantically a RANGE
+    * window frame (bounded by time, not row count) over epoch-micros —
+    * which is exactly how the DuckDB oracle states it.
     *
-    * One shuffle on user_id (high-cardinality, unskewed); the range
-    * frame is evaluated with a sliding two-pointer pass per partition —
-    * O(n) state, never materializing the frame. Value sums are
-    * integer cents (order-independent), bounds are exact µs arithmetic,
-    * and RANGE includes timestamp ties identically on both engines. */
+    * NOT implemented as a Spark trailing RANGE frame, by measurement:
+    * Spark's sliding-frame processor cannot retract, so it
+    * RE-AGGREGATES the whole frame every row — O(rows × frame) per
+    * key. Fine when frames are rows-thin (the uniform fixture: ~2
+    * rows/frame), catastrophic when one user is dense: at the
+    * 30M-event skew probe (one bot user holding ~10% of events,
+    * trailing frame ≈ 88k rows) the hot task burned >22 CPU-MINUTES
+    * before being killed, vs 14.4 s for the whole uniform run (PERF.md
+    * skew table). The trailing frame is instead DECOMPOSED into two
+    * GROWING frames — n_24h(t) = cum≤(t) − cum≤(t−24h−1µs) — because
+    * Spark's unbounded-preceding frame processor is add-only
+    * incremental: the lower bound never moves, so nothing needs
+    * retracting and each key costs O(n log n) total. Same single
+    * shuffle and sort as the naive frame (both window specs share the
+    * (user_id, ts_us) sort order); skew now degrades gracefully — the
+    * hot key is one linear task, like every other per-user fold
+    * (PERF.md skew table: 17.1 s uniform / 35.9 s at 10% skew, 30M
+    * events — vs the old frame's killed single task).
+    *
+    * Exactness: timestamps are integral µs, so "strictly before
+    * t−24h" is precisely "≤ t−24h−1µs" — the RANGE upper bound of the
+    * subtracted frame; ties at t and at the 24h boundary land in the
+    * frame on both engines. Value sums are integer cents
+    * (order-independent, exact subtraction before the one divide). */
   def eventsRolling24h(spark: SparkSession, sfDir: String,
                        windowHours: Int = 24): DataFrame = {
     require(windowHours > 0, s"windowHours must be positive, got $windowHours")
     val dayUs = windowHours.toLong * 3600 * 1000000
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-      .rangeBetween(-dayUs, 0)
+    def grow(upper: Long) = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, upper)
+    val wLe = grow(0)           // all events with ts' <= t (ties included)
+    val wLt = grow(-dayUs - 1)  // all events with ts' < t - 24h
     Tables.eventsTs(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
-      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("n_24h",
+        count(lit(1)).over(wLe) - count(lit(1)).over(wLt))
       .withColumn("val_24h",
-        (sum(round(col("value") * 100).cast("long")).over(w)
-          .cast("double") / 100))
+        (sum("cents").over(wLe) - coalesce(sum("cents").over(wLt), lit(0L)))
+          .cast("double") / 100)
       .select("event_id", "user_id", "ts", "n_24h", "val_24h")
       .orderBy("event_id")
   }

@@ -19,6 +19,13 @@ object TextAnalysis {
   private[queries] def toks(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
+  /** Cache toggle for A/B measurement: SPARK_GRAFT_DISABLE_CACHE=1 turns
+    * the measured intra-query caches into pass-throughs so ScaleProbe can
+    * price cache-vs-recompute at any corpus size (evidence in PERF.md —
+    * CLAUDE.md invariant 4 demands a number, not a hunch). */
+  private[queries] def maybeCache(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_DISABLE_CACHE").contains("1")) df else df.cache()
+
   /** 4-dp deterministic rounding (see [[Det]] for why round() is unsafe). */
   private def r4(c: Column): Column = Det.r(c, 4)
   private def r4Sql(x: String): String = Det.rSql(x, 4)
@@ -1321,6 +1328,12 @@ object TextAnalysis {
                     topN: Int = WinnowTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     import spark.implicits._
+    // NO cache, by measurement (PERF.md "intra-query caches"): at the 1M
+    // probe, caching this corpus-sized fingerprint frame was FLAT twice
+    // (10.4 s vs 9.8 s; 16.8 s vs 16.6 s uncached) — the JIT'd winnow
+    // kernel recomputes faster than the cache round-trips, so the three
+    // consumers below just re-scan, and a 100 TB run doesn't pin
+    // corpus/K-chars of executor memory for nothing
     val fp = normalized(spark, sfDir)
       .flatMap { case (id, ns) =>
         val mins = winnowMins(kgramHashes(ns))
@@ -1329,7 +1342,7 @@ object TextAnalysis {
         val it = mins.iterator()
         while (it.hasNext) { out(i) = (id, it.next()); i += 1 }
         out
-      }.toDF("doc_id", "fp").cache() // fingerprint rows ≈ corpus/K chars — 3 consumers below
+      }.toDF("doc_id", "fp")
     val nFps = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowMaxDf).select("fp")
