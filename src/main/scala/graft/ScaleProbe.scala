@@ -45,7 +45,7 @@ object ScaleProbe {
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
-    "bpe_train",
+    "bpe_train", "bpe_apply",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
     "inverted_index_raw", "multikey_counts", "multikey_flat",
     "wordcount_tsv", "results_limit", "stratified_sample")

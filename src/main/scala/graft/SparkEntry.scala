@@ -82,6 +82,8 @@ object SparkEntry {
       TextAnalysis.tokenPmi(s, d, a.getOrElse("top_n", "50").toInt)),
     "bpe_train" -> ((s, d, a) =>
       TextAnalysis.bpeTrain(s, d, a.getOrElse("n_merges", "20").toInt)),
+    "bpe_apply" -> ((s, d, a) =>
+      TextAnalysis.bpeApply(s, d, a.getOrElse("n_merges", "20").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

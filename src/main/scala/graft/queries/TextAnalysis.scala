@@ -1654,11 +1654,14 @@ object TextAnalysis {
     * wrapping spaces act as boundaries. The DuckDB twin unrolls the N
     * rounds as a MATERIALIZED-CTE chain (materialization keeps the
     * doubly-referenced per-round frames linear, not exponential). */
-  def bpeTrain(spark: SparkSession, sfDir: String,
-               nMerges: Int = BpeMerges): DataFrame = {
+  /** The training loop itself, returning the learned merge table as
+    * driver-side model state (≤ nMerges rows) — shared by [[bpeTrain]]
+    * (which just tabulates it) and [[bpeApply]] (which folds it back
+    * over the corpus). */
+  private[queries] def bpeTrainMerges(spark: SparkSession, sfDir: String,
+                                      nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges > 0 && nMerges <= 500,
       s"nMerges must be in [1, 500], got $nMerges")
-    import spark.implicits._
     val wordFreq = Tables.documents(spark, sfDir)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -1690,23 +1693,66 @@ object TextAnalysis {
           r += 1
         }
       }
-      merges.result().toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
-        .orderBy("merge_rank")
+      merges.result()
     } finally { wordFreq.unpersist(); () }
   }
 
-  /** Unrolled-CTE DuckDB twin of [[bpeTrain]] at the default
-    * [[BpeMerges]] — generated round-by-round; see [[bpeTrain]]'s
-    * scaladoc for why replace() semantics agree across engines. */
-  val bpeTrainSql: String = {
+  def bpeTrain(spark: SparkSession, sfDir: String,
+               nMerges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(spark, sfDir, nMerges)
+      .toDF("merge_rank", "sym_a", "sym_b", "n_occurrences")
+      .orderBy("merge_rank")
+  }
+
+  /** TOKENIZER APPLICATION — the other half of the tokenizer story:
+    * train the merge table ([[bpeTrainMerges]], model state), then fold
+    * it back over every token occurrence and report per-doc tokenized
+    * size: (doc_id, n_tokens, n_chars, n_bpe_symbols, syms_per_token).
+    * This is the "how many BPE tokens is my corpus" readout that prices
+    * training runs and context budgets.
+    *
+    * Scale shape: train cost as [[bpeTrain]]; application is a PURE
+    * PER-ROW fold — the N learned merges become N chained codegen'd
+    * `replace` calls on the exploded token stream (no join against a
+    * vocab frame: a shuffle of the corpus-sized token stream costs more
+    * than 20 string replaces per row), then one per-doc agg. The merge
+    * table rides into codegen as literals — nothing is broadcast or
+    * collected at scale. The DuckDB twin applies the same nested
+    * replace chain with the best-pair CTEs cross-joined in as scalars
+    * (1 row each). */
+  def bpeApply(spark: SparkSession, sfDir: String,
+               nMerges: Int = BpeMerges): DataFrame = {
+    val merges = bpeTrainMerges(spark, sfDir, nMerges)
+    val rep = merges.foldLeft(regexp_replace(col("tok"), "(.)", " $1 ")) {
+      case (c, (_, a, b, _)) => replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), length(col("tok")).as("len"),
+        size(split(trim(rep), "  ")).as("n_syms"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("len").as("n_chars"),
+        sum("n_syms").cast("long").as("n_bpe_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("n_bpe_symbols"),
+        Det.r(col("n_bpe_symbols").cast("double") / col("n_tokens"), 6)
+          .as("syms_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared unrolled training-CTE chain (w, wt0, then
+    * pr/best/wt per round) — see [[bpeTrain]]'s scaladoc for why
+    * replace() semantics agree across engines. */
+  private def bpeCtes(nMerges: Int): String = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""w AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
        |                                  x -> length(x) > 0)) AS tok FROM documents)
        |  GROUP BY tok),
        |wt0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS rep, freq FROM w)""".stripMargin
-    val sels = Seq.newBuilder[String]
-    for (r <- 1 to BpeMerges) {
+    for (r <- 1 to nMerges) {
       ctes += s"""pr$r AS (SELECT unnest(list_transform(range(1, len(s)),
          |    i -> s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1])) AS pair, freq
          |  FROM (SELECT string_split(trim(rep), '  ') AS s, freq FROM wt${r - 1})
@@ -1717,11 +1763,42 @@ object TextAnalysis {
          |    replace(rep, ' ' || replace(b.pair, ' ', '  ') || ' ',
          |            ' ' || replace(b.pair, ' ', '') || ' ') AS rep, freq
          |  FROM wt${r - 1} CROSS JOIN best$r b)""".stripMargin
-      sels += s"""SELECT $r AS merge_rank, split_part(pair, ' ', 1) AS sym_a,
+    }
+    ctes.result().mkString(",\n")
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[bpeTrain]] at the default
+    * [[BpeMerges]]. */
+  val bpeTrainSql: String = {
+    val sels = (1 to BpeMerges).map { r =>
+      s"""SELECT $r AS merge_rank, split_part(pair, ' ', 1) AS sym_a,
          |  split_part(pair, ' ', 2) AS sym_b, n AS n_occurrences FROM best$r""".stripMargin
     }
-    "WITH " + ctes.result().mkString(",\n") + "\n" +
-      sels.result().mkString(" UNION ALL ") + " ORDER BY merge_rank"
+    "WITH " + bpeCtes(BpeMerges) + "\n" +
+      sels.mkString(" UNION ALL ") + " ORDER BY merge_rank"
+  }
+
+  /** DuckDB twin of [[bpeApply]]: the same training chain, then the
+    * nested replace fold applied per token occurrence with the 1-row
+    * best CTEs cross-joined in as scalars. */
+  val bpeApplySql: String = {
+    val nested = (1 to BpeMerges).foldLeft(
+      "regexp_replace(tok, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+      s"replace($acc, ' ' || replace(b$r.pair, ' ', '  ') || ' ', " +
+        s"' ' || replace(b$r.pair, ' ', '') || ' ')"
+    }
+    val crosses = (1 to BpeMerges).map(r => s"CROSS JOIN best$r b$r").mkString(" ")
+    s"""WITH ${bpeCtes(BpeMerges)}
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |       CAST(sum(len(string_split(trim($nested), '  '))) AS BIGINT) AS n_bpe_symbols,
+       |       ${Det.rSql(
+            s"CAST(sum(len(string_split(trim($nested), '  '))) AS DOUBLE) / count(*)", 6)} AS syms_per_token
+       |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                        x -> length(x) > 0)) AS tok
+       |      FROM documents) d
+       |$crosses
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1749,6 +1826,7 @@ object TextAnalysis {
     "vocab_growth"     -> ((s, d) => vocabGrowth(s, d)),
     "bpe_pair_counts"  -> ((s, d) => bpePairCounts(s, d)),
     "bpe_train"        -> ((s, d) => bpeTrain(s, d)),
+    "bpe_apply"        -> ((s, d) => bpeApply(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1776,5 +1854,6 @@ object TextAnalysis {
     "vocab_growth"     -> vocabGrowthSql,
     "bpe_pair_counts"  -> bpePairCountsSql,
     "bpe_train"        -> bpeTrainSql,
+    "bpe_apply"        -> bpeApplySql,
   )
 }

@@ -255,6 +255,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Dedup.paraDedup(spark, empty).collect().isEmpty)
   }
 
+  test("bpe_apply: bounds hold; merges only ever shrink the symbol stream") {
+    assert(queries.TextAnalysis.bpeApply(spark, empty).collect().isEmpty)
+    val rows = queries.TextAnalysis.bpeApply(spark, edge, nMerges = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nChr = r.getAs[Long]("n_chars")
+      val nSym = r.getAs[Long]("n_bpe_symbols")
+      // every token is >= 1 symbol; unmerged chars are the upper bound
+      assert(nSym >= nTok && nSym <= nChr, s"bounds: $nTok <= $nSym <= $nChr")
+      val expect = math.floor(nSym.toDouble / nTok * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("syms_per_token") == expect)
+    }
+    // more merges can only shrink (or hold) each doc's symbol count
+    val m1 = queries.TextAnalysis.bpeApply(spark, edge, nMerges = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_symbols")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_symbols") <= m1(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {
     val rows = queries.Dedup.simhashDedup(spark, edge).collect()
     assert(rows.exists(r => r.getAs[Long]("doc_a") == 5L &&
