@@ -43,7 +43,8 @@ object ScaleProbe {
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
-    "embedding_cosine_dedup", "mm_features", "mm_frame_sample", "mm_fusion",
+    "embedding_cosine_dedup", "embedding_dedup_lsh",
+    "mm_features", "mm_frame_sample", "mm_fusion",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
     "bpe_train", "bpe_apply",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
@@ -244,6 +245,24 @@ object ScaleProbe {
       println(String.format(java.util.Locale.ROOT,
         """{"query":"%s","sec":%.2f,"status":"%s"}""", name, Double.box(dt), res))
     }
+    // -- dedup recall of the INJECTED near-copies (every 50th vector is
+    //    a perturbed copy of its predecessor, cosine ≈ 1): the LSH-blocked
+    //    dedup must keep finding them as bucket geometry shifts with n.
+    //    Join-based count — found pairs never collect to the driver.
+    if (run.contains("embedding_dedup_lsh")) {
+      val found = SparkEntry.queries("embedding_dedup_lsh")(spark, dir)
+        .select("vec_a", "vec_b")
+      val expected = spark.range(nVecs).filter(col("id") % 50 === 49)
+        .select((col("id") - 1).as("vec_a"), col("id").as("vec_b"))
+      val nExp = expected.count()
+      val hit = if (nExp == 0) 0L
+        else found.join(expected, Seq("vec_a", "vec_b")).count()
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"embedding_dedup_lsh","recall_injected":%.3f,"n_expected":%d,"n_vecs":%d}""",
+        Double.box(if (nExp == 0) 0.0 else hit.toDouble / nExp),
+        Long.box(nExp), Long.box(nVecs)))
+    }
+
     // -- ANN recall at probe scale (50 result rows per query — model-
     //    sized collects, not data)
     if (run.exists(Set("ann_cosine_lsh", "ann_cosine_ivf"))) {

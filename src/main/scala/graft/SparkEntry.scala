@@ -84,6 +84,8 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s, d, a.getOrElse("n_merges", "20").toInt)),
     "bpe_apply" -> ((s, d, a) =>
       TextAnalysis.bpeApply(s, d, a.getOrElse("n_merges", "20").toInt)),
+    "embedding_dedup_lsh" -> ((s, d, a) =>
+      Dedup.embeddingDupsLsh(s, d, a.getOrElse("threshold", "0.47").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

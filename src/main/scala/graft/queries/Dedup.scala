@@ -1215,6 +1215,134 @@ object Dedup {
       |WHERE CAST(floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 >= 0.47
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // LSH-blocked embedding near-dup (the sub-quadratic scale path)
+  // --------------------------------------------------------------------
+
+  private val LshDedupTables = 8
+  private val LshDedupMaxBucket = 4096
+  private val LshDedupThreshold = 0.47
+
+  /** Signature width DERIVED from corpus size (the `derivedIvfCells`
+    * move): the smallest k with 2^k · 8 ≥ n, clamped to [6, 24] — i.e.
+    * E[bucket] ≤ 8 members at any n, so per-bucket pairing stays
+    * executor-local and total candidates stay ≤ tables·n·7/2 = LINEAR
+    * in n with a small constant (the first cut targeted E[bucket] = 64
+    * and died at the 500k probe: ~1.2e8 candidates × two 64-dim vector
+    * joins ≈ 60 GB of verify shuffle). Near-dup recall is unaffected —
+    * a cos ≥ 0.99 pair agrees per bit with p ≈ 0.95, so even 17-bit
+    * signatures collide per table with p ≈ 0.43 and across 8 tables
+    * with p ≈ 0.99. Computed by exact integer comparison (NOT
+    * ceil(log2(...)): a libm log2 landing exactly on an integer
+    * boundary could round differently across engines — the token_pmi
+    * lesson). Fixture (n = 500) keeps 6 bits, the geometry the specs'
+    * expectations were measured on. */
+  private[graft] def derivedLshBits(n: Long): Int =
+    math.max(6, (0 to 24).find(k => (1L << k) * 8 >= n).getOrElse(24))
+
+  /** Sub-quadratic embedding near-dup — the scale path
+    * [[embeddingCosineDups]]'s scaladoc promises: candidates come from
+    * sign-LSH bucket collisions ([[Similarity.signaturesFor]], 8 tables
+    * × [[derivedLshBits]]-bit signatures) instead of the exact triangle
+    * grid, then exact cosine verifies each candidate at the same
+    * rounded threshold, so the output is a DETERMINISTIC SUBSET of the
+    * exact query's pairs (asserted in DedupSpec). Every step — LCG
+    * hyperplanes, sign projections, bucketing, verify — is exact
+    * arithmetic, so the DuckDB twin reproduces it bit-for-bit (the
+    * [[Similarity.annCosineLshSql]] machinery with the bit-width CTE
+    * computed from count(*) by the same integer comparison).
+    *
+    * Scale story: signature kernel is one linear pass; bucket sizes are
+    * E[n/2^bits] ≤ 64 by construction; buckets above
+    * [[LshDedupMaxBucket]] are DROPPED ON BOTH ENGINES (the winnow
+    * df-cap pattern — a bucket that hot means collapsed geometry, not
+    * dedup signal) so one degenerate region can never go quadratic;
+    * candidate join + verify shuffle only (t, sig, vec_id) triples and
+    * the candidate pairs. Recall is θ-dependent (sign-LSH math): ~1.0
+    * for true near-dups (cos ≥ 0.99 — what dedup hunts; ScaleProbe
+    * measures recall of the injected near-copies at probe scale) and
+    * intentionally low at the fixture's weak-similarity geometry
+    * (cos ≈ 0.5), where the exact query remains the labeled option. */
+  def embeddingDupsLsh(spark: SparkSession, sfDir: String,
+                       threshold: Double = LshDedupThreshold): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val all = Similarity.vecs(spark, sfDir)
+    // one count() — scalar model state, the derivedIvfCells precedent
+    val bits = derivedLshBits(all.count())
+    // cache MEASURED at the 1M probe (PERF.md): the sig frame is consumed
+    // three times (bucket sizing + both sides of the pairing join) and
+    // each recompute re-runs the tables·bits·64-mult projection kernel
+    // over the corpus — 350.9 s uncached vs 165.6 s cached at 1M vectors.
+    // Footprint is bounded: n·tables rows of (long, int, int)
+    val sigs = TextAnalysis.maybeCache(
+      Similarity.signaturesFor(spark, all, LshDedupTables, bits))
+    val ok = sigs.groupBy("t", "sig").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2 && col("m") <= LshDedupMaxBucket)
+      .select("t", "sig")
+    val mem = sigs.join(ok, Seq("t", "sig"))
+    val cands = mem.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
+      .join(mem.select(col("t"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("t", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val nn = all.select(col("vec_id"), col("v"), col("norm"))
+    cands
+      .join(nn.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), "vec_a")
+      .join(nn.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), "vec_b")
+      .withColumn("cosine", Det.r(
+        graft.functions.VectorFunctions.array_dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[embeddingDupsLsh]] — the annCosineLshSql plane
+    * machinery with (a) the bit width computed from count(*) by the
+    * same exact integer rule (range() can't take subquery bounds, so b
+    * spans the constant max and filters against the params CTE) and
+    * (b) the occupancy cap mirrored as a HAVING-style bucket filter. */
+  val embeddingDupsLshSql: String =
+    s"""WITH RECURSIVE
+       |ks AS (SELECT unnest(range(0, 25)) AS k),
+       |params AS (SELECT greatest(6, coalesce(
+       |             (SELECT min(k) FROM ks
+       |              WHERE (CAST(1 AS BIGINT) << k) * 8 >= (SELECT count(*) FROM embeddings)),
+       |             24)) AS bits),
+       |tb AS (SELECT t, b FROM range(0, $LshDedupTables) r1(t)
+       |       CROSS JOIN (SELECT unnest(range(0, 24)) AS b) r2
+       |       CROSS JOIN params WHERE b < params.bits),
+       |seeds AS (SELECT t, b,
+       |    CAST(xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) AS HUGEINT)
+       |      + CASE WHEN xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) < 0
+       |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS st
+       |  FROM tb),
+       |pl AS (
+       |  SELECT t, b, 0 AS d, st AS state FROM seeds
+       |  UNION ALL
+       |  SELECT t, b, d + 1,
+       |         (state * 6364136223846793005 + 1442695040888963407) % CAST(18446744073709551616 AS HUGEINT)
+       |  FROM pl WHERE d < 64),
+       |wl AS (SELECT t, b, list(CAST(state // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY d) AS wv
+       |       FROM pl WHERE d >= 1 GROUP BY t, b),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |sigs AS (SELECT e.vec_id, w.t,
+       |           CAST(sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1 << w.b) ELSE 0 END) AS INT) AS sig
+       |         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.t),
+       |ok AS (SELECT t, sig FROM (SELECT t, sig, count(*) AS m FROM sigs GROUP BY 1, 2)
+       |       WHERE m BETWEEN 2 AND $LshDedupMaxBucket),
+       |mem AS (SELECT s.vec_id, s.t, s.sig FROM sigs s JOIN ok USING (t, sig)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM mem a JOIN mem b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |       CAST(floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+       |WHERE CAST(floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 >= $LshDedupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
     "para_dedup"           -> ((s, d) => paraDedup(s, d)),
@@ -1224,6 +1352,7 @@ object Dedup {
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
+    "embedding_dedup_lsh"  -> ((s, d) => embeddingDupsLsh(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
@@ -1238,6 +1367,7 @@ object Dedup {
     "simhash_dedup"        -> simhashDedupSql,
     "dup_pair_sources"     -> dupPairSourcesSql,
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
+    "embedding_dedup_lsh"  -> embeddingDupsLshSql,
     "dedup_clusters"       -> dedupClustersSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,

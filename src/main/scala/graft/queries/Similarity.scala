@@ -41,7 +41,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.array_dot(a, b)
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -103,25 +103,32 @@ object Similarity {
     }
   }
 
-  /** All hyperplanes as one flat matrix, built once per executor via the
-    * task closure (12 KB — trivially serialized). */
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NumTables * SigBits)(i => hyperplane(i / SigBits, i % SigBits))
 
   /** Signature kernel: NumTables×SigBits sign projections per vector as
     * tight JIT'd loops. (The previous Column-expression version ran the
     * 192 dot products through interpreted `aggregate` lambdas — 64× slower
     * and the whole cost of this query at sf0.1.) */
-  private def signatures(spark: SparkSession, vecsDf: DataFrame): DataFrame = {
+  private def signatures(spark: SparkSession, vecsDf: DataFrame): DataFrame =
+    signaturesFor(spark, vecsDf, NumTables, SigBits)
+
+  /** The same kernel with caller-chosen table count and signature width —
+    * [[graft.queries.Dedup.embeddingDupsLsh]] uses longer, corpus-derived
+    * signatures than the fixed-geometry search path above. Planes come
+    * from the same [[hyperplane]] family (pure function of (table, bit)),
+    * built once per call (≤ tables·bits·64 doubles — trivially shipped in
+    * the task closure). */
+  private[queries] def signaturesFor(spark: SparkSession, vecsDf: DataFrame,
+                                     tables: Int, bits: Int): DataFrame = {
     import spark.implicits._
+    val pl = Array.tabulate(tables * bits)(i => hyperplane(i / bits, i % bits))
     vecsDf.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .flatMap { case (id, vSeq) =>
         val v = vSeq.toArray
-        (0 until NumTables).iterator.map { t =>
+        (0 until tables).iterator.map { t =>
           var sig = 0
           var b = 0
-          while (b < SigBits) {
-            val w = planes(t * SigBits + b)
+          while (b < bits) {
+            val w = pl(t * bits + b)
             var s = 0.0; var i = 0
             while (i < v.length) { s += v(i) * w(i); i += 1 }
             if (s > 0) sig |= (1 << b)

@@ -64,6 +64,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_dedup_lsh: nonempty deterministic subset of the exact pairs") {
+    val exact = queries.Dedup.embeddingCosineDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    val lsh = queries.Dedup.embeddingDupsLsh(spark, sf).collect()
+    assert(lsh.nonEmpty) // fixture geometry yields (at least) one collision
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(exact.contains(k), s"$k not in the exact pair set")
+      assert(exact(k) == r.getAs[Double]("cosine"))
+    }
+    // derived signature width: exact integer rule, fixture floor at 6
+    assert(queries.Dedup.derivedLshBits(500) == 6)
+    assert(queries.Dedup.derivedLshBits(8L << 14) == 14)
+    assert(queries.Dedup.derivedLshBits((8L << 14) + 1) == 15)
+    assert(queries.Dedup.derivedLshBits(Long.MaxValue / 2) == 24)
+  }
+
   test("dedup clusters: local union-find and distributed propagation agree") {
     val local = queries.Dedup.dedupClusters(spark, sf)
       .collect().map(_.toString).sorted.toSeq
