@@ -103,6 +103,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 additions: scans pruned to the consumed columns") {
+    Seq("para_dedup" -> "struct<doc_id:bigint,text:string>",
+        "bpe_apply" -> "struct<doc_id:bigint,text:string>",
+        "embedding_dedup_lsh" -> "struct<vec_id:bigint,embedding:array<float>")
+      .foreach { case (q, rs) =>
+        assert(plan(q).contains(rs), s"$q scan should be pruned to $rs")
+      }
+    // bpe_train's returned frame is the driver-built merge table (the
+    // training jobs ran eagerly) — it must not rescan anything
+    assert(!plan("bpe_train").contains("ReadSchema"))
+  }
+
   test("no registered query funnels data through SinglePartition or CollectLimit") {
     // global sorts plan as range partitioning; a SinglePartition exchange
     // carrying table data (or a CollectLimit) is a driver-width funnel.
