@@ -41,6 +41,7 @@ object ScaleProbe {
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
     "token_histogram", "source_divergence", "embedding_centroids",
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
+    "embedding_dim_stats",
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "embedding_dedup_lsh",

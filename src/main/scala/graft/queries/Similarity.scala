@@ -410,6 +410,66 @@ object Similarity {
        |FROM q ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Per-dimension embedding health check
+  // --------------------------------------------------------------------
+
+  /** Per-DIMENSION moments of the embedding store — the collapsed-
+    * dimension health check an embedding pipeline alarms on (a dim whose
+    * std ≈ 0 carries no information: dead encoder unit, or a pipeline
+    * writing constants; a shifted mean flags normalization drift).
+    * Emits (dim, n, mean, std, min_x, max_x) for each of the 64 dims.
+    *
+    * Determinism: components are integerized to micros
+    * (⌊x·10⁶ + 0.5⌋ — exact, |x| < 0.5 so no overflow) BEFORE summing;
+    * Σq and Σq² (decimal — q² sums overflow long at 10¹² rows, the
+    * stats_agg lesson) are order-independent integer folds; the variance
+    * numerator n·Σq² − (Σq)² is guarded pre-sqrt (NaN > 0 is TRUE under
+    * Spark's total ordering — the events_zscore lesson); min/max over
+    * exactly-widened floats are order-free. One explode (64 rows per
+    * vector, column-pruned scan) + one 64-group agg with map-side
+    * combine; output is 64 rows at any corpus size. */
+  def embeddingDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val varNum = col("scc").cast("double") * col("n") -
+      col("sc").cast("double") * col("sc")
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x"),
+        floor(col("x") * 1000000 + 0.5).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sc"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("scc"),
+        min("x").as("mn"), max("x").as("mx"))
+      .select(col("dim"), col("n"),
+        Det.r(col("sc").cast("double") / col("n") / 1000000, 6).as("mean"),
+        Det.r(when(varNum > 0,
+          sqrt(varNum / (col("n").cast("double") * col("n"))) / 1000000), 6)
+          .as("std"),
+        Det.r(col("mn"), 6).as("min_x"), Det.r(col("mx"), 6).as("max_x"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin — 1-based list index becomes the 0-based dim. */
+  val embeddingDimStatsSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(i - 1 AS INT) AS dim,
+       |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+       |q AS (SELECT dim, x, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS q FROM x),
+       |m AS (SELECT dim, count(*) AS n, sum(q) AS sc,
+       |             sum(CAST(q AS DECIMAL(38,0)) * q) AS scc,
+       |             min(x) AS mn, max(x) AS mx
+       |      FROM q GROUP BY dim)
+       |SELECT dim, n,
+       |       ${Det.rSql("CAST(sc AS DOUBLE) / n / 1000000", 6)} AS mean,
+       |       ${Det.rSql(
+            "CASE WHEN CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) > 0 " +
+            "THEN sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) / 1000000 END", 6)} AS std,
+       |       ${Det.rSql("mn", 6)} AS min_x,
+       |       ${Det.rSql("mx", 6)} AS max_x
+       |FROM m ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------------
   // Quantized (int8) exact top-k
   // --------------------------------------------------------------------
 
@@ -588,6 +648,7 @@ object Similarity {
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
     "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
+    "embedding_dim_stats" -> ((s, d) => embeddingDimStats(s, d)),
     "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => embeddingCentroids(s, d)),
     "centroid_assign" -> ((s, d) => centroidAssign(s, d)),
@@ -596,6 +657,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceTopKSql,
     "embedding_quantize" -> embeddingQuantizeSql,
+    "embedding_dim_stats" -> embeddingDimStatsSql,
     "ann_cosine_topk_q8" -> quantizedTopKSql,
     "embedding_centroids" -> embeddingCentroidsSql,
     "centroid_assign" -> centroidAssignSql,

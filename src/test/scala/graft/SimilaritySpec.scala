@@ -99,6 +99,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("true_label")).toSet == labels)
   }
 
+  test("embedding_dim_stats: 64 live dims with sound moments") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = queries.Similarity.embeddingDimStats(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
+      val sd = r.getAs[Double]("std")
+      assert(!r.isNullAt(r.fieldIndex("std")) && sd > 0) // no collapsed dims in the fixture
+      assert(math.abs(r.getAs[Double]("mean")) <= 0.5)
+    }
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = queries.Similarity.hyperplane(2, 7)
     val b = queries.Similarity.hyperplane(2, 7)
