@@ -113,6 +113,10 @@ object ScaleProbe {
           s"' but this run wants '$manifest' — delete the dir or match the params")
       ok
     }
+    // invalidate BEFORE generating: a crash mid-synthesis must not leave
+    // the old manifest legitimizing a half-regenerated corpus for a later
+    // reuse run (the manifest is rewritten only after generation succeeds)
+    if (!reuse) java.nio.file.Files.deleteIfExists(manifestPath)
     def have(table: String): Boolean =
       reuse && new java.io.File(s"$dir/$table.parquet/_SUCCESS").exists()
     val spark = GraftSession.configure(

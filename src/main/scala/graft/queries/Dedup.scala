@@ -974,22 +974,32 @@ object Dedup {
     * the oracle (and therefore this parquet's contents) every round. */
   def dedupClustersMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
     val out = TextJobs.tmpOut(spark, "graft_clusters_", sfDir)
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = clusterSinks.putIfAbsent(out, fresh)
-    if (prior == null) {
-      try {
-        cleanupHook; cleanupDirs.add(out)
-        dedupClusters(spark, sfDir).write.mode("overwrite").parquet(out)
-        fresh.complete(out): Unit
-      } catch {
-        case t: Throwable =>
-          // un-publish so a later call can retry; wake any waiters with
-          // the failure instead of deadlocking them
-          clusterSinks.remove(out, fresh)
-          fresh.completeExceptionally(t)
-          throw t
+    var done = false
+    while (!done) {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = clusterSinks.putIfAbsent(out, fresh)
+      if (prior == null) {
+        try {
+          cleanupHook; cleanupDirs.add(out)
+          dedupClusters(spark, sfDir).write.mode("overwrite").parquet(out)
+          fresh.complete(out): Unit
+          done = true
+        } catch {
+          case t: Throwable =>
+            // un-publish so a later call can retry; wake any waiters with
+            // the failure instead of deadlocking them
+            clusterSinks.remove(out, fresh)
+            fresh.completeExceptionally(t)
+            throw t
+        }
+      } else {
+        // a waiter whose writer failed transiently retries the race for
+        // the slot itself (computeIfAbsent's old semantics) instead of
+        // failing permanently on someone else's hiccup
+        try { prior.join(); done = true }
+        catch { case _: Throwable => () }
       }
-    } else prior.join()
+    }
     spark.read.parquet(out)
   }
 
@@ -1253,7 +1263,7 @@ object Dedup {
     * computed from count(*) by the same integer comparison).
     *
     * Scale story: signature kernel is one linear pass; bucket sizes are
-    * E[n/2^bits] ≤ 64 by construction; buckets above
+    * E[n/2^bits] ≤ 8 by construction ([[derivedLshBits]]); buckets above
     * [[LshDedupMaxBucket]] are DROPPED ON BOTH ENGINES (the winnow
     * df-cap pattern — a bucket that hot means collapsed geometry, not
     * dedup signal) so one degenerate region can never go quadratic;

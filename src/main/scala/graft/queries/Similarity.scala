@@ -441,9 +441,13 @@ object Similarity {
         min("x").as("mn"), max("x").as("mx"))
       .select(col("dim"), col("n"),
         Det.r(col("sc").cast("double") / col("n") / 1000000, 6).as("mean"),
+        // 0.0, not NULL, for a zero-variance dim — the collapsed-dim
+        // condition IS the alarm this query exists to raise, and a NULL
+        // would silently pass a `std < eps` monitor; the guard clamps
+        // tiny negative double-rounding artifacts to the same 0.0
         Det.r(when(varNum > 0,
-          sqrt(varNum / (col("n").cast("double") * col("n"))) / 1000000), 6)
-          .as("std"),
+          sqrt(varNum / (col("n").cast("double") * col("n"))) / 1000000)
+          .otherwise(lit(0.0)), 6).as("std"),
         Det.r(col("mn"), 6).as("min_x"), Det.r(col("mx"), 6).as("max_x"))
       .orderBy("dim")
   }
@@ -464,7 +468,8 @@ object Similarity {
        |       ${Det.rSql("CAST(sc AS DOUBLE) / n / 1000000", 6)} AS mean,
        |       ${Det.rSql(
             "CASE WHEN CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) > 0 " +
-            "THEN sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) / 1000000 END", 6)} AS std,
+            "THEN sqrt((CAST(scc AS DOUBLE) * n - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) / 1000000 " +
+            "ELSE 0.0 END", 6)} AS std,
        |       ${Det.rSql("mn", 6)} AS min_x,
        |       ${Det.rSql("mx", 6)} AS max_x
        |FROM m ORDER BY dim""".stripMargin

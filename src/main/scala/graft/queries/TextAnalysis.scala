@@ -1757,8 +1757,17 @@ object TextAnalysis {
          |    i -> s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1])) AS pair, freq
          |  FROM (SELECT string_split(trim(rep), '  ') AS s, freq FROM wt${r - 1})
          |  WHERE len(s) >= 2)""".stripMargin
-      ctes += s"""best$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
-         |  FROM pr$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+      // the sentinel row keeps best$r non-empty when the corpus exhausts
+      // its pairs before round r: '§' is outside the \w tokenizer
+      // alphabet, so the sentinel's replace pattern can never match (a
+      // no-op merge — exactly Spark's early loop exit), the apply-side
+      // cross joins stay populated, and bpeTrainSql filters it on n > 0
+      ctes += s"""best$r AS MATERIALIZED (
+         |  SELECT * FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |                 FROM pr$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1)
+         |  UNION ALL
+         |  SELECT '§ §', CAST(0 AS BIGINT)
+         |  WHERE NOT EXISTS (SELECT 1 FROM pr$r))""".stripMargin
       ctes += s"""wt$r AS MATERIALIZED (SELECT
          |    replace(rep, ' ' || replace(b.pair, ' ', '  ') || ' ',
          |            ' ' || replace(b.pair, ' ', '') || ' ') AS rep, freq
@@ -1772,7 +1781,8 @@ object TextAnalysis {
   val bpeTrainSql: String = {
     val sels = (1 to BpeMerges).map { r =>
       s"""SELECT $r AS merge_rank, split_part(pair, ' ', 1) AS sym_a,
-         |  split_part(pair, ' ', 2) AS sym_b, n AS n_occurrences FROM best$r""".stripMargin
+         |  split_part(pair, ' ', 2) AS sym_b, n AS n_occurrences
+         |FROM best$r WHERE n > 0""".stripMargin
     }
     "WITH " + bpeCtes(BpeMerges) + "\n" +
       sels.mkString(" UNION ALL ") + " ORDER BY merge_rank"

@@ -106,7 +106,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("round-5 additions: scans pruned to the consumed columns") {
     Seq("para_dedup" -> "struct<doc_id:bigint,text:string>",
         "bpe_apply" -> "struct<doc_id:bigint,text:string>",
-        "embedding_dedup_lsh" -> "struct<vec_id:bigint,embedding:array<float>")
+        "embedding_dedup_lsh" -> "struct<vec_id:bigint,embedding:array<float>>")
       .foreach { case (q, rs) =>
         assert(plan(q).contains(rs), s"$q scan should be pruned to $rs")
       }
