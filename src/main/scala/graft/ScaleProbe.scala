@@ -49,11 +49,15 @@ object ScaleProbe {
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
     "bpe_train", "bpe_apply",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
-    "inverted_index_raw", "multikey_counts", "multikey_flat",
+    "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample")
 
-  /** Queries that read only events — probed when nEvents > 0. */
+  /** Queries that read only events — probed when nEvents > 0.
+    * multikey_counts/multikey_flat live here (not DocQueries): the E8
+    * url_analyzer shape reads events.props — the 500k family sweep
+    * caught them failing on a docs-only corpus. */
   private[graft] val EventQueries = Seq(
+    "multikey_counts", "multikey_flat",
     "events_funnel", "event_transitions", "events_sessions",
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
     "events_error_context", "json_events", "user_retention",
