@@ -325,6 +325,107 @@ object Dedup {
        |FROM p""".stripMargin
 
   // --------------------------------------------------------------------
+  // Pipeline funnel (the composed keep-mass readout)
+  // --------------------------------------------------------------------
+
+  /** The training-data FUNNEL: how many documents and tokens survive
+    * each pipeline stage, composed in production order — raw →
+    * quality-gated ([[TextAnalysis.qualityGateFrame]], same thresholds)
+    * → exact-dedup canonical WITHIN the gated survivors (min doc_id per
+    * normalized-text md5 — dedup after filtering, as pipelines run it)
+    * → paragraph-dedup retained token mass over the canonical docs
+    * (first md5 occurrence corpus-wide, the [[paraDedup]] rule). This
+    * is the 4-row report a data team actually watches: where the corpus
+    * mass goes. Each stage feeds the next, so the numbers are the
+    * COMPOSED pipeline's, not per-stage-in-isolation.
+    *
+    * Scale shape: stage frames are narrow projections of one documents
+    * scan; each stage adds at most one hash shuffle (gate is stateless,
+    * exact dedup groups on a 16-byte md5, paragraph dedup windows on
+    * uniform md5 keys); the four 1-row aggregates are the sanctioned
+    * pre-aggregated SinglePartition funnels. Nothing is collected,
+    * cached, or broadcast. */
+  def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.toks(col("text")).as("t"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val kept = base.join(
+      TextAnalysis.qualityGateFrame(docs).filter(col("keep")).select("doc_id"),
+      "doc_id")
+    val hashed = kept.withColumn("ch",
+      md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))))
+    val canonical = hashed
+      .join(hashed.groupBy("ch").agg(min("doc_id").as("keep_id")), "ch")
+      .filter(col("doc_id") === col("keep_id"))
+    val paras = canonical.filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(ParaTokens))))
+      .select(col("doc_id"), col("pos").as("para_idx"),
+        md5(concat_ws(" ", slice(col("t"), col("col") + 1, lit(ParaTokens))))
+          .as("ph"),
+        least(lit(ParaTokens), size(col("t")) - col("col")).cast("long")
+          .as("n_toks"))
+    val retained = paras
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ph").orderBy("doc_id", "para_idx")))
+      .filter(col("rn") === 1)
+    val s3 = retained
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+      .select(lit(3).as("stage_id"), lit("para_dedup").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    stage(base, 0, "raw")
+      .unionByName(stage(kept, 1, "quality_gate"))
+      .unionByName(stage(canonical, 2, "exact_dedup"))
+      .unionByName(s3)
+      .orderBy("stage_id")
+  }
+
+  /** DuckDB twin — the gate keep condition restated from the
+    * qualityGate thresholds (n_tokens ≥ 20 AND dup_bigram_frac ≤ 0.05
+    * over [[TextAnalysis]]'s shared repetition CTE), then the same
+    * hash/window chain. */
+  val pipelineFunnelSql: String =
+    s"""WITH ${TextAnalysis.repetitionBaseSqlCte},
+       |d AS (SELECT doc_id, text,
+       |             list_filter(string_split_regex(lower(text), '\\W+'),
+       |                         x -> length(x) > 0) AS t
+       |      FROM documents),
+       |b AS (SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n_toks FROM d),
+       |kept AS (SELECT b.* FROM b JOIN rb USING (doc_id)
+       |         WHERE rb.n_tokens >= 20 AND rb.dup_bigram_frac <= 0.05),
+       |h AS (SELECT doc_id, t, n_toks,
+       |             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch
+       |      FROM kept),
+       |canon AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY ch),
+       |s2 AS (SELECT h.* FROM h JOIN canon ON h.ch = canon.ch AND h.doc_id = canon.keep_id),
+       |p AS (SELECT doc_id, CAST(g // $ParaTokens AS INT) AS para_idx,
+       |             md5(array_to_string(list_slice(t, CAST(g + 1 AS INT),
+       |                                            CAST(g + $ParaTokens AS INT)), ' ')) AS ph,
+       |             CAST(least($ParaTokens, len(t) - g) AS BIGINT) AS n_ptoks
+       |      FROM (SELECT doc_id, t, unnest(range(0, len(t), $ParaTokens)) AS g
+       |            FROM s2 WHERE len(t) > 0)),
+       |r AS (SELECT doc_id, n_ptoks,
+       |             row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_idx) = 1 AS retained
+       |      FROM p)
+       |SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+       |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM b
+       |UNION ALL SELECT 1, 'quality_gate', count(*),
+       |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM kept
+       |UNION ALL SELECT 2, 'exact_dedup', count(*),
+       |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'para_dedup', count(DISTINCT doc_id),
+       |       CAST(coalesce(sum(n_ptoks), 0) AS BIGINT) FROM r WHERE retained
+       |ORDER BY stage_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Exact n-gram Jaccard (inverted-index blocking)
   // --------------------------------------------------------------------
 
@@ -1357,6 +1458,7 @@ object Dedup {
     "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
     "para_dedup"           -> ((s, d) => paraDedup(s, d)),
     "para_dedup_stats"     -> ((s, d) => paraDedupStats(s, d)),
+    "pipeline_funnel"      -> ((s, d) => pipelineFunnel(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
@@ -1372,6 +1474,7 @@ object Dedup {
     "exact_dedup"          -> exactDedupSql,
     "para_dedup"           -> paraDedupSql,
     "para_dedup_stats"     -> paraDedupStatsSql,
+    "pipeline_funnel"      -> pipelineFunnelSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,

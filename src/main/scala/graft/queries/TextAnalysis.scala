@@ -292,7 +292,7 @@ object TextAnalysis {
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
           .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
 
-  private val repetitionBaseSqlCte: String =
+  private[queries] val repetitionBaseSqlCte: String =
     """rb AS (
       |  SELECT doc_id, t, len(t) AS n_tokens,
       |         CAST(floor((CASE WHEN len(bg) > 0

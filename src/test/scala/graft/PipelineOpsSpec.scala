@@ -519,6 +519,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_funnel: monotone keep-mass, stages reconcile with their queries") {
+    val rows = queries.Dedup.pipelineFunnel(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Int]("stage_id")).toSeq == Seq(0, 1, 2, 3))
+    val docsSeq = rows.map(_.getAs[Long]("n_docs")).toSeq
+    val tokSeq = rows.map(_.getAs[Long]("n_tokens")).toSeq
+    // every stage can only shed mass
+    assert(docsSeq.zip(docsSeq.tail).forall { case (a, b) => a >= b })
+    assert(tokSeq.zip(tokSeq.tail).forall { case (a, b) => a >= b })
+    // stage 0 = corpus totals; stage 1 = the gate's keep count
+    assert(docsSeq.head == Tables.documents(spark, sf).count())
+    assert(docsSeq(1) ==
+      queries.TextAnalysis.qualityGate(spark, sf).filter("keep").count())
+  }
+
   test("quality_percentile_gate: per-source drop is bounded and order-consistent") {
     val rows = queries.TextAnalysis.qualityPercentileGate(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
