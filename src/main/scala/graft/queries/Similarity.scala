@@ -23,10 +23,11 @@ import graft.Tables
   * Determinism: cosine math is all-double with identical fold order in
   * Spark and DuckDB (float→double products are exact, 64-element sequential
   * sums) → bit-identical values, safe to rank and hash-compare. That
-  * extends to the LSH path end-to-end ([[annCosineLshSql]] reproduces
-  * hyperplanes, signatures, banding, and re-rank exactly); only IVF stays
-  * oracle-less (iterative Lloyd in SQL isn't worth it) with ScalaTest +
-  * probe recall bounds instead.
+  * extends to BOTH approximate paths end-to-end: [[annCosineLshSql]]
+  * reproduces hyperplanes, signatures, banding, and re-rank exactly,
+  * and [[annCosineIvfSql]] unrolls the Lloyd iterations as a
+  * MATERIALIZED-CTE chain with nanos-integerised centroid sums (the
+  * bpe_train precedent), so every row of every ANN query is hash-gated.
   */
 object Similarity {
 
@@ -257,9 +258,10 @@ object Similarity {
     * the final assignment is one exact O(n·cells) pass. At 100 TB: same
     * loop, √n cells; per-query search cost = cells + nProbe·n/cells
     * ≈ O(√n), not O(n).
-    * Rows-only check (approximate recall); SimilaritySpec bounds
-    * recall@5 against the brute-force baseline at fixture scale and
-    * ScaleProbe re-measures it at ≥100×. */
+    * Fully value-oracled ([[annCosineIvfSql]]) since round 6: the loop
+    * is deterministic arithmetic end-to-end once centroid accumulation
+    * is integerised. SimilaritySpec additionally bounds recall@5 against
+    * the brute-force baseline and ScaleProbe re-measures it at ≥100×. */
   def annCosineIvf(spark: SparkSession, sfDir: String,
                    nProbe: Int = NProbe): DataFrame = {
     require(nProbe > 0 && nProbe <= IvfMinCells,
@@ -310,14 +312,25 @@ object Similarity {
         .map { case (_, u) => (nearestCell(bcIter.value, u), u) }
         .groupByKey(_._1)
         .mapGroups { (cell, it) =>
-          val sum = new Array[Double](Dim); var n = 0L
+          // Integerised (nanos) accumulation — long sums are fold-order-
+          // free, so the centroid is a pure function of the member
+          // MULTISET (the embeddingCentroids move). A raw double sum
+          // would depend on shuffle fetch order within the group, which
+          // is what kept this query un-oracle-able through round 5;
+          // annCosineIvfSql replays the loop bit-for-bit on this basis.
+          val sq = new Array[Long](Dim); var n = 0L
           it.foreach { case (_, u) =>
-            var i = 0; while (i < Dim) { sum(i) += u(i); i += 1 }; n += 1
+            var i = 0
+            while (i < Dim) { sq(i) += math.floor(u(i) * 1e9 + 0.5).toLong; i += 1 }
+            n += 1
           }
-          var norm = 0.0; var i = 0
-          while (i < Dim) { norm += sum(i) * sum(i); i += 1 }
+          val m = new Array[Double](Dim)
+          var i = 0
+          while (i < Dim) { m(i) = sq(i).toDouble / 1e9 / n; i += 1 }
+          var norm = 0.0; i = 0
+          while (i < Dim) { norm += m(i) * m(i); i += 1 }
           norm = math.sqrt(norm)
-          (cell, if (norm > 0) sum.map(_ / norm) else sum)
+          (cell, if (norm > 0) m.map(_ / norm) else m)
         }.collect()  // k rows of model state, not data
       next.foreach { case (cell, c) => centroids(cell) = c }
       bcIter.destroy()
@@ -355,6 +368,93 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annCosineIvf]] — the bpe_train move applied to
+    * Lloyd: the `IvfIters` k-means rounds unroll as a MATERIALIZED-CTE
+    * chain (asn/upd/cent per round). Bit-exactness rests on three facts:
+    * (1) every dot product on both engines is the same ascending 64-term
+    * IEEE fold (JIT'd loop ↔ `list_dot_product`), so assignment scores
+    * and tie-breaks (score DESC, cell ASC ≡ strict `>` first-wins)
+    * agree; (2) centroid accumulation is integerised to nanos before the
+    * sum — order-free on both engines — and the mean/renormalise ops
+    * replay the Scala op order exactly (each IEEE op exactly rounded);
+    * (3) `cells` and the training stride derive from `count(*)` with the
+    * same floor/round/integer-division semantics as [[derivedIvfCells]],
+    * so the SQL is valid at ANY corpus size, not just the fixture's.
+    * Cells that lose all training members keep their previous centroid
+    * (LEFT JOIN + COALESCE ≡ the in-place array update). */
+  val annCosineIvfSql: String = {
+    val rounds = (1 to IvfIters).map { r =>
+      s"""asn$r AS (
+         |  SELECT vec_id, q, cell
+         |  FROM (SELECT t.vec_id, t.q, c.cell,
+         |               row_number() OVER (PARTITION BY t.vec_id
+         |                  ORDER BY list_dot_product(c.c, t.u) DESC, c.cell ASC) AS rk
+         |        FROM tr t CROSS JOIN cent${r - 1} c)
+         |  WHERE rk = 1),
+         |upd$r AS (
+         |  SELECT cell, list(CAST(sq AS DOUBLE) / 1e9 / cnt ORDER BY i) AS m
+         |  FROM (SELECT cell, i, CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS sq,
+         |               count(*) AS cnt
+         |        FROM asn$r CROSS JOIN range(1, ${Dim + 1}) r(i)
+         |        GROUP BY cell, i)
+         |  GROUP BY cell),
+         |cent$r AS MATERIALIZED (
+         |  SELECT c0.cell,
+         |         COALESCE(CASE WHEN sqrt(list_dot_product(u.m, u.m)) > 0
+         |                       THEN list_transform(u.m, x -> x / sqrt(list_dot_product(u.m, u.m)))
+         |                       ELSE u.m END, c0.c) AS c
+         |  FROM cent${r - 1} c0 LEFT JOIN upd$r u USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nv AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |uv AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM nv),
+       |par AS (
+       |  SELECT count(*) AS n,
+       |         least(CAST($IvfCellsCap AS BIGINT),
+       |               greatest(CAST($IvfMinCells AS BIGINT),
+       |                        CAST(floor(sqrt(count(*) / 2.0) + 0.5) AS BIGINT))) AS cells
+       |  FROM uv),
+       |par2 AS (SELECT n, cells, greatest(1, n // (cells * 128)) AS step FROM par),
+       |cent0 AS MATERIALIZED (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, u AS c
+       |  FROM (SELECT u, row_number() OVER (ORDER BY vec_id) AS rn FROM uv)
+       |  WHERE rn <= (SELECT cells FROM par2)),
+       |tr AS MATERIALIZED (
+       |  SELECT vec_id, u,
+       |         list_transform(u, x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS q
+       |  FROM uv WHERE vec_id % (SELECT step FROM par2) = 0),
+       |$rounds,
+       |fin AS (
+       |  SELECT vec_id, cell
+       |  FROM (SELECT v.vec_id, c.cell,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY list_dot_product(c.c, v.u) DESC, c.cell ASC) AS rk
+       |        FROM uv v CROSS JOIN cent$IvfIters c)
+       |  WHERE rk = 1),
+       |pro AS (
+       |  SELECT qid, cell
+       |  FROM (SELECT v.vec_id AS qid, c.cell,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY list_dot_product(c.c, v.u) DESC, c.cell ASC) AS rk
+       |        FROM uv v CROSS JOIN cent$IvfIters c WHERE v.vec_id < $NumQueries)
+       |  WHERE rk <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, f.vec_id
+       |  FROM fin f JOIN pro p ON f.cell = p.cell
+       |  WHERE f.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY c.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     c.vec_id ASC) AS rank
+       |  FROM cand c JOIN nv a ON c.vec_id = a.vec_id
+       |              JOIN nv q ON c.qid = q.vec_id)
+       |SELECT qid, rank, vec_id,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -667,6 +767,6 @@ object Similarity {
     "embedding_centroids" -> embeddingCentroidsSql,
     "centroid_assign" -> centroidAssignSql,
     "ann_cosine_lsh" -> annCosineLshSql,
-    // ann_cosine_ivf: no oracle (iterative Lloyd); ScalaTest + probe recall bounds.
+    "ann_cosine_ivf" -> annCosineIvfSql,
   )
 }
