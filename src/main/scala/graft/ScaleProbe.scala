@@ -32,7 +32,7 @@ object ScaleProbe {
     * missing here is SILENTLY dropped by the `only` filter. */
   private[graft] val DocQueries = Seq(
     "wordcount", "exact_dedup", "para_dedup", "para_dedup_stats",
-    "pipeline_funnel",
+    "substring_dedup", "pipeline_funnel",
     "simhash_dedup", "minhash_lsh_dedup",
     "ngram_jaccard_dedup", "dedup_clusters", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",

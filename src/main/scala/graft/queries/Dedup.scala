@@ -78,7 +78,7 @@ object Dedup {
   private def docShingleHashes(spark: SparkSession,
                                ds: DataFrame): DataFrame = {
     import spark.implicits._
-    ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+    val hashed = ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, sh) =>
@@ -96,7 +96,12 @@ object Dedup {
           set.forEach { v => arr(i) = v; i += 1 }
           (id, arr.toSeq)
         }
-      }.toDF("doc_id", "hs").cache()
+      }.toDF("doc_id", "hs")
+    // corpus-sized cache, measured-justified (PERF.md r6 A/B): the frame
+    // feeds the broadcast-sizing count plus both sides of the candidate
+    // join; wrapped in maybeCache so SPARK_GRAFT_DISABLE_CACHE=1 A/Bs it
+    // like every other cache site
+    TextAnalysis.maybeCache(hashed)
   }
 
   /** DuckDB twin of [[docShingleHashes]] (requires the `sh` CTE).
@@ -323,6 +328,121 @@ object Dedup {
        |       ${Det.rSql(
             "CAST(count(*) - count(DISTINCT para_hash) AS DOUBLE) / count(*)", 6)} AS dup_mass
        |FROM p""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Sliding-window exact substring dedup (Lee et al. style)
+  // --------------------------------------------------------------------
+
+  private val SubTokens = 16
+
+  /** Sliding-window EXACT substring dedup — the granularity
+    * [[paraDedup]] can't see: its windows are TILED at fixed
+    * [[ParaTokens]] offsets, so a verbatim passage duplicated at an
+    * UNALIGNED offset (boilerplate injected mid-document — the common
+    * web-corpus case, and the Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better" motivation) never lines up with a
+    * tile boundary and is invisible. Here a [[SubTokens]]-token window
+    * slides at EVERY offset (stride 1), so any duplicated run of
+    * ≥ [[SubTokens]] tokens is caught at all alignments. A window
+    * instance is a DUP iff it is not the first occurrence of its md5
+    * corpus-wide ("first" = (doc_id, offset) order — the [[paraDedup]]
+    * retention rule); per doc, dup windows merge into maximal runs
+    * (intervals are fixed-width and offset-sorted, so a run breaks
+    * exactly when `s > prev_s + SubTokens`) and the run-length union is
+    * the doc's removable-token mass. Emits per-doc (n_tokens,
+    * n_windows, n_dup_windows, removable_tokens, removable_frac).
+    *
+    * Scale shape: the window frame is one row PER TOKEN (vs per-16 for
+    * para) carrying only (md5, doc_id, offset) — ~28 bytes/token, the
+    * price of exactness without a distributed suffix array; stride-k
+    * sampling is the escape hatch if that frame ever dominates (catches
+    * runs ≥ SubTokens+k−1). Two shuffles — one on the md5 key (uniform
+    * by construction, unskewable) for first-occurrence, one on doc_id
+    * for run merging — then a doc_id-aligned join back to per-doc token
+    * counts. Run merging is lag + a GROWING sum frame (incremental; the
+    * events_rolling_24h lesson — no RANGE frame, no retraction). No
+    * corpus-sized state, nothing broadcast. */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+    val wins = docs.filter(col("n") >= SubTokens)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n") - SubTokens)).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(concat_ws(" ", slice(col("t"), col("s") + 1, lit(SubTokens))))
+          .as("h"))
+    val firstW = Window.partitionBy("h").orderBy("doc_id", "s")
+    val dup = wins
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") > 1)
+      .select("doc_id", "s")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val perDoc = dup
+      .withColumn("ps", lag("s", 1).over(byDoc))
+      .withColumn("nr",
+        when(col("ps").isNull || col("s") > col("ps") + SubTokens, 1)
+          .otherwise(0))
+      .withColumn("run_id", sum("nr").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "run_id")
+      .agg((max("s") - min("s") + SubTokens).cast("long").as("run_len"),
+        count(lit(1)).as("nw"))
+      .groupBy("doc_id")
+      .agg(sum("run_len").as("removable_tokens"),
+        sum("nw").as("n_dup_windows"))
+    docs.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        greatest(col("n") - (SubTokens - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("removable_tokens"), lit(0L)).as("removable_tokens"),
+        Det.r(coalesce(col("removable_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("removable_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |             list_filter(string_split_regex(lower(text), '\\W+'),
+       |                         x -> length(x) > 0) AS t
+       |      FROM documents),
+       |dn AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |w AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+       |             md5(array_to_string(list_slice(t, CAST(s + 1 AS INT),
+       |                                            CAST(s + $SubTokens AS INT)), ' ')) AS h
+       |      FROM (SELECT doc_id, t, unnest(range(0, n - ${SubTokens - 1})) AS s
+       |            FROM dn WHERE n >= $SubTokens)),
+       |dup AS (SELECT doc_id, s FROM (
+       |          SELECT doc_id, s,
+       |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+       |          FROM w)
+       |        WHERE rn > 1),
+       |r AS (SELECT doc_id, s,
+       |             CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+       |                    OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + $SubTokens
+       |                  THEN 1 ELSE 0 END AS nr
+       |      FROM dup),
+       |rid AS (SELECT doc_id, s,
+       |               sum(nr) OVER (PARTITION BY doc_id ORDER BY s
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |        FROM r),
+       |runs AS (SELECT doc_id, run_id,
+       |                max(s) - min(s) + $SubTokens AS run_len, count(*) AS nw
+       |         FROM rid GROUP BY doc_id, run_id),
+       |pd AS (SELECT doc_id AS pd_doc_id, CAST(sum(run_len) AS BIGINT) AS removable_tokens,
+       |              CAST(sum(nw) AS BIGINT) AS n_dup_windows
+       |       FROM runs GROUP BY doc_id)
+       |SELECT dn.doc_id AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(greatest(n - ${SubTokens - 1}, 0) AS BIGINT) AS n_windows,
+       |       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       |       COALESCE(removable_tokens, 0) AS removable_tokens,
+       |       ${Det.rSql("CAST(COALESCE(removable_tokens, 0) AS DOUBLE) / n", 6)} AS removable_frac
+       |FROM dn LEFT JOIN pd ON dn.doc_id = pd.pd_doc_id
+       |ORDER BY dn.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Pipeline funnel (the composed keep-mass readout)
@@ -1458,6 +1578,7 @@ object Dedup {
     "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
     "para_dedup"           -> ((s, d) => paraDedup(s, d)),
     "para_dedup_stats"     -> ((s, d) => paraDedupStats(s, d)),
+    "substring_dedup"      -> ((s, d) => substringDedup(s, d)),
     "pipeline_funnel"      -> ((s, d) => pipelineFunnel(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
@@ -1474,6 +1595,7 @@ object Dedup {
     "exact_dedup"          -> exactDedupSql,
     "para_dedup"           -> paraDedupSql,
     "para_dedup_stats"     -> paraDedupStatsSql,
+    "substring_dedup"      -> substringDedupSql,
     "pipeline_funnel"      -> pipelineFunnelSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,

@@ -255,6 +255,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Dedup.paraDedup(spark, empty).collect().isEmpty)
   }
 
+  test("substring_dedup: unaligned passage caught, runs merged, short docs zero") {
+    val p = (0 until 16).map(i => s"p$i").mkString(" ")  // 16-token passage
+    val q = (0 until 20).map(i => s"q$i").mkString(" ")  // 20-token passage
+    val dir = fixture("sub",
+      docs = Seq(
+        (1L, "one two three four five six seven eight nine ten", "en", "web", 0L), // 10 toks < window
+        (2L, s"x1 x2 x3 $p", "en", "web", 0L),             // passage at offset 3
+        (3L, s"y1 y2 y3 y4 y5 y6 y7 $p", "en", "web", 0L), // SAME passage at offset 7
+        (4L, q, "en", "web", 0L),                          // 20-token passage, original
+        (5L, s"r1 r2 $q", "en", "web", 0L)),               // duplicated at offset 2
+      embs = Seq((1L, Seq.fill(64)(0.5f), 0)))
+    val rows = queries.Dedup.substringDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: shorter than one window — present, nothing removable
+    assert(rows(1L).getAs[Long]("n_windows") == 0L)
+    assert(rows(1L).getAs[Long]("removable_tokens") == 0L)
+    assert(rows(1L).getAs[Double]("removable_frac") == 0.0)
+    // doc 3's copy of the passage sits at offset 7 vs doc 2's offset 3 —
+    // NO tile alignment exists, so para_dedup is blind to it...
+    val para = queries.Dedup.paraDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("retained_frac")).toMap
+    assert(para(3L) == 1.0, "para_dedup should MISS the unaligned passage")
+    // ...but the sliding window catches exactly the 16 passage tokens
+    assert(rows(2L).getAs[Long]("n_dup_windows") == 0L)
+    assert(rows(3L).getAs[Long]("n_dup_windows") == 1L)
+    assert(rows(3L).getAs[Long]("removable_tokens") == 16L)
+    // doc 5: five overlapping dup windows merge into ONE 20-token run
+    assert(rows(5L).getAs[Long]("n_dup_windows") == 5L)
+    assert(rows(5L).getAs[Long]("removable_tokens") == 20L)
+    assert(rows(4L).getAs[Long]("removable_tokens") == 0L)
+    assert(queries.Dedup.substringDedup(spark, empty).collect().isEmpty)
+  }
+
   test("bpe_apply: bounds hold; merges only ever shrink the symbol stream") {
     assert(queries.TextAnalysis.bpeApply(spark, empty).collect().isEmpty)
     val rows = queries.TextAnalysis.bpeApply(spark, edge, nMerges = 3).collect()
