@@ -34,7 +34,7 @@ object ScaleProbe {
     "wordcount", "exact_dedup", "para_dedup", "para_dedup_stats",
     "substring_dedup", "pipeline_funnel",
     "simhash_dedup", "minhash_lsh_dedup",
-    "ngram_jaccard_dedup", "dedup_clusters", "doc_fingerprint",
+    "ngram_jaccard_dedup", "dedup_clusters", "dedup_delta", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "lang_id", "text_quality",
     "token_counts", "tfidf_top_terms", "bigrams",
@@ -271,6 +271,27 @@ object ScaleProbe {
         """{"query":"embedding_dedup_lsh","recall_injected":%.3f,"n_expected":%d,"n_vecs":%d}""",
         Double.box(if (nExp == 0) 0.0 else hit.toDouble / nExp),
         Long.box(nExp), Long.box(nVecs)))
+    }
+
+    // -- incremental-dedup |delta| scaling: with the base index warm
+    //    (the materializeOnce sinks persist for the session), time the
+    //    delta pass at 10% and 1% shards of the SAME corpus — the pair
+    //    of points that separates |delta|-scaling from |corpus|-scaling.
+    //    First run per mod builds the index untimed (production builds
+    //    it once, amortized over every later shard).
+    if (run.contains("dedup_delta")) {
+      Seq(10L, 100L).foreach { m =>
+        queries.Dedup.dedupDelta(spark, dir, m)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        queries.Dedup.dedupDelta(spark, dir, m)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"dedup_delta_warm","delta_mod":%d,"sec":%.2f}""",
+          Long.box(m), Double.box(dt)))
+      }
     }
 
     // -- ANN recall at probe scale (50 result rows per query — model-

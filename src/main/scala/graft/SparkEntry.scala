@@ -86,6 +86,8 @@ object SparkEntry {
       TextAnalysis.bpeApply(s, d, a.getOrElse("n_merges", "20").toInt)),
     "embedding_dedup_lsh" -> ((s, d, a) =>
       Dedup.embeddingDupsLsh(s, d, a.getOrElse("threshold", "0.47").toDouble)),
+    "dedup_delta" -> ((s, d, a) =>
+      Dedup.dedupDelta(s, d, a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -775,17 +775,25 @@ object Dedup {
     * downstream consumers ([[dedupClusters]], [[dupPairSources]]) want,
     * since they immediately re-shuffle into their own aggregation. */
   private[queries] def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // Per-doc signature KERNEL: tokenization + md5 + bit majority in one
-    // JIT'd pass, no explode shuffle and no 48 aggregate columns. The
-    // construction matches the DuckDB oracle bit-for-bit: same \\W+
-    // tokenizer, same first-12-hex-chars-of-md5 token hash. Cache
-    // MEASURED at the 1M probe (PERF.md "intra-query caches"): 119.4 s
-    // cached vs 131.6 s recomputed — the sig frame is 16 B/doc and
-    // feeds the band explode plus the occupancy guard's recursive
+    // Cache MEASURED at the 1M probe (PERF.md "intra-query caches"):
+    // 119.4 s cached vs 131.6 s recomputed — the sig frame is 16 B/doc
+    // and feeds the band explode plus the occupancy guard's recursive
     // sub-banding, and recomputing re-runs the md5 kernel over the
     // whole corpus per consumer. Kept.
-    val sigs = TextAnalysis.maybeCache(Tables.documents(spark, sfDir)
+    val sigs = TextAnalysis.maybeCache(
+      simhashSigsOf(spark, Tables.documents(spark, sfDir)))
+    bandedHammingPairs(sigs, sigs, col("x.doc_id") < col("y.doc_id"))
+  }
+
+  /** Per-doc signature KERNEL: tokenization + md5 + bit majority in one
+    * JIT'd pass, no explode shuffle and no 48 aggregate columns. The
+    * construction matches the DuckDB oracle bit-for-bit: same \\W+
+    * tokenizer, same first-12-hex-chars-of-md5 token hash. Takes the
+    * docs frame (not sfDir) so [[dedupDelta]] can run it over a base or
+    * delta slice; caller decides caching. */
+  private def simhashSigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -824,13 +832,30 @@ object Dedup {
             Iterator.single((id, sig))
           }
         }
-      }.toDF("doc_id", "simhash"))
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Banded Hamming-≤3 pair generation with the occupancy guard,
+    * generalized to a LEFT frame probing a RIGHT frame: [[simhashPairs]]
+    * passes the same sig frame twice (classic self-join); [[dedupDelta]]
+    * passes (delta sigs, delta ∪ base sigs) so right-right combinations
+    * are never enumerated and per-probe cost tracks |left|, not
+    * |right|². `dedupe` (over aliases `x` = left, `y` = right) must make
+    * each unordered pair emit exactly once. Extra columns on either
+    * frame ride through bucket construction and are visible to `dedupe`
+    * (the delta path's `is_delta` flag). */
+  private def bandedHammingPairs(l: DataFrame, r: DataFrame,
+                                 dedupe: Column): DataFrame = {
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(0xFFF).as("chunk")))
-    val buckets = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.chunk"))
+    def bucketsOf(df: DataFrame): DataFrame = df
+      .withColumn("bk", explode(array(bands: _*)))
+      .withColumn("band", col("bk.band"))
+      .withColumn("chunk", col("bk.chunk"))
+      .drop("bk")
+    val lb = bucketsOf(l)
+    val buckets = bucketsOf(r)
 
     // OCCUPANCY GUARD (the vocabulary-collapse defense): a band bucket
     // with m members emits m² candidates from one join task — fine when
@@ -853,14 +878,15 @@ object Dedup {
     val hotKeys = buckets.groupBy("band", "chunk")
       .agg(count(lit(1)).as("m")).filter(col("m") > HotBucketBound)
       .select("band", "chunk")
-    def pairs(bk: DataFrame, keys: Seq[String]): DataFrame = {
+    def pairs(xf: DataFrame, yf: DataFrame, keys: Seq[String]): DataFrame = {
       val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
-        .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
-      bk.as("x").join(bk.as("y"), cond)
+        .reduce(_ && _) && dedupe
+      xf.as("x").join(yf.as("y"), cond)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
     }
-    val cold = buckets.join(broadcast(hotKeys), Seq("band", "chunk"), "left_anti")
+    def coldOf(bk: DataFrame): DataFrame =
+      bk.join(broadcast(hotKeys), Seq("band", "chunk"), "left_anti")
     // remaining-36-bit view for a hot row: the three other 12-bit chunks
     // in ascending band order, packed little-endian
     val rem = (0 until 4).map { b =>
@@ -869,16 +895,17 @@ object Dedup {
       }.reduce(_ + _)
       (b, e)
     }.foldLeft(lit(0L)) { case (acc, (b, e)) => when(col("band") === b, e).otherwise(acc) }
-    val hotSub = buckets.join(broadcast(hotKeys), Seq("band", "chunk"), "left_semi")
-      .withColumn("rem", rem)
-      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
-        explode(array((0 until 4).map(s =>
+    def hotSubOf(bk: DataFrame): DataFrame =
+      bk.join(broadcast(hotKeys), Seq("band", "chunk"), "left_semi")
+        .withColumn("rem", rem)
+        .withColumn("sk", explode(array((0 until 4).map(s =>
           struct(lit(s).as("sb"),
-            shiftright(col("rem"), s * 9).bitwiseAND(0x1FF).as("sc"))): _*)).as("sk"))
-      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
-        col("sk.sb"), col("sk.sc"))
-    pairs(cold, Seq("band", "chunk"))
-      .union(pairs(hotSub, Seq("band", "chunk", "sb", "sc")))
+            shiftright(col("rem"), s * 9).bitwiseAND(0x1FF).as("sc"))): _*)))
+        .withColumn("sb", col("sk.sb"))
+        .withColumn("sc", col("sk.sc"))
+        .drop("sk", "rem")
+    pairs(coldOf(lb), coldOf(buckets), Seq("band", "chunk"))
+      .union(pairs(hotSubOf(lb), hotSubOf(buckets), Seq("band", "chunk", "sb", "sc")))
       // filter BEFORE distinct: hamming is a pure function of the pair,
       // so the sets are identical — but this way the join's candidate
       // stream is popcount-pruned in its own stage and the distinct
@@ -1059,6 +1086,24 @@ object Dedup {
 
   def dedupClusters(spark: SparkSession, sfDir: String,
                     localCcMaxEdges: Long = 10_000_000L): DataFrame = {
+    val labels = ccLabelsOf(spark,
+      simhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b")),
+      localCcMaxEdges)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("canonical_id"),
+        (col("doc_id") === col("comp")).as("keep"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected-component labels (node → component-min) over an arbitrary
+    * (doc_a, doc_b) edge frame — the CC engine extracted from
+    * [[dedupClusters]] so [[dedupDelta]] can run it over the contracted
+    * delta edge set. Small edge sets take the single-task union-find;
+    * larger ones the large-star/small-star fixpoint with the star-forest
+    * proof. Returns only edge-touching nodes as (doc_id, comp). */
+  private def ccLabelsOf(spark: SparkSession, pairs: DataFrame,
+                         localCcMaxEdges: Long = 10_000_000L): DataFrame = {
     import spark.implicits._
     // reliable (HDFS-style) checkpointing per round, for clusters where
     // executor loss mid-loop is expected; default stays localCheckpoint
@@ -1071,7 +1116,6 @@ object Dedup {
           s"graft_ckpt_${spark.sparkContext.applicationId}").getAbsolutePath)
     def persistStep(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val pairs = simhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
     val nEdges = sym.count() / 2
@@ -1125,11 +1169,7 @@ object Dedup {
         e.select(col("src").as("doc_id"), col("dst").as("comp"))
           .union(e.select(col("dst").as("doc_id"), col("dst").as("comp")).distinct())
       }
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "comp")
-      .select(col("doc_id"), col("comp").as("canonical_id"),
-        (col("doc_id") === col("comp")).as("keep"), col("n_members"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Oracle: recursive transitive closure over the same simhash pairs,
@@ -1193,8 +1233,19 @@ object Dedup {
     * fixture and production partition layout already satisfies. The
     * standalone `dedup_clusters` query keeps computing live, anchoring
     * the oracle (and therefore this parquet's contents) every round. */
-  def dedupClustersMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = TextJobs.tmpOut(spark, "graft_clusters_", sfDir)
+  def dedupClustersMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    materializeOnce(spark, "graft_clusters_", sfDir)(
+      dedupClusters(spark, sfDir))
+
+  /** The write-once sink engine behind [[dedupClustersMaterialized]] and
+    * [[dedupDelta]]'s base index: builds `df` and writes it to the
+    * session-keyed sink for (`prefix`, `sfDir`) exactly once per JVM
+    * (putIfAbsent publishes a future; losers await it; a failed writer
+    * un-publishes so a later call can retry), registers the dir with the
+    * shutdown-hook cleaner, and returns a plain parquet scan. */
+  private def materializeOnce(spark: SparkSession, prefix: String,
+                              sfDir: String)(df: => DataFrame): DataFrame = {
+    val out = TextJobs.tmpOut(spark, prefix, sfDir)
     var done = false
     while (!done) {
       val fresh = new java.util.concurrent.CompletableFuture[String]()
@@ -1202,7 +1253,7 @@ object Dedup {
       if (prior == null) {
         try {
           cleanupHook; cleanupDirs.add(out)
-          dedupClusters(spark, sfDir).write.mode("overwrite").parquet(out)
+          df.write.mode("overwrite").parquet(out)
           fresh.complete(out): Unit
           done = true
         } catch {
@@ -1223,6 +1274,122 @@ object Dedup {
     }
     spark.read.parquet(out)
   }
+
+  // --------------------------------------------------------------------
+  // Incremental dedup: label a delta shard against the standing index
+  // --------------------------------------------------------------------
+
+  private val DeltaMod = 10L
+  private val DeltaRes = 7L
+
+  /** Incremental dedup of a DELTA shard against a standing corpus index —
+    * the shape a 100 TB pipeline actually runs: the corpus arrives in
+    * shards, and recomputing simhash + connected components over the
+    * whole union per shard ([[dedupClusters]]) costs O(|corpus|) when the
+    * new information is O(|delta|). The fixture contract has one corpus
+    * dir, so the shard boundary is deterministic: docs with
+    * `doc_id % DeltaMod == DeltaRes` (10%) are the delta; the rest is
+    * the base. The base's standing artifacts — its simhash signatures
+    * and its cluster labels — are built write-once per session
+    * ([[materializeOnce]], the [[dedupClustersMaterialized]] engine);
+    * in production they are maintained incrementally too.
+    *
+    * The delta pass: (1) signature kernel over delta docs only;
+    * (2) banded candidate join of delta sigs against delta ∪ base sigs —
+    * [[bandedHammingPairs]] never enumerates base-base combinations, so
+    * join work tracks |delta| × occupancy; (3) CONTRACT base endpoints
+    * to their cluster canonical (base-base connectivity is already
+    * paid for in the index — a delta doc reaching any member of a base
+    * cluster reaches its canonical); (4) connected components over the
+    * contracted edge set only (delta-delta + delta-to-canonical,
+    * dup-density-sized). Because base canonicals ARE their clusters'
+    * min ids, min-id labels over the contracted graph equal the labels
+    * a full recompute over base ∪ delta would give the delta docs —
+    * which is exactly what the oracle checks (recursive CTE over the
+    * union, restricted to delta docs).
+    *
+    * Emits per delta doc: (doc_id, canonical_id, keep, new_content) —
+    * new_content = its component contains no base doc (genuinely novel
+    * text vs a near-dup of the standing corpus). Base labels can go
+    * stale when a delta doc bridges two base clusters — inherent to
+    * incremental labeling; the readout scopes to delta docs, where the
+    * contraction argument makes the labels exact.
+    *
+    * At 100 TB: the per-shard cost is the delta kernel + a band-bucket
+    * probe of the sig index (bucketed by (band, chunk) in production, so
+    * the probe prunes to touched buckets) + CC over the shard's dup
+    * edges. The occupancy stats behind the hot-bucket guard are one agg
+    * over the 16 B/doc sig index here; a production index would keep
+    * them as standing metadata. ScaleProbe measures the warm-index delta
+    * pass at 1% vs 10% shards to pin |delta|-scaling. */
+  def dedupDelta(spark: SparkSession, sfDir: String,
+                 deltaMod: Long = DeltaMod): DataFrame = {
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val deltaRes = DeltaRes % deltaMod
+    val docs = Tables.documents(spark, sfDir)
+    val baseDocs = docs.filter(col("doc_id") % deltaMod =!= deltaRes)
+    val deltaDocs = docs.filter(col("doc_id") % deltaMod === deltaRes)
+    val baseSigs = materializeOnce(spark, s"graft_base_sigs_m${deltaMod}_", sfDir)(
+      simhashSigsOf(spark, baseDocs))
+    val baseLabels = materializeOnce(spark, s"graft_base_labels_m${deltaMod}_", sfDir)(
+      ccLabelsOf(spark,
+        bandedHammingPairs(baseSigs, baseSigs,
+          col("x.doc_id") < col("y.doc_id")).select("doc_a", "doc_b")))
+    val deltaSigs = simhashSigsOf(spark, deltaDocs)
+    val allSigs = deltaSigs.withColumn("is_delta", lit(true))
+      .unionByName(baseSigs.withColumn("is_delta", lit(false)))
+    // each unordered pair once: delta-delta by id order, delta-base
+    // always (left side is delta-only, so base-base never appears)
+    val edges = bandedHammingPairs(deltaSigs, allSigs,
+        !col("y.is_delta") || col("x.doc_id") < col("y.doc_id"))
+      .select("doc_a", "doc_b")
+    val canon = baseLabels.select(col("doc_id").as("doc_b"),
+      col("comp").as("b_canon"))
+    val contracted = edges.join(canon, Seq("doc_b"), "left")
+      .select(col("doc_a"), coalesce(col("b_canon"), col("doc_b")).as("doc_b"))
+      .distinct()  // two base members of one cluster contract to one edge
+    val touched = ccLabelsOf(spark, contracted)
+      .select(col("doc_id"), col("comp"))
+    val hasBase = touched.groupBy("comp").agg(
+      max((col("doc_id") % deltaMod =!= deltaRes).cast("int")).as("hb"))
+    deltaDocs.select(col("doc_id"))
+      .join(touched.join(hasBase, "comp"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") === coalesce(col("comp"), col("doc_id"))).as("keep"),
+        (coalesce(col("hb"), lit(0)) === 0).as("new_content"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: FULL-RECOMPUTE ground truth — the recursive-CTE transitive
+    * closure of [[dedupClustersSql]] over base ∪ delta (i.e. all
+    * documents), restricted to the delta docs. Agreement here IS the
+    * incremental algorithm's correctness claim: contraction through base
+    * canonicals must reproduce exactly what recomputing from scratch
+    * would say about the new shard. */
+  val dedupDeltaSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS canonical_id FROM reach GROUP BY doc_id),
+       |cb AS (SELECT canonical_id,
+       |              max(CASE WHEN doc_id % $DeltaMod <> $DeltaRes THEN 1 ELSE 0 END) AS hb
+       |       FROM lab GROUP BY canonical_id),
+       |dd AS (SELECT doc_id FROM documents WHERE doc_id % $DeltaMod = $DeltaRes)
+       |SELECT dd.doc_id AS doc_id,
+       |       COALESCE(lab.canonical_id, dd.doc_id) AS canonical_id,
+       |       dd.doc_id = COALESCE(lab.canonical_id, dd.doc_id) AS keep,
+       |       COALESCE(cb.hb, 0) = 0 AS new_content
+       |FROM dd LEFT JOIN lab ON dd.doc_id = lab.doc_id
+       |        LEFT JOIN cb ON lab.canonical_id = cb.canonical_id
+       |ORDER BY dd.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Canonical-document selection (quality-ranked survivor per cluster)
@@ -1587,6 +1754,7 @@ object Dedup {
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
     "embedding_dedup_lsh"  -> ((s, d) => embeddingDupsLsh(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
+    "dedup_delta"          -> ((s, d) => dedupDelta(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
   )
@@ -1604,6 +1772,7 @@ object Dedup {
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
     "embedding_dedup_lsh"  -> embeddingDupsLshSql,
     "dedup_clusters"       -> dedupClustersSql,
+    "dedup_delta"          -> dedupDeltaSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,
   )

@@ -91,6 +91,32 @@ class DedupSpec extends AnyFunSuite {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("dedup_delta: incremental labels equal full-recompute labels on the delta") {
+    // the contraction argument, checked end-to-end: contracting base
+    // endpoints to their standing-cluster canonicals and re-running CC
+    // over only the delta-touching edges must reproduce exactly what
+    // dedupClusters says about the delta docs when run over everything
+    val full = queries.Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val delta = queries.Dedup.dedupDelta(spark, sf).collect()
+    assert(delta.nonEmpty)
+    delta.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 10 == 7, s"non-delta doc $id in delta output")
+      val expected = full.getOrElse(id, id) // absent = singleton = self
+      assert(r.getAs[Long]("canonical_id") == expected,
+        s"doc $id: incremental ${r.getAs[Long]("canonical_id")} != full $expected")
+      assert(r.getAs[Boolean]("keep") == (id == expected))
+    }
+    // new_content ⟺ the full component contains no base doc
+    val members = full.toSeq.groupBy(_._2).map { case (c, g) => c -> g.map(_._1) }
+    delta.foreach { r =>
+      val comp = members.getOrElse(r.getAs[Long]("canonical_id"),
+        Seq(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Boolean]("new_content") == comp.forall(_ % 10 == 7))
+    }
+  }
+
   test("chunked verification path emits the same pairs as the broadcast path") {
     val bc = queries.Dedup.ngramJaccardPairs(spark, sf)
       .collect().map(_.toString).sorted.toSeq
