@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harness tail-captures the last 2000 chars of sbt
+// stdout and json-parses the LAST line. Two things broke that in every
+// prior round: the forked run's stdout went through sbt's logger (an
+// "[info] " prefix on the JSON line), and sbt appended its "[success]
+// Total time..." epilogue after it. Inherit stdout raw and suppress the
+// epilogue so a main's final println is genuinely final and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,15 +82,39 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"reruns":${p3.size},"sf":"$sfDir"}"""
+    // `policy` makes the mixed timing semantics explicit: every query is
+    // min-of-2; the `reruns` queries (two timings >25% apart) are
+    // median-of-3 instead. Totals therefore mix both — compare totals
+    // only across runs of this same harness.
+    val meta = s""""failed":$failed,"runs":2,"reruns":${p3.size},"policy":"min-of-2; median-of-3 on >25% disagreement","sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta}"""
     // durable copy: the stdout artifact is a bounded tail-capture, so the
     // authoritative full record also lands on disk next to the run
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
-    // LAST line, so tail-capture truncation can only cut earlier log noise
-    println(json)
+    // The driver keeps only the LAST 2000 chars of stdout and json-parses
+    // the last line. The full per-query line outgrew that window at ~80
+    // queries, so it prints first (humans + belt-and-braces) and a compact
+    // line — totals, failures, and as many slowest-first per-query entries
+    // as fit a 1800-char budget — prints LAST. bench.json always holds the
+    // complete map.
+    val compactPrefix = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$meta,"full":"bench.json","""
+    val budget = 1800
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = compactPrefix.length + 40 // slack for queries_omitted + braces
+    results.sortBy(-_._2).foreach { case (k, v, _) =>
+      val e = "\"" + k + "\":" + ms(v)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    val compact = compactPrefix +
+      s""""queries_omitted":${results.size - entries.size},"queries":${entries.mkString("{", ",", "}")}}"""
+    // stop Spark BEFORE printing: executor/BlockManager shutdown can emit
+    // WARN lines that would land after the parse target otherwise
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(json)
+    println(compact)
   }
 }
