@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -50,6 +50,102 @@ object Temporal {
       .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
         col("event_type"), col("last_orderkey").as("o_orderkey"),
         col("last_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Skew-resistant AS-OF JOIN: the parallel prefix-scan decomposition of
+    * [[asofJoinOrders]]. The single-pass merge carries state in ONE window
+    * per user, so a user holding 10% of all events serializes into one fat
+    * task (measured ~3x degradation at 30M events / 10% skew — PERF.md).
+    * Here each user's timeline splits into `salts` CONTIGUOUS time ranges
+    * (range = floor((t - min_ts) * salts / span), monotonic in t, so the
+    * per-range carry composes by prefix):
+    *
+    *   1. carry within (uid, range) — the fat user's window becomes
+    *      `salts` independent tasks of |events_u|/salts rows each;
+    *   2. boundary frame: last order per (uid, range) — ≤ salts rows per
+    *      user, aggregated from the order rows only;
+    *   3. prefix-scan the boundary frame per user (a window over ≤
+    *      2·salts rows) to get each range's carry-IN: the latest order in
+    *      any STRICTLY EARLIER range (order-rows sort after query-rows at
+    *      equal range, so a range never sees its own orders — those are
+    *      pass 1's job);
+    *   4. join carry-ins back on (uid, range) — both sides are already
+    *      exchanged on (uid, range), so the join reuses pass 1's
+    *      partitioning — and coalesce(local carry, carry-in).
+    *
+    * Within a range, an event preceding every in-range order has a null
+    * local carry and takes the carry-in; all other events resolve locally.
+    * Output is row-identical to [[asofJoinOrders]] (same oracle; also
+    * asserted directly in TemporalSpec), because ranges are contiguous in
+    * t and the (t, kind) tie-break is preserved within each range.
+    *
+    * At 100 TB: same one shuffle on (uid, range) for the big union, plus
+    * one events-pruned scan for the global time span (two longs of model
+    * state) and one user-count-sized boundary join that reuses the
+    * exchange. Worst-case per-task row count drops by `salts` for any
+    * skew profile, at the cost of ~2 small extra aggs — the measured
+    * trade is in PERF.md; the single-pass variant stays the default for
+    * uniform keys. */
+  def asofJoinOrdersSalted(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val ordersDedup = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val orders = ordersDedup
+      .select(col("uid"), col("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
+        col("o_orderkey"))
+    val eventsRaw = Tables.eventsTs(spark, sfDir)
+    val events = eventsRaw
+      .select(col("user_id").as("uid"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"), col("event_type"), lit(null).cast("long").as("o_orderkey"))
+    // global event-time span: 2 longs of model state (the IVF/bpe_train
+    // precedent). Orders outside the event span clamp into the first/last
+    // range — clamping keeps range monotonic in t, which is all step 3
+    // needs. Empty events => empty output; the span placeholder only has
+    // to keep the arithmetic non-degenerate.
+    val span = eventsRaw.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, spanUs) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0), math.max(1L, span.getLong(1) - span.getLong(0) + 1L))
+    // clamp BEFORE the int cast: an order far outside the event span
+    // yields a quotient beyond Int range (ANSI cast would throw)
+    def range(t: Column): Column = greatest(lit(0L), least(lit((salts - 1).toLong),
+      floor((unix_micros(t.cast("timestamp")) - loUs) * salts / spanUs).cast("long")))
+      .cast("int")
+    val u = orders.unionByName(events).withColumn("r", range(col("t")))
+    val w = Window.partitionBy("uid", "r").orderBy(col("t").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u
+      .withColumn("lk", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("ld", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+    // boundary frame: per-(uid, range) last order (m=1) unioned with the
+    // ranges that contain events (m=0, null payload via max(when(false))
+    // so the struct type matches without spelling it). Query rows sort
+    // BEFORE order rows at equal r => strictly-earlier-range semantics.
+    val lastOrderPerRange = u.filter(col("kind") === 0)
+      .groupBy("uid", "r")
+      .agg(max(struct(col("t"), col("o_orderkey"))).as("mo"))
+      .withColumn("m", lit(1))
+    val eventRanges = u.filter(col("kind") === 1)
+      .groupBy("uid", "r")
+      .agg(max(when(lit(false), struct(col("t"), col("o_orderkey")))).as("mo"))
+      .withColumn("m", lit(0))
+    val wc = Window.partitionBy("uid").orderBy(col("r").asc, col("m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryIn = lastOrderPerRange.unionByName(eventRanges)
+      .withColumn("ci", last(col("mo"), ignoreNulls = true).over(wc))
+      .filter(col("m") === 0)
+      .select(col("uid"), col("r"),
+        col("ci.o_orderkey").as("ci_key"), col("ci.t").as("ci_date"))
+    local.filter(col("kind") === 1)
+      .join(carryIn, Seq("uid", "r"))
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
+        col("event_type"),
+        coalesce(col("lk"), col("ci_key")).as("o_orderkey"),
+        coalesce(col("ld"), col("ci_date")).as("o_orderdate"))
       .orderBy("event_id")
   }
 
@@ -573,6 +669,7 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
+    "asof_join_orders_salted" -> ((s, d) => asofJoinOrdersSalted(s, d)),
     "json_events"       -> ((s, d) => jsonEvents(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "split_assign"      -> ((s, d) => splitAssign(s, d)),
@@ -588,6 +685,9 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "events_funnel"     -> eventsFunnelSql,
     "asof_join_orders"  -> asofJoinOrdersSql,
+    // same oracle as the single-pass variant BY DESIGN: the decomposition
+    // claims row-identical output, and the hash gate enforces it
+    "asof_join_orders_salted" -> asofJoinOrdersSql,
     "json_events"       -> jsonEventsSql,
     "stratified_sample" -> stratifiedSampleSql,
     "split_assign"      -> splitAssignSql,

@@ -456,6 +456,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_join_orders_salted: row-identical to the single-pass merge at any salt count") {
+    val base = queries.Temporal.asofJoinOrders(spark, sf).collect().toSeq
+    // salts=1 degenerates to the single-pass shape; 3 exercises carry-in
+    // across ranges with and without in-range orders; 8 is the registered
+    // default
+    Seq(1, 3, 8).foreach { s =>
+      val salted = queries.Temporal.asofJoinOrdersSalted(spark, sf, s).collect().toSeq
+      assert(salted == base, s"salts=$s diverged from single-pass")
+    }
+  }
+
   test("mixture_apply: kept counts track the capped per-source rates") {
     val rows = queries.TextAnalysis.mixtureApply(spark, sf).collect()
     rows.foreach { r =>
