@@ -48,7 +48,7 @@ object ScaleProbe {
     "embedding_cosine_dedup", "embedding_dedup_lsh",
     "mm_features", "mm_frame_sample", "mm_fusion",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
-    "bpe_train", "bpe_apply",
+    "bpe_train", "bpe_apply", "bpe_vocab",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
     "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample")
@@ -79,7 +79,8 @@ object ScaleProbe {
     "sql_above_avg_orders", "part_affinity", "key_skew_report")
 
   /** Queries needing BOTH events and the relational tables. */
-  private[graft] val DualInputQueries = Seq("asof_join_orders", "events_by_segment")
+  private[graft] val DualInputQueries = Seq(
+    "asof_join_orders", "asof_join_orders_salted", "events_by_segment")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
@@ -116,6 +117,13 @@ object ScaleProbe {
           new String(java.nio.file.Files.readAllBytes(manifestPath),
             java.nio.charset.StandardCharsets.UTF_8) +
           s"' but this run wants '$manifest' — delete the dir or match the params")
+      // pre-manifest dirs (tables present, no MANIFEST) can't be trusted
+      // as this parameter set — say so LOUDLY instead of silently burning
+      // minutes regenerating a 100M-event corpus the caller thought cached
+      if (!ok && !java.nio.file.Files.exists(manifestPath))
+        System.err.println(s"[probe] PROBE_REUSE=1 but no MANIFEST in $dir" +
+          " — regenerating from scratch (reuse applies only to dirs this" +
+          " probe wrote)")
       ok
     }
     // invalidate BEFORE generating: a crash mid-synthesis must not leave

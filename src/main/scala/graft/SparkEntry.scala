@@ -32,7 +32,14 @@ object SparkEntry {
     * channel (examples/grep/mapper.py:15). Same operators as [[queries]],
     * but taking user arguments (string map, like the reference's env);
     * every key here also has a fixed-argument twin in [[queries]] so the
-    * driver's oracle contract is untouched. Exercised in ArgsSpec. */
+    * driver's oracle contract is untouched. Exercised in ArgsSpec.
+    *
+    * ORACLE VALIDITY: [[oracleSql]] twins hard-code the DEFAULT argument
+    * values (they mirror the zero-arg [[queries]] entries — the only
+    * surface Verify/the driver runs). Running one of these with a
+    * non-default arg and hash-comparing against its oracle WILL mismatch
+    * by construction; compare rows/shape only, or edit the twin to match
+    * the arg. */
   def queriesWithArgs: Map[String, (SparkSession, String, Map[String, String]) => DataFrame] = Map(
     "grep" -> ((s, d, a) =>
       TextJobs.grep(s, d, a.getOrElse("pattern", "error"))),
@@ -84,10 +91,14 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s, d, a.getOrElse("n_merges", "20").toInt)),
     "bpe_apply" -> ((s, d, a) =>
       TextAnalysis.bpeApply(s, d, a.getOrElse("n_merges", "20").toInt)),
+    "bpe_vocab" -> ((s, d, a) =>
+      TextAnalysis.bpeVocab(s, d, a.getOrElse("n_merges", "20").toInt)),
     "embedding_dedup_lsh" -> ((s, d, a) =>
       Dedup.embeddingDupsLsh(s, d, a.getOrElse("threshold", "0.47").toDouble)),
     "dedup_delta" -> ((s, d, a) =>
       Dedup.dedupDelta(s, d, a.getOrElse("delta_mod", "10").toLong)),
+    "asof_join_orders_salted" -> ((s, d, a) =>
+      Temporal.asofJoinOrdersSalted(s, d, a.getOrElse("salts", "8").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1742,6 +1742,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER VOCABULARY — the third leg of the tokenizer story
+    * (train → apply → vocab): the post-merge symbol inventory with
+    * occurrence-weighted frequencies, i.e. the dataset-card / tokenizer-
+    * file readout. A symbol's frequency is its count across all token
+    * occurrences AFTER the learned merges are applied (so a fully-merged
+    * word contributes its merged symbol, not its letters).
+    *
+    * Scale shape: train cost as [[bpeTrain]]; the readout itself re-folds
+    * the merge literals over the word-TYPE frame (vocab-sized, Heaps-
+    * bounded — NOT the corpus-sized occurrence stream [[bpeApply]] walks,
+    * because symbol counts only need type-level reps × type frequency),
+    * then explodes symbols and aggregates. Output is vocab-bounded;
+    * everything heavier than the one corpus scan inside training is a
+    * small agg. */
+  def bpeVocab(spark: SparkSession, sfDir: String,
+               nMerges: Int = BpeMerges): DataFrame = {
+    val merges = bpeTrainMerges(spark, sfDir, nMerges)
+    val rep = merges.foldLeft(regexp_replace(col("tok"), "(.)", " $1 ")) {
+      case (c, (_, a, b, _)) => replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    Tables.documents(spark, sfDir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(explode(split(trim(rep), "  ")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").as("n_occurrences"))
+      .select(col("sym"), col("n_occurrences"),
+        (length(col("sym")) > 1).as("is_merged"))
+      .orderBy(col("n_occurrences").desc, col("sym").asc)
+  }
+
   /** The shared unrolled training-CTE chain (w, wt0, then
     * pr/best/wt per round) — see [[bpeTrain]]'s scaladoc for why
     * replace() semantics agree across engines. */
@@ -1811,6 +1841,18 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[bpeVocab]]: the same training chain; wt20 (the
+    * post-merge word-type frame) already holds every word's final symbol
+    * sequence, so the vocab is one unnest + agg over it. */
+  val bpeVocabSql: String =
+    s"""WITH ${bpeCtes(BpeMerges)},
+       |v AS (SELECT unnest(string_split(trim(rep), '  ')) AS sym, freq
+       |      FROM wt$BpeMerges)
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |       length(sym) > 1 AS is_merged
+       |FROM v GROUP BY sym
+       |ORDER BY n_occurrences DESC, sym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -1837,6 +1879,7 @@ object TextAnalysis {
     "bpe_pair_counts"  -> ((s, d) => bpePairCounts(s, d)),
     "bpe_train"        -> ((s, d) => bpeTrain(s, d)),
     "bpe_apply"        -> ((s, d) => bpeApply(s, d)),
+    "bpe_vocab"        -> ((s, d) => bpeVocab(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1865,5 +1908,6 @@ object TextAnalysis {
     "bpe_pair_counts"  -> bpePairCountsSql,
     "bpe_train"        -> bpeTrainSql,
     "bpe_apply"        -> bpeApplySql,
+    "bpe_vocab"        -> bpeVocabSql,
   )
 }

@@ -186,6 +186,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(tight.length == 2)
   }
 
+  test("asof_join_orders_salted: empty events and point-span corpora survive") {
+    import java.sql.Timestamp
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_asof").getAbsolutePath
+    // empty events, non-empty orders: the global-span agg returns NULLs
+    // and the range arithmetic must not divide by zero
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((10L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(queries.Temporal.asofJoinOrdersSalted(spark, dir).collect().isEmpty)
+    // every event at ONE timestamp (span collapses to a point): all rows
+    // clamp into range 0 and the output still matches the single-pass
+    val t = Timestamp.valueOf("2024-06-01 12:00:00")
+    Seq((1L, t, 1L, "view", 0.0, "{}"), (2L, t, 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val salted = queries.Temporal.asofJoinOrdersSalted(spark, dir).collect().toSeq
+    assert(salted == queries.Temporal.asofJoinOrders(spark, dir).collect().toSeq)
+    // user 1 has a prior order; user 2 has none -> null enrichment
+    val byId = salted.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("o_orderkey") == 10L)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("o_orderkey")))
+  }
+
   test("winnow_overlap, token_pmi, vocab_growth degrade gracefully on edge corpora") {
     // only docs 5/6 have >= K normalized chars AND duplicate content:
     // the one pair, full containment; blank/short docs never appear
@@ -307,6 +334,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_bpe_symbols") <= m1(r.getAs[Long]("doc_id")))
     }
+  }
+
+  test("bpe_vocab: symbol mass conserves corpus chars; merged syms flagged") {
+    assert(queries.TextAnalysis.bpeVocab(spark, empty).collect().isEmpty)
+    val rows = queries.TextAnalysis.bpeVocab(spark, edge, nMerges = 3).collect()
+    // round 1 merges (h,e): the merged symbol must surface in the vocab
+    assert(rows.exists(r => r.getAs[String]("sym") == "he"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_merged") == (r.getAs[String]("sym").length > 1))
+      assert(r.getAs[Long]("n_occurrences") > 0)
+    }
+    // conservation: every char of every token occurrence lands in exactly
+    // one post-merge symbol
+    val symChars = rows.map(r =>
+      r.getAs[String]("sym").length * r.getAs[Long]("n_occurrences")).sum
+    val tokChars = queries.TextAnalysis.bpeApply(spark, edge, nMerges = 3)
+      .collect().map(_.getAs[Long]("n_chars")).sum
+    assert(symChars == tokChars)
+    // ordering contract: frequency desc, symbol asc
+    val keys = rows.map(r => (-r.getAs[Long]("n_occurrences"), r.getAs[String]("sym"))).toSeq
+    assert(keys == keys.sorted)
   }
 
   test("simhash_dedup: duplicate docs collide at hamming 0; blank docs never pair") {

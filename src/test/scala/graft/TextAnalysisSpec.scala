@@ -6,6 +6,22 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("bpe train/apply/vocab: invariant under corpus repartitioning") {
+    // rand()-style partition-position dependence would break all three;
+    // the argmax tie-break (n desc, pair asc) and integerised sums are
+    // what make the pipeline a pure function of the corpus MULTISET
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bpe_repart").getAbsolutePath
+    Tables.documents(spark, sf).repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(queries.TextAnalysis.bpeTrain(spark, dir, 5).collect().toSeq ==
+      queries.TextAnalysis.bpeTrain(spark, sf, 5).collect().toSeq)
+    assert(queries.TextAnalysis.bpeApply(spark, dir, 5).collect().toSeq ==
+      queries.TextAnalysis.bpeApply(spark, sf, 5).collect().toSeq)
+    assert(queries.TextAnalysis.bpeVocab(spark, dir, 5).collect().toSeq ==
+      queries.TextAnalysis.bpeVocab(spark, sf, 5).collect().toSeq)
+  }
+
   test("lang_id: one row per doc, prediction drawn from the profiled languages") {
     val rows = queries.TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
