@@ -106,7 +106,8 @@ object Temporal {
     // needs. Empty events => empty output; the span placeholder only has
     // to keep the arithmetic non-degenerate.
     val span = eventsRaw.agg(
-      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+      min(unix_micros(col("ts").cast("timestamp"))).as("lo"),
+      max(unix_micros(col("ts").cast("timestamp"))).as("hi")).head()
     val (loUs, spanUs) =
       if (span.isNullAt(0)) (0L, 1L)
       else (span.getLong(0), math.max(1L, span.getLong(1) - span.getLong(0) + 1L))
