@@ -19,20 +19,32 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
 
-  /** `events` with `ts` as a proper TimestampType column. The fixture
-    * stores parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by [[GraftSession]])
-    * Spark reads it as Long nanos, which we convert losslessly (fixture
-    * values are µs-precision) to Spark's µs timestamps. */
+  /** `events` with `ts` as a proper TimestampType column, whatever the
+    * fixture encoding. Two encodings exist in the wild:
+    *   - parquet TIMESTAMP(NANOS): with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by [[GraftSession]])
+    *     Spark reads it as Long nanos, converted losslessly (fixture values
+    *     are µs-precision) to Spark's µs timestamps;
+    *   - parquet timestamp[us] without a UTC flag: Spark reads it as
+    *     TIMESTAMP_NTZ, cast to TIMESTAMP — value-exact because the session
+    *     timezone is pinned UTC by [[GraftSession]].
+    * Every consumer (queries, the registered temp view, streaming batch
+    * twins) MUST go through here rather than casting locally: the r6
+    * fixture re-encoding broke 1 query + 8 specs precisely because call
+    * sites patched the type themselves. EdgeCaseSpec pins the output type
+    * for both encodings. */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val e = events(s, d)
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    e.schema("ts").dataType match {
       // integer division — `/` on longs is DOUBLE division in Spark, and a
       // double cannot hold epoch-nanos (~1.7e18 > 2^53): µs would come back
       // off by one on ~half the rows
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+      case LongType => e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => e.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => e
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

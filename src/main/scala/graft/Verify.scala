@@ -18,10 +18,16 @@ object Verify {
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
       spark.catalog.clearCache()  // drop the previous query's caches
+      Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))  // stale marker
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // explicit failure marker: a thrown query must surface as `err`
+        // in CORRECTNESS, not silently vanish from the report (the r6
+        // events_rolling_24h failure was ABSENT rather than red)
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -106,15 +106,15 @@ object Temporal {
     // needs. Empty events => empty output; the span placeholder only has
     // to keep the arithmetic non-degenerate.
     val span = eventsRaw.agg(
-      min(unix_micros(col("ts").cast("timestamp"))).as("lo"),
-      max(unix_micros(col("ts").cast("timestamp"))).as("hi")).head()
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
     val (loUs, spanUs) =
       if (span.isNullAt(0)) (0L, 1L)
       else (span.getLong(0), math.max(1L, span.getLong(1) - span.getLong(0) + 1L))
     // clamp BEFORE the int cast: an order far outside the event span
     // yields a quotient beyond Int range (ANSI cast would throw)
     def range(t: Column): Column = greatest(lit(0L), least(lit((salts - 1).toLong),
-      floor((unix_micros(t.cast("timestamp")) - loUs) * salts / spanUs).cast("long")))
+      floor((unix_micros(t) - loUs) * salts / spanUs).cast("long")))
       .cast("int")
     val u = orders.unionByName(events).withColumn("r", range(col("t")))
     val w = Window.partitionBy("uid", "r").orderBy(col("t").asc, col("kind").asc)

@@ -182,15 +182,20 @@ object StreamingJobs {
   // --------------------------------------------------------------------
 
   /** The real streaming entry: tail a parquet directory as a stream, with
-    * the same ns→µs ts normalization as the batch reader (Tables.eventsTs)
+    * the same ts normalization as the batch reader (Tables.eventsTs) —
+    * Long nanos → µs timestamps, TIMESTAMP_NTZ → TIMESTAMP (value-exact
+    * under the pinned-UTC session; watermarks REQUIRE TimestampType) —
     * so every transformation above works on either. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val schema = Tables.events(spark, dir).schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   private def batchEvents(s: SparkSession, d: String): DataFrame =

@@ -498,4 +498,37 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(q2.length == 1 && q2.head.getAs[Long]("vec_id") == 3L &&
       math.abs(q2.head.getAs[Double]("qcosine") + 1.0) < 1e-9)
   }
+
+  test("eventsTs: ts normalizes to TimestampType under every fixture encoding") {
+    // The r6 fixture re-encoding (TIMESTAMP(NANOS) → timestamp[us]/NTZ)
+    // broke 1 query + 8 specs because only the Long branch was handled.
+    // Pin all three encodings to the same value AND type so the next
+    // re-encoding fails here, loudly, instead of downstream.
+    import org.apache.spark.sql.types._
+    val usExpected = java.time.Instant.parse("2024-03-01T12:34:56.789123Z")
+    def writeTs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_edge_ts_$name").getAbsolutePath
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val base = Seq((1L, 7L)).toDF("event_id", "user_id")
+    val asLong = writeTs("long", base.withColumn("ts",
+      lit(usExpected.getEpochSecond * 1000000000L + usExpected.getNano)))  // epoch nanos
+    val asTs = writeTs("tz", base.withColumn("ts",
+      lit(usExpected).cast(TimestampType)))
+    val asNtz = writeTs("ntz", base.withColumn("ts",
+      lit(usExpected).cast(TimestampType).cast(TimestampNTZType)))
+    // NTZ written then read back: parquet timestamp[us] without UTC flag —
+    // exactly the r6 driver fixture encoding
+    assert(Tables.events(spark, asNtz).schema("ts").dataType == TimestampNTZType)
+    Seq(asLong, asTs, asNtz).foreach { dir =>
+      val df = Tables.eventsTs(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType, s"dir=$dir")
+      assert(df.select("ts").head().getTimestamp(0).toInstant ==
+        usExpected.truncatedTo(java.time.temporal.ChronoUnit.MICROS), s"dir=$dir")
+    }
+    // the real driver fixture too, whatever encoding it currently uses
+    assert(Tables.eventsTs(spark, TestSpark.sf).schema("ts").dataType == TimestampType)
+  }
 }

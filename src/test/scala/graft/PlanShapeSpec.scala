@@ -121,20 +121,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // The ONE sanctioned SinglePartition shape is the final step of a
     // global scalar aggregate (e.g. tfidf's corpus doc count): its input
     // is pre-aggregated, so the exchange moves one row per partition.
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CollectLimit"), s"$name has a CollectLimit")
-      val lines = p.linesIterator.toArray
-      lines.zipWithIndex.foreach { case (l, i) =>
-        if (l.contains("Exchange SinglePartition")) {
-          val parent = if (i > 0) lines(i - 1) else ""
-          assert(
-            parent.contains("HashAggregate(keys=[]") ||
-              parent.contains("ObjectHashAggregate(keys=[]") ||
-              parent.contains("SortAggregate(keys=[]"),
-            s"$name funnels data through SinglePartition:\n$p")
+    // Collect per-query failures and assert ONCE at the end: one query
+    // that fails analysis must report as one failure, not disable the
+    // funnel gate for the other 100+ queries (the r6 regression — the
+    // whole sweep died on events_rolling_24h's analysis error).
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = plan(name)
+        val perQuery = scala.collection.mutable.Buffer.empty[String]
+        if (p.contains("CollectLimit")) perQuery += s"$name has a CollectLimit"
+        val lines = p.linesIterator.toArray
+        lines.zipWithIndex.foreach { case (l, i) =>
+          if (l.contains("Exchange SinglePartition")) {
+            val parent = if (i > 0) lines(i - 1) else ""
+            if (!(parent.contains("HashAggregate(keys=[]") ||
+                  parent.contains("ObjectHashAggregate(keys=[]") ||
+                  parent.contains("SortAggregate(keys=[]")))
+              perQuery += s"$name funnels data through SinglePartition"
+          }
         }
+        perQuery.toSeq
+      } catch {
+        case e: Throwable =>
+          Seq(s"$name failed to plan: ${e.getMessage.linesIterator.take(2).mkString(" ")}")
       }
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

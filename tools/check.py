@@ -31,6 +31,11 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        marker = f"{out_dir}/{name}._FAILED"
+        if os.path.exists(marker):
+            msg = open(marker).read().strip().splitlines()
+            print(f"FAIL {name}: query threw: {msg[0] if msg else '?'}")
+            n_fail += 1; continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
