@@ -51,7 +51,8 @@ object ScaleProbe {
     "bpe_train", "bpe_apply", "bpe_vocab",
     "mm_resize", "dedup_stats", "grep", "inverted_index",
     "inverted_index_raw",
-    "wordcount_tsv", "results_limit", "stratified_sample")
+    "wordcount_tsv", "results_limit", "stratified_sample",
+    "corpus_shuffle", "token_budget_sample")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

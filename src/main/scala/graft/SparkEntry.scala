@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextJobs.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Temporal.queries ++ Functions.queries ++
+      Temporal.queries ++ Functions.queries ++ Curation.queries ++
       graft.streaming.StreamingJobs.queries ++
       graft.operators.TopKAggregator.queries ++ graft.operators.SkewJoin.queries ++
       graft.operators.BucketedJoin.queries
@@ -99,6 +99,10 @@ object SparkEntry {
       Dedup.dedupDelta(s, d, a.getOrElse("delta_mod", "10").toLong)),
     "asof_join_orders_salted" -> ((s, d, a) =>
       Temporal.asofJoinOrdersSalted(s, d, a.getOrElse("salts", "8").toInt)),
+    "corpus_shuffle" -> ((s, d, a) =>
+      Curation.corpusShuffle(s, d, a.getOrElse("n_shards", "16").toInt)),
+    "token_budget_sample" -> ((s, d, a) =>
+      Curation.tokenBudgetSample(s, d, a.getOrElse("budget", "800").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,7 +110,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TextJobs.oracles ++ Relational.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Temporal.oracles ++ Functions.oracles ++
+      Temporal.oracles ++ Functions.oracles ++ Curation.oracles ++
       graft.streaming.StreamingJobs.oracles ++
       graft.operators.TopKAggregator.oracles ++ graft.operators.SkewJoin.oracles ++
       graft.operators.BucketedJoin.oracles

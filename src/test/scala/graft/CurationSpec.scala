@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the curation operators: determinism, permutation/prefix
+  * structure, and (for token_budget_sample) equality between the scalable
+  * bucket decomposition and the naive corpus-wide window it replaces. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("corpus_shuffle: pos is a 1..n permutation within each shard") {
+    val rows = queries.Curation.corpusShuffle(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, grp) =>
+      assert(shard >= 0 && shard < 16)
+      val ps = grp.map(_.getAs[Int]("pos")).sorted
+      assert(ps.toSeq == (1 to grp.length), s"shard $shard pos not a permutation")
+    }
+  }
+
+  test("corpus_shuffle: assignment is a pure function of doc_id (rerun-stable)") {
+    val a = queries.Curation.corpusShuffle(spark, sf).collect().map(_.toString).sorted
+    val b = queries.Curation.corpusShuffle(spark, sf).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("corpus_shuffle: nShards=1 is one global hash order") {
+    val rows = queries.Curation.corpusShuffle(spark, sf, nShards = 1).collect()
+    assert(rows.forall(_.getAs[Int]("shard") == 0))
+    assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rows.length))
+  }
+
+  test("token_budget_sample: bucket decomposition == naive per-source window") {
+    val md = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), "\\W+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"),
+        conv(substring(md, 1, 15), 16, 10).cast("long").as("skey"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= 800L).as("keep"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val scalable = queries.Curation.tokenBudgetSample(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(scalable == naive && scalable.nonEmpty)
+  }
+
+  test("token_budget_sample: keep is prefix-closed in hash order, per source") {
+    val rows = queries.Curation.tokenBudgetSample(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, grp) =>
+      // in cum_tokens order, keeps strictly precede drops
+      val inOrder = grp.sortBy(_.getAs[Long]("cum_tokens"))
+      val firstDrop = inOrder.indexWhere(!_.getAs[Boolean]("keep"))
+      if (firstDrop >= 0)
+        assert(inOrder.drop(firstDrop).forall(!_.getAs[Boolean]("keep")),
+          s"source $src: a keep follows a drop")
+      // every kept doc is within budget; total kept mass ≤ budget
+      val kept = grp.filter(_.getAs[Boolean]("keep"))
+      assert(kept.map(_.getAs[Long]("n_tokens")).sum <= 800L, s"source $src over budget")
+    }
+  }
+
+  test("token_budget_sample: budget 0 keeps only zero-token prefixes") {
+    val rows = queries.Curation.tokenBudgetSample(spark, sf, budget = 0L).collect()
+    assert(rows.filter(_.getAs[Boolean]("keep"))
+      .forall(_.getAs[Long]("cum_tokens") == 0L))
+  }
+}
