@@ -748,6 +748,195 @@ object Similarity {
        |FROM best WHERE rk = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Product quantization (the memory-bounded ANN storage path)
+  // --------------------------------------------------------------------
+
+  private val PqSub = 8      // subspaces (Dim / PqSubDim)
+  private val PqSubDim = 8   // dims per subspace
+  private val PqK = 16       // centroids per subspace → 4-bit codes
+  private val PqIters = 3    // Lloyd rounds (the IvfIters precedent)
+
+  /** Product quantization (Jégou et al., the FAISS `PQ8x4` topology):
+    * split each 64-d vector into 8 contiguous 8-d subvectors, k-means
+    * each subspace to 16 centroids, and encode every vector as 8
+    * 4-bit codes — 256 B of float32 becomes 4 B, the compression that
+    * makes a 100 TB embedding store RAM-resident on a modest cluster
+    * (vs [[embeddingQuantize]]'s 4× int8 path, this is 64×). Emits per
+    * vector its 8 codes plus the L2² reconstruction error — the
+    * quality readout that sizes K/M choices.
+    *
+    * Scale shape, mirroring [[annCosineIvf]]: training runs on a
+    * deterministic vec_id-stride sample (~128 vectors per centroid), so
+    * each Lloyd round is one distributed pass over sample×8 subvector
+    * slices folding to ≤ 8·16 rows of integerised model state (the only
+    * driver traffic); the final encode is one exact map over the corpus
+    * with the 128-centroid codebook (~8 KB) riding in a broadcast.
+    * Nothing corpus-sized shuffles at any n.
+    *
+    * Determinism (the [[annCosineIvfSql]] contract, subspace-keyed):
+    * assignment score = ‖c‖² − 2·c·x per subspace — three ascending
+    * 8-term IEEE folds and two exactly-rounded ops, identical on both
+    * engines, ties broken k-ASC (strict `<` first-wins); centroid
+    * accumulation integerises members to nanos (order-free long sums,
+    * mean replayed exactly); per-subspace errors integerise to micros
+    * before the per-vector long sum, so the error is fold-order-free
+    * too. Empty cells keep their previous centroid (COALESCE ≡ in-place
+    * array update). */
+  def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // local copies: a closure touching the object's fields would drag the
+    // whole (non-serializable) Similarity$ into the task closure
+    val nSub = PqSub; val subDim = PqSubDim; val nK = PqK
+    val raw = vecs(spark, sfDir)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "x").cache()
+    try {
+      val n = raw.count()
+      val step = math.max(1L, n / (PqK.toLong * 128L))
+      val train = raw.filter(col("vec_id") % step === 0)
+      // init: subvector slices of the first PqK vectors by vec_id order
+      // (the IVF init move — "first K data points", valid on sparse ids)
+      val init = raw.orderBy("vec_id").limit(PqK)
+        .as[(Long, Array[Double])].collect().map(_._2)
+      val cent: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
+        init.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+
+      // (code, ccMinus2Dot) for subspace m — shared by train + encode so
+      // both phases rank by the bit-identical score
+      def nearest(cs: Array[Array[Double]], x: Array[Double], off: Int): (Int, Double) = {
+        var best = 0; var bestS = Double.PositiveInfinity
+        var k = 0
+        while (k < cs.length) {
+          val w = cs(k); var dotAcc = 0.0; var cc = 0.0; var i = 0
+          while (i < w.length) {
+            dotAcc += w(i) * x(off + i); cc += w(i) * w(i); i += 1
+          }
+          val s = cc - 2.0 * dotAcc
+          if (s < bestS) { bestS = s; best = k }
+          k += 1
+        }
+        (best, bestS)
+      }
+
+      for (_ <- 1 to PqIters) {
+        val bcIter = spark.sparkContext.broadcast(cent)
+        val next = train.as[(Long, Array[Double])]
+          .flatMap { case (_, x) =>
+            (0 until nSub).map { m =>
+              val (k, _) = nearest(bcIter.value(m), x, m * subDim)
+              (m * nK + k, x.slice(m * subDim, (m + 1) * subDim))
+            }
+          }
+          .groupByKey(_._1)
+          .mapGroups { (mk, it) =>
+            val sq = new Array[Long](subDim); var cnt = 0L
+            it.foreach { case (_, xm) =>
+              var i = 0
+              while (i < subDim) {
+                sq(i) += math.floor(xm(i) * 1e9 + 0.5).toLong; i += 1
+              }
+              cnt += 1
+            }
+            val mu = new Array[Double](subDim)
+            var i = 0
+            while (i < subDim) { mu(i) = sq(i).toDouble / 1e9 / cnt; i += 1 }
+            (mk, mu)
+          }.collect()  // ≤ 8·16 rows of model state
+        next.foreach { case (mk, mu) => cent(mk / PqK)(mk % PqK) = mu }
+        bcIter.destroy()
+      }
+
+      val bc = spark.sparkContext.broadcast(cent)
+      raw.as[(Long, Array[Double])]
+        .map { case (id, x) =>
+          val codes = new Array[Int](nSub)
+          var errU = 0L
+          var m = 0
+          while (m < nSub) {
+            val (k, s) = nearest(bc.value(m), x, m * subDim)
+            codes(m) = k
+            var xx = 0.0; var i = m * subDim
+            while (i < (m + 1) * subDim) { xx += x(i) * x(i); i += 1 }
+            errU += math.floor((s + xx) * 1e6 + 0.5).toLong
+            m += 1
+          }
+          (id, codes(0), codes(1), codes(2), codes(3),
+            codes(4), codes(5), codes(6), codes(7), errU)
+        }
+        .toDF("vec_id", "code_0", "code_1", "code_2", "code_3",
+          "code_4", "code_5", "code_6", "code_7", "err_u")
+        .select(col("vec_id"),
+          col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+          col("code_4"), col("code_5"), col("code_6"), col("code_7"),
+          (col("err_u").cast("double") / 1e6).as("err"))
+        .orderBy("vec_id")
+    } finally { raw.unpersist(); () }
+  }
+
+  /** DuckDB twin of [[embeddingPq]] — [[annCosineIvfSql]]'s unrolled
+    * Lloyd chain with a `m` (subspace) key threaded through every CTE. */
+  val embeddingPqSql: String = {
+    val score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, %s)"
+    val rounds = (1 to PqIters).map { r =>
+      s"""asn$r AS (
+         |  SELECT m, k, q FROM (
+         |    SELECT t.m, c.k, t.q,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.m
+         |              ORDER BY ${score.format("t.xm")} ASC, c.k ASC) AS rk
+         |    FROM tr t JOIN cent${r - 1} c ON c.m = t.m)
+         |  WHERE rk = 1),
+         |upd$r AS (
+         |  SELECT m, k, list(CAST(sq AS DOUBLE) / 1e9 / cnt ORDER BY i) AS mu
+         |  FROM (SELECT m, k, i, CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS sq,
+         |               count(*) AS cnt
+         |        FROM asn$r CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+         |        GROUP BY m, k, i)
+         |  GROUP BY m, k),
+         |cent$r AS MATERIALIZED (
+         |  SELECT c0.m, c0.k, COALESCE(u.mu, c0.c) AS c
+         |  FROM cent${r - 1} c0 LEFT JOIN upd$r u ON u.m = c0.m AND u.k = c0.k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |         v[CAST(m * $PqSubDim + 1 AS INT):CAST((m + 1) * $PqSubDim AS INT)] AS xm
+       |  FROM e CROSS JOIN range(0, $PqSub) r(m)),
+       |par AS (SELECT greatest(1, count(*) // ${PqK * 128}) AS step FROM e),
+       |cent0 AS MATERIALIZED (
+       |  SELECT s.m, CAST(i.rn - 1 AS INT) AS k, s.xm AS c
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM e) i
+       |  JOIN sub s ON s.vec_id = i.vec_id
+       |  WHERE i.rn <= $PqK),
+       |tr AS MATERIALIZED (
+       |  SELECT vec_id, m, xm,
+       |         list_transform(xm, x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS q
+       |  FROM sub WHERE vec_id % (SELECT step FROM par) = 0),
+       |$rounds,
+       |enc AS (
+       |  SELECT vec_id, m, k, err_u FROM (
+       |    SELECT s.vec_id, s.m, c.k,
+       |           CAST(floor((${score.format("s.xm")}
+       |                       + list_dot_product(s.xm, s.xm)) * 1e6 + 0.5) AS BIGINT) AS err_u,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |              ORDER BY ${score.format("s.xm")} ASC, c.k ASC) AS rk
+       |    FROM sub s JOIN cent$PqIters c ON c.m = s.m)
+       |  WHERE rk = 1)
+       |SELECT vec_id,
+       |       CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code_0,
+       |       CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code_1,
+       |       CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS code_2,
+       |       CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS code_3,
+       |       CAST(max(CASE WHEN m = 4 THEN k END) AS INT) AS code_4,
+       |       CAST(max(CASE WHEN m = 5 THEN k END) AS INT) AS code_5,
+       |       CAST(max(CASE WHEN m = 6 THEN k END) AS INT) AS code_6,
+       |       CAST(max(CASE WHEN m = 7 THEN k END) AS INT) AS code_7,
+       |       CAST(CAST(sum(err_u) AS BIGINT) AS DOUBLE) / 1e6 AS err
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
@@ -757,6 +946,7 @@ object Similarity {
     "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => embeddingCentroids(s, d)),
     "centroid_assign" -> ((s, d) => centroidAssign(s, d)),
+    "embedding_pq" -> ((s, d) => embeddingPq(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -768,5 +958,6 @@ object Similarity {
     "centroid_assign" -> centroidAssignSql,
     "ann_cosine_lsh" -> annCosineLshSql,
     "ann_cosine_ivf" -> annCosineIvfSql,
+    "embedding_pq" -> embeddingPqSql,
   )
 }

@@ -120,4 +120,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!a.sameElements(queries.Similarity.hyperplane(2, 8)))
     assert(a.forall(x => x >= -1 && x < 1))
   }
+
+  test("embedding_pq: 4-bit codes, near-nonnegative error, trained codebook helps") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Similarity.embeddingPq(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    val codeCols = (0 until 8).map(m => s"code_$m")
+    rows.foreach { r =>
+      codeCols.foreach { c =>
+        val k = r.getAs[Int](c); assert(k >= 0 && k < 16, s"$c=$k out of range")
+      }
+      // per-subspace L2² ≥ 0 up to the micros-floor rounding (8 × 0.5e-6)
+      assert(r.getAs[Double]("err") >= -1e-5)
+    }
+    // codes actually discriminate (a collapsed codebook would emit one code)
+    codeCols.foreach { c =>
+      assert(rows.map(_.getAs[Int](c)).distinct.length > 1, s"$c collapsed")
+    }
+    // aggregate reconstruction error beats the zero-vector baseline Σ‖x‖²
+    // (centroids are member means, so the codebook explains variance)
+    val meanErr = rows.map(_.getAs[Double]("err")).sum / rows.length
+    val meanXx = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(graft.functions.VectorFunctions.array_dot(col("v"), col("v")).as("xx"))
+      .agg(avg("xx")).head().getDouble(0)
+    assert(meanErr < meanXx,
+      s"PQ mean err $meanErr should beat zero-codebook baseline $meanXx")
+  }
 }
