@@ -52,7 +52,8 @@ object ScaleProbe {
     "mm_resize", "dedup_stats", "grep", "inverted_index",
     "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample",
-    "corpus_shuffle", "token_budget_sample", "embedding_pq")
+    "corpus_shuffle", "token_budget_sample", "embedding_pq",
+    "ann_cosine_pq")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

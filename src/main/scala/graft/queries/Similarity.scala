@@ -754,17 +754,17 @@ object Similarity {
 
   private val PqSub = 8      // subspaces (Dim / PqSubDim)
   private val PqSubDim = 8   // dims per subspace
-  private val PqK = 16       // centroids per subspace → 4-bit codes
+  private val PqK = 256      // centroids per subspace → 8-bit codes (FAISS PQ8x8)
   private val PqIters = 3    // Lloyd rounds (the IvfIters precedent)
 
-  /** Product quantization (Jégou et al., the FAISS `PQ8x4` topology):
+  /** Product quantization (Jégou et al., the FAISS `PQ8x8` topology):
     * split each 64-d vector into 8 contiguous 8-d subvectors, k-means
-    * each subspace to 16 centroids, and encode every vector as 8
-    * 4-bit codes — 256 B of float32 becomes 4 B, the compression that
-    * makes a 100 TB embedding store RAM-resident on a modest cluster
-    * (vs [[embeddingQuantize]]'s 4× int8 path, this is 64×). Emits per
-    * vector its 8 codes plus the L2² reconstruction error — the
-    * quality readout that sizes K/M choices.
+    * each subspace to 256 centroids, and encode every vector as 8
+    * single-byte codes — 256 B of float32 becomes 8 B, the compression
+    * that makes a 100 TB embedding store RAM-resident on a modest
+    * cluster (vs [[embeddingQuantize]]'s 4× int8 path, this is 32×).
+    * Emits per vector its 8 codes plus the L2² reconstruction error —
+    * the quality readout that sizes K/M choices.
     *
     * Scale shape, mirroring [[annCosineIvf]]: training runs on a
     * deterministic vec_id-stride sample (~128 vectors per centroid), so
@@ -783,16 +783,54 @@ object Similarity {
     * before the per-vector long sum, so the error is fold-order-free
     * too. Empty cells keep their previous centroid (COALESCE ≡ in-place
     * array update). */
-  def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The cached (vec_id, x: Array[Double]) frame both PQ queries map over. */
+  private def pqRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // local copies: a closure touching the object's fields would drag the
-    // whole (non-serializable) Similarity$ into the task closure
-    val nSub = PqSub; val subDim = PqSubDim; val nK = PqK
-    val raw = vecs(spark, sfDir)
+    vecs(spark, sfDir)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v.toArray) }
-      .toDF("vec_id", "x").cache()
-    try {
+      .toDF("vec_id", "x")
+  }
+
+  /** Stateless holder for the PQ task-side kernel: closures reference
+    * `PqKernel.nearest`, capturing this (empty, serializable) object
+    * instead of the non-serializable Similarity$. */
+  private object PqKernel extends Serializable {
+    /** Per-subspace nearest-centroid probe: (code, ‖c‖²−2·c·x) for the
+      * subvector at `off` — the bit-identical score both the trainer and
+      * every encoder rank by. */
+    def nearest(cs: Array[Array[Double]], x: Array[Double], off: Int): (Int, Double) = {
+      var best = 0; var bestS = Double.PositiveInfinity
+      var k = 0
+      while (k < cs.length) {
+        val w = cs(k); var dotAcc = 0.0; var cc = 0.0; var i = 0
+        while (i < w.length) {
+          dotAcc += w(i) * x(off + i); cc += w(i) * w(i); i += 1
+        }
+        val s = cc - 2.0 * dotAcc
+        if (s < bestS) { bestS = s; best = k }
+        k += 1
+      }
+      (best, bestS)
+    }
+  }
+
+  /** Session-wide memoized PQ codebook per corpus dir (the bpeTrainMerges
+    * move: ≤8·16·8 doubles of driver-side model state shared by
+    * [[embeddingPq]] and [[annCosinePq]] under the corpus-dir-immutable-
+    * per-session contract). `raw` must be the (cached) [[pqRaw]] frame of
+    * the same corpus. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqCodebook(spark: SparkSession, sfDir: String,
+                         raw: DataFrame): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      // local copies: a closure touching the object's fields would drag
+      // the whole (non-serializable) Similarity$ into the task closure
+      val nSub = PqSub; val subDim = PqSubDim; val nK = PqK
+      val kernel = PqKernel
       val n = raw.count()
       val step = math.max(1L, n / (PqK.toLong * 128L))
       val train = raw.filter(col("vec_id") % step === 0)
@@ -802,30 +840,12 @@ object Similarity {
         .as[(Long, Array[Double])].collect().map(_._2)
       val cent: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
         init.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
-
-      // (code, ccMinus2Dot) for subspace m — shared by train + encode so
-      // both phases rank by the bit-identical score
-      def nearest(cs: Array[Array[Double]], x: Array[Double], off: Int): (Int, Double) = {
-        var best = 0; var bestS = Double.PositiveInfinity
-        var k = 0
-        while (k < cs.length) {
-          val w = cs(k); var dotAcc = 0.0; var cc = 0.0; var i = 0
-          while (i < w.length) {
-            dotAcc += w(i) * x(off + i); cc += w(i) * w(i); i += 1
-          }
-          val s = cc - 2.0 * dotAcc
-          if (s < bestS) { bestS = s; best = k }
-          k += 1
-        }
-        (best, bestS)
-      }
-
       for (_ <- 1 to PqIters) {
         val bcIter = spark.sparkContext.broadcast(cent)
         val next = train.as[(Long, Array[Double])]
           .flatMap { case (_, x) =>
             (0 until nSub).map { m =>
-              val (k, _) = nearest(bcIter.value(m), x, m * subDim)
+              val (k, _) = kernel.nearest(bcIter.value(m), x, m * subDim)
               (m * nK + k, x.slice(m * subDim, (m + 1) * subDim))
             }
           }
@@ -847,7 +867,16 @@ object Similarity {
         next.foreach { case (mk, mu) => cent(mk / PqK)(mk % PqK) = mu }
         bcIter.destroy()
       }
+      cent
+    })
 
+  def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nSub = PqSub; val subDim = PqSubDim
+    val kernel = PqKernel
+    val raw = pqRaw(spark, sfDir).cache()
+    try {
+      val cent = pqCodebook(spark, sfDir, raw)
       val bc = spark.sparkContext.broadcast(cent)
       raw.as[(Long, Array[Double])]
         .map { case (id, x) =>
@@ -855,7 +884,7 @@ object Similarity {
           var errU = 0L
           var m = 0
           while (m < nSub) {
-            val (k, s) = nearest(bc.value(m), x, m * subDim)
+            val (k, s) = kernel.nearest(bc.value(m), x, m * subDim)
             codes(m) = k
             var xx = 0.0; var i = m * subDim
             while (i < (m + 1) * subDim) { xx += x(i) * x(i); i += 1 }
@@ -875,9 +904,11 @@ object Similarity {
     } finally { raw.unpersist(); () }
   }
 
-  /** DuckDB twin of [[embeddingPq]] — [[annCosineIvfSql]]'s unrolled
-    * Lloyd chain with a `m` (subspace) key threaded through every CTE. */
-  val embeddingPqSql: String = {
+  /** The shared DuckDB PQ pipeline — [[annCosineIvfSql]]'s unrolled Lloyd
+    * chain with a `m` (subspace) key threaded through every CTE, ending at
+    * `enc` (per (vec_id, m): assigned code + micros-integerised L2² error).
+    * Prefixes both [[embeddingPqSql]] and [[annCosinePqSql]]. */
+  private val pqChainSql: String = {
     val score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, %s)"
     val rounds = (1 to PqIters).map { r =>
       s"""asn$r AS (
@@ -899,7 +930,7 @@ object Similarity {
          |  FROM cent${r - 1} c0 LEFT JOIN upd$r u ON u.m = c0.m AND u.k = c0.k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sub AS MATERIALIZED (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |         v[CAST(m * $PqSubDim + 1 AS INT):CAST((m + 1) * $PqSubDim AS INT)] AS xm
@@ -915,7 +946,7 @@ object Similarity {
        |         list_transform(xm, x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS q
        |  FROM sub WHERE vec_id % (SELECT step FROM par) = 0),
        |$rounds,
-       |enc AS (
+       |enc AS MATERIALIZED (
        |  SELECT vec_id, m, k, err_u FROM (
        |    SELECT s.vec_id, s.m, c.k,
        |           CAST(floor((${score.format("s.xm")}
@@ -923,7 +954,12 @@ object Similarity {
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |              ORDER BY ${score.format("s.xm")} ASC, c.k ASC) AS rk
        |    FROM sub s JOIN cent$PqIters c ON c.m = s.m)
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[embeddingPq]]. */
+  val embeddingPqSql: String =
+    s"""WITH $pqChainSql
        |SELECT vec_id,
        |       CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code_0,
        |       CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code_1,
@@ -935,7 +971,108 @@ object Similarity {
        |       CAST(max(CASE WHEN m = 7 THEN k END) AS INT) AS code_7,
        |       CAST(CAST(sum(err_u) AS BIGINT) AS DOUBLE) / 1e6 AS err
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** PQ search by asymmetric distance computation (ADC): the query keeps
+    * its full vector, every corpus vector is its 8 codes, and the
+    * approximate dot product is 8 table lookups — q·x ≈ Σₘ q_m·c[code_m]
+    * with the per-query lookup table (8×16 entries) built once against
+    * the codebook. The read side of [[embeddingPq]]'s 64× compression:
+    * a full-corpus scored scan that never touches the float vectors.
+    *
+    * Scale shape: codebook ([[pqCodebook]], memoized) + the |Q|·8·16
+    * micros-integerised LUT ride in broadcasts; one pass encodes each
+    * vector (codes only, never materialized) and emits |Q| scored rows
+    * per vector; one shuffle ranks per query. |Q| is bounded (the
+    * [[bruteForceTopK]] contract); at production scale the candidate
+    * stream would come from an IVF coarse filter (IVF-PQ) rather than
+    * the full scan, but the ADC arithmetic is exactly this. Exact
+    * cosine is joined back for the k·|Q| result rows only — the
+    * approximation-quality readout.
+    *
+    * Determinism: LUT entries integerise to micros (⌊·1e6+0.5⌋) before
+    * the 8-term long sum — fold-order-free — and ranking ties break
+    * vec_id ASC; the exact-cosine column reuses the [[bruteForceTopK]]
+    * double fold. */
+  def annCosinePq(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
+    val kernel = PqKernel
+    val raw = pqRaw(spark, sfDir).cache()
+    try {
+      val cent = pqCodebook(spark, sfDir, raw)
+      val qvecs = raw.filter(col("vec_id") < nQ)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val lut: Array[(Long, Array[Array[Long]])] = qvecs.map { case (qid, qx) =>
+        qid -> Array.tabulate(nSub) { m =>
+          cent(m).map { w =>
+            var dotAcc = 0.0; var i = 0
+            while (i < w.length) { dotAcc += w(i) * qx(m * subDim + i); i += 1 }
+            math.floor(dotAcc * 1e6 + 0.5).toLong
+          }
+        }
+      }
+      val bcCent = spark.sparkContext.broadcast(cent)
+      val bcLut = spark.sparkContext.broadcast(lut)
+      val scoredAll = raw.as[(Long, Array[Double])]
+        .flatMap { case (id, x) =>
+          val codes = new Array[Int](nSub)
+          var m = 0
+          while (m < nSub) {
+            codes(m) = kernel.nearest(bcCent.value(m), x, m * subDim)._1; m += 1
+          }
+          bcLut.value.iterator.collect {
+            case (qid, tab) if qid != id =>
+              var s = 0L; var mm = 0
+              while (mm < nSub) { s += tab(mm)(codes(mm)); mm += 1 }
+              (qid, id, s)
+          }
+        }.toDF("qid", "vec_id", "score_u")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score_u").desc, col("vec_id").asc)
+      val all = vecs(spark, sfDir)
+      scoredAll
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm").as("qnorm")), "qid")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          (col("score_u").cast("double") / 1e6).as("adc_dot"),
+          Det.r(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4).as("cosine"))
+        .orderBy("qid", "rank")
+    } finally { raw.unpersist(); () }
   }
+
+  /** DuckDB twin of [[annCosinePq]] — the shared [[pqChainSql]] plus the
+    * LUT join replayed relationally. */
+  val annCosinePqSql: String =
+    s"""WITH $pqChainSql,
+       |qs AS (SELECT vec_id AS qid, m, xm AS qm FROM sub WHERE vec_id < $NumQueries),
+       |lut AS MATERIALIZED (
+       |  SELECT q.qid, c.m, c.k,
+       |         CAST(floor(list_dot_product(q.qm, c.c) * 1e6 + 0.5) AS BIGINT) AS du
+       |  FROM qs q JOIN cent$PqIters c ON c.m = q.m),
+       |scored AS (
+       |  SELECT l.qid, e.vec_id, CAST(sum(l.du) AS BIGINT) AS score_u
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.k
+       |  WHERE e.vec_id <> l.qid
+       |  GROUP BY l.qid, e.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, score_u,
+       |         row_number() OVER (PARTITION BY qid
+       |            ORDER BY score_u DESC, vec_id ASC) AS rank
+       |  FROM scored),
+       |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+       |SELECT r.qid, CAST(r.rank AS INT) AS rank, r.vec_id,
+       |       CAST(r.score_u AS DOUBLE) / 1e6 AS adc_dot,
+       |       CAST(floor(list_dot_product(a.v, q.v) / (a.norm * q.norm) * 10000 + 0.5)
+       |            AS DOUBLE) / 10000 AS cosine
+       |FROM ranked r
+       |JOIN nv a ON a.vec_id = r.vec_id
+       |JOIN nv q ON q.vec_id = r.qid
+       |WHERE r.rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
@@ -947,6 +1084,7 @@ object Similarity {
     "embedding_centroids" -> ((s, d) => embeddingCentroids(s, d)),
     "centroid_assign" -> ((s, d) => centroidAssign(s, d)),
     "embedding_pq" -> ((s, d) => embeddingPq(s, d)),
+    "ann_cosine_pq" -> ((s, d) => annCosinePq(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -959,5 +1097,6 @@ object Similarity {
     "ann_cosine_lsh" -> annCosineLshSql,
     "ann_cosine_ivf" -> annCosineIvfSql,
     "embedding_pq" -> embeddingPqSql,
+    "ann_cosine_pq" -> annCosinePqSql,
   )
 }
