@@ -65,7 +65,8 @@ object ScaleProbe {
     "events_tumbling_1h", "events_sliding_6h3h", "events_dedup",
     "events_error_context", "json_events", "user_retention",
     "events_rolling_24h", "events_pivot_daily", "events_zscore",
-    "session_paths", "events_csv", "events_jsonl", "events_orc")
+    "session_paths", "events_csv", "events_jsonl", "events_orc",
+    "events_cms_topk")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

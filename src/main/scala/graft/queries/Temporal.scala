@@ -667,6 +667,76 @@ object Temporal {
        |ORDER BY n_sessions DESC, path ASC
        |LIMIT $PathTopN""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Count-min sketch heavy hitters
+  // --------------------------------------------------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsTopN = 20
+
+  /** Count-min sketch frequency estimates for the hottest event keys —
+    * the fixed-memory frequency summary (Cormode & Muthukrishnan) every
+    * streaming/telemetry pipeline keeps where exact per-key counts are
+    * unaffordable: d=[[CmsDepth]] hash rows × w=[[CmsWidth]] buckets of
+    * counters, est(k) = minᵈ counter[hᵈ(k)], a guaranteed OVER-estimate.
+    * Emits the top-[[CmsTopN]] exact-hottest users with exact count,
+    * sketch estimate, and the overcount — the accuracy readout that
+    * sizes d×w choices (like [[Relational.approxDistinctParts]], the
+    * exact leg is the oracle-gate verification; a production pipeline
+    * keeps only the sketch).
+    *
+    * Scale shape: ONE corpus pass folds to the d·w counter table —
+    * 4096 rows regardless of key cardinality or corpus size, hence
+    * legitimately broadcast for the estimate join; the exact top-N leg
+    * is a grouped count + TakeOrdered. The sketch side never shuffles
+    * anything user-cardinality-sized: the explode(d)→groupBy(d, bucket)
+    * agg map-side combines into ≤ d·w cells per task. Hashes are
+    * md5-derived ([[bucketCol]] idiom, keyed by hash row), so the
+    * sketch is a pure function of the data — reproducible across runs,
+    * engines, and partitionings. */
+  def eventsCmsTopk(spark: SparkSession, sfDir: String,
+                    topN: Int = CmsTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    def bucket(d: Column, k: Column): Column =
+      (conv(substring(md5(concat(d.cast("string"), lit(":"), k.cast("string"))),
+        1, 15), 16, 10).cast("long") % CmsWidth).cast("int")
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val ds = explode(sequence(lit(0), lit(CmsDepth - 1)))
+    val counters = ev.withColumn("d", ds)
+      .withColumn("b", bucket(col("d"), col("user_id")))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(topN)
+    exact.withColumn("d", ds)
+      .withColumn("b", bucket(col("d"), col("user_id")))
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy("user_id", "n_exact").agg(min("c").as("n_est"))
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
+  val eventsCmsTopkSql: String = {
+    val b = "CAST(CAST('0x' || substr(md5(CAST(%s AS VARCHAR) || ':' || " +
+      s"CAST(%s AS VARCHAR)), 1, 15) AS UBIGINT) %% $CmsWidth AS INT)"
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |pairs AS (SELECT user_id, CAST(d AS INT) AS d,
+       |                 ${b.format("d", "user_id")} AS b
+       |          FROM ev CROSS JOIN range(0, $CmsDepth) r(d)),
+       |counters AS (SELECT d, b, count(*) AS c FROM pairs GROUP BY d, b),
+       |exact AS (SELECT user_id, count(*) AS n_exact FROM ev
+       |          GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT $CmsTopN),
+       |est AS (SELECT e.user_id, e.n_exact, min(c.c) AS n_est
+       |        FROM exact e CROSS JOIN range(0, $CmsDepth) r(d)
+       |        JOIN counters c ON c.d = CAST(r.d AS INT)
+       |                       AND c.b = ${b.format("r.d", "e.user_id")}
+       |        GROUP BY 1, 2)
+       |SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est,
+       |       CAST(n_est - n_exact AS BIGINT) AS overcount
+       |FROM est ORDER BY n_exact DESC, user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -681,6 +751,7 @@ object Temporal {
     "events_pivot_daily" -> ((s, d) => eventsPivotDaily(s, d)),
     "events_zscore"     -> ((s, d) => eventsZscore(s, d)),
     "session_paths"     -> ((s, d) => sessionPaths(s, d)),
+    "events_cms_topk"   -> ((s, d) => eventsCmsTopk(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,5 +770,6 @@ object Temporal {
     "events_pivot_daily" -> eventsPivotDailySql,
     "events_zscore"     -> eventsZscoreSql,
     "session_paths"     -> sessionPathsSql,
+    "events_cms_topk"   -> eventsCmsTopkSql,
   )
 }

@@ -424,6 +424,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_cms_topk: sketch never underestimates, exact where uncollided") {
+    val rows = queries.Temporal.eventsCmsTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // exact counts descend with the documented tie-break
+    val ex = rows.map(r => (r.getAs[Long]("n_exact"), r.getAs[Long]("user_id")))
+    assert(ex.zip(ex.tail).forall { case ((a, au), (b, bu)) =>
+      a > b || (a == b && au < bu) })
+    rows.foreach { r =>
+      // the CMS one-sided guarantee: est(k) ≥ exact(k), overcount = diff
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("n_est") - r.getAs[Long]("n_exact"))
+    }
+    // d=4 × w=1024 over the fixture's ~1k users: at least one hot key
+    // should see zero collisions in its min row (sanity that the sketch
+    // is not degenerate at this size)
+    assert(rows.exists(_.getAs[Long]("overcount") == 0L))
+  }
+
   test("lang_confusion and events_pivot_daily: rollups partition their inputs") {
     val conf = queries.TextAnalysis.langConfusion(spark, sf).collect()
     assert(conf.map(_.getAs[Long]("n_docs")).sum ==
