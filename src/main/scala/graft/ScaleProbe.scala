@@ -53,7 +53,7 @@ object ScaleProbe {
     "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample",
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
-    "ann_cosine_pq")
+    "ann_cosine_pq", "embedding_outliers")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -66,7 +66,7 @@ object ScaleProbe {
     "events_error_context", "json_events", "user_retention",
     "events_rolling_24h", "events_pivot_daily", "events_zscore",
     "session_paths", "events_csv", "events_jsonl", "events_orc",
-    "events_cms_topk")
+    "events_cms_topk", "events_value_quantiles")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -748,6 +748,69 @@ object Similarity {
        |FROM best WHERE rk = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val OutlierTopN = 10
+
+  /** Per-label embedding outliers: the topN vectors FARTHEST (squared
+    * L2) from their own label's centroid — the data-quality screen that
+    * surfaces mislabeled, contaminated, or adversarial points before
+    * they poison a training run (the complement of [[centroidAssign]]:
+    * that asks "which label is nearest", this asks "how badly does the
+    * point fit its own").
+    *
+    * Scale shape: the centroid "model" is |labels|·64 doubles
+    * (broadcast); distances are one scan with three dot-product folds
+    * per row; the ranking window partitions by label over topN-prunable
+    * rows. Centroids reuse [[embeddingCentroids]]' micros-integerised
+    * exact sums and 6-dp rounding, so the distance ranking is hash-exact
+    * cross-engine (the same `vv − 2·v·c + cc` op order as
+    * [[centroidAssign]], ties vec_id ASC). */
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+                        topN: Int = OutlierTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val cent = embeddingCentroids(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("label"),
+        transform(col("pc"), s => s.getField("centroid")).as("c"))
+      .withColumn("cc", dot(col("c"), col("c")))
+    val vec = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist_raw").desc, col("vec_id").asc)
+    vec.join(broadcast(cent), "label")
+      .withColumn("dist_raw",
+        col("vv") - lit(2) * dot(col("v"), col("c")) + col("cc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("label"), col("rank"), col("vec_id"),
+        Det.r(col("dist_raw"), 6).as("dist"))
+      .orderBy("label", "rank")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH $centroidSqlCtes,
+       |cent AS (SELECT label,
+       |                list(${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)}
+       |                     ORDER BY pos) AS c
+       |         FROM cg GROUP BY label),
+       |scored AS (
+       |  SELECT v.vec_id, v.label,
+       |         list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, t.c)
+       |           + list_dot_product(t.c, t.c) AS dist_raw
+       |  FROM cv v JOIN cent t ON t.label = v.label),
+       |ranked AS (
+       |  SELECT label, vec_id, dist_raw,
+       |         row_number() OVER (PARTITION BY label
+       |                            ORDER BY dist_raw DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT label, CAST(rank AS INT) AS rank, vec_id,
+       |       ${Det.rSql("dist_raw", 6)} AS dist
+       |FROM ranked WHERE rank <= $OutlierTopN
+       |ORDER BY label, rank""".stripMargin
+
   // --------------------------------------------------------------------
   // Product quantization (the memory-bounded ANN storage path)
   // --------------------------------------------------------------------
@@ -1085,6 +1148,7 @@ object Similarity {
     "centroid_assign" -> ((s, d) => centroidAssign(s, d)),
     "embedding_pq" -> ((s, d) => embeddingPq(s, d)),
     "ann_cosine_pq" -> ((s, d) => annCosinePq(s, d)),
+    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1098,5 +1162,6 @@ object Similarity {
     "ann_cosine_ivf" -> annCosineIvfSql,
     "embedding_pq" -> embeddingPqSql,
     "ann_cosine_pq" -> annCosinePqSql,
+    "embedding_outliers" -> embeddingOutliersSql,
   )
 }

@@ -737,6 +737,87 @@ object Temporal {
        |FROM est ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Histogram quantile sketch
+  // --------------------------------------------------------------------
+
+  private val QBins = 4096
+  private val QPs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Histogram quantile sketch over `events.value` — the fixed-memory
+    * percentile summary (p50/p90/p99) a telemetry pipeline keeps where
+    * an exact percentile means sorting the corpus: two scalar-agg
+    * passes (min/max/count, then [[QBins]] equi-width bin counts) fold
+    * the corpus to a ≤4096-row histogram — bounded model state, the
+    * IVF/BPE precedent — and the quantile interpolates inside the
+    * target bin. Error is bounded by one bin width of the value range,
+    * the classic equi-width trade ([[Relational.percentilePrices]] is
+    * the exact interpolated readout where affordable; this is the
+    * at-scale shape). Completes the sketch family: HLL
+    * (approx_distinct_parts), count-min ([[eventsCmsTopk]]), quantiles.
+    *
+    * Determinism: bin ids are integer floors of one spelled-out IEEE
+    * expression; bin counts are longs; the interpolation replays the
+    * identical op order on both engines, so the estimates hash-match
+    * bit-for-bit. Rank target r = ⌈p·n⌉; the target bin is the unique
+    * bin with cum_before < r ≤ cum_before+cnt. Degenerate range
+    * (max == min) emits the constant. */
+  def eventsValueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select(col("value"))
+      .filter(col("value").isNotNull)
+    val s = ev.agg(min("value").as("mn"), max("value").as("mx"),
+      count("value").as("n")).head()
+    if (s.isNullAt(0))
+      return Seq.empty[(Double, Long, Int, Double)]
+        .toDF("p", "rank_target", "bin", "est")
+    val (mn, mx, n) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
+    val binExpr =
+      if (mx == mn) lit(0)
+      else least(lit(QBins - 1),
+        floor((col("value") - mn) / (mx - mn) * QBins).cast("int"))
+    // ≤ QBins rows of model state — the whole sketch
+    val hist = ev.select(binExpr.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Int]("bin"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val cums = hist.scanLeft(0L)(_ + _._2)  // cum_before per hist index
+    val width = (mx - mn) / QBins
+    val rows = QPs.map { p =>
+      val r = math.ceil(p * n).toLong
+      val i = hist.indices.find(i => cums(i) < r && r <= cums(i) + hist(i)._2).get
+      val (bin, cnt) = hist(i)
+      val est =
+        if (mx == mn) mn
+        else mn + (bin + (r - cums(i)).toDouble / cnt) * width
+      (p, r, bin, est)
+    }
+    rows.toDF("p", "rank_target", "bin", "est").orderBy("p")
+  }
+
+  val eventsValueQuantilesSql: String =
+    s"""WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+       |s AS (SELECT min(value) AS mn, max(value) AS mx, count(value) AS n FROM ev),
+       |b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+       |             ELSE least(${QBins - 1},
+       |                        CAST(floor((e.value - s.mn) / (s.mx - s.mn) * $QBins) AS INT))
+       |             END AS bin
+       |      FROM ev e, s),
+       |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+       |c AS (SELECT bin, cnt,
+       |             COALESCE(CAST(sum(cnt) OVER (ORDER BY bin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |               0) AS cum_before
+       |      FROM h),
+       |t AS (SELECT p, CAST(ceil(p * s.n) AS BIGINT) AS r
+       |      FROM (SELECT unnest([${QPs.mkString(", ")}]) AS p), s)
+       |SELECT t.p, t.r AS rank_target, c.bin,
+       |       CASE WHEN s.mx = s.mn THEN s.mn
+       |       ELSE s.mn + (c.bin + CAST(t.r - c.cum_before AS DOUBLE) / c.cnt)
+       |              * ((s.mx - s.mn) / $QBins) END AS est
+       |FROM t JOIN c ON c.cum_before < t.r AND t.r <= c.cum_before + c.cnt, s
+       |ORDER BY p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -752,6 +833,7 @@ object Temporal {
     "events_zscore"     -> ((s, d) => eventsZscore(s, d)),
     "session_paths"     -> ((s, d) => sessionPaths(s, d)),
     "events_cms_topk"   -> ((s, d) => eventsCmsTopk(s, d)),
+    "events_value_quantiles" -> ((s, d) => eventsValueQuantiles(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -771,5 +853,6 @@ object Temporal {
     "events_zscore"     -> eventsZscoreSql,
     "session_paths"     -> sessionPathsSql,
     "events_cms_topk"   -> eventsCmsTopkSql,
+    "events_value_quantiles" -> eventsValueQuantilesSql,
   )
 }

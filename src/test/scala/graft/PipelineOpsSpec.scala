@@ -443,6 +443,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("overcount") == 0L))
   }
 
+  test("events_value_quantiles: monotone estimates within one bin of exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = queries.Temporal.eventsValueQuantiles(spark, sf).collect()
+      .sortBy(_.getAs[Double]("p"))
+    assert(rows.map(_.getAs[Double]("p")).toSeq == Seq(0.5, 0.9, 0.99))
+    val ests = rows.map(_.getAs[Double]("est"))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b }, "not monotone")
+    // exact percentiles by full sort (affordable at spec scale): the
+    // sketch error bound is one equi-width bin of the value range
+    val vals = Tables.events(spark, sf).select(col("value"))
+      .filter(col("value").isNotNull)
+      .collect().map(_.getDouble(0)).sorted
+    val binW = (vals.last - vals.head) / 4096
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      val exact = vals((math.ceil(p * vals.length) - 1).toInt.max(0))
+      assert(math.abs(r.getAs[Double]("est") - exact) <= binW + 1e-9,
+        s"p=$p est=${r.getAs[Double]("est")} exact=$exact binW=$binW")
+    }
+  }
+
   test("lang_confusion and events_pivot_daily: rollups partition their inputs") {
     val conf = queries.TextAnalysis.langConfusion(spark, sf).collect()
     assert(conf.map(_.getAs[Long]("n_docs")).sum ==

@@ -170,4 +170,17 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = hit.toDouble / bf.size
     assert(recall >= 0.4, s"ADC recall@5 $recall below floor 0.4")
   }
+
+  test("embedding_outliers: per-label top-10 by descending own-centroid distance") {
+    val rows = queries.Similarity.embeddingOutliers(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.groupBy(_.getAs[Int]("label")).size == labels)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (l, grp) =>
+      assert(grp.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to grp.length), s"label $l")
+      val ds = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, s"label $l order")
+      // squared L2 to a real point: nonnegative up to 6-dp rounding
+      assert(ds.forall(_ >= -1e-6), s"label $l negative distance")
+    }
+  }
 }
