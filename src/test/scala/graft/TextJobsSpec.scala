@@ -93,6 +93,7 @@ class TextJobsSpec extends AnyFunSuite {
       queries.Dedup.queries.size, queries.Similarity.queries.size,
       queries.TextAnalysis.queries.size, queries.Multimodal.queries.size,
       queries.Temporal.queries.size, queries.Functions.queries.size,
+      queries.Curation.queries.size,
       streaming.StreamingJobs.queries.size,
       operators.TopKAggregator.queries.size, operators.SkewJoin.queries.size,
       operators.BucketedJoin.queries.size)
