@@ -103,6 +103,12 @@ object SparkEntry {
       Curation.corpusShuffle(s, d, a.getOrElse("n_shards", "16").toInt)),
     "token_budget_sample" -> ((s, d, a) =>
       Curation.tokenBudgetSample(s, d, a.getOrElse("budget", "800").toLong)),
+    "ann_cosine_pq" -> ((s, d, a) =>
+      Similarity.annCosinePq(s, d, a.getOrElse("k", "5").toInt)),
+    "embedding_outliers" -> ((s, d, a) =>
+      Similarity.embeddingOutliers(s, d, a.getOrElse("top_n", "10").toInt)),
+    "events_cms_topk" -> ((s, d, a) =>
+      Temporal.eventsCmsTopk(s, d, a.getOrElse("top_n", "20").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

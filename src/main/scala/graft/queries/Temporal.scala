@@ -695,17 +695,26 @@ object Temporal {
     * md5-derived ([[bucketCol]] idiom, keyed by hash row), so the
     * sketch is a pure function of the data — reproducible across runs,
     * engines, and partitionings. */
+  private def cmsBucket(d: Column, k: Column): Column =
+    (conv(substring(md5(concat(d.cast("string"), lit(":"), k.cast("string"))),
+      1, 15), 16, 10).cast("long") % CmsWidth).cast("int")
+
+  /** The d×w counter fold over a (user_id) frame — a stateless
+    * projection + grouped count, so it runs UNCHANGED over a stream in
+    * complete mode (state = the fixed 4096 counters; StreamingSpec
+    * proves stream == batch). Shared by [[eventsCmsTopk]]. */
+  def cmsCounters(ev: DataFrame): DataFrame =
+    ev.withColumn("d", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("b", cmsBucket(col("d"), col("user_id")))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+
   def eventsCmsTopk(spark: SparkSession, sfDir: String,
                     topN: Int = CmsTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    def bucket(d: Column, k: Column): Column =
-      (conv(substring(md5(concat(d.cast("string"), lit(":"), k.cast("string"))),
-        1, 15), 16, 10).cast("long") % CmsWidth).cast("int")
+    def bucket(d: Column, k: Column): Column = cmsBucket(d, k)
     val ev = Tables.events(spark, sfDir).select(col("user_id"))
     val ds = explode(sequence(lit(0), lit(CmsDepth - 1)))
-    val counters = ev.withColumn("d", ds)
-      .withColumn("b", bucket(col("d"), col("user_id")))
-      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val counters = cmsCounters(ev)
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("user_id").asc).limit(topN)
     exact.withColumn("d", ds)

@@ -531,4 +531,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     // the real driver fixture too, whatever encoding it currently uses
     assert(Tables.eventsTs(spark, TestSpark.sf).schema("ts").dataType == TimestampType)
   }
+
+  test("round-7 operators degrade to empty output on empty tables") {
+    // documents/embeddings-empty corpus: every curation/PQ/outlier query
+    // must return zero rows, not throw (empty init/codebook/histogram)
+    assert(queries.Curation.corpusShuffle(spark, empty).count() == 0)
+    assert(queries.Curation.tokenBudgetSample(spark, empty).count() == 0)
+    assert(queries.Similarity.embeddingPq(spark, empty).count() == 0)
+    assert(queries.Similarity.annCosinePq(spark, empty).count() == 0)
+    assert(queries.Similarity.embeddingOutliers(spark, empty).count() == 0)
+    // events-empty corpus for the sketch pair
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_noevents").getAbsolutePath
+    Tables.eventsTs(spark, TestSpark.sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(queries.Temporal.eventsCmsTopk(spark, dir).count() == 0)
+    assert(queries.Temporal.eventsValueQuantiles(spark, dir).count() == 0)
+  }
+
+  test("token_budget_sample: single-source degenerate corpus keeps the whole prefix") {
+    val rows = queries.Curation.tokenBudgetSample(spark, edge).collect()
+    assert(rows.length == 6)  // every doc gets a row, zero-token ones too
+    // all six docs total ~23 tokens — far under the 800 budget: all kept
+    assert(rows.forall(_.getAs[Boolean]("keep")))
+    val maxCum = rows.map(_.getAs[Long]("cum_tokens")).max
+    assert(maxCum == rows.map(_.getAs[Long]("n_tokens")).sum)
+  }
 }

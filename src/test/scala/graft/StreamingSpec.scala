@@ -129,6 +129,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS counters == batch counters (sketch agg over readStream)") {
+    // the count-min counter fold is a stateless projection + grouped
+    // count: in complete mode its streaming state is the FIXED 4096
+    // counters, so the sketch is streamable by construction — prove it
+    val stream = StreamingJobs.readEventsStream(spark, sf).select(col("user_id"))
+    val q = queries.Temporal.cmsCounters(stream)
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000L)
+      val streamed = spark.table("cms_test")
+        .orderBy("d", "b").collect().map(_.toString).toSeq
+      val batch = queries.Temporal.cmsCounters(
+        Tables.events(spark, sf).select(col("user_id")))
+        .orderBy("d", "b").collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming quality gate == batch gate (stateless transform over readStream)") {
     val schema = Tables.documents(spark, sf).schema
     // fixture tables are single files, so stream the dir with a glob (the
