@@ -832,9 +832,9 @@ object Similarity {
     * Scale shape, mirroring [[annCosineIvf]]: training runs on a
     * deterministic vec_id-stride sample (~128 vectors per centroid), so
     * each Lloyd round is one distributed pass over sample×8 subvector
-    * slices folding to ≤ 8·16 rows of integerised model state (the only
+    * slices folding to ≤ 8·256 rows of integerised model state (the only
     * driver traffic); the final encode is one exact map over the corpus
-    * with the 128-centroid codebook (~8 KB) riding in a broadcast.
+    * with the 2048-centroid codebook (~128 KB) riding in a broadcast.
     * Nothing corpus-sized shuffles at any n.
     *
     * Determinism (the [[annCosineIvfSql]] contract, subspace-keyed):
@@ -879,21 +879,25 @@ object Similarity {
   }
 
   /** Session-wide memoized PQ codebook per corpus dir (the bpeTrainMerges
-    * move: ≤8·16·8 doubles of driver-side model state shared by
+    * move: ≤8·256·8 doubles of driver-side model state shared by
     * [[embeddingPq]] and [[annCosinePq]] under the corpus-dir-immutable-
-    * per-session contract). `raw` must be the (cached) [[pqRaw]] frame of
-    * the same corpus. */
+    * per-session contract). The training frame is cached ONLY for the
+    * eager count/init/Lloyd phase inside this method and released before
+    * returning — the queries' own lazy passes each scan parquet once, so
+    * no corpus-sized cache outlives the model-state construction (and on
+    * the memo-warm path nothing is cached at all). */
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
-  private def pqCodebook(spark: SparkSession, sfDir: String,
-                         raw: DataFrame): Array[Array[Array[Double]]] =
+  private def pqCodebook(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
     pqMemo.computeIfAbsent(sfDir, _ => {
       import spark.implicits._
       // local copies: a closure touching the object's fields would drag
       // the whole (non-serializable) Similarity$ into the task closure
       val nSub = PqSub; val subDim = PqSubDim; val nK = PqK
       val kernel = PqKernel
+      val raw = pqRaw(spark, sfDir).cache()
+      try {
       val n = raw.count()
       val step = math.max(1L, n / (PqK.toLong * 128L))
       val train = raw.filter(col("vec_id") % step === 0)
@@ -926,45 +930,46 @@ object Similarity {
             var i = 0
             while (i < subDim) { mu(i) = sq(i).toDouble / 1e9 / cnt; i += 1 }
             (mk, mu)
-          }.collect()  // ≤ 8·16 rows of model state
+          }.collect()  // ≤ 8·256 rows of model state
         next.foreach { case (mk, mu) => cent(mk / PqK)(mk % PqK) = mu }
         bcIter.destroy()
       }
       cent
+      } finally { raw.unpersist(); () }
     })
 
   def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nSub = PqSub; val subDim = PqSubDim
     val kernel = PqKernel
-    val raw = pqRaw(spark, sfDir).cache()
-    try {
-      val cent = pqCodebook(spark, sfDir, raw)
-      val bc = spark.sparkContext.broadcast(cent)
-      raw.as[(Long, Array[Double])]
-        .map { case (id, x) =>
-          val codes = new Array[Int](nSub)
-          var errU = 0L
-          var m = 0
-          while (m < nSub) {
-            val (k, s) = kernel.nearest(bc.value(m), x, m * subDim)
-            codes(m) = k
-            var xx = 0.0; var i = m * subDim
-            while (i < (m + 1) * subDim) { xx += x(i) * x(i); i += 1 }
-            errU += math.floor((s + xx) * 1e6 + 0.5).toLong
-            m += 1
-          }
-          (id, codes(0), codes(1), codes(2), codes(3),
-            codes(4), codes(5), codes(6), codes(7), errU)
+    // uncached: the encode is ONE lazy pass over parquet (the training
+    // phase inside pqCodebook caches its own frame for its eager loop)
+    val raw = pqRaw(spark, sfDir)
+    val cent = pqCodebook(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(cent)
+    raw.as[(Long, Array[Double])]
+      .map { case (id, x) =>
+        val codes = new Array[Int](nSub)
+        var errU = 0L
+        var m = 0
+        while (m < nSub) {
+          val (k, s) = kernel.nearest(bc.value(m), x, m * subDim)
+          codes(m) = k
+          var xx = 0.0; var i = m * subDim
+          while (i < (m + 1) * subDim) { xx += x(i) * x(i); i += 1 }
+          errU += math.floor((s + xx) * 1e6 + 0.5).toLong
+          m += 1
         }
-        .toDF("vec_id", "code_0", "code_1", "code_2", "code_3",
-          "code_4", "code_5", "code_6", "code_7", "err_u")
-        .select(col("vec_id"),
-          col("code_0"), col("code_1"), col("code_2"), col("code_3"),
-          col("code_4"), col("code_5"), col("code_6"), col("code_7"),
-          (col("err_u").cast("double") / 1e6).as("err"))
-        .orderBy("vec_id")
-    } finally { raw.unpersist(); () }
+        (id, codes(0), codes(1), codes(2), codes(3),
+          codes(4), codes(5), codes(6), codes(7), errU)
+      }
+      .toDF("vec_id", "code_0", "code_1", "code_2", "code_3",
+        "code_4", "code_5", "code_6", "code_7", "err_u")
+      .select(col("vec_id"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+        col("code_4"), col("code_5"), col("code_6"), col("code_7"),
+        (col("err_u").cast("double") / 1e6).as("err"))
+      .orderBy("vec_id")
   }
 
   /** The shared DuckDB PQ pipeline — [[annCosineIvfSql]]'s unrolled Lloyd
@@ -1038,11 +1043,11 @@ object Similarity {
   /** PQ search by asymmetric distance computation (ADC): the query keeps
     * its full vector, every corpus vector is its 8 codes, and the
     * approximate dot product is 8 table lookups — q·x ≈ Σₘ q_m·c[code_m]
-    * with the per-query lookup table (8×16 entries) built once against
+    * with the per-query lookup table (8×256 entries) built once against
     * the codebook. The read side of [[embeddingPq]]'s 64× compression:
     * a full-corpus scored scan that never touches the float vectors.
     *
-    * Scale shape: codebook ([[pqCodebook]], memoized) + the |Q|·8·16
+    * Scale shape: codebook ([[pqCodebook]], memoized) + the |Q|·8·256
     * micros-integerised LUT ride in broadcasts; one pass encodes each
     * vector (codes only, never materialized) and emits |Q| scored rows
     * per vector; one shuffle ranks per query. |Q| is bounded (the
@@ -1061,50 +1066,51 @@ object Similarity {
     import spark.implicits._
     val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
     val kernel = PqKernel
-    val raw = pqRaw(spark, sfDir).cache()
-    try {
-      val cent = pqCodebook(spark, sfDir, raw)
-      val qvecs = raw.filter(col("vec_id") < nQ)
-        .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val lut: Array[(Long, Array[Array[Long]])] = qvecs.map { case (qid, qx) =>
-        qid -> Array.tabulate(nSub) { m =>
-          cent(m).map { w =>
-            var dotAcc = 0.0; var i = 0
-            while (i < w.length) { dotAcc += w(i) * qx(m * subDim + i); i += 1 }
-            math.floor(dotAcc * 1e6 + 0.5).toLong
-          }
+    // uncached: the qvecs collect pushes its vec_id filter to parquet and
+    // the ADC scan is one lazy pass — caching here would materialize the
+    // whole corpus for a |Q|-row collect on the memo-warm path
+    val raw = pqRaw(spark, sfDir)
+    val cent = pqCodebook(spark, sfDir)
+    val qvecs = raw.filter(col("vec_id") < nQ)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val lut: Array[(Long, Array[Array[Long]])] = qvecs.map { case (qid, qx) =>
+      qid -> Array.tabulate(nSub) { m =>
+        cent(m).map { w =>
+          var dotAcc = 0.0; var i = 0
+          while (i < w.length) { dotAcc += w(i) * qx(m * subDim + i); i += 1 }
+          math.floor(dotAcc * 1e6 + 0.5).toLong
         }
       }
-      val bcCent = spark.sparkContext.broadcast(cent)
-      val bcLut = spark.sparkContext.broadcast(lut)
-      val scoredAll = raw.as[(Long, Array[Double])]
-        .flatMap { case (id, x) =>
-          val codes = new Array[Int](nSub)
-          var m = 0
-          while (m < nSub) {
-            codes(m) = kernel.nearest(bcCent.value(m), x, m * subDim)._1; m += 1
-          }
-          bcLut.value.iterator.collect {
-            case (qid, tab) if qid != id =>
-              var s = 0L; var mm = 0
-              while (mm < nSub) { s += tab(mm)(codes(mm)); mm += 1 }
-              (qid, id, s)
-          }
-        }.toDF("qid", "vec_id", "score_u")
-      val w = Window.partitionBy("qid")
-        .orderBy(col("score_u").desc, col("vec_id").asc)
-      val all = vecs(spark, sfDir)
-      scoredAll
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
-        .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("norm").as("qnorm")), "qid")
-        .select(col("qid"), col("rank"), col("vec_id"),
-          (col("score_u").cast("double") / 1e6).as("adc_dot"),
-          Det.r(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4).as("cosine"))
-        .orderBy("qid", "rank")
-    } finally { raw.unpersist(); () }
+    }
+    val bcCent = spark.sparkContext.broadcast(cent)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val scoredAll = raw.as[(Long, Array[Double])]
+      .flatMap { case (id, x) =>
+        val codes = new Array[Int](nSub)
+        var m = 0
+        while (m < nSub) {
+          codes(m) = kernel.nearest(bcCent.value(m), x, m * subDim)._1; m += 1
+        }
+        bcLut.value.iterator.collect {
+          case (qid, tab) if qid != id =>
+            var s = 0L; var mm = 0
+            while (mm < nSub) { s += tab(mm)(codes(mm)); mm += 1 }
+            (qid, id, s)
+        }
+      }.toDF("qid", "vec_id", "score_u")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_u").desc, col("vec_id").asc)
+    val all = vecs(spark, sfDir)
+    scoredAll
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_dot"),
+        Det.r(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4).as("cosine"))
+      .orderBy("qid", "rank")
   }
 
   /** DuckDB twin of [[annCosinePq]] — the shared [[pqChainSql]] plus the

@@ -711,14 +711,12 @@ object Temporal {
   def eventsCmsTopk(spark: SparkSession, sfDir: String,
                     topN: Int = CmsTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    def bucket(d: Column, k: Column): Column = cmsBucket(d, k)
     val ev = Tables.events(spark, sfDir).select(col("user_id"))
-    val ds = explode(sequence(lit(0), lit(CmsDepth - 1)))
     val counters = cmsCounters(ev)
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("user_id").asc).limit(topN)
-    exact.withColumn("d", ds)
-      .withColumn("b", bucket(col("d"), col("user_id")))
+    exact.withColumn("d", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("b", cmsBucket(col("d"), col("user_id")))
       .join(broadcast(counters), Seq("d", "b"))
       .groupBy("user_id", "n_exact").agg(min("c").as("n_est"))
       .select(col("user_id"), col("n_exact"), col("n_est"),
@@ -773,18 +771,24 @@ object Temporal {
     * (max == min) emits the constant. */
   def eventsValueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // finite-only: one ±Inf poisons min/max and a NaN ratio would hit the
+    // ANSI double→int cast; telemetry at 100 TB WILL contain such rows
     val ev = Tables.events(spark, sfDir).select(col("value"))
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
     val s = ev.agg(min("value").as("mn"), max("value").as("mx"),
       count("value").as("n")).head()
     if (s.isNullAt(0))
       return Seq.empty[(Double, Long, Int, Double)]
         .toDF("p", "rank_target", "bin", "est")
     val (mn, mx, n) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
+    // clamp on DOUBLES before the int cast: a denormal-tiny range makes
+    // the ratio huge-but-finite, and the ANSI cast would throw before
+    // an int-typed least could save it (the salted as-of join precedent)
     val binExpr =
       if (mx == mn) lit(0)
-      else least(lit(QBins - 1),
-        floor((col("value") - mn) / (mx - mn) * QBins).cast("int"))
+      else least(lit((QBins - 1).toDouble),
+        floor((col("value") - mn) / (mx - mn) * QBins)).cast("int")
     // ≤ QBins rows of model state — the whole sketch
     val hist = ev.select(binExpr.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
@@ -805,11 +809,12 @@ object Temporal {
   }
 
   val eventsValueQuantilesSql: String =
-    s"""WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+    s"""WITH ev AS (SELECT value FROM events
+       |            WHERE value IS NOT NULL AND isfinite(value)),
        |s AS (SELECT min(value) AS mn, max(value) AS mx, count(value) AS n FROM ev),
        |b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
-       |             ELSE least(${QBins - 1},
-       |                        CAST(floor((e.value - s.mn) / (s.mx - s.mn) * $QBins) AS INT))
+       |             ELSE CAST(least(CAST(${QBins - 1} AS DOUBLE),
+       |                             floor((e.value - s.mn) / (s.mx - s.mn) * $QBins)) AS INT)
        |             END AS bin
        |      FROM ev e, s),
        |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),

@@ -143,7 +143,8 @@ class PlanShapeSpec extends AnyFunSuite {
         perQuery.toSeq
       } catch {
         case e: Throwable =>
-          Seq(s"$name failed to plan: ${e.getMessage.linesIterator.take(2).mkString(" ")}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          Seq(s"$name failed to plan: ${msg.linesIterator.take(2).mkString(" ")}")
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
