@@ -53,7 +53,7 @@ object ScaleProbe {
     "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample",
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
-    "ann_cosine_pq", "embedding_outliers")
+    "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -109,6 +109,8 @@ object SparkEntry {
       Similarity.embeddingOutliers(s, d, a.getOrElse("top_n", "10").toInt)),
     "events_cms_topk" -> ((s, d, a) =>
       Temporal.eventsCmsTopk(s, d, a.getOrElse("top_n", "20").toInt)),
+    "ann_cosine_ivfpq" -> ((s, d, a) =>
+      Similarity.annCosineIvfPq(s, d, a.getOrElse("n_probe", "4").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

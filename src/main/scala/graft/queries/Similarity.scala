@@ -262,8 +262,14 @@ object Similarity {
     * is deterministic arithmetic end-to-end once centroid accumulation
     * is integerised. SimilaritySpec additionally bounds recall@5 against
     * the brute-force baseline and ScaleProbe re-measures it at ≥100×. */
-  def annCosineIvf(spark: SparkSession, sfDir: String,
-                   nProbe: Int = NProbe): DataFrame = {
+  /** The coarse-quantizer front half of [[annCosineIvf]], extracted so
+    * [[annCosineIvfPq]] can reuse the identical candidate stream: trains
+    * the spherical k-means centroids, assigns every vector, probes each
+    * query's nProbe nearest cells, and returns the DISTINCT (qid, vec_id)
+    * candidate pairs. Cost and distribution contract as documented on
+    * [[annCosineIvf]]. */
+  private def ivfCandidates(spark: SparkSession, sfDir: String,
+                            nProbe: Int): DataFrame = {
     require(nProbe > 0 && nProbe <= IvfMinCells,
       s"nProbe must be in 1..$IvfMinCells, got $nProbe")
     import spark.implicits._
@@ -353,9 +359,14 @@ object Similarity {
         scored.sortBy { case (c, s) => (-s, c) }.take(nProbe)
           .map { case (c, _) => (qid, c) }
       }.toDF("qid", "cell")
-    val cands = assigned.join(broadcast(probes), "cell")
+    assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
+  }
+
+  def annCosineIvf(spark: SparkSession, sfDir: String,
+                   nProbe: Int = NProbe): DataFrame = {
+    val cands = ivfCandidates(spark, sfDir, nProbe)
     val all = vecs(spark, sfDir)
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine_raw").desc, col("vec_id").asc)
@@ -384,7 +395,10 @@ object Similarity {
     * so the SQL is valid at ANY corpus size, not just the fixture's.
     * Cells that lose all training members keep their previous centroid
     * (LEFT JOIN + COALESCE ≡ the in-place array update). */
-  val annCosineIvfSql: String = {
+  /** The shared IVF DuckDB chain (through the DISTINCT (qid, vec_id)
+    * candidate set `cand`) — prefixes both [[annCosineIvfSql]] and
+    * [[annCosineIvfPqSql]]. */
+  private val ivfChainSql: String = {
     val rounds = (1 to IvfIters).map { r =>
       s"""asn$r AS (
          |  SELECT vec_id, q, cell
@@ -407,7 +421,7 @@ object Similarity {
          |                       ELSE u.m END, c0.c) AS c
          |  FROM cent${r - 1} c0 LEFT JOIN upd$r u USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nv AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
        |uv AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM nv),
        |par AS (
@@ -443,7 +457,11 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT p.qid, f.vec_id
        |  FROM fin f JOIN pro p ON f.cell = p.cell
-       |  WHERE f.vec_id <> p.qid),
+       |  WHERE f.vec_id <> p.qid)""".stripMargin
+  }
+
+  val annCosineIvfSql: String =
+    s"""WITH $ivfChainSql,
        |scored AS (
        |  SELECT c.qid, c.vec_id,
        |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
@@ -455,7 +473,6 @@ object Similarity {
        |SELECT qid, rank, vec_id,
        |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
        |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
-  }
 
   // --------------------------------------------------------------------
   // Embedding quantization (int8 storage path)
@@ -975,55 +992,59 @@ object Similarity {
   /** The shared DuckDB PQ pipeline — [[annCosineIvfSql]]'s unrolled Lloyd
     * chain with a `m` (subspace) key threaded through every CTE, ending at
     * `enc` (per (vec_id, m): assigned code + micros-integerised L2² error).
-    * Prefixes both [[embeddingPqSql]] and [[annCosinePqSql]]. */
-  private val pqChainSql: String = {
+    * Prefixes [[embeddingPqSql]] and [[annCosinePqSql]] (empty prefix) and
+    * composes with [[ivfChainSql]] inside [[annCosineIvfPqSql]] (prefix
+    * `p_` keeps the two chains' CTE names disjoint). */
+  private def pqChain(p: String): String = {
     val score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, %s)"
     val rounds = (1 to PqIters).map { r =>
-      s"""asn$r AS (
+      s"""${p}asn$r AS (
          |  SELECT m, k, q FROM (
          |    SELECT t.m, c.k, t.q,
          |           row_number() OVER (PARTITION BY t.vec_id, t.m
          |              ORDER BY ${score.format("t.xm")} ASC, c.k ASC) AS rk
-         |    FROM tr t JOIN cent${r - 1} c ON c.m = t.m)
+         |    FROM ${p}tr t JOIN ${p}cent${r - 1} c ON c.m = t.m)
          |  WHERE rk = 1),
-         |upd$r AS (
+         |${p}upd$r AS (
          |  SELECT m, k, list(CAST(sq AS DOUBLE) / 1e9 / cnt ORDER BY i) AS mu
          |  FROM (SELECT m, k, i, CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS sq,
          |               count(*) AS cnt
-         |        FROM asn$r CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+         |        FROM ${p}asn$r CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
          |        GROUP BY m, k, i)
          |  GROUP BY m, k),
-         |cent$r AS MATERIALIZED (
+         |${p}cent$r AS MATERIALIZED (
          |  SELECT c0.m, c0.k, COALESCE(u.mu, c0.c) AS c
-         |  FROM cent${r - 1} c0 LEFT JOIN upd$r u ON u.m = c0.m AND u.k = c0.k)"""
+         |  FROM ${p}cent${r - 1} c0 LEFT JOIN ${p}upd$r u ON u.m = c0.m AND u.k = c0.k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sub AS MATERIALIZED (
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${p}sub AS MATERIALIZED (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |         v[CAST(m * $PqSubDim + 1 AS INT):CAST((m + 1) * $PqSubDim AS INT)] AS xm
-       |  FROM e CROSS JOIN range(0, $PqSub) r(m)),
-       |par AS (SELECT greatest(1, count(*) // ${PqK * 128}) AS step FROM e),
-       |cent0 AS MATERIALIZED (
+       |  FROM ${p}e CROSS JOIN range(0, $PqSub) r(m)),
+       |${p}par AS (SELECT greatest(1, count(*) // ${PqK * 128}) AS step FROM ${p}e),
+       |${p}cent0 AS MATERIALIZED (
        |  SELECT s.m, CAST(i.rn - 1 AS INT) AS k, s.xm AS c
-       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM e) i
-       |  JOIN sub s ON s.vec_id = i.vec_id
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM ${p}e) i
+       |  JOIN ${p}sub s ON s.vec_id = i.vec_id
        |  WHERE i.rn <= $PqK),
-       |tr AS MATERIALIZED (
+       |${p}tr AS MATERIALIZED (
        |  SELECT vec_id, m, xm,
        |         list_transform(xm, x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS q
-       |  FROM sub WHERE vec_id % (SELECT step FROM par) = 0),
+       |  FROM ${p}sub WHERE vec_id % (SELECT step FROM ${p}par) = 0),
        |$rounds,
-       |enc AS MATERIALIZED (
+       |${p}enc AS MATERIALIZED (
        |  SELECT vec_id, m, k, err_u FROM (
        |    SELECT s.vec_id, s.m, c.k,
        |           CAST(floor((${score.format("s.xm")}
        |                       + list_dot_product(s.xm, s.xm)) * 1e6 + 0.5) AS BIGINT) AS err_u,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |              ORDER BY ${score.format("s.xm")} ASC, c.k ASC) AS rk
-       |    FROM sub s JOIN cent$PqIters c ON c.m = s.m)
+       |    FROM ${p}sub s JOIN ${p}cent$PqIters c ON c.m = s.m)
        |  WHERE rk = 1)""".stripMargin
   }
+
+  private val pqChainSql: String = pqChain("")
 
   /** DuckDB twin of [[embeddingPq]]. */
   val embeddingPqSql: String =
@@ -1143,6 +1164,101 @@ object Similarity {
        |WHERE r.rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF-PQ — the production ANN composition (FAISS `IVF,PQ8x8`):
+    * [[ivfCandidates]] prunes the corpus to each query's nProbe coarse
+    * cells (O(nProbe·n/cells) candidates ≈ O(√n) at derived cell
+    * counts), then [[annCosinePq]]'s asymmetric-distance scoring ranks
+    * ONLY those candidates from their 8-byte codes — at 100 TB neither
+    * a full scored scan (ann_cosine_pq) nor a float re-rank of the
+    * candidate set (ann_cosine_ivf) touches the corpus floats; the
+    * search state is the coarse centroids + the PQ codebook + 8 B per
+    * vector. Exact cosine joins back for the k·|Q| result rows only.
+    * Determinism: candidate set is [[annCosineIvf]]'s (hash-gated),
+    * scoring is [[annCosinePq]]'s micros-integerised LUT sums, ties
+    * vec_id ASC — every stage already proven hash-exact, composed. */
+  def annCosineIvfPq(spark: SparkSession, sfDir: String,
+                     nProbe: Int = NProbe): DataFrame = {
+    import spark.implicits._
+    val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
+    val kernel = PqKernel
+    val cands = ivfCandidates(spark, sfDir, nProbe)
+    val raw = pqRaw(spark, sfDir)
+    val cent = pqCodebook(spark, sfDir)
+    val qvecs = raw.filter(col("vec_id") < nQ)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val lut: Map[Long, Array[Array[Long]]] = qvecs.map { case (qid, qx) =>
+      qid -> Array.tabulate(nSub) { m =>
+        cent(m).map { w =>
+          var dotAcc = 0.0; var i = 0
+          while (i < w.length) { dotAcc += w(i) * qx(m * subDim + i); i += 1 }
+          math.floor(dotAcc * 1e6 + 0.5).toLong
+        }
+      }
+    }.toMap
+    val bcCent = spark.sparkContext.broadcast(cent)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val codes = raw.as[(Long, Array[Double])]
+      .map { case (id, x) =>
+        val cs = new Array[Int](nSub); var m = 0
+        while (m < nSub) {
+          cs(m) = kernel.nearest(bcCent.value(m), x, m * subDim)._1; m += 1
+        }
+        (id, cs)
+      }.toDF("vec_id", "codes")
+    val scored = cands.join(codes, "vec_id")
+      .as[(Long, Long, Array[Int])]  // (vec_id, qid, codes) — join-key first
+      .map { case (vid, qid, cs) =>
+        val tab = bcLut.value(qid)
+        var s = 0L; var m = 0
+        while (m < nSub) { s += tab(m)(cs(m)); m += 1 }
+        (qid, vid, s)
+      }.toDF("qid", "vec_id", "score_u")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_u").desc, col("vec_id").asc)
+    val all = vecs(spark, sfDir)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_dot"),
+        Det.r(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annCosineIvfPq]] — [[ivfChainSql]] through `cand`,
+    * the `p_`-prefixed PQ chain, and the candidate-restricted ADC join. */
+  val annCosineIvfPqSql: String =
+    s"""WITH $ivfChainSql,
+       |${pqChain("p_")},
+       |qs AS (SELECT vec_id AS qid, m, xm AS qm FROM p_sub WHERE vec_id < $NumQueries),
+       |lut AS MATERIALIZED (
+       |  SELECT q.qid, c.m, c.k,
+       |         CAST(floor(list_dot_product(q.qm, c.c) * 1e6 + 0.5) AS BIGINT) AS du
+       |  FROM qs q JOIN p_cent$PqIters c ON c.m = q.m),
+       |adc AS (
+       |  SELECT cd.qid, cd.vec_id, CAST(sum(l.du) AS BIGINT) AS score_u
+       |  FROM cand cd
+       |  JOIN p_enc en ON en.vec_id = cd.vec_id
+       |  JOIN lut l ON l.qid = cd.qid AND l.m = en.m AND l.k = en.k
+       |  GROUP BY cd.qid, cd.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, score_u,
+       |         row_number() OVER (PARTITION BY qid
+       |            ORDER BY score_u DESC, vec_id ASC) AS rank
+       |  FROM adc)
+       |SELECT r.qid, CAST(r.rank AS INT) AS rank, r.vec_id,
+       |       CAST(r.score_u AS DOUBLE) / 1e6 AS adc_dot,
+       |       CAST(floor(list_dot_product(a.v, q.v) / (a.norm * q.norm) * 10000 + 0.5)
+       |            AS DOUBLE) / 10000 AS cosine
+       |FROM ranked r
+       |JOIN nv a ON a.vec_id = r.vec_id
+       |JOIN nv q ON q.vec_id = r.qid
+       |WHERE r.rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
@@ -1155,6 +1271,7 @@ object Similarity {
     "embedding_pq" -> ((s, d) => embeddingPq(s, d)),
     "ann_cosine_pq" -> ((s, d) => annCosinePq(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
+    "ann_cosine_ivfpq" -> ((s, d) => annCosineIvfPq(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1169,5 +1286,6 @@ object Similarity {
     "embedding_pq" -> embeddingPqSql,
     "ann_cosine_pq" -> annCosinePqSql,
     "embedding_outliers" -> embeddingOutliersSql,
+    "ann_cosine_ivfpq" -> annCosineIvfPqSql,
   )
 }
