@@ -79,7 +79,8 @@ object ScaleProbe {
     "distinct_part_kinds", "set_ops_nations", "rollup_orders",
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
-    "sql_above_avg_orders", "part_affinity", "key_skew_report")
+    "sql_above_avg_orders", "part_affinity", "key_skew_report",
+    "part_pagerank")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

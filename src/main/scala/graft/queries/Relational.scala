@@ -609,6 +609,108 @@ object Relational {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $AffinityTopN""".stripMargin
 
+  private val PrIters = 5
+  private val PrTopN = 50
+
+  /** PageRank over the part co-purchase graph — link-analysis authority
+    * scoring, the algorithm a crawl-curation pipeline runs to weight
+    * page quality before corpus selection (here over the fixture's
+    * natural graph: parts are nodes, an edge joins parts bought in the
+    * same order, baskets capped like [[partAffinity]] so one mega-order
+    * can't densify the graph quadratically). [[PrIters]] damped rounds
+    * (d = 0.85), then the top-[[PrTopN]] authorities.
+    *
+    * ALL-INTEGER recurrence — the property that makes an iterative
+    * fixpoint hash-gateable at all (the Lloyd/BPE move, applied to
+    * graphs): ranks live in micro-units (r₀ = 1e6), each round is
+    * r' = 150000 + (85 · Σ_{q→p} (r(q) div deg(q))) div 100 with
+    * integer division on both engines — no float ever enters, so
+    * fold order cannot matter anywhere. The div-truncation mass loss
+    * is part of the operator's defined semantics (documented, tiny:
+    * < deg per node per round).
+    *
+    * Scale shape: Pregel-without-Pregel — each round is one
+    * edges⋈ranks shuffle on src, one grouped sum on dst, one
+    * nodes-left-join; edge and rank frames are |edges|/|parts|-sized
+    * and PARTITION-stable across rounds (same join keys), so AQE
+    * reuses exchange layouts. Nothing collects to the driver — the
+    * loop builds one lazy [[PrIters]]-deep plan (at 100+ rounds you
+    * would checkpoint lineage every ~10; at 5 the plan is shallow). */
+  def partPagerank(spark: SparkSession, sfDir: String,
+                   topN: Int = PrTopN,
+                   maxBasket: Int = AffinityMaxBasket): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    require(maxBasket > 1, s"maxBasket must be > 1, got $maxBasket")
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(col("ps")).as[Seq[Long]]
+      .flatMap { ps =>
+        val n = math.min(ps.length, maxBasket)  // the skew cap
+        val b = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) { b += ((ps(i), ps(j))); b += ((ps(j), ps(i))); j += 1 }
+          i += 1
+        }
+        b.result()
+      }
+      .toDF("src", "dst")
+    val edges = pairs.distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("part")).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("part", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("part"), expr("r div deg").as("c"))
+        .groupBy("part").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("part"), "left")
+        .select(col("part"),
+          expr("150000 + (85 * coalesce(s, 0)) div 100").as("r"))
+    }
+    ranks.select(col("part"), col("r").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("part").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[partPagerank]] — the [[partAffinitySql]] capped
+    * basket join for edges, then the [[PrIters]] rounds unrolled as
+    * CTEs with the identical integer recurrence. */
+  val partPagerankSql: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS part, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.part = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.part,
+         |         CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k c ON c.part = n.part)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |br AS (SELECT ok, pk,
+       |              row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk
+       |       FROM op),
+       |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |          FROM br a JOIN br b ON a.ok = b.ok AND a.pk <> b.pk
+       |          WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS part FROM edges),
+       |r0 AS (SELECT part, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT part, r AS rank_micros FROM r$PrIters
+       |ORDER BY rank_micros DESC, part
+       |LIMIT $PrTopN""".stripMargin
+  }
+
   private val SkewTopN = 20
 
   /** Key-skew diagnostic over the lineitem part key — the pre-flight
@@ -703,6 +805,7 @@ object Relational {
     "approx_distinct_parts" -> ((s, d) => approxDistinctParts(s, d)),
     "sql_above_avg_orders" -> ((s, d) => sqlAboveAvgOrders(s, d)),
     "part_affinity"       -> ((s, d) => partAffinity(s, d)),
+    "part_pagerank"       -> ((s, d) => partPagerank(s, d)),
     "key_skew_report"     -> ((s, d) => keySkewReport(s, d)),
   )
 
@@ -726,6 +829,7 @@ object Relational {
     "scalar_battery"       -> scalarBatterySql,
     "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
     "part_affinity"        -> partAffinitySql,
+    "part_pagerank"        -> partPagerankSql,
     "key_skew_report"      -> keySkewReportSql,
     "approx_distinct_parts" -> approxDistinctPartsSql,
   )

@@ -115,4 +115,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel must shrink: ${ns.toSeq}")
     assert(ns(0) > ns(2), "24h conversion window must discriminate")
   }
+
+  test("part_pagerank: damped integer ranks, ordered, deterministic") {
+    val rows = queries.Relational.partPagerank(spark, sf).collect()
+    assert(rows.length == 50)
+    val rs = rows.map(_.getAs[Long]("rank_micros"))
+    // base mass: every node receives at least the (1-d) teleport term
+    assert(rs.forall(_ >= 150000L))
+    // order contract: rank desc, part asc on ties
+    val keyed = rows.map(r => (r.getAs[Long]("rank_micros"), r.getAs[Long]("part")))
+    assert(keyed.zip(keyed.tail).forall { case ((ra, pa), (rb, pb)) =>
+      ra > rb || (ra == rb && pa < pb) })
+    // the fixpoint is a pure function of the data (integer arithmetic
+    // end-to-end): a second run is bit-identical
+    val again = queries.Relational.partPagerank(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+  }
 }
