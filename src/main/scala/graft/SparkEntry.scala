@@ -111,6 +111,9 @@ object SparkEntry {
       Temporal.eventsCmsTopk(s, d, a.getOrElse("top_n", "20").toInt)),
     "ann_cosine_ivfpq" -> ((s, d, a) =>
       Similarity.annCosineIvfPq(s, d, a.getOrElse("n_probe", "4").toInt)),
+    "part_pagerank" -> ((s, d, a) =>
+      Relational.partPagerank(s, d, a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
