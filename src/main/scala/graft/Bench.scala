@@ -61,13 +61,24 @@ object Bench {
       ok1 && ok2 && math.max(t1, t2) > 0.5 &&
         math.abs(t1 - t2) > 0.25 * math.min(t1, t2)
     }
+    // Contention gate (r7 verdict item 4): when >40 queries disagree by
+    // >25% across the two passes, the BOX was contended, not the
+    // queries — targeted median-of-3 would blend two contended numbers
+    // (r6 recorded 329 s vs 135.6 s quiet; r7 153.5 s vs 130.8 s, 70
+    // reruns). Run a FULL third pass and take per-query min-of-3: the
+    // min across three spaced passes is the best recoverable estimate
+    // of the uncontended cost.
+    val contended = noisy.size > 40
     val p3: Map[String, (Double, Boolean)] =
-      if (noisy.isEmpty) Map.empty else runPass(noisy)
+      if (contended) runPass()
+      else if (noisy.isEmpty) Map.empty
+      else runPass(noisy)
     val results = names.map { n =>
       val passes = Seq(p1(n), p2(n)) ++ p3.get(n)
       val okTimes = passes.collect { case (t, true) => t }.sorted
       val t =
         if (okTimes.isEmpty) passes.map(_._1).min
+        else if (contended) okTimes.min // min-of-3 under whole-box contention
         else if (okTimes.length >= 3) okTimes(okTimes.length / 2) // median-of-3
         else okTimes.min
       (n, t, okTimes.nonEmpty)
@@ -86,7 +97,10 @@ object Bench {
     // min-of-2; the `reruns` queries (two timings >25% apart) are
     // median-of-3 instead. Totals therefore mix both — compare totals
     // only across runs of this same harness.
-    val meta = s""""failed":$failed,"runs":2,"reruns":${p3.size},"policy":"min-of-2; median-of-3 on >25% disagreement","sf":"$sfDir""""
+    val policy =
+      if (contended) "min-of-3 (contention gate: >40 reruns tripped a full third pass)"
+      else "min-of-2; median-of-3 on >25% disagreement"
+    val meta = s""""failed":$failed,"runs":${if (contended) 3 else 2},"reruns":${if (contended) noisy.size else p3.size},"policy":"$policy","sf":"$sfDir""""
     val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$meta}"""
     // durable copy: the stdout artifact is a bounded tail-capture, so the
     // authoritative full record also lands on disk next to the run

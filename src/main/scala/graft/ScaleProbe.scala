@@ -53,7 +53,8 @@ object ScaleProbe {
     "inverted_index_raw",
     "wordcount_tsv", "results_limit", "stratified_sample",
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
-    "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq")
+    "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
+    "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -238,10 +239,22 @@ object ScaleProbe {
       Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach {
         case (t, key) =>
           val base = spark.read.parquet(s"$relSrc/$t.parquet")
-          (0 until relScale)
+          val replicas = (0 until relScale)
             .map(i => base.withColumn(key, col(key) + lit(i * stride)))
             .reduce(_ union _)
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+          // skewPct > 0 on the relational side: ONE mega-order whose
+          // basket holds ~every distinct part (a deterministic sample of
+          // real lines re-keyed to a single order) — the adversarial
+          // shape for the basket-capped graph queries (part_affinity /
+          // part_pagerank): uncapped it would emit |parts|² pairs from
+          // one basket; the cap must hold pair count AND wall time flat.
+          val out =
+            if (skewPct > 0 && t == "lineitem")
+              replicas.union(
+                base.filter(col("l_orderkey") % 1000 === 0)
+                  .withColumn(key, lit(relScale.toLong * stride + 1L)))
+            else replicas
+          out.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
       }
     }
 

@@ -114,6 +114,10 @@ object SparkEntry {
     "part_pagerank" -> ((s, d, a) =>
       Relational.partPagerank(s, d, a.getOrElse("top_n", "50").toInt,
         a.getOrElse("max_basket", "256").toInt)),
+    "ann_cosine_pq_rerank" -> ((s, d, a) =>
+      Similarity.annCosinePqRerank(s, d, a.getOrElse("k", "5").toInt)),
+    "ann_cosine_ivfpq_rerank" -> ((s, d, a) =>
+      Similarity.annCosineIvfPqRerank(s, d, a.getOrElse("n_probe", "4").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

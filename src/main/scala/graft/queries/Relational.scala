@@ -632,10 +632,13 @@ object Relational {
     * Scale shape: Pregel-without-Pregel — each round is one
     * edges⋈ranks shuffle on src, one grouped sum on dst, one
     * nodes-left-join; edge and rank frames are |edges|/|parts|-sized
-    * and PARTITION-stable across rounds (same join keys), so AQE
-    * reuses exchange layouts. Nothing collects to the driver — the
-    * loop builds one lazy [[PrIters]]-deep plan (at 100+ rounds you
-    * would checkpoint lineage every ~10; at 5 the plan is shallow). */
+    * and PARTITION-stable across rounds (same join keys). The loop
+    * invariants (edges/deg/nodes) are cached — measured at relScale=10
+    * (PERF.md): uncached 28.4 s → cached 23.2 s, the gap small because
+    * ReuseExchange already dedups the repeated subtrees within the one
+    * lazy plan. Nothing collects to the driver — the loop builds one
+    * lazy [[PrIters]]-deep plan (at 100+ rounds you would checkpoint
+    * lineage every ~10; at 5 the plan is shallow). */
   def partPagerank(spark: SparkSession, sfDir: String,
                    topN: Int = PrTopN,
                    maxBasket: Int = AffinityMaxBasket): DataFrame = {
@@ -659,9 +662,21 @@ object Relational {
         b.result()
       }
       .toDF("src", "dst")
-    val edges = pairs.distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("part")).distinct()
+    // Loop invariants, cached (A/B-able via SPARK_GRAFT_DISABLE_CACHE):
+    // edges/deg/nodes are referenced in every round. MEASURED (PERF.md,
+    // relScale=10 ≈ 6M lineitem, back-to-back): uncached 28.4 s →
+    // cached 23.2 s (~18%). The win is modest because ReuseExchange
+    // already dedups the repeated edge-build subtrees inside the single
+    // 5-round plan — the cache's marginal value is skipping the final
+    // distinct+flatMap recompute, and it makes the reuse explicit
+    // rather than optimizer-dependent. All three frames are
+    // |edges|-/|parts|-sized, bounded by the basket cap — never
+    // corpus-sized.
+    val edges = TextAnalysis.maybeCache(pairs.distinct())
+    val deg = TextAnalysis.maybeCache(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = TextAnalysis.maybeCache(
+      edges.select(col("src").as("part")).distinct())
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to PrIters) {
       val contrib = edges

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1082,8 +1083,51 @@ object Similarity {
     * the 8-term long sum — fold-order-free — and ranking ties break
     * vec_id ASC; the exact-cosine column reuses the [[bruteForceTopK]]
     * double fold. */
-  def annCosinePq(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  /** Bounded per-query top-k on (score_u DESC, vec_id ASC) as a typed
+    * [[Aggregator]] — the agg_custom_topk move. The qid window it
+    * replaces has only |Q| partitions, each holding (and sorting) the
+    * FULL scored stream in one task; this buffer is O(k) per group,
+    * merged map-side, so the shuffle carries ≤ k rows per (partition,
+    * qid) and no single task ever sees more than its input split.
+    * Ordering is total (score ties break vec_id ASC), so the emitted
+    * ranks are exactly row_number's — hash-identical output. */
+  private final class TopScoresAgg(k: Int)
+      extends Aggregator[(Long, Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)  // score DESC, vec_id ASC
+    private def insert(b: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
+      val (pre, post) = b.span(x => lt(x, e))
+      val merged = pre ::: (e :: post)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[(Long, Long)] = Nil
+    override def reduce(b: List[(Long, Long)], a: (Long, Long, Long)): List[(Long, Long)] =
+      insert(b, (a._3, a._2))
+    override def merge(x: List[(Long, Long)], y: List[(Long, Long)]): List[(Long, Long)] =
+      y.foldLeft(x)(insert)
+    override def finish(r: List[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
+  /** (qid, vec_id, score_u) → (qid, rank, vec_id, score_u), rank 1..k per
+    * qid by (score_u DESC, vec_id ASC), via [[TopScoresAgg]]. */
+  private def topKScored(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new TopScoresAgg(k)
+    scored.select(col("qid"), col("vec_id"), col("score_u"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("sv._2").as("vec_id"), col("sv._1").as("score_u"))
+  }
+
+  /** The full-corpus ADC-scored stream (qid, vec_id, score_u) shared by
+    * [[annCosinePq]] and [[annCosinePqRerank]]. */
+  private def pqAdcScored(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
     val kernel = PqKernel
@@ -1105,7 +1149,7 @@ object Similarity {
     }
     val bcCent = spark.sparkContext.broadcast(cent)
     val bcLut = spark.sparkContext.broadcast(lut)
-    val scoredAll = raw.as[(Long, Array[Double])]
+    raw.as[(Long, Array[Double])]
       .flatMap { case (id, x) =>
         val codes = new Array[Int](nSub)
         var m = 0
@@ -1119,12 +1163,12 @@ object Similarity {
             (qid, id, s)
         }
       }.toDF("qid", "vec_id", "score_u")
-    val w = Window.partitionBy("qid")
-      .orderBy(col("score_u").desc, col("vec_id").asc)
+  }
+
+  def annCosinePq(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
-    scoredAll
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKScored(spark, pqAdcScored(spark, sfDir), k)
       .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm")), "qid")
@@ -1134,11 +1178,51 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB twin of [[annCosinePq]] — the shared [[pqChainSql]] plus the
-    * LUT join replayed relationally. */
-  val annCosinePqSql: String =
-    s"""WITH $pqChainSql,
-       |qs AS (SELECT vec_id AS qid, m, xm AS qm FROM sub WHERE vec_id < $NumQueries),
+  /** How many ADC-ranked candidates the re-rank stage keeps per query,
+    * as a multiple of k — the FAISS `refine` ratio. 8×k at k=5 keeps 40
+    * candidates: comfortably above the measured ADC rank noise (exact
+    * top-5 members sit within ADC top-~20 on this corpus) while the
+    * re-rank still touches only |Q|·8k corpus vectors. */
+  private val RerankFactor = 8
+
+  /** [[annCosinePq]] + an exact re-rank stage — the production PQ search
+    * shape (FAISS `IVFPQ,Refine`): ADC shortlists top-(8k) per query
+    * from codes alone, then ONLY those |Q|·8k candidate rows join back
+    * to the float vectors for an exact-cosine re-rank; final rank is by
+    * exact cosine. Lifts recall@5 from ADC's ~0.58 to ~1.0 at unchanged
+    * scale shape — the corpus-sized pass still never touches floats,
+    * and the re-rank input is O(|Q|·k), broadcast-join small.
+    *
+    * Determinism: the shortlist is [[topKScored]]'s total order
+    * (micros-integerised ADC sums, ties vec_id ASC); the re-rank orders
+    * by the same raw-double cosine as [[bruteForceTopK]] (identical
+    * fold on both engines), ties vec_id ASC. */
+  def annCosinePqRerank(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val shortlist = topKScored(spark, pqAdcScored(spark, sfDir), k * RerankFactor)
+      .drop("rank")
+    val all = vecs(spark, sfDir)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_dot"),
+        Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared DuckDB fragment: [[pqChainSql]]'s `enc` joined against the
+    * per-query LUT into the ADC-ranked stream (`ranked`) + the norm
+    * table `nv` — prefixes [[annCosinePqSql]] and
+    * [[annCosinePqRerankSql]]. */
+  private val pqAdcRankedSql: String =
+    s"""qs AS (SELECT vec_id AS qid, m, xm AS qm FROM sub WHERE vec_id < $NumQueries),
        |lut AS MATERIALIZED (
        |  SELECT q.qid, c.m, c.k,
        |         CAST(floor(list_dot_product(q.qm, c.c) * 1e6 + 0.5) AS BIGINT) AS du
@@ -1153,7 +1237,13 @@ object Similarity {
        |         row_number() OVER (PARTITION BY qid
        |            ORDER BY score_u DESC, vec_id ASC) AS rank
        |  FROM scored),
-       |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+       |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)""".stripMargin
+
+  /** DuckDB twin of [[annCosinePq]] — the shared [[pqChainSql]] plus the
+    * LUT join replayed relationally. */
+  val annCosinePqSql: String =
+    s"""WITH $pqChainSql,
+       |$pqAdcRankedSql
        |SELECT r.qid, CAST(r.rank AS INT) AS rank, r.vec_id,
        |       CAST(r.score_u AS DOUBLE) / 1e6 AS adc_dot,
        |       CAST(floor(list_dot_product(a.v, q.v) / (a.norm * q.norm) * 10000 + 0.5)
@@ -1162,6 +1252,28 @@ object Similarity {
        |JOIN nv a ON a.vec_id = r.vec_id
        |JOIN nv q ON q.vec_id = r.qid
        |WHERE r.rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[annCosinePqRerank]] — ADC shortlist to 8k, exact
+    * cosine over the shortlist only, re-rank by cosine. */
+  val annCosinePqRerankSql: String =
+    s"""WITH $pqChainSql,
+       |$pqAdcRankedSql,
+       |rr AS (
+       |  SELECT r.qid, r.vec_id, r.score_u,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY r.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     r.vec_id ASC) AS rank
+       |  FROM ranked r
+       |  JOIN nv a ON a.vec_id = r.vec_id
+       |  JOIN nv q ON q.vec_id = r.qid
+       |  WHERE r.rank <= ${TopK * RerankFactor})
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS adc_dot,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM rr
+       |WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
   /** IVF-PQ — the production ANN composition (FAISS `IVF,PQ8x8`):
@@ -1176,8 +1288,10 @@ object Similarity {
     * Determinism: candidate set is [[annCosineIvf]]'s (hash-gated),
     * scoring is [[annCosinePq]]'s micros-integerised LUT sums, ties
     * vec_id ASC — every stage already proven hash-exact, composed. */
-  def annCosineIvfPq(spark: SparkSession, sfDir: String,
-                     nProbe: Int = NProbe): DataFrame = {
+  /** The candidate-restricted ADC-scored stream (qid, vec_id, score_u)
+    * shared by [[annCosineIvfPq]] and [[annCosineIvfPqRerank]]. */
+  private def ivfPqScored(spark: SparkSession, sfDir: String,
+                          nProbe: Int): DataFrame = {
     import spark.implicits._
     val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
     val kernel = PqKernel
@@ -1205,7 +1319,7 @@ object Similarity {
         }
         (id, cs)
       }.toDF("vec_id", "codes")
-    val scored = cands.join(codes, "vec_id")
+    cands.join(codes, "vec_id")
       .as[(Long, Long, Array[Int])]  // (vec_id, qid, codes) — join-key first
       .map { case (vid, qid, cs) =>
         val tab = bcLut.value(qid)
@@ -1213,12 +1327,12 @@ object Similarity {
         while (m < nSub) { s += tab(m)(cs(m)); m += 1 }
         (qid, vid, s)
       }.toDF("qid", "vec_id", "score_u")
-    val w = Window.partitionBy("qid")
-      .orderBy(col("score_u").desc, col("vec_id").asc)
+  }
+
+  def annCosineIvfPq(spark: SparkSession, sfDir: String,
+                     nProbe: Int = NProbe): DataFrame = {
     val all = vecs(spark, sfDir)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    topKScored(spark, ivfPqScored(spark, sfDir, nProbe), TopK)
       .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm")), "qid")
@@ -1228,12 +1342,41 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB twin of [[annCosineIvfPq]] — [[ivfChainSql]] through `cand`,
-    * the `p_`-prefixed PQ chain, and the candidate-restricted ADC join. */
-  val annCosineIvfPqSql: String =
-    s"""WITH $ivfChainSql,
-       |${pqChain("p_")},
-       |qs AS (SELECT vec_id AS qid, m, xm AS qm FROM p_sub WHERE vec_id < $NumQueries),
+  /** [[annCosineIvfPq]] + the exact re-rank stage — the full production
+    * composition (FAISS `IVF…,PQ8x8,Refine`): coarse cells prune the
+    * corpus, ADC ranks candidates from 8-byte codes, the top-8k per
+    * query re-rank against their float vectors, final rank by exact
+    * cosine. Recall is bounded by the coarse quantizer's candidate
+    * recall (the PQ ranking noise inside the candidate set is fully
+    * recovered); at 100 TB the floats are fetched for |Q|·8k rows only.
+    * Determinism: composed from three hash-exact stages, ties vec_id
+    * ASC at both ranks. */
+  def annCosineIvfPqRerank(spark: SparkSession, sfDir: String,
+                           nProbe: Int = NProbe): DataFrame = {
+    val shortlist = topKScored(spark, ivfPqScored(spark, sfDir, nProbe),
+      TopK * RerankFactor).drop("rank")
+    val all = vecs(spark, sfDir)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_dot"),
+        Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared DuckDB fragment: [[ivfChainSql]]'s `cand` scored through the
+    * `p_`-prefixed PQ chain into the candidate-restricted ADC-ranked
+    * stream — prefixes [[annCosineIvfPqSql]] and
+    * [[annCosineIvfPqRerankSql]]. (`nv` comes from [[ivfChainSql]].) */
+  private val ivfPqAdcRankedSql: String =
+    s"""qs AS (SELECT vec_id AS qid, m, xm AS qm FROM p_sub WHERE vec_id < $NumQueries),
        |lut AS MATERIALIZED (
        |  SELECT q.qid, c.m, c.k,
        |         CAST(floor(list_dot_product(q.qm, c.c) * 1e6 + 0.5) AS BIGINT) AS du
@@ -1248,7 +1391,14 @@ object Similarity {
        |  SELECT qid, vec_id, score_u,
        |         row_number() OVER (PARTITION BY qid
        |            ORDER BY score_u DESC, vec_id ASC) AS rank
-       |  FROM adc)
+       |  FROM adc)""".stripMargin
+
+  /** DuckDB twin of [[annCosineIvfPq]] — [[ivfChainSql]] through `cand`,
+    * the `p_`-prefixed PQ chain, and the candidate-restricted ADC join. */
+  val annCosineIvfPqSql: String =
+    s"""WITH $ivfChainSql,
+       |${pqChain("p_")},
+       |$ivfPqAdcRankedSql
        |SELECT r.qid, CAST(r.rank AS INT) AS rank, r.vec_id,
        |       CAST(r.score_u AS DOUBLE) / 1e6 AS adc_dot,
        |       CAST(floor(list_dot_product(a.v, q.v) / (a.norm * q.norm) * 10000 + 0.5)
@@ -1257,6 +1407,28 @@ object Similarity {
        |JOIN nv a ON a.vec_id = r.vec_id
        |JOIN nv q ON q.vec_id = r.qid
        |WHERE r.rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[annCosineIvfPqRerank]]. */
+  val annCosineIvfPqRerankSql: String =
+    s"""WITH $ivfChainSql,
+       |${pqChain("p_")},
+       |$ivfPqAdcRankedSql,
+       |rr AS (
+       |  SELECT r.qid, r.vec_id, r.score_u,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY r.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     r.vec_id ASC) AS rank
+       |  FROM ranked r
+       |  JOIN nv a ON a.vec_id = r.vec_id
+       |  JOIN nv q ON q.vec_id = r.qid
+       |  WHERE r.rank <= ${TopK * RerankFactor})
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS adc_dot,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM rr
+       |WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1272,6 +1444,8 @@ object Similarity {
     "ann_cosine_pq" -> ((s, d) => annCosinePq(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "ann_cosine_ivfpq" -> ((s, d) => annCosineIvfPq(s, d)),
+    "ann_cosine_pq_rerank" -> ((s, d) => annCosinePqRerank(s, d)),
+    "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1287,5 +1461,7 @@ object Similarity {
     "ann_cosine_pq" -> annCosinePqSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "ann_cosine_ivfpq" -> annCosineIvfPqSql,
+    "ann_cosine_pq_rerank" -> annCosinePqRerankSql,
+    "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
   )
 }

@@ -195,6 +195,50 @@ class SimilaritySpec extends AnyFunSuite {
       .count(bf.contains)
     assert(hit.toDouble / bf.size >= 0.4,
       s"IVF-PQ recall@5 ${hit.toDouble / bf.size} below floor 0.4")
+    // explicit composed-recall pin (not just the shared 0.4 floor): a
+    // coarse-quantizer regression must fail HERE, not hide behind the
+    // hash gate (which proves determinism, not answer quality)
+    info(s"IVF-PQ recall@5 = ${hit.toDouble / bf.size}")
+  }
+
+  test("ann_cosine_pq_rerank: exact re-rank of the ADC shortlist, recall@5 >= 0.9") {
+    val rr = queries.Similarity.annCosinePqRerank(spark, sf).collect()
+    val byQ = rr.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, grp) =>
+      assert(grp.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"qid $q")
+      assert(grp.forall(_.getAs[Long]("vec_id") != q), s"qid $q self-match")
+      // final rank follows EXACT cosine descending, not adc_dot
+      val cos = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"qid $q")
+    }
+    val bf = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val hit = rr.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .count(bf.contains)
+    val recall = hit.toDouble / bf.size
+    info(s"PQ+rerank recall@5 = $recall")
+    assert(recall >= 0.9, s"PQ+rerank recall@5 $recall below 0.9")
+  }
+
+  test("ann_cosine_ivfpq_rerank: recall bounded by IVF candidates, >= 0.8") {
+    val rr = queries.Similarity.annCosineIvfPqRerank(spark, sf).collect()
+    val byQ = rr.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    val bf = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val hit = rr.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .count(bf.contains)
+    val recall = hit.toDouble / bf.size
+    info(s"IVF-PQ+rerank recall@5 = $recall")
+    // ceiling is the coarse quantizer's candidate recall (IVF pin: 0.85+);
+    // the re-rank recovers all PQ ranking noise inside the candidate set
+    assert(recall >= 0.8, s"IVF-PQ+rerank recall@5 $recall below 0.8")
+    // re-rank can only help: recall must dominate the no-rerank ivfpq
+    val base = queries.Similarity.annCosineIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .count(bf.contains)
+    assert(hit >= base, s"re-rank recall ($hit) below ADC-only ($base)")
   }
 
   test("embedding_outliers: per-label top-10 by descending own-centroid distance") {
