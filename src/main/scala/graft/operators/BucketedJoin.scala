@@ -23,8 +23,9 @@ import graft.Tables
   * Table names are keyed by (sfDir, applicationId) — the write happens
   * eagerly at DataFrame-construction time (same pattern as the TSV/CSV
   * sink round-trips), so concurrent sessions must not collide on one
-  * catalog entry, and within a session repeated construction just
-  * overwrites its own tables. */
+  * catalog entry; within a session the write runs ONCE per sfDir
+  * ([[bucketedTables]]) and later constructions reuse the catalog
+  * tables. */
 object BucketedJoin {
 
   private val Buckets = 16
@@ -36,6 +37,18 @@ object BucketedJoin {
     s"${sf}_$app"
   }
 
+  /** One bucketed write per (sfDir, session) — the materialize-once move
+    * ([[graft.queries.Dedup]]'s cluster sinks): the write-time `bucketBy`
+    * IS the operator's point, but re-materializing identical tables on
+    * every construction (Verify, each bench pass, the PlanShapeSpec
+    * sweep) proves nothing after the first — corpus dirs are immutable
+    * for a session. computeIfAbsent publishes atomically: concurrent
+    * constructors of the same (sfDir, app) block until the writer
+    * finishes; a failed write leaves no mapping, so a later call
+    * retries. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   /** Per-orderstatus line stats through the bucketed orders⋈lineitem
     * join. Money integerised to cents before the sum (exact,
     * order-independent — see Relational's determinism discipline). */
@@ -43,17 +56,20 @@ object BucketedJoin {
     val tag = tableTag(spark, sfDir)
     val liTable = s"li_bkt_$tag"
     val ordTable = s"ord_bkt_$tag"
-    Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(liTable)
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus"))
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ordTable)
+    bucketedTables.computeIfAbsent(tag, _ => {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liTable)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordTable)
+      true
+    })
     spark.table(liTable)
       .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")

@@ -43,10 +43,19 @@ object TextAnalysis {
     * anti-join broadcasts (no shuffle of the corpus-sized side); above it
     * the hint is dropped and the anti-join shuffles — with AQE free to
     * re-promote to broadcast if runtime stats say the bound was loose. */
+  /** sum(n_chars) per corpus dir, memoized (the bpeMergeMemo/pqMemo
+    * pattern — corpus dirs are immutable for a session): the gate input
+    * is an EAGER driver action, and ungated it re-ran on every mere
+    * CONSTRUCTION of detectContamination/winnowOverlap — including the
+    * PlanShapeSpec explain sweep and each Verify/Bench pass. */
+  private val totCharsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private[queries] def hotFitsBroadcast(spark: SparkSession, sfDir: String,
                                         maxDf: Int): Boolean = {
-    val totChars = Tables.documents(spark, sfDir)
-      .agg(coalesce(sum("n_chars"), lit(0L))).head().getLong(0)
+    val totChars = totCharsMemo.computeIfAbsent(sfDir, _ =>
+      Tables.documents(spark, sfDir)
+        .agg(coalesce(sum("n_chars"), lit(0L))).head().getLong(0))
     val upperBytes = totChars / math.max(1, maxDf) * 32L  // 8B fp + row overhead
     val maxBc = spark.conf.getOption("graft.verify.broadcastMaxBytes")
       .orElse(sys.props.get("graft.verify.broadcastMaxBytes"))

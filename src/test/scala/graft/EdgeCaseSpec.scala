@@ -549,6 +549,22 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Temporal.eventsValueQuantiles(spark, dir).count() == 0)
   }
 
+  test("round-7/8 composed ANN + graph operators degrade to empty output on empty tables") {
+    // the two round-7 stragglers (ADVICE r7) + the round-8 re-rank pair:
+    // empty embeddings → empty IVF training set, empty codebook, empty
+    // candidate stream — every stage must yield zero rows, not throw
+    assert(queries.Similarity.annCosineIvfPq(spark, empty).count() == 0)
+    assert(queries.Similarity.annCosinePqRerank(spark, empty).count() == 0)
+    assert(queries.Similarity.annCosineIvfPqRerank(spark, empty).count() == 0)
+    // empty lineitem → empty co-purchase graph → empty rank table
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_noli").getAbsolutePath
+    Tables.lineitem(spark, TestSpark.sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(queries.Relational.partPagerank(spark, dir).count() == 0)
+    assert(queries.Relational.partAffinity(spark, dir).count() == 0)
+  }
+
   test("token_budget_sample: single-source degenerate corpus keeps the whole prefix") {
     val rows = queries.Curation.tokenBudgetSample(spark, edge).collect()
     assert(rows.length == 6)  // every doc gets a row, zero-token ones too

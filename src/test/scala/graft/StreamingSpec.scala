@@ -129,6 +129,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-sink round-trip: availableNow parquet sink == batch twin, restart adds nothing") {
+    // the one previously-untested streaming surface (r7 verdict #8): a
+    // real file SINK — transactional parquet commit log + exactly-once
+    // across restarts — not just MemoryStream/memory-sink parity
+    def fresh(name: String): String = {
+      val d = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (d.exists()) rm(d)
+      d.getAbsolutePath
+    }
+    val outDir = fresh("graft_stream_sink_out")
+    val ckpt = fresh("graft_stream_sink_ckpt")
+    val schema = Tables.documents(spark, sf).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      val q = queries.TextAnalysis.docChunkFrame(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000L) finally q.stop()
+    }
+    runOnce()
+    val roundTrip = spark.read.parquet(outDir)
+      .orderBy("doc_id", "chunk_id").collect().map(_.toString).toSeq
+    val batch = queries.TextAnalysis.docChunk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(roundTrip == batch && roundTrip.nonEmpty)
+    // restart against the same checkpoint: source offsets are committed,
+    // so the second run must be a no-op (no reprocess, no duplicates)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == roundTrip.size.toLong)
+  }
+
   test("streaming CMS counters == batch counters (sketch agg over readStream)") {
     // the count-min counter fold is a stateless projection + grouped
     // count: in complete mode its streaming state is the FIXED 4096
