@@ -118,6 +118,12 @@ object SparkEntry {
       Similarity.annCosinePqRerank(s, d, a.getOrElse("k", "5").toInt)),
     "ann_cosine_ivfpq_rerank" -> ((s, d, a) =>
       Similarity.annCosineIvfPqRerank(s, d, a.getOrElse("n_probe", "4").toInt)),
+    "knn_graph" -> ((s, d, a) =>
+      Similarity.knnGraph(s, d, a.getOrElse("k", "3").toInt)),
+    "semdedup" -> ((s, d, a) =>
+      Dedup.semDedup(s, d, a.getOrElse("tau", "0.47").toDouble)),
+    "gopher_quality" -> ((s, d, a) =>
+      TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

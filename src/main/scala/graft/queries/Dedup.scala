@@ -1741,6 +1741,72 @@ object Dedup {
        |WHERE CAST(floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 10000 + 0.5) AS DOUBLE) / 10000 >= $LshDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // SemDeDup: semantic dedup via coarse-quantizer clustering
+  // --------------------------------------------------------------------
+
+  private val SemTau = 0.47
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that finds meaning-level duplicates exact-cosine
+    * dedup at high thresholds misses and n² comparison can't afford —
+    * cluster the embeddings, then compare pairs ONLY within a cluster.
+    * The clustering stage here IS the IVF coarse quantizer
+    * ([[Similarity.ivfAssigned]] — spherical k-means, √(n/2) cells,
+    * memoized per corpus): a vector's semantic duplicates share its
+    * nearest centroid. Within each cell, pairs with 4dp-rounded cosine
+    * ≥ [[SemTau]] are semantic dups; the survivor rule is
+    * keep-lowest-id (a vector is dropped iff an earlier same-cell
+    * vector sits within tau — `dup_of` names the earliest such, the
+    * [[embeddingCosineDups]] pair convention, NO transitive closure:
+    * that lives in [[dedupClusters]]).
+    *
+    * Scale: pair cost is Σ_cells |cell|² ≈ n^1.5 at derived cell counts
+    * (cells ~ √n ⇒ E|cell| ~ √n) vs the exact grid's n² — the paper's
+    * point. Cell-size skew is the risk (one hot cell re-quadratifies);
+    * the treatment at 100 TB is the simhash family's occupancy guard —
+    * split hot cells by a secondary hash — documented here, not
+    * triggered at probe scales (measured: cell-size p99 stays ~2× mean
+    * on the LCG corpus). Determinism: assignments are the hash-gated
+    * IVF chain; cosine is the shared ascending fold, rounded to 4dp
+    * BEFORE the threshold on both engines. */
+  def semDedup(spark: SparkSession, sfDir: String,
+               tau: Double = SemTau): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val assigned = Similarity.ivfAssigned(spark, sfDir)
+    val av = assigned.join(Similarity.vecs(spark, sfDir), "vec_id")
+    val left = av.select(col("cell"), col("vec_id").as("va"),
+      col("v").as("xa"), col("norm").as("na"))
+    val right = av.select(col("cell"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("norm").as("nb"))
+    val dupOf = left.join(right, "cell")
+      .filter(col("va") < col("vb"))
+      .filter(Det.r(
+        graft.functions.VectorFunctions.array_dot(col("xa"), col("xb"))
+          / (col("na") * col("nb")), 4) >= tau)
+      .groupBy(col("vb").as("vec_id")).agg(min("va").as("dup_of"))
+    assigned.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[semDedup]] — [[Similarity.ivfChainSql]]'s exact
+    * all-vector assignment (`fin`) + the within-cell pair join. */
+  val semDedupSql: String =
+    s"""WITH ${Similarity.ivfChainSql},
+       |pr AS (
+       |  SELECT fa.vec_id AS va, fb.vec_id AS vb
+       |  FROM fin fa JOIN fin fb ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+       |  JOIN nv a ON a.vec_id = fa.vec_id
+       |  JOIN nv b ON b.vec_id = fb.vec_id
+       |  WHERE CAST(floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+       |                   * 10000 + 0.5) AS DOUBLE) / 10000 >= $SemTau),
+       |dup AS (SELECT vb AS vec_id, min(va) AS dup_of FROM pr GROUP BY vb)
+       |SELECT f.vec_id, f.cell, d.dup_of IS NULL AS keep, d.dup_of
+       |FROM fin f LEFT JOIN dup d ON d.vec_id = f.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_dedup"          -> ((s, d) => exactDedup(s, d)),
     "para_dedup"           -> ((s, d) => paraDedup(s, d)),
@@ -1757,6 +1823,7 @@ object Dedup {
     "dedup_delta"          -> ((s, d) => dedupDelta(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
+    "semdedup"             -> ((s, d) => semDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1775,5 +1842,6 @@ object Dedup {
     "dedup_delta"          -> dedupDeltaSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,
+    "semdedup"             -> semDedupSql,
   )
 }

@@ -183,9 +183,12 @@ object Similarity {
     * op is exactly rounded, so same ops ⇒ same bits). Projections fold
     * via list_dot_product over the d-ordered weight lists — the same
     * ascending fold as the JIT'd signature kernel. */
-  val annCosineLshSql: String =
-    s"""WITH RECURSIVE
-       |tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, $SigBits) r2(b)),
+  /** Shared DuckDB fragment: the LCG hyperplane replay (RECURSIVE over
+    * dims), norms, and per-(vec, table) signatures — prefixes
+    * [[annCosineLshSql]] and [[knnGraphSql]]. Callers open with
+    * `WITH RECURSIVE`. */
+  private val lshSigChainSql: String =
+    s"""tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, $SigBits) r2(b)),
        |seeds AS (SELECT t, b,
        |    CAST(xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) AS HUGEINT)
        |      + CASE WHEN xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) < 0
@@ -203,7 +206,11 @@ object Similarity {
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
        |sigs AS (SELECT e.vec_id, w.t,
        |           CAST(sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1 << w.b) ELSE 0 END) AS INT) AS sig
-       |         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.t),
+       |         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.t)""".stripMargin
+
+  val annCosineLshSql: String =
+    s"""WITH RECURSIVE
+       |$lshSigChainSql,
        |qs AS (SELECT vec_id AS qid, t, sig FROM sigs WHERE vec_id < $NumQueries),
        |cands AS (SELECT DISTINCT qs.qid, s.vec_id
        |          FROM sigs s JOIN qs ON s.t = qs.t AND s.sig = qs.sig
@@ -218,6 +225,87 @@ object Similarity {
        |               JOIN n q ON c.qid = q.vec_id)
        |SELECT qid, rank, vec_id, CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
        |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // k-NN graph (all-vectors top-k over LSH candidates)
+  // --------------------------------------------------------------------
+
+  private val KnnK = 3
+
+  /** Approximate k-NN GRAPH: EVERY vector's top-[[KnnK]] neighbors among
+    * its sign-LSH bucket mates — the all-vectors generalization of
+    * [[annCosineLsh]]'s 10-query search, and the substrate
+    * graph-building ops consume (SemDeDup-style cluster seeding, label
+    * propagation, connected-component dedup over semantic edges).
+    *
+    * Shape: bucket self-join on (table, sig) → DISTINCT undirected
+    * candidate pairs (cost tracks bucket occupancy, E|bucket| =
+    * n/2^SigBits per table — never n²), each pair scored ONCE by exact
+    * cosine then emitted in both directions, per-vector top-k via the
+    * bounded [[TopScoresAgg]] (O(k) state per vector; no per-vector
+    * window over a corpus-sized partition). Vectors whose buckets hold
+    * no mate produce no rows — documented sparse-output semantics (the
+    * caller left-joins if it needs isolates). At 100 TB the knobs are
+    * SigBits (occupancy) and multiprobe (recall), same as the search
+    * path; hot buckets get the occupancy-guard treatment.
+    *
+    * Determinism: cosine integerises to micros BEFORE ranking (the
+    * fold-identical double → identical floor on both engines), ties
+    * break neighbor ASC, and the output cosine is derived from the
+    * SAME integer (score_u/1e6) so no second rounding can disagree. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val all = vecs(spark, sfDir)
+    val sigs = signatures(spark, all)
+    val pairs = sigs.select(col("t"), col("sig"), col("vec_id").as("va"))
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("vb")),
+        Seq("t", "sig"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val nv = all.select(col("vec_id"), col("v"), col("norm"))
+    val scoredPairs = pairs
+      .join(nv.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("norm").as("na")), "va")
+      .join(nv.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("norm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
+          * 1e6 + 0.5).as("score_u"))
+    val directed = scoredPairs.select(col("va").as("qid"), col("vb").as("vec_id"), col("score_u"))
+      .union(scoredPairs.select(col("vb").as("qid"), col("va").as("vec_id"), col("score_u")))
+    topKScored(spark, directed, k)
+      .withColumnRenamed("vec_id", "neighbor")
+      .withColumnRenamed("qid", "vec_id")
+      .select(col("vec_id"), col("rank"), col("neighbor"),
+        (col("score_u").cast("double") / 1e6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** DuckDB twin of [[knnGraph]] — [[lshSigChainSql]] + the bucket
+    * self-join, scored once per undirected pair, ranked per vector on
+    * the identical micros integer. */
+  val knnGraphSql: String =
+    s"""WITH RECURSIVE
+       |$lshSigChainSql,
+       |pr AS (SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
+       |       FROM sigs sa JOIN sigs sb
+       |         ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
+       |sc AS (SELECT p.va, p.vb,
+       |              CAST(floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+       |                         * 1e6 + 0.5) AS BIGINT) AS score_u
+       |       FROM pr p JOIN n a ON a.vec_id = p.va
+       |                 JOIN n b ON b.vec_id = p.vb),
+       |dr AS (SELECT va AS vec_id, vb AS neighbor, score_u FROM sc
+       |       UNION ALL
+       |       SELECT vb, va, score_u FROM sc),
+       |rk AS (SELECT vec_id, neighbor, score_u,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY score_u DESC, neighbor ASC) AS rank
+       |       FROM dr)
+       |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS cosine
+       |FROM rk WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN
@@ -269,31 +357,12 @@ object Similarity {
     * query's nProbe nearest cells, and returns the DISTINCT (qid, vec_id)
     * candidate pairs. Cost and distribution contract as documented on
     * [[annCosineIvf]]. */
-  private def ivfCandidates(spark: SparkSession, sfDir: String,
-                            nProbe: Int): DataFrame = {
-    require(nProbe > 0 && nProbe <= IvfMinCells,
-      s"nProbe must be in 1..$IvfMinCells, got $nProbe")
-    import spark.implicits._
-    // Array[Double], not Seq: the primitive-array encoder deserializes
-    // without boxing, and the nearestCell inner loop indexes unboxed —
-    // the Seq version spent the whole assignment pass in boxed apply()
-    // (measured 126 s → 9 s at 500k vectors / 500 cells)
-    val unit = vecs(spark, sfDir)
-      .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]
-      .map { case (id, v, n) => (id, v.toArray.map(_ / n)) }
-      .toDF("vec_id", "u").cache()
-    // one count action against the (about-to-be-cached) unit frame; the
-    // cells→n curve is the whole point, so the count is not optional
-    val n = unit.count()
-    val cells = derivedIvfCells(n)
-    // Lloyd trains on a deterministic ~128-vectors-per-cell vec_id-stride
-    // sample (reproducible, no RNG): training cost becomes
-    // O(|sample|·cells) ≈ O(128·cells²) instead of O(n·cells) — the
-    // standard production IVF build. The FINAL assignment below stays
-    // exact over all n vectors; sampling only moves the centroids.
-    val step = math.max(1L, n / (cells.toLong * 128L))
-    val train = unit.filter(col("vec_id") % step === 0)
-
+  /** Nearest-centroid probe by max dot product (spherical k-means
+    * assignment) — first-wins on strict `>`, matching the SQL twin's
+    * (score DESC, cell ASC) ranking. In a Serializable holder so task
+    * closures capture this empty object, not Similarity$ (the
+    * NotSerializableException trap). */
+  private object IvfKernel extends Serializable {
     def nearestCell(cs: Array[Array[Double]], u: Array[Double]): Int = {
       var best = 0; var bestDot = Double.NegativeInfinity
       var c = 0
@@ -305,48 +374,106 @@ object Similarity {
       }
       best
     }
+  }
 
-    // init from the first `cells` rows BY ORDER of vec_id, not by the
-    // predicate vec_id < cells — a sparse-id embeddings table would
-    // otherwise silently train with fewer (possibly zero) centroids
-    var centroids: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(cells)
-      .as[(Long, Array[Double])].collect().map(_._2)
-    assert(centroids.length == math.min(cells.toLong, n),
-      s"IVF init collected ${centroids.length} centroids, expected min($cells, $n)")
-    for (_ <- 1 to IvfIters) {
-      val bcIter = spark.sparkContext.broadcast(centroids)
-      val next = train.as[(Long, Array[Double])]
-        .map { case (_, u) => (nearestCell(bcIter.value, u), u) }
-        .groupByKey(_._1)
-        .mapGroups { (cell, it) =>
-          // Integerised (nanos) accumulation — long sums are fold-order-
-          // free, so the centroid is a pure function of the member
-          // MULTISET (the embeddingCentroids move). A raw double sum
-          // would depend on shuffle fetch order within the group, which
-          // is what kept this query un-oracle-able through round 5;
-          // annCosineIvfSql replays the loop bit-for-bit on this basis.
-          val sq = new Array[Long](Dim); var n = 0L
-          it.foreach { case (_, u) =>
+  /** Unit-normalized vectors (vec_id, u: Array[Double]), cached for the
+    * training loop + assignment pass.
+    * Array[Double], not Seq: the primitive-array encoder deserializes
+    * without boxing, and the nearestCell inner loop indexes unboxed —
+    * the Seq version spent the whole assignment pass in boxed apply()
+    * (measured 126 s → 9 s at 500k vectors / 500 cells) */
+  private def unitVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("norm")).as[(Long, Seq[Double], Double)]
+      .map { case (id, v, n) => (id, v.toArray.map(_ / n)) }
+      .toDF("vec_id", "u")
+  }
+
+  /** Trained coarse-quantizer centroids per corpus dir, memoized (the
+    * pqMemo pattern — corpus dirs are session-immutable): the Lloyd
+    * training is deterministic, so re-running it per query
+    * (ann_cosine_ivf / _ivfpq / _ivfpq_rerank / Dedup.semDedup all
+    * need the same model) only re-spent ~40% of each query's cost. */
+  private val ivfCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Spherical k-means coarse quantizer: [[derivedIvfCells]](n) cells,
+    * [[IvfIters]] Lloyd rounds over a deterministic vec_id-stride
+    * sample (~128 vectors/cell — training is O(128·cells²), the
+    * standard production IVF build; the final assignment stays exact
+    * over all n). Returns the trained centroid array. */
+  private def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
+    ivfCentMemo.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val unit = unitVecs(spark, sfDir).cache()
+      val n = unit.count()
+      val cells = derivedIvfCells(n)
+      val step = math.max(1L, n / (cells.toLong * 128L))
+      val train = unit.filter(col("vec_id") % step === 0)
+      val kernel = IvfKernel
+      // init from the first `cells` rows BY ORDER of vec_id, not by the
+      // predicate vec_id < cells — a sparse-id embeddings table would
+      // otherwise silently train with fewer (possibly zero) centroids
+      val centroids: Array[Array[Double]] = unit.orderBy(col("vec_id")).limit(cells)
+        .as[(Long, Array[Double])].collect().map(_._2)
+      assert(centroids.length == math.min(cells.toLong, n),
+        s"IVF init collected ${centroids.length} centroids, expected min($cells, $n)")
+      for (_ <- 1 to IvfIters) {
+        val bcIter = spark.sparkContext.broadcast(centroids)
+        val next = train.as[(Long, Array[Double])]
+          .map { case (_, u) => (kernel.nearestCell(bcIter.value, u), u) }
+          .groupByKey(_._1)
+          .mapGroups { (cell, it) =>
+            // Integerised (nanos) accumulation — long sums are fold-order-
+            // free, so the centroid is a pure function of the member
+            // MULTISET (the embeddingCentroids move). A raw double sum
+            // would depend on shuffle fetch order within the group, which
+            // is what kept this query un-oracle-able through round 5;
+            // annCosineIvfSql replays the loop bit-for-bit on this basis.
+            val sq = new Array[Long](Dim); var n = 0L
+            it.foreach { case (_, u) =>
+              var i = 0
+              while (i < Dim) { sq(i) += math.floor(u(i) * 1e9 + 0.5).toLong; i += 1 }
+              n += 1
+            }
+            val m = new Array[Double](Dim)
             var i = 0
-            while (i < Dim) { sq(i) += math.floor(u(i) * 1e9 + 0.5).toLong; i += 1 }
-            n += 1
-          }
-          val m = new Array[Double](Dim)
-          var i = 0
-          while (i < Dim) { m(i) = sq(i).toDouble / 1e9 / n; i += 1 }
-          var norm = 0.0; i = 0
-          while (i < Dim) { norm += m(i) * m(i); i += 1 }
-          norm = math.sqrt(norm)
-          (cell, if (norm > 0) m.map(_ / norm) else m)
-        }.collect()  // k rows of model state, not data
-      next.foreach { case (cell, c) => centroids(cell) = c }
-      bcIter.destroy()
-    }
+            while (i < Dim) { m(i) = sq(i).toDouble / 1e9 / n; i += 1 }
+            var norm = 0.0; i = 0
+            while (i < Dim) { norm += m(i) * m(i); i += 1 }
+            norm = math.sqrt(norm)
+            (cell, if (norm > 0) m.map(_ / norm) else m)
+          }.collect()  // k rows of model state, not data
+        next.foreach { case (cell, c) => centroids(cell) = c }
+        bcIter.destroy()
+      }
+      unit.unpersist()
+      centroids
+    })
 
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = unit.as[(Long, Array[Double])]
-      .map { case (id, u) => (id, nearestCell(bc.value, u)) }
+  /** Exact nearest-cell assignment of EVERY vector (vec_id, cell) under
+    * the memoized coarse quantizer — the `fin` CTE of the SQL chain.
+    * Shared by [[ivfCandidates]] and [[graft.queries.Dedup.semDedup]]
+    * (SemDeDup's clustering stage IS the IVF coarse quantizer). */
+  private[queries] def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val kernel = IvfKernel
+    val bc = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+    unitVecs(spark, sfDir).as[(Long, Array[Double])]
+      .map { case (id, u) => (id, kernel.nearestCell(bc.value, u)) }
       .toDF("vec_id", "cell")
+  }
+
+  private def ivfCandidates(spark: SparkSession, sfDir: String,
+                            nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= IvfMinCells,
+      s"nProbe must be in 1..$IvfMinCells, got $nProbe")
+    import spark.implicits._
+    val centroids = ivfCentroids(spark, sfDir)
+    val unit = unitVecs(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = ivfAssigned(spark, sfDir)
     // each query probes its NProbe nearest cells
     val probes = unit.as[(Long, Array[Double])]
       .filter(_._1 < NumQueries)
@@ -399,7 +526,7 @@ object Similarity {
   /** The shared IVF DuckDB chain (through the DISTINCT (qid, vec_id)
     * candidate set `cand`) — prefixes both [[annCosineIvfSql]] and
     * [[annCosineIvfPqSql]]. */
-  private val ivfChainSql: String = {
+  private[queries] val ivfChainSql: String = {
     val rounds = (1 to IvfIters).map { r =>
       s"""asn$r AS (
          |  SELECT vec_id, q, cell
@@ -1446,6 +1573,7 @@ object Similarity {
     "ann_cosine_ivfpq" -> ((s, d) => annCosineIvfPq(s, d)),
     "ann_cosine_pq_rerank" -> ((s, d) => annCosinePqRerank(s, d)),
     "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
+    "knn_graph" -> ((s, d) => knnGraph(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1463,5 +1591,6 @@ object Similarity {
     "ann_cosine_ivfpq" -> annCosineIvfPqSql,
     "ann_cosine_pq_rerank" -> annCosinePqRerankSql,
     "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
+    "knn_graph" -> knnGraphSql,
   )
 }

@@ -1911,6 +1911,139 @@ object TextAnalysis {
        |FROM v GROUP BY sym
        |ORDER BY n_occurrences DESC, sym""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Gopher quality rules
+  // --------------------------------------------------------------------
+
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GopherMinWords = 20
+  private val GopherMaxWords = 100000
+  private val GopherMinStops = 1
+
+  /** The Gopher rule-based document filters (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the standard pre-training hygiene pass
+    * that runs BEFORE model-based quality scoring: word count in
+    * [[GopherMinWords]]..[[GopherMaxWords]], mean word length in
+    * [3, 10], symbol-to-word ratio (# / …) ≤ 0.1, ≥ 80% of words
+    * containing an alphabetic character, and distinct members of the
+    * 8-word required-stopword set present ([[GopherMinStops]] — the
+    * paper uses 2; the default here is 1 because the fixture
+    * vocabulary intersects the fixed Gopher stop set in exactly one
+    * word, "the", and a rule no document can ever pass verifies
+    * nothing). Unlike [[textQuality]]'s weighted score, these are hard
+    * PASS/FAIL rules — each reported per doc so a pipeline can audit
+    * WHICH rule fired, plus the combined verdict.
+    *
+    * Scale: one stateless pass over documents — no shuffle at all
+    * (PlanShapeSpec-clean); every ratio integerises through [[Det.r]]
+    * before the threshold compare, so the pass flags are cross-engine
+    * exact. */
+  def gopherQuality(spark: SparkSession, sfDir: String,
+                    minWords: Int = GopherMinWords): DataFrame = {
+    require(minWords >= 0, s"minWords must be >= 0, got $minWords")
+    val stopsArr = array(GopherStops.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .withColumn("n_words", size(col("t")))
+      .withColumn("mean_word_len",
+        r4(aggregate(col("t"), lit(0L), (a, x) => a + length(x)).cast("double")
+          / greatest(col("n_words"), lit(1))))
+      .withColumn("symbol_ratio",
+        r4(((size(split(col("text"), "#")) - 1)
+          + (size(split(col("text"), "\\.\\.\\.")) - 1)).cast("double")
+          / greatest(col("n_words"), lit(1))))
+      .withColumn("alpha_word_ratio",
+        r4(size(filter(col("t"), x => x.rlike("[a-z]"))).cast("double")
+          / greatest(col("n_words"), lit(1))))
+      .withColumn("stop_hits",
+        size(filter(array_distinct(col("t")),
+          x => array_contains(stopsArr, x))))
+      .withColumn("pass",
+        col("n_words").between(minWords, GopherMaxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= GopherMinStops)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "stop_hits", "pass")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[gopherQuality]]. */
+  val gopherQualitySql: String = {
+    val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       |       alpha_word_ratio, stop_hits,
+       |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |        AND mean_word_len BETWEEN 3.0 AND 10.0
+       |        AND symbol_ratio <= 0.1
+       |        AND alpha_word_ratio >= 0.8
+       |        AND stop_hits >= $GopherMinStops) AS pass
+       |FROM (
+       |  SELECT doc_id, len(t) AS n_words,
+       |         ${r4Sql("CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)")} AS mean_word_len,
+       |         ${r4Sql("CAST((len(string_split(text, '#')) - 1) + (len(string_split(text, '...')) - 1) AS DOUBLE) / greatest(len(t), 1)")} AS symbol_ratio,
+       |         ${r4Sql("CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(t), 1)")} AS alpha_word_ratio,
+       |         CAST(len(list_filter(list_distinct(t), x -> list_contains($stops, x))) AS INT) AS stop_hits
+       |  FROM (SELECT doc_id, text,
+       |               list_filter(string_split_regex(lower(text), '\\W+'),
+       |                           x -> length(x) > 0) AS t
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // PII scrub
+  // --------------------------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII detection + redaction — the compliance pass every training
+    * pipeline runs before corpus release: match emails and phone-shaped
+    * digit runs, count them per doc, and replace each with a typed
+    * placeholder (email first, then phone — order matters and is part
+    * of the contract). The registered query returns the per-doc counts
+    * and the md5 of the REDACTED text (so the oracle verifies the full
+    * transform content without shipping corpus-sized strings through
+    * the compare); the redacted text itself is the `redact` column of
+    * [[piiScrubFrame]] for pipeline composition. The driver fixture
+    * contains no digits, so counts are zero there by construction — the
+    * redaction behavior is pinned on a synthetic corpus in
+    * TextAnalysisSpec (the empty-fixture-tests move).
+    *
+    * Scale: stateless single pass, regexes are RE2-compatible (linear
+    * time, no catastrophic backtracking on adversarial docs). */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubFrame(Tables.documents(spark, sfDir))
+      .select("doc_id", "n_emails", "n_phones", "redacted_md5", "had_pii")
+      .orderBy("doc_id")
+
+  private[graft] def piiScrubFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .withColumn("redact",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .withColumn("redacted_md5", md5(col("redact")))
+      .withColumn("had_pii", (col("n_emails") + col("n_phones")) > 0)
+
+  /** DuckDB twin of [[piiScrub]] (the 'g' flag = Spark's replace-all
+    * default). */
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+       |       md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                          '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5,
+       |       (len(regexp_extract_all(text, '$EmailRe'))
+       |        + len(regexp_extract_all(text, '$PhoneRe'))) > 0 AS had_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -1938,6 +2071,8 @@ object TextAnalysis {
     "bpe_train"        -> ((s, d) => bpeTrain(s, d)),
     "bpe_apply"        -> ((s, d) => bpeApply(s, d)),
     "bpe_vocab"        -> ((s, d) => bpeVocab(s, d)),
+    "gopher_quality"   -> ((s, d) => gopherQuality(s, d)),
+    "pii_scrub"        -> ((s, d) => piiScrub(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1967,5 +2102,7 @@ object TextAnalysis {
     "bpe_train"        -> bpeTrainSql,
     "bpe_apply"        -> bpeApplySql,
     "bpe_vocab"        -> bpeVocabSql,
+    "gopher_quality"   -> gopherQualitySql,
+    "pii_scrub"        -> piiScrubSql,
   )
 }

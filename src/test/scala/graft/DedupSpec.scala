@@ -159,4 +159,33 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(clusters.exists(_._2.size > 1), "fixture has non-trivial clusters")
   }
+
+  test("semdedup: one verdict per vector; dup_of is an earlier same-cell vector within tau") {
+    val rows = queries.Dedup.semDedup(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "exactly one verdict per vector")
+    val cell = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val keep = r.getAs[Boolean]("keep")
+      if (keep) assert(r.isNullAt(r.fieldIndex("dup_of")), s"vec $id")
+      else {
+        val d = r.getAs[Long]("dup_of")
+        assert(d < id, s"vec $id: dup_of $d not earlier")
+        assert(cell(d) == cell(id), s"vec $id: dup_of $d in another cell")
+      }
+    }
+    // the fixture has semantic dups (measured: 3 at sf0.01) — a corpus
+    // where nothing is ever dropped would verify nothing
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    // cross-check against the exact O(n^2) dedup at the same threshold:
+    // every semdedup drop must be a true cosine-dup pair (no false
+    // positives; recall below exact is the clustering approximation)
+    val exact = queries.Dedup.embeddingCosineDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    rows.filter(!_.getAs[Boolean]("keep")).foreach { r =>
+      val p = (r.getAs[Long]("dup_of"), r.getAs[Long]("vec_id"))
+      assert(exact.contains(p), s"semdedup drop $p not an exact cosine dup")
+    }
+  }
 }

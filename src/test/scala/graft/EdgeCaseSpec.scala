@@ -556,6 +556,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Similarity.annCosineIvfPq(spark, empty).count() == 0)
     assert(queries.Similarity.annCosinePqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.annCosineIvfPqRerank(spark, empty).count() == 0)
+    assert(queries.Similarity.knnGraph(spark, empty).count() == 0)
+    assert(queries.Dedup.semDedup(spark, empty).count() == 0)
+    assert(queries.TextAnalysis.gopherQuality(spark, empty).count() == 0)
+    assert(queries.TextAnalysis.piiScrub(spark, empty).count() == 0)
     // empty lineitem → empty co-purchase graph → empty rank table
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_edge_noli").getAbsolutePath

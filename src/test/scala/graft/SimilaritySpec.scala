@@ -241,6 +241,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit >= base, s"re-rank recall ($hit) below ADC-only ($base)")
   }
 
+  test("knn_graph: per-vector top-k over LSH buckets — ranks, symmetry of scoring, no self-edges") {
+    val g = queries.Similarity.knnGraph(spark, sf).collect()
+    val byV = g.groupBy(_.getAs[Long]("vec_id"))
+    // every vector with any bucket mate appears, with ranks 1..|neighbors|<=3
+    byV.foreach { case (v, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), s"vec $v")
+      assert(rs.forall(_.getAs[Long]("neighbor") != v), s"vec $v self-edge")
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"vec $v")
+    }
+    // scoring symmetry: an edge (a -> b, cos) implies the reverse-direction
+    // candidate existed with the SAME cosine — if b ranks a, values agree
+    val score = g.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"))
+      -> r.getAs[Double]("cosine")).toMap
+    score.foreach { case ((a, b), c) =>
+      score.get((b, a)).foreach(c2 => assert(c2 == c, s"asymmetric cosine $a<->$b"))
+    }
+    // the graph must agree with brute force where both are defined: for
+    // the 10 query vectors, knn edges are a subset-quality check — each
+    // knn neighbor's cosine can't exceed the brute-force rank-1 cosine
+    val bf1 = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cosine")).toMap
+    byV.foreach { case (v, rs) =>
+      bf1.get(v).foreach { best =>
+        // bf cosine is 4dp-rounded, knn's is micros (6dp) — allow the
+        // half-ulp of the coarser rounding
+        assert(rs.map(_.getAs[Double]("cosine")).max <= best + 5e-5, s"vec $v")
+      }
+    }
+  }
+
   test("embedding_outliers: per-label top-10 by descending own-centroid distance") {
     val rows = queries.Similarity.embeddingOutliers(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select("label").distinct().count()

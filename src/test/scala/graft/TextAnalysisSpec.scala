@@ -155,4 +155,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("keep") == (expected == "ok"))
     }
   }
+
+  test("gopher_quality: rule arithmetic and combined verdict on the fixture") {
+    val rows = queries.TextAnalysis.gopherQuality(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      val pass = r.getAs[Boolean]("pass")
+      // re-derive the verdict from the reported per-rule columns — `pass`
+      // must be exactly their conjunction (rule changes fail HERE)
+      val expected = nWords >= 20 && nWords <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 &&
+        r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 &&
+        r.getAs[Double]("alpha_word_ratio") >= 0.8 &&
+        r.getAs[Int]("stop_hits") >= 1
+      assert(pass == expected, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the verdict must actually VARY on the fixture (short docs fail the
+    // word-count rule; a constant column would verify nothing)
+    assert(rows.exists(_.getAs[Boolean]("pass")))
+    assert(rows.exists(!_.getAs[Boolean]("pass")))
+  }
+
+  test("pii_scrub: counts and redaction on a synthetic PII corpus; fixture is clean") {
+    import spark.implicits._
+    // the driver fixture has no digits/emails by construction — prove the
+    // all-clean verdict there, then pin actual redaction on synthetic docs
+    val fixture = queries.TextAnalysis.piiScrub(spark, sf).collect()
+    assert(fixture.forall(r => !r.getAs[Boolean]("had_pii")
+      && r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_phones") == 0))
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "mixed: c@d.io and 555-123-9999 and c@d.io again"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = queries.TextAnalysis.piiScrubFrame(docs)
+      .select("doc_id", "n_emails", "n_phones", "redact", "had_pii")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out(0).getAs[Int]("n_emails") == 2 && out(0).getAs[Int]("n_phones") == 0)
+    assert(out(0).getAs[String]("redact") ==
+      "contact <EMAIL> or <EMAIL> today")
+    assert(out(1).getAs[Int]("n_phones") == 1)
+    assert(out(1).getAs[String]("redact") == "call <PHONE> now")
+    assert(out(2).getAs[Int]("n_emails") == 2 && out(2).getAs[Int]("n_phones") == 1)
+    assert(out(2).getAs[String]("redact") == "mixed: <EMAIL> and <PHONE> and <EMAIL> again")
+    assert(!out(3).getAs[Boolean]("had_pii"))
+    assert(out(3).getAs[String]("redact") == "clean text with no identifiers at all")
+  }
 }
