@@ -55,7 +55,8 @@ object ScaleProbe {
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
-    "knn_graph", "semdedup", "gopher_quality", "pii_scrub")
+    "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
+    "dsir_weights", "nb_quality_score", "bigram_lm_score")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -124,6 +124,10 @@ object SparkEntry {
       Dedup.semDedup(s, d, a.getOrElse("tau", "0.47").toDouble)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
+    "dsir_weights" -> ((s, d, a) =>
+      TextAnalysis.dsirWeights(s, d, a.getOrElse("target_lang", "en"))),
+    "bigram_lm_score" -> ((s, d, a) =>
+      TextAnalysis.bigramLmScore(s, d, a.getOrElse("train_lang", "en"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

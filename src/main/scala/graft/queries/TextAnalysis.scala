@@ -1940,11 +1940,22 @@ object TextAnalysis {
     * before the threshold compare, so the pass flags are cross-engine
     * exact. */
   def gopherQuality(spark: SparkSession, sfDir: String,
-                    minWords: Int = GopherMinWords): DataFrame = {
+                    minWords: Int = GopherMinWords): DataFrame =
+    gopherLabeled(spark, sfDir, minWords)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "stop_hits", "pass")
+      .orderBy("doc_id")
+
+  /** The rule computation shared by [[gopherQuality]] (which reports the
+    * per-rule columns) and [[nbQualityScore]] (which consumes only the
+    * verdict as its training label, plus the token array `t` so the
+    * labeled token stream is ONE corpus pass — no doc_id join). */
+  private def gopherLabeled(spark: SparkSession, sfDir: String,
+                            minWords: Int): DataFrame = {
     require(minWords >= 0, s"minWords must be >= 0, got $minWords")
     val stopsArr = array(GopherStops.map(lit): _*)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("text"), col("lang"), toks(col("text")).as("t"))
       .withColumn("n_words", size(col("t")))
       .withColumn("mean_word_len",
         r4(aggregate(col("t"), lit(0L), (a, x) => a + length(x)).cast("double")
@@ -1965,33 +1976,38 @@ object TextAnalysis {
           col("symbol_ratio") <= 0.1 &&
           col("alpha_word_ratio") >= 0.8 &&
           col("stop_hits") >= GopherMinStops)
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-        "alpha_word_ratio", "stop_hits", "pass")
-      .orderBy("doc_id")
   }
 
-  /** DuckDB twin of [[gopherQuality]]. */
-  val gopherQualitySql: String = {
+  /** Labeled-documents CTE body shared by [[gopherQualitySql]] and
+    * [[nbQualityScoreSql]] — SELECTs (doc_id, lang, t, rule columns,
+    * pass), mirroring [[gopherLabeled]]. */
+  private def gopherLabeledSql(minWords: Int = GopherMinWords): String = {
     val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+    s"""SELECT doc_id, lang, t, n_words, mean_word_len, symbol_ratio,
        |       alpha_word_ratio, stop_hits,
-       |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |       (n_words BETWEEN $minWords AND $GopherMaxWords
        |        AND mean_word_len BETWEEN 3.0 AND 10.0
        |        AND symbol_ratio <= 0.1
        |        AND alpha_word_ratio >= 0.8
        |        AND stop_hits >= $GopherMinStops) AS pass
        |FROM (
-       |  SELECT doc_id, len(t) AS n_words,
+       |  SELECT doc_id, lang, t, len(t) AS n_words,
        |         ${r4Sql("CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)")} AS mean_word_len,
        |         ${r4Sql("CAST((len(string_split(text, '#')) - 1) + (len(string_split(text, '...')) - 1) AS DOUBLE) / greatest(len(t), 1)")} AS symbol_ratio,
        |         ${r4Sql("CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(t), 1)")} AS alpha_word_ratio,
        |         CAST(len(list_filter(list_distinct(t), x -> list_contains($stops, x))) AS INT) AS stop_hits
-       |  FROM (SELECT doc_id, text,
+       |  FROM (SELECT doc_id, lang, text,
        |               list_filter(string_split_regex(lower(text), '\\W+'),
        |                           x -> length(x) > 0) AS t
-       |        FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |        FROM documents))""".stripMargin
   }
+
+  /** DuckDB twin of [[gopherQuality]]. */
+  val gopherQualitySql: String =
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       |       alpha_word_ratio, stop_hits, pass
+       |FROM (${gopherLabeledSql()})
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // PII scrub
@@ -2044,6 +2060,307 @@ object TextAnalysis {
        |        + len(regexp_extract_all(text, '$PhoneRe'))) > 0 AS had_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Hashed-feature distribution models: DSIR weights, Naive-Bayes
+  // quality classifier, bigram LM scoring
+  // --------------------------------------------------------------------
+
+  /** Hashing-trick feature buckets (the DSIR/fastText move): first 8 md5
+    * hex chars as a 32-bit non-negative int, mod [[HashBuckets]] — the
+    * portable cross-engine construction (same family as
+    * Curation's shuffle key and Dedup's shingle hashes). The whole model
+    * state is B=[[HashBuckets]] longs regardless of vocabulary size — THE property
+    * that makes these operators 100 TB-safe where vocab-sized models
+    * (docSurprisal's unigram table) grow with the corpus. */
+  private val HashBuckets = 4096
+  private def tokBucket(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % HashBuckets
+  private def tokBucketSql(c: String): String =
+    s"CAST(CAST('0x' || substr(md5($c), 1, 8) AS UBIGINT) AS BIGINT) % $HashBuckets"
+
+  /** DSIR importance-resampling weights (Xie et al. 2023,
+    * arXiv:2302.03169): per-doc log importance weight
+    * sum_f [ln p_target(h(f)) − ln p_raw(h(f))] over the paper's feature
+    * set — hashed word UNIGRAMS AND BIGRAMS — under bag-of-features
+    * models with add-one smoothing. This is the data-selection step that
+    * reweights a raw crawl toward a target distribution (here: the
+    * `targetLang` slice stands in for the target domain, the whole
+    * corpus is the raw distribution). Bigrams carry most of the signal
+    * on shared-vocabulary corpora: measured on the fixture, the en/rest
+    * mean-weight gap is 0.003 with unigrams alone vs 0.036 with
+    * uni+bigrams (languages share 100% of the token vocabulary and
+    * differ only in co-occurrence patterns).
+    *
+    * Scale: pass 1 builds BOTH histograms in one grouped scan (model
+    * state = B rows, map-side partial agg does the heavy lifting); pass 2
+    * re-scans the feature stream and joins the broadcast B-row weight
+    * table — at 100 TB both passes run at parquet-scan speed and the only
+    * shuffle is B-row. Two scans beat caching a corpus-sized feature
+    * stream (the [[docSurprisal]] argument).
+    *
+    * Determinism: per-bucket log-ratio integerised to micros BEFORE the
+    * per-doc integer sum ([[Det]] discipline); the double divisions are
+    * identical IEEE ops on both engines, leaving only the ~1e-9/bucket
+    * libm-ulp boundary risk over [[HashBuckets]] buckets. */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val B = HashBuckets
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("t"), zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)))).as("tok"))
+      .withColumn("b", tokBucket(col("tok")))
+    val hist = tok.groupBy("b").agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_tgt"))
+    val totals = hist.agg(
+      coalesce(sum("cnt_raw"), lit(0L)).as("tot_raw"),
+      coalesce(sum("cnt_tgt"), lit(0L)).as("tot_tgt"))
+    val w = hist.crossJoin(broadcast(totals))
+      .withColumn("lw_micros",
+        floor((log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + B))
+             - log((col("cnt_raw") + 1).cast("double") / (col("tot_raw") + B)))
+          * 1e6 + 0.5).cast("long"))
+      .select("b", "lw_micros")
+    tok.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lw_micros").as("logw_micros"))
+      .withColumn("avg_logw",
+        Det.r(col("logw_micros").cast("double") / 1e6 / col("n_feats"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dsirWeights]]. */
+  val dsirWeightsSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, ${tokBucketSql("tok")} AS b
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(list_concat(t,
+       |                 list_transform(range(1, len(t)),
+       |                                i -> t[i] || ' ' || t[i+1]))) AS tok
+       |        FROM (SELECT doc_id, lang,
+       |                     list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                 x -> length(x) > 0) AS t
+       |              FROM documents))),
+       |h AS (SELECT b, count(*) AS cnt_raw,
+       |             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |      FROM tk GROUP BY b),
+       |t AS (SELECT CAST(coalesce(sum(cnt_raw), 0) AS BIGINT) AS tot_raw,
+       |             CAST(coalesce(sum(cnt_tgt), 0) AS BIGINT) AS tot_tgt FROM h),
+       |w AS (SELECT b,
+       |             CAST(floor((ln(CAST(cnt_tgt + 1 AS DOUBLE) / (tot_tgt + $HashBuckets))
+       |                       - ln(CAST(cnt_raw + 1 AS DOUBLE) / (tot_raw + $HashBuckets)))
+       |                  * 1e6 + 0.5) AS BIGINT) AS lw_micros
+       |      FROM h CROSS JOIN t),
+       |g AS (SELECT doc_id, count(*) AS n_feats,
+       |             CAST(sum(lw_micros) AS BIGINT) AS logw_micros
+       |      FROM tk JOIN w USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_feats, logw_micros,
+       |       ${Det.rSql("CAST(logw_micros AS DOUBLE) / 1e6 / n_feats", 6)} AS avg_logw
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Hashed-feature Naive-Bayes quality classifier — the "train a cheap
+    * linear filter on rule labels, apply it at scale" shape every
+    * production pipeline uses (GPT-3's LR-vs-WebText filter, LLaMA's
+    * Wikipedia-reference classifier; fastText is the usual
+    * implementation). Training labels are the [[gopherQuality]] rule
+    * verdicts computed INLINE in the same scan (a pure function of the
+    * text — no doc_id join ships labels around); features are
+    * [[HashBuckets]] hashed unigrams; the model is per-bucket
+    * log P(b|pass) − log P(b|fail) with add-one smoothing plus a class
+    * log-prior. Verdict: nb_micros > 0.
+    *
+    * Features are hashed unigrams PLUS four discretized meta-features
+    * per doc ("len:" log-length bucket, "mwl:" mean-word-length floor,
+    * "alf:" alpha-ratio decile, "stp:" capped stop-hit count) — the
+    * fastText-style move: a bag-of-words model is length-blind, but the
+    * dominant quality rules ARE length/shape rules, so the shape enters
+    * as features (measured on the fixture: unigrams alone agree with the
+    * rule labels at 0.74 ≈ the 0.734 majority base rate; with the meta
+    * features the classifier actually learns the rules). All meta
+    * buckets discretize ALREADY-deterministic values (r4-rounded ratios,
+    * integer counts), so the feature strings are cross-engine exact.
+    *
+    * Scale: identical to [[dsirWeights]] — one grouped scan trains
+    * (B-row model + 2-long priors), one scan scores against the
+    * broadcast weight table, plus a skinny doc-count agg for the prior.
+    * Determinism: all log terms integerised to micros before any sum.
+    *
+    * Self-labeled-and-self-scored on the fixture, the classifier is a
+    * SMOOTHED reconstruction of its labels (TextAnalysisSpec pins the
+    * agreement floor); the production use trains here, scores elsewhere. */
+  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = HashBuckets
+    val labeled = gopherLabeled(spark, sfDir, GopherMinWords)
+      .select(col("doc_id"), col("pass"),
+        concat(col("t"), array(
+          concat(lit("len:"),
+            floor(log(col("n_words") + 1)).cast("long").cast("string")),
+          concat(lit("mwl:"),
+            floor(col("mean_word_len")).cast("long").cast("string")),
+          concat(lit("alf:"),
+            floor(col("alpha_word_ratio") * 10).cast("long").cast("string")),
+          concat(lit("stp:"),
+            least(col("stop_hits"), lit(4)).cast("string")))).as("t"))
+    val tok = labeled
+      .select(col("doc_id"), col("pass"), explode(col("t")).as("tok"))
+      .withColumn("b", tokBucket(col("tok")))
+    val hist = tok.groupBy("b").agg(
+      sum(when(col("pass"), 1L).otherwise(0L)).as("cnt_p"),
+      sum(when(!col("pass"), 1L).otherwise(0L)).as("cnt_f"))
+    val tokTot = hist.agg(
+      coalesce(sum("cnt_p"), lit(0L)).as("tot_p"),
+      coalesce(sum("cnt_f"), lit(0L)).as("tot_f"))
+    val prior = labeled.agg(
+      coalesce(sum(when(col("pass"), 1L).otherwise(0L)), lit(0L)).as("n_p"),
+      coalesce(sum(when(!col("pass"), 1L).otherwise(0L)), lit(0L)).as("n_f"))
+      .withColumn("prior_micros",
+        floor((log((col("n_p") + 1).cast("double"))
+             - log((col("n_f") + 1).cast("double"))) * 1e6 + 0.5).cast("long"))
+      .select("prior_micros")
+    val w = hist.crossJoin(broadcast(tokTot))
+      .withColumn("lw_micros",
+        floor((log((col("cnt_p") + 1).cast("double") / (col("tot_p") + B))
+             - log((col("cnt_f") + 1).cast("double") / (col("tot_f") + B)))
+          * 1e6 + 0.5).cast("long"))
+      .select("b", "lw_micros")
+    tok.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lw_micros").as("ratio_micros"))
+      .crossJoin(broadcast(prior))
+      .withColumn("nb_micros", col("prior_micros") + col("ratio_micros"))
+      .withColumn("nb_pass", col("nb_micros") > 0)
+      .select("doc_id", "n_feats", "nb_micros", "nb_pass")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[nbQualityScore]]. */
+  val nbQualityScoreSql: String =
+    s"""WITH lab AS (${gopherLabeledSql()}),
+       |tk AS (SELECT doc_id, pass, ${tokBucketSql("tok")} AS b
+       |       FROM (SELECT doc_id, pass,
+       |                    unnest(list_concat(t, [
+       |                      'len:' || CAST(CAST(floor(ln(n_words + 1)) AS BIGINT) AS VARCHAR),
+       |                      'mwl:' || CAST(CAST(floor(mean_word_len) AS BIGINT) AS VARCHAR),
+       |                      'alf:' || CAST(CAST(floor(alpha_word_ratio * 10) AS BIGINT) AS VARCHAR),
+       |                      'stp:' || CAST(least(stop_hits, 4) AS VARCHAR)])) AS tok
+       |             FROM lab)),
+       |h AS (SELECT b,
+       |             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+       |             CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS cnt_f
+       |      FROM tk GROUP BY b),
+       |tt AS (SELECT CAST(coalesce(sum(cnt_p), 0) AS BIGINT) AS tot_p,
+       |              CAST(coalesce(sum(cnt_f), 0) AS BIGINT) AS tot_f FROM h),
+       |pr AS (SELECT CAST(floor((ln(CAST(n_p + 1 AS DOUBLE))
+       |                        - ln(CAST(n_f + 1 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS prior_micros
+       |       FROM (SELECT CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p,
+       |                    CAST(coalesce(sum(CASE WHEN pass THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_f
+       |             FROM lab)),
+       |w AS (SELECT b,
+       |             CAST(floor((ln(CAST(cnt_p + 1 AS DOUBLE) / (tot_p + $HashBuckets))
+       |                       - ln(CAST(cnt_f + 1 AS DOUBLE) / (tot_f + $HashBuckets)))
+       |                  * 1e6 + 0.5) AS BIGINT) AS lw_micros
+       |      FROM h CROSS JOIN tt),
+       |g AS (SELECT doc_id, count(*) AS n_feats,
+       |             CAST(sum(lw_micros) AS BIGINT) AS ratio_micros
+       |      FROM tk JOIN w USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_feats, prior_micros + ratio_micros AS nb_micros,
+       |       (prior_micros + ratio_micros) > 0 AS nb_pass
+       |FROM g CROSS JOIN pr ORDER BY doc_id""".stripMargin
+
+  /** −ln(0.4), the stupid-backoff discount as a shared DECIMAL LITERAL —
+    * both engines parse the same shortest-repr decimal to the same
+    * double, removing one libm call from the cross-engine surface. */
+  private val Ln04 = math.log(0.4)
+
+  /** Bigram-LM document scoring with stupid backoff (Brants et al. 2007)
+    * — the CCNet/KenLM perplexity-filter shape: train an n-gram LM on the
+    * target slice (`trainLang`), score EVERY doc's token stream under it;
+    * out-of-domain docs surface as high avg negative log-likelihood.
+    * Completes the LM-scoring ladder: [[docSurprisal]] is the unigram
+    * rung (self-trained), this is the conditional rung (target-trained,
+    * out-of-vocabulary mass handled by backoff: p = c12/c1 when the
+    * bigram was seen, else 0.4 · (c2+1)/(N+V) add-one unigram backoff).
+    *
+    * Scale: the model tables (c12/c1/c2) are train-slice aggregates —
+    * they join the scoring stream on token keys (sort-merge; AQE
+    * broadcasts them when the target domain is small, the common case);
+    * the scoring stream itself is one scan, no corpus-sized state.
+    * Determinism: per-position nll integerised to micros pre-sum; the
+    * backoff constant is the shared literal [[Ln04]]. */
+  def bigramLmScore(spark: SparkSession, sfDir: String,
+                    trainLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+    val bg = docs.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainBg = bg.filter(col("lang") === trainLang)
+    val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trainTok = docs.filter(col("lang") === trainLang)
+      .select(explode(col("t")).as("tok"))
+    val c2 = trainTok.groupBy("tok").agg(count(lit(1)).as("c2"))
+      .withColumnRenamed("tok", "w2")
+    val nv = trainTok.agg(
+      count(lit(1)).as("n_train"), countDistinct("tok").as("v_train"))
+    bg.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(c2, Seq("w2"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("nll_micros",
+        when(col("c12").isNotNull,
+          floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5))
+        .otherwise(
+          floor(-(lit(Ln04) + log((coalesce(col("c2"), lit(0L)) + 1).cast("double")
+            / greatest(col("n_train") + col("v_train"), lit(1L)))) * 1e6 + 0.5))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_micros").as("nll_micros"))
+      .withColumn("avg_nll",
+        Det.r(col("nll_micros").cast("double") / 1e6 / col("n_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[bigramLmScore]] (the `range(1, len(t))` pairing is
+    * the proven `bigrams`-oracle idiom; parallel unnests zip
+    * positionally). */
+  val bigramLmScoreSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split_regex(lower(text), '\\W+'),
+       |                     x -> length(x) > 0) AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |              unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |              unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+       |       FROM tk),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY w1),
+       |ut AS (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en'),
+       |c2 AS (SELECT tok AS w2, count(*) AS c2 FROM ut GROUP BY tok),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+       |              CAST(count(DISTINCT tok) AS BIGINT) AS v_train FROM ut),
+       |s AS (SELECT doc_id,
+       |             CASE WHEN c12 IS NOT NULL
+       |                  THEN CAST(floor(-ln(CAST(c12 AS DOUBLE) / c1) * 1e6 + 0.5) AS BIGINT)
+       |                  ELSE CAST(floor(-(($Ln04) + ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+       |                       / greatest(n_train + v_train, 1))) * 1e6 + 0.5) AS BIGINT) END AS nll_micros
+       |      FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |              LEFT JOIN c2 USING (w2) CROSS JOIN nv),
+       |g AS (SELECT doc_id, count(*) AS n_bigrams,
+       |             CAST(sum(nll_micros) AS BIGINT) AS nll_micros
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, nll_micros,
+       |       ${Det.rSql("CAST(nll_micros AS DOUBLE) / 1e6 / n_bigrams", 6)} AS avg_nll
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
@@ -2073,6 +2390,9 @@ object TextAnalysis {
     "bpe_vocab"        -> ((s, d) => bpeVocab(s, d)),
     "gopher_quality"   -> ((s, d) => gopherQuality(s, d)),
     "pii_scrub"        -> ((s, d) => piiScrub(s, d)),
+    "dsir_weights"     -> ((s, d) => dsirWeights(s, d)),
+    "nb_quality_score" -> ((s, d) => nbQualityScore(s, d)),
+    "bigram_lm_score"  -> ((s, d) => bigramLmScore(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2104,5 +2424,8 @@ object TextAnalysis {
     "bpe_vocab"        -> bpeVocabSql,
     "gopher_quality"   -> gopherQualitySql,
     "pii_scrub"        -> piiScrubSql,
+    "dsir_weights"     -> dsirWeightsSql,
+    "nb_quality_score" -> nbQualityScoreSql,
+    "bigram_lm_score"  -> bigramLmScoreSql,
   )
 }

@@ -569,6 +569,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Relational.partAffinity(spark, dir).count() == 0)
   }
 
+  test("hashed-feature LM family degrades on empty/degenerate corpora") {
+    // empty corpus: histograms/priors see zero rows, every model term is
+    // smoothed — the score passes must return empty, not throw or NaN
+    assert(queries.TextAnalysis.dsirWeights(spark, empty).count() == 0)
+    assert(queries.TextAnalysis.nbQualityScore(spark, empty).count() == 0)
+    assert(queries.TextAnalysis.bigramLmScore(spark, empty).count() == 0)
+    // mixed edge corpus: zero-token docs (1, 2) vanish from the unigram
+    // scorers; the single-token doc (3) additionally vanishes from the
+    // bigram scorer (no bigram positions). All-en corpus → target IS the
+    // raw distribution, so every importance weight is EXACTLY zero (the
+    // two smoothed models coincide bucket by bucket).
+    val dsir = queries.TextAnalysis.dsirWeights(spark, edge).collect()
+    assert(dsir.map(_.getAs[Long]("doc_id")).toSet == Set(3L, 4L, 5L, 6L))
+    assert(dsir.forall(_.getAs[Long]("logw_micros") == 0))
+    // nb emits its four meta-features even for zero-token docs, so EVERY
+    // doc appears — the classifier can gate on shape alone
+    val nb = queries.TextAnalysis.nbQualityScore(spark, edge).collect()
+    assert(nb.map(_.getAs[Long]("doc_id")).toSet == (1L to 6L).toSet)
+    val lm = queries.TextAnalysis.bigramLmScore(spark, edge).collect()
+    assert(lm.map(_.getAs[Long]("doc_id")).toSet == Set(4L, 5L, 6L))
+    // every training bigram was seen (trained and scored on the same
+    // corpus) so no backoff fires and each NLL is finite and >= 0
+    assert(lm.forall(_.getAs[Long]("nll_micros") >= 0))
+  }
+
   test("token_budget_sample: single-source degenerate corpus keeps the whole prefix") {
     val rows = queries.Curation.tokenBudgetSample(spark, edge).collect()
     assert(rows.length == 6)  // every doc gets a row, zero-token ones too

@@ -205,4 +205,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out(3).getAs[Boolean]("had_pii"))
     assert(out(3).getAs[String]("redact") == "clean text with no identifiers at all")
   }
+
+  test("dsir_weights: target-language docs score higher than off-target docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val rows = queries.TextAnalysis.dsirWeights(spark, sf).collect()
+    assert(rows.length == docs.size) // every fixture doc tokenizes non-empty
+    val (en, rest) = rows.partition(r => docs(r.getAs[Long]("doc_id")) == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("avg_logw")).sum / rs.length
+    // the operator's entire point: importance weights separate the target
+    // distribution from the raw mixture (absolute sign is NOT pinned —
+    // add-one smoothing over hashed buckets shifts both means down;
+    // measured gap with uni+bigram features is ~0.036)
+    assert(mean(en) > mean(rest) + 0.02,
+      s"en mean ${mean(en)} should exceed non-en mean ${mean(rest)}")
+  }
+
+  test("nb_quality_score: classifier reconstructs its rule labels on the fixture") {
+    val labels = queries.TextAnalysis.gopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    val rows = queries.TextAnalysis.nbQualityScore(spark, sf).collect()
+    assert(rows.length == labels.size)
+    val agree = rows.count(r =>
+      r.getAs[Boolean]("nb_pass") == labels(r.getAs[Long]("doc_id")))
+    // smoothed hashed-unigram NB self-scored on its training labels: high
+    // but not perfect agreement is the expected regime (hash collisions
+    // and smoothing cap it well below memorization)
+    assert(agree.toDouble / rows.length >= 0.75,
+      s"NB agrees with Gopher labels on $agree/${rows.length}")
+  }
+
+  test("bigram_lm_score: in-domain docs have lower NLL than out-of-domain docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val rows = queries.TextAnalysis.bigramLmScore(spark, sf).collect()
+    // only docs with >= 1 bigram appear; every scored doc has positive NLL
+    assert(rows.forall(_.getAs[Long]("n_bigrams") > 0))
+    val (en, rest) = rows.partition(r => docs(r.getAs[Long]("doc_id")) == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("avg_nll")).sum / rs.length
+    // trained on en: en docs are modeled (seen bigrams, low NLL), other
+    // languages fall through to the backoff penalty
+    assert(mean(en) < mean(rest),
+      s"en mean NLL ${mean(en)} should be below non-en mean ${mean(rest)}")
+  }
 }
