@@ -56,7 +56,7 @@ object ScaleProbe {
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
-    "dsir_weights", "nb_quality_score", "bigram_lm_score")
+    "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -83,7 +83,7 @@ object ScaleProbe {
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
-    "part_pagerank")
+    "part_pagerank", "triangle_count")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -128,6 +128,10 @@ object SparkEntry {
       TextAnalysis.dsirWeights(s, d, a.getOrElse("target_lang", "en"))),
     "bigram_lm_score" -> ((s, d, a) =>
       TextAnalysis.bigramLmScore(s, d, a.getOrElse("train_lang", "en"))),
+    "embedding_rp" -> ((s, d, a) =>
+      Similarity.embeddingRp(s, d, a.getOrElse("out_dims", "16").toInt)),
+    "triangle_count" -> ((s, d, a) =>
+      Relational.triangleCount(s, d, a.getOrElse("max_basket", "256").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -726,6 +726,109 @@ object Relational {
        |LIMIT $PrTopN""".stripMargin
   }
 
+  /** Triangle census of the capped co-purchase graph — the graph-health
+    * summary (how clustered is the part-affinity structure) and the third
+    * member of the graph family after [[partAffinity]] (edge weights) and
+    * [[partPagerank]] (node authority). Returns ONE row: node/edge/wedge/
+    * triangle counts and the global transitivity 3·T/W.
+    *
+    * Scale: the compact-forward orientation (each undirected edge
+    * directed from its lower-(degree, id) endpoint) bounds the wedge join
+    * output by Σ min-deg² ≤ O(m^1.5) REGARDLESS of hub skew — a hub of
+    * degree d receives its edges inward and contributes NO d² wedge
+    * blow-up (the node-iterator algorithm without the orientation is
+    * O(Σ deg²), quadratic in the hub). Wedge generation shuffles directed
+    * edges once on the pivot `s`; closure is one equi-join of wedges
+    * against directed edges on (s,t). The basket cap bounds the densest
+    * order clique at maxBasket² edges, same knob as the other two graph
+    * queries. Everything is exact integer arithmetic except the final
+    * transitivity ratio ([[Det.r]]). */
+  def triangleCount(spark: SparkSession, sfDir: String,
+                    maxBasket: Int = AffinityMaxBasket): DataFrame = {
+    require(maxBasket > 1, s"maxBasket must be > 1, got $maxBasket")
+    import spark.implicits._
+    val und = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(col("ps")).as[Seq[Long]]
+      .flatMap { ps =>
+        val n = math.min(ps.length, maxBasket)  // the skew cap
+        val b = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) { b += ((ps(i), ps(j))); j += 1 }
+          i += 1
+        }
+        b.result()
+      }
+      .toDF("u", "v").distinct()
+    // |edges|-sized invariants, referenced by degree/orientation/closure
+    // (the partPagerank cache discipline, same A/B toggle)
+    val undC = TextAnalysis.maybeCache(und)
+    val deg = undC.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val dir = TextAnalysis.maybeCache(undC
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dt")))
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("s"), col("e2.t").as("t"))
+    val tri = wedges.join(dir.select("s", "t"), Seq("s", "t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nd = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val ed = undC.agg(count(lit(1)).as("n_edges"))
+    nd.crossJoin(ed).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"), col("n_triangles"))
+      .withColumn("transitivity",
+        Det.r(lit(3.0) * col("n_triangles")
+          / greatest(col("n_wedges"), lit(1L)), 6))
+  }
+
+  /** DuckDB twin of [[triangleCount]] — the [[partAffinitySql]] capped
+    * basket join for undirected edges, then the identical
+    * degree-ordered orientation and wedge closure. */
+  val triangleCountSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |br AS (SELECT ok, pk,
+       |              row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk
+       |       FROM op),
+       |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |        FROM br a JOIN br b ON a.ok = b.ok AND a.pk < b.pk
+       |        WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket),
+       |deg AS (SELECT n, count(*) AS deg
+       |        FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+       |        GROUP BY n),
+       |dir AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+       |               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
+       |               CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
+       |        FROM (SELECT u, v, d1.deg AS du, d2.deg AS dv
+       |              FROM und JOIN deg d1 ON d1.n = und.u
+       |                       JOIN deg d2 ON d2.n = und.v)),
+       |w AS (SELECT e1.t AS s, e2.t AS t
+       |      FROM dir e1 JOIN dir e2
+       |        ON e1.s = e2.s AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+       |tri AS (SELECT count(*) AS n_triangles FROM w JOIN dir USING (s, t)),
+       |nd AS (SELECT count(*) AS n_nodes,
+       |              CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) AS n_wedges
+       |       FROM deg),
+       |ed AS (SELECT count(*) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |       ${Det.rSql("3.0 * n_triangles / greatest(n_wedges, 1)", 6)} AS transitivity
+       |FROM nd CROSS JOIN ed CROSS JOIN tri""".stripMargin
+
   private val SkewTopN = 20
 
   /** Key-skew diagnostic over the lineitem part key — the pre-flight
@@ -821,6 +924,7 @@ object Relational {
     "sql_above_avg_orders" -> ((s, d) => sqlAboveAvgOrders(s, d)),
     "part_affinity"       -> ((s, d) => partAffinity(s, d)),
     "part_pagerank"       -> ((s, d) => partPagerank(s, d)),
+    "triangle_count"      -> ((s, d) => triangleCount(s, d)),
     "key_skew_report"     -> ((s, d) => keySkewReport(s, d)),
   )
 
@@ -845,6 +949,7 @@ object Relational {
     "sql_above_avg_orders" -> sqlAboveAvgOrdersSql,
     "part_affinity"        -> partAffinitySql,
     "part_pagerank"        -> partPagerankSql,
+    "triangle_count"       -> triangleCountSql,
     "key_skew_report"      -> keySkewReportSql,
     "approx_distinct_parts" -> approxDistinctPartsSql,
   )

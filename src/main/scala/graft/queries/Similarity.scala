@@ -655,6 +655,80 @@ object Similarity {
        |FROM q ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Johnson-Lindenstrauss sign random projection
+  // --------------------------------------------------------------------
+
+  private val RpInDims = 64
+  private val RpOutDims = 16
+
+  /** signs(j)(i) ∈ {−1, +1} from md5("i_j") parity — a pure function of
+    * the indices, reproduced verbatim by the SQL twin (first-8-hex-of-md5
+    * construction, the repo's portable-hash family). Code-constant model
+    * state: 16×64 longs, built in microseconds on the driver, shipped in
+    * the task closure as literals. */
+  private def rpSigns(inDims: Int, outDims: Int): Array[Array[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      val h = mdt.digest(s"${i}_$j".getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      1L - 2L * (v % 2)
+    }
+  }
+
+  /** Sign random projection (Achlioptas 2003's database-friendly JL
+    * transform): project each 64-dim embedding onto [[RpOutDims]] ±1
+    * hyperplanes — the 4× dimensionality reduction that preserves
+    * pairwise distances within 1±ε and is the standard PREFILTER before
+    * expensive downstream search (project, shortlist in the cheap space,
+    * re-rank in the full space — the same refine shape as
+    * [[annCosinePqRerank]]).
+    *
+    * Scale: a stateless per-row kernel — the projection matrix is
+    * code-constant (md5 parity of the indices, no training pass, no
+    * broadcast), each row costs outDims·inDims integer multiply-adds
+    * inside whole-stage codegen, and NOTHING shuffles before the
+    * presentation sort. At 100 TB this runs at parquet-scan speed.
+    *
+    * Determinism: components integerise to micros BEFORE the dot product
+    * (⌊x·10⁶+0.5⌋, float→double widening is exact), so out_micros is an
+    * exact integer fold — hash-identical on any engine and any fold
+    * order. */
+  def embeddingRp(spark: SparkSession, sfDir: String,
+                  outDims: Int = RpOutDims): DataFrame = {
+    require(outDims > 0, s"outDims must be positive, got $outDims")
+    val signs = rpSigns(RpInDims, outDims)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(size(col("v")) === RpInDims)
+      .withColumn("q",
+        transform(col("v"), x => floor(x * 1e6 + 0.5).cast("long")))
+      .select(col("vec_id"), posexplode(array((0 until outDims).map { j =>
+        aggregate(zip_with(col("q"), typedLit(signs(j).toSeq),
+          (a, s) => a * s), lit(0L), (acc, x) => acc + x)
+      }: _*)).as(Seq("dim", "out_micros")))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** DuckDB twin of [[embeddingRp]] — rebuilds the sign matrix from the
+    * same md5-parity construction, proving the JVM-vs-SQL md5 agreement
+    * as part of the hash gate. */
+  val embeddingRpSql: String =
+    s"""WITH m AS (
+       |  SELECT i, j,
+       |         1 - 2 * (CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 2) AS s
+       |  FROM range($RpInDims) r1(i), range($RpOutDims) r2(j)),
+       |q AS (SELECT vec_id, i,
+       |             CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+       |      FROM (SELECT vec_id, unnest(embedding) AS x,
+       |                   unnest(range(len(embedding))) AS i
+       |            FROM embeddings WHERE len(embedding) = $RpInDims)),
+       |g AS (SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS out_micros
+       |      FROM q JOIN m USING (i) GROUP BY vec_id, j)
+       |SELECT vec_id, CAST(j AS INT) AS dim, out_micros
+       |FROM g ORDER BY vec_id, dim""".stripMargin
+
+  // --------------------------------------------------------------------
   // Per-dimension embedding health check
   // --------------------------------------------------------------------
 
@@ -1574,6 +1648,7 @@ object Similarity {
     "ann_cosine_pq_rerank" -> ((s, d) => annCosinePqRerank(s, d)),
     "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1592,5 +1667,6 @@ object Similarity {
     "ann_cosine_pq_rerank" -> annCosinePqRerankSql,
     "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
     "knn_graph" -> knnGraphSql,
+    "embedding_rp" -> embeddingRpSql,
   )
 }

@@ -567,6 +567,12 @@ class EdgeCaseSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     assert(queries.Relational.partPagerank(spark, dir).count() == 0)
     assert(queries.Relational.partAffinity(spark, dir).count() == 0)
+    // triangle_count is a census: empty graph -> ONE all-zero row
+    val tc = queries.Relational.triangleCount(spark, dir).head()
+    assert(tc.getAs[Long]("n_edges") == 0 && tc.getAs[Long]("n_triangles") == 0)
+    assert(tc.getAs[Double]("transitivity") == 0.0)
+    // empty embeddings -> no projected rows
+    assert(queries.Similarity.embeddingRp(spark, empty).count() == 0)
   }
 
   test("hashed-feature LM family degrades on empty/degenerate corpora") {

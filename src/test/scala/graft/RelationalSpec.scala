@@ -132,4 +132,24 @@ class RelationalSpec extends AnyFunSuite {
       .map(_.toString).toSeq
     assert(again == rows.map(_.toString).toSeq)
   }
+
+  test("triangle_count: golden census on a known graph; fixture invariants") {
+    // basket {1,2,3} -> the only triangle; basket {4,5} -> a lone edge.
+    // degs: 1:2, 2:2, 3:2, 4:1, 5:1 -> W = 3 wedges, T = 1, trans = 1.0
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tri_golden").getAbsolutePath
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val g = queries.Relational.triangleCount(spark, dir).head()
+    assert(g.getAs[Long]("n_nodes") == 5 && g.getAs[Long]("n_edges") == 4)
+    assert(g.getAs[Long]("n_wedges") == 3 && g.getAs[Long]("n_triangles") == 1)
+    assert(g.getAs[Double]("transitivity") == 1.0)
+    // real fixture: internal consistency — 3T never exceeds the wedge
+    // count (each triangle closes exactly 3 wedges), transitivity in [0,1]
+    val f = queries.Relational.triangleCount(spark, sf).head()
+    assert(3 * f.getAs[Long]("n_triangles") <= f.getAs[Long]("n_wedges"))
+    val t = f.getAs[Double]("transitivity")
+    assert(t >= 0.0 && t <= 1.0)
+  }
 }

@@ -286,4 +286,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ds.forall(_ >= -1e-6), s"label $l negative distance")
     }
   }
+
+  test("embedding_rp: basis vectors read the sign matrix back; shape and determinism") {
+    import spark.implicits._
+    // e_i projects to exactly ±1e6 on every output dim — a golden test of
+    // the md5-parity sign construction end to end
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_rp_basis").getAbsolutePath
+    val basis = (0 until 3).map { i =>
+      (i.toLong, (0 until 64).map(d => if (d == i) 1f else 0f), 0)
+    }
+    basis.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = queries.Similarity.embeddingRp(spark, dir).collect()
+    assert(rows.length == 3 * 16)
+    assert(rows.forall(r => math.abs(r.getAs[Long]("out_micros")) == 1000000L))
+    // fixture: one row per (vec, out-dim), second run bit-identical
+    val f = queries.Similarity.embeddingRp(spark, sf).collect()
+    assert(f.length == 500 * 16)
+    val again = queries.Similarity.embeddingRp(spark, sf).collect()
+    assert(f.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
