@@ -56,7 +56,8 @@ object ScaleProbe {
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
-    "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp")
+    "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
+    "label_propagation")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -132,6 +132,11 @@ object SparkEntry {
       Similarity.embeddingRp(s, d, a.getOrElse("out_dims", "16").toInt)),
     "triangle_count" -> ((s, d, a) =>
       Relational.triangleCount(s, d, a.getOrElse("max_basket", "256").toInt)),
+    "label_propagation" -> ((s, d, a) =>
+      Similarity.labelPropagation(s, d,
+        a.getOrElse("iters", "3").toInt,
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("mask_mod", "4").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -253,7 +253,13 @@ object Similarity {
     * fold-identical double → identical floor on both engines), ties
     * break neighbor ASC, and the output cosine is derived from the
     * SAME integer (score_u/1e6) so no second rounding can disagree. */
-  def knnGraph(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame =
+    knnEdges(spark, sfDir, k).orderBy("vec_id", "rank")
+
+  /** [[knnGraph]] without the presentation sort — the reusable edge
+    * frame (vec_id, rank, neighbor, cosine) that [[labelPropagation]]
+    * consumes directly (it re-shuffles on its own keys immediately). */
+  private def knnEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
     val sigs = signatures(spark, all)
@@ -278,15 +284,13 @@ object Similarity {
       .withColumnRenamed("qid", "vec_id")
       .select(col("vec_id"), col("rank"), col("neighbor"),
         (col("score_u").cast("double") / 1e6).as("cosine"))
-      .orderBy("vec_id", "rank")
   }
 
-  /** DuckDB twin of [[knnGraph]] — [[lshSigChainSql]] + the bucket
-    * self-join, scored once per undirected pair, ranked per vector on
-    * the identical micros integer. */
-  val knnGraphSql: String =
-    s"""WITH RECURSIVE
-       |$lshSigChainSql,
+  /** The kNN-edge CTE chain shared by [[knnGraphSql]] and
+    * [[labelPropagationSql]] — ends in `rk` (vec_id, neighbor, score_u,
+    * rank). */
+  private val knnEdgeCtesSql: String =
+    s"""$lshSigChainSql,
        |pr AS (SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
        |       FROM sigs sa JOIN sigs sb
        |         ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
@@ -301,11 +305,114 @@ object Similarity {
        |rk AS (SELECT vec_id, neighbor, score_u,
        |              row_number() OVER (PARTITION BY vec_id
        |                 ORDER BY score_u DESC, neighbor ASC) AS rank
-       |       FROM dr)
+       |       FROM dr)""".stripMargin
+
+  /** DuckDB twin of [[knnGraph]] — [[lshSigChainSql]] + the bucket
+    * self-join, scored once per undirected pair, ranked per vector on
+    * the identical micros integer. */
+  val knnGraphSql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql
        |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor,
        |       CAST(score_u AS DOUBLE) / 1e6 AS cosine
        |FROM rk WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Semi-supervised label propagation over the kNN graph
+  // --------------------------------------------------------------------
+
+  private val LpIters = 3
+  private val LpMaskMod = 4
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002) over the
+    * [[knnGraph]] edges — the label-completion step of a curation
+    * pipeline: a deterministic 1/[[LpMaskMod]] of nodes (vec_id ≡ 0 mod
+    * [[LpMaskMod]]) is masked "unlabeled", then [[LpIters]] clamped-seed
+    * rounds let each unlabeled node adopt the majority label of its
+    * neighbors (count DESC, label ASC tie-break); seeds never change.
+    * Emits per node: true label, observed flag, propagated label (NULL
+    * if no labeled node is reachable in [[LpIters]] hops — isolates keep
+    * the documented sparse-output semantics of [[knnGraph]]), and
+    * `correct` on the masked holdout — so the query IS its own
+    * evaluation harness.
+    *
+    * On the driver fixture the labels are geometrically random (measured
+    * kNN label homophily 10.5% ≈ the 10-class chance rate), so holdout
+    * accuracy there is chance by construction — the MECHANISM (majority
+    * adoption, clamping, tie-breaks, isolate handling) is pinned on a
+    * synthetic clustered fixture in SimilaritySpec, the pii_scrub move.
+    *
+    * Scale: the edge list is k·n rows, built once and cached
+    * ([[TextAnalysis.maybeCache]], the pagerank loop-invariant
+    * discipline); each round is one edges⋈labels shuffle on the neighbor
+    * key + one (node, label) count agg — label-cardinality-bounded state,
+    * never corpus². Determinism: integer tallies, total-order tie-break,
+    * clamped seeds. */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+                       iters: Int = LpIters, k: Int = KnnK,
+                       maskMod: Int = LpMaskMod): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(maskMod > 1, s"maskMod must be > 1, got $maskMod")
+    val edges = graft.queries.TextAnalysis.maybeCache(
+      knnEdges(spark, sfDir, k).select("vec_id", "neighbor"))
+    val nodes = graft.queries.TextAnalysis.maybeCache(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          (col("vec_id") % maskMod =!= 0).as("observed")))
+    var cur = nodes.withColumn("cur",
+      when(col("observed"), col("label")))
+    for (_ <- 1 to iters) {
+      val tally = edges
+        .join(cur.select(col("vec_id").as("neighbor"), col("cur").as("nl")),
+          "neighbor")
+        .filter(col("nl").isNotNull)
+        .groupBy("vec_id", "nl").agg(count(lit(1)).as("cnt"))
+      val best = tally
+        .groupBy("vec_id")
+        .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("m"))
+        .select(col("vec_id"), (-col("m.negl")).as("maj"))
+      cur = nodes.join(best, Seq("vec_id"), "left")
+        .withColumn("cur",
+          when(col("observed"), col("label")).otherwise(col("maj")))
+        .select("vec_id", "label", "observed", "cur")
+    }
+    cur.select(col("vec_id"), col("label").as("true_label"),
+        col("observed"), col("cur").as("pred_label"),
+        when(!col("observed"), col("cur") === col("label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[labelPropagation]] — the [[knnEdgeCtesSql]] chain,
+    * then the [[LpIters]] clamped majority rounds unrolled as CTEs. */
+  val labelPropagationSql: String = {
+    val rounds = (1 to LpIters).map { r =>
+      s"""lpt$r AS (SELECT e.vec_id, l.cur AS nl, count(*) AS cnt
+         |        FROM lpe e JOIN lpl${r - 1} l ON l.vec_id = e.neighbor
+         |        WHERE l.cur IS NOT NULL
+         |        GROUP BY e.vec_id, l.cur),
+         |lpb$r AS (SELECT vec_id, nl AS maj
+         |        FROM (SELECT vec_id, nl,
+         |                     row_number() OVER (PARTITION BY vec_id
+         |                        ORDER BY cnt DESC, nl ASC) AS rn
+         |              FROM lpt$r)
+         |        WHERE rn = 1),
+         |lpl$r AS MATERIALIZED (
+         |  SELECT n.vec_id, n.label, n.observed,
+         |         CASE WHEN n.observed THEN n.label ELSE b.maj END AS cur
+         |  FROM lpl0 n LEFT JOIN lpb$r b USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |lpe AS (SELECT vec_id, neighbor FROM rk WHERE rank <= $KnnK),
+       |lpl0 AS (SELECT vec_id, label, (vec_id % $LpMaskMod <> 0) AS observed,
+       |              CASE WHEN vec_id % $LpMaskMod <> 0 THEN label END AS cur
+       |       FROM embeddings),
+       |$rounds
+       |SELECT vec_id, label AS true_label, observed, cur AS pred_label,
+       |       CASE WHEN NOT observed THEN cur = label END AS correct
+       |FROM lpl$LpIters ORDER BY vec_id""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN
@@ -1649,6 +1756,7 @@ object Similarity {
     "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
+    "label_propagation" -> ((s, d) => labelPropagation(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1668,5 +1776,6 @@ object Similarity {
     "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
     "knn_graph" -> knnGraphSql,
     "embedding_rp" -> embeddingRpSql,
+    "label_propagation" -> labelPropagationSql,
   )
 }

@@ -571,8 +571,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     val tc = queries.Relational.triangleCount(spark, dir).head()
     assert(tc.getAs[Long]("n_edges") == 0 && tc.getAs[Long]("n_triangles") == 0)
     assert(tc.getAs[Double]("transitivity") == 0.0)
-    // empty embeddings -> no projected rows
+    // empty embeddings -> no projected rows, no propagated labels
     assert(queries.Similarity.embeddingRp(spark, empty).count() == 0)
+    assert(queries.Similarity.labelPropagation(spark, empty).count() == 0)
   }
 
   test("hashed-feature LM family degrades on empty/degenerate corpora") {

@@ -307,4 +307,34 @@ class SimilaritySpec extends AnyFunSuite {
     val again = queries.Similarity.embeddingRp(spark, sf).collect()
     assert(f.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("label_propagation: clustered fixture recovers masked labels; seeds clamped") {
+    import spark.implicits._
+    // two tight, orthogonal clusters whose labels FOLLOW the geometry
+    // (the driver fixture's labels are geometrically random — chance
+    // homophily — so mechanism quality is pinned here, the pii_scrub move)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lp_clusters").getAbsolutePath
+    def vec(id: Long, hi: Range) = (0 until 64).map { d =>
+      val base = if (hi.contains(d)) 1f else 0f
+      base + 0.01f * ((id * 31 + d) % 7 - 3)
+    }
+    val embs = (0L until 20L).map(i => (i, vec(i, 0 until 32), 0)) ++
+      (20L until 40L).map(i => (i, vec(i, 32 until 64), 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = queries.Similarity.labelPropagation(spark, dir).collect()
+    assert(rows.length == 40)
+    // seeds are clamped: every observed node keeps its true label
+    rows.filter(_.getAs[Boolean]("observed")).foreach { r =>
+      assert(r.getAs[Int]("pred_label") == r.getAs[Int]("true_label"))
+    }
+    // holdout (vec_id % 4 == 0): every masked node that reached a labeled
+    // neighbor adopts its cluster's label — on tight clusters that is ALL
+    // of them, at perfect accuracy
+    val masked = rows.filter(!_.getAs[Boolean]("observed"))
+    assert(masked.length == 10)
+    assert(masked.forall(r => !r.isNullAt(r.fieldIndex("pred_label"))))
+    assert(masked.forall(_.getAs[Boolean]("correct")))
+  }
 }
