@@ -137,14 +137,98 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Systematic PPS sample (weighted, deterministic)
+  // --------------------------------------------------------------------
+
+  private val PpsK = 50L
+
+  /** Systematic PPS sample: draw [[PpsK]] tickets proportional-to-size
+    * (weight = n_chars) with a deterministic md5 permutation as the
+    * "random" order — the weighted corpus subsample every
+    * mixture/curriculum pipeline draws ("sample 50 docs, big docs
+    * proportionally more often"), reproducible across runs and engines.
+    * Classic systematic sampling: lay all docs on the cumulative-weight
+    * line in md5-key order, drop K evenly-spaced tickets, and a doc is
+    * picked `times_picked` = #tickets inside its weight span — computed
+    * as floor(cum·K/total) − floor(cum_before·K/total), all BIGINT (cum ≤
+    * ~1e14 chars at 100 TB × K=50 ≈ 5e15, well inside int64).
+    *
+    * The global cumsum is DECOMPOSED exactly like [[tokenBudgetSample]],
+    * but the carry histogram here is GLOBAL (sampling crosses sources),
+    * so the per-bucket totals (≤ 4096 rows — 3 hex chars of md5, bounded
+    * regardless of corpus size) collect to the driver for the prefix
+    * scan and broadcast back — the [[Temporal.eventsValueQuantiles]]
+    * model-state pattern. The within-bucket window partitions on bucket:
+    * no SinglePartition funnel; per-task sort is |corpus|/4096. `total`
+    * is inlined as a literal from the same bounded collect. */
+  def weightedSamplePps(spark: SparkSession, sfDir: String,
+                        k: Long = PpsK): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val md = md5(col("doc_id").cast("string"))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_chars"), lit(0L)).as("w"),
+        shuffleKey(col("doc_id")).as("skey"),
+        conv(substring(md, 1, 3), 16, 10).cast("int").as("bucket"))
+    // ≤ 4096 rows of model state, independent of corpus size
+    val hist = base.groupBy("bucket").agg(sum("w").as("bw"))
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("bw")))
+      .sortBy(_._1)
+    val total = hist.map(_._2).sum
+    if (total <= 0)
+      return Seq.empty[(Long, String, Long, Long)]
+        .toDF("doc_id", "source", "n_chars", "times_picked")
+    val cumBefore = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2))
+    val carry = cumBefore.toSeq.toDF("bucket", "cum_before")
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(carry), "bucket")
+      .withColumn("cum", col("cum_before") + sum("w").over(wIn))
+      .withColumn("times_picked",
+        expr(s"(cum * $k) DIV ${total}L - ((cum - w) * $k) DIV ${total}L"))
+      .filter(col("times_picked") >= 1)
+      .select(col("doc_id"), col("source"), col("w").as("n_chars"),
+        col("times_picked"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the naive corpus-wide window — affordable in DuckDB at
+    * oracle scale; hash-matching proves the bucket decomposition and the
+    * driver-side carry produce identical prefix sums and picks. */
+  val weightedSamplePpsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, COALESCE(n_chars, 0) AS w,
+       |         ${shuffleKeySql("doc_id")} AS skey,
+       |         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+       |              AS UBIGINT) AS INT) AS bucket
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM t),
+       |c AS (SELECT doc_id, source, w,
+       |             CAST(sum(w) OVER (ORDER BY bucket, skey, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS BIGINT) AS cum
+       |      FROM t)
+       |SELECT doc_id, source, w AS n_chars,
+       |       CAST((cum * $PpsK) // tot.total
+       |         - ((cum - w) * $PpsK) // tot.total AS BIGINT) AS times_picked
+       |FROM c, tot
+       |WHERE (cum * $PpsK) // tot.total
+       |        - ((cum - w) * $PpsK) // tot.total >= 1
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
-    "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)))
+    "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
+    "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
-    "token_budget_sample" -> tokenBudgetSampleSql)
+    "token_budget_sample" -> tokenBudgetSampleSql,
+    "weighted_sample_pps" -> weightedSamplePpsSql)
 }

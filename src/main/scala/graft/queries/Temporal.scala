@@ -832,6 +832,202 @@ object Temporal {
        |FROM t JOIN c ON c.cum_before < t.r AND t.r <= c.cum_before + c.cnt, s
        |ORDER BY p""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Hourly gap fill (time-series regularization)
+  // --------------------------------------------------------------------
+
+  /** Hourly GAP FILL with forward fill — regularize each user's event
+    * stream onto an hourly grid from their first to last event hour,
+    * carrying the last observed `value` across silent hours (the
+    * resample/ffill step every time-series feature pipeline runs before
+    * windowed models; cf. pandas `resample('1h').ffill()`).
+    *
+    * Three keyed passes, no corpus-wide state: (1) last observation per
+    * (user, hour) via a row_number window; (2) per-user span → hourly
+    * grid via `sequence` + `explode` (grid rows = users × span-hours —
+    * the output's own size, nothing amplifies beyond it); (3) forward
+    * fill with `last(ignoreNulls)` over an UNBOUNDED-PRECEDING growing
+    * frame (incremental per CLAUDE.md — no O(rows × frame) re-scan).
+    * Every shuffle keys on user_id; a 100 TB corpus distributes by user
+    * with one carried row of state per user, same as the as-of merge.
+    * A user with a years-long span emits years × 24 grid rows — that is
+    * the operator's contract (the grid IS the output), not a blow-up. */
+  def eventsGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val wHr = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perHour = ev
+      .withColumn("rk", row_number().over(wHr))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("obs_value"),
+        lit(1).as("m"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val wFill = Window.partitionBy("user_id").orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "hour"), "left")
+      .withColumn("filled_value",
+        last(col("obs_value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("hour"),
+        col("m").isNotNull.as("observed"), col("filled_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  val eventsGapFillSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, value,
+      |                  date_trunc('hour', ts) AS hour FROM events),
+      |l AS (SELECT user_id, hour, value AS obs_value,
+      |             row_number() OVER (PARTITION BY user_id, hour
+      |                                ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM e),
+      |o AS (SELECT user_id, hour, obs_value, 1 AS m FROM l WHERE rk = 1),
+      |g AS (SELECT user_id,
+      |             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |      FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |            FROM e GROUP BY user_id))
+      |SELECT g.user_id, g.hour, o.m IS NOT NULL AS observed,
+      |       last_value(o.obs_value IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.hour = g.hour
+      |ORDER BY g.user_id, g.hour""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Binned range join (interval × point, no equi key)
+  // --------------------------------------------------------------------
+
+  private val BurstWindowUs: Long = 30L * 60 * 1000000 // 30 minutes
+
+  /** RANGE JOIN, binned: count (and sum) the purchases falling inside
+    * each 30-minute error window [ts_err, ts_err + 30 min) — "what did
+    * the incident cost us", an interval × point join with NO equi key.
+    *
+    * Naively this is a theta join: Spark plans a broadcast-nested-loop /
+    * cartesian over |errors| × |purchases| — the canonical scale-killer.
+    * The binned rewrite turns it into an EQUI join: quantize time into
+    * bins of exactly the window length (so each interval spans ≤ 2 bins),
+    * explode each interval to its ≤ 2 bins, key each purchase by its own
+    * bin, hash-join on the bin, then apply the exact [t0, t1) predicate.
+    * A purchase's bin is unique, so no dedup pass is needed. Pair work
+    * drops from |iv| × |pt| to the co-binned pairs only (~|pt| × 2 ×
+    * occupancy); the join shuffles on the bin key like any other hash
+    * join, so 100 TB distributes normally. A flash-crowd bin (skew) is
+    * an AQE skew-join split, same as any hot key; bin width always equals
+    * the window length, so the ≤ 2-bins invariant holds by construction.
+    * Integer micros throughout ([[Det]] discipline): bins via BIGINT DIV,
+    * cents sums exact. */
+  def rangeJoinBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("burst_id"), col("ts_us").as("t0"),
+        (col("ts_us") + lit(BurstWindowUs)).as("t1"))
+    val ivBins = iv.select(col("burst_id"), col("t0"), col("t1"),
+      explode(sequence(expr(s"t0 DIV $BurstWindowUs"),
+        expr(s"t1 DIV $BurstWindowUs"))).as("bin"))
+    val pt = ev.filter(col("event_type") === "purchase")
+      .select(col("ts_us").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr(s"ts_us DIV $BurstWindowUs").as("bin"))
+    val hits = pt.join(ivBins, "bin")
+      .filter(col("p_ts") >= col("t0") && col("p_ts") < col("t1"))
+      .groupBy("burst_id")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+    iv.join(hits, Seq("burst_id"), "left")
+      .select(col("burst_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("cents").cast("double") / 100, lit(0.0)).as("val_sum"))
+      .orderBy("burst_id")
+  }
+
+  /** Oracle: the plain theta join — DuckDB's IEJoin affords it at oracle
+    * scale; hash-matching proves the binned rewrite loses/duplicates no
+    * pair. */
+  val rangeJoinBurstsSql: String =
+    s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+       |           FROM events),
+       |iv AS (SELECT event_id AS burst_id, ts_us AS t0,
+       |              ts_us + $BurstWindowUs AS t1
+       |       FROM e WHERE event_type = 'error'),
+       |p AS (SELECT ts_us AS p_ts, CAST(round(value * 100) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT iv.burst_id, count(p.p_ts) AS n_purchases,
+       |       COALESCE(CAST(sum(p.cents) AS DOUBLE) / 100, 0.0) AS val_sum
+       |FROM iv LEFT JOIN p ON p.p_ts >= iv.t0 AND p.p_ts < iv.t1
+       |GROUP BY iv.burst_id
+       |ORDER BY burst_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Interval union (overlap-merged active time)
+  // --------------------------------------------------------------------
+
+  /** INTERVAL UNION per user: treat every event as a [ts, ts + 30 min)
+    * activity interval, merge overlapping/touching intervals
+    * (gaps-and-islands), and report each user's island count and total
+    * active time — the dwell-time/uptime readout that double-counting
+    * naive sums get wrong.
+    *
+    * One window pass per user: running max of interval ends over the
+    * strictly-preceding frame marks island starts (t0 > max end so far),
+    * a growing-frame cumsum numbers the islands, then two keyed aggs
+    * (per island, per user). All frames are UNBOUNDED-PRECEDING growing
+    * frames — incremental, never O(rows × frame). Everything shuffles on
+    * user_id; state per user is one running max. Pure int64 micros —
+    * exact on both engines. Touching intervals (t0 == prior end) merge:
+    * activity is half-open, so they are contiguous. */
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t0").asc, col("event_id").asc)
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) + lit(BurstWindowUs)).as("t1"))
+    ev.withColumn("prev_max_end",
+        max("t1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("t0") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("t0").as("s"), max("t1").as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("active_us"))
+      .select(col("user_id"), col("n_islands"), col("active_us"),
+        (col("active_us").cast("double") / 60000000d).as("active_min"))
+      .orderBy("user_id")
+  }
+
+  val intervalUnionSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t0,
+       |                  epoch_us(ts) + $BurstWindowUs AS t1
+       |           FROM events),
+       |m AS (SELECT user_id, event_id, t0, t1,
+       |             max(t1) OVER (PARTITION BY user_id ORDER BY t0, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |               AS prev_max_end
+       |      FROM e),
+       |i AS (SELECT user_id, t0, t1,
+       |             sum(CASE WHEN prev_max_end IS NULL OR t0 > prev_max_end
+       |                      THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY user_id ORDER BY t0, event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS island
+       |      FROM m),
+       |s AS (SELECT user_id, island, min(t0) AS s, max(t1) AS e
+       |      FROM i GROUP BY user_id, island)
+       |SELECT user_id, count(*) AS n_islands,
+       |       CAST(sum(e - s) AS BIGINT) AS active_us,
+       |       CAST(sum(e - s) AS DOUBLE) / 60000000 AS active_min
+       |FROM s GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -848,6 +1044,9 @@ object Temporal {
     "session_paths"     -> ((s, d) => sessionPaths(s, d)),
     "events_cms_topk"   -> ((s, d) => eventsCmsTopk(s, d)),
     "events_value_quantiles" -> ((s, d) => eventsValueQuantiles(s, d)),
+    "events_gap_fill"   -> ((s, d) => eventsGapFill(s, d)),
+    "range_join_bursts" -> ((s, d) => rangeJoinBursts(s, d)),
+    "interval_union"    -> ((s, d) => intervalUnion(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +1067,8 @@ object Temporal {
     "session_paths"     -> sessionPathsSql,
     "events_cms_topk"   -> eventsCmsTopkSql,
     "events_value_quantiles" -> eventsValueQuantilesSql,
+    "events_gap_fill"   -> eventsGapFillSql,
+    "range_join_bursts" -> rangeJoinBurstsSql,
+    "interval_union"    -> intervalUnionSql,
   )
 }
