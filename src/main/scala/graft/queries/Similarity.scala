@@ -415,6 +415,310 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // Hard-negative mining (contrastive training pairs)
+  // --------------------------------------------------------------------
+
+  /** HARD-NEGATIVE MINING: for every vector, its top-[[KnnK]] most
+    * similar neighbors with a DIFFERENT label — the contrastive-pair
+    * miner behind embedding-model training ("the negatives that look
+    * like positives teach the most"; cf. sentence-transformers hard
+    * negatives, FaceNet semi-hard mining).
+    *
+    * Same substrate as [[knnGraph]]: sign-LSH bucket self-join →
+    * DISTINCT undirected candidate pairs (cost tracks bucket occupancy,
+    * never n²), labels joined BEFORE scoring so same-label pairs never
+    * pay the cosine, each surviving pair scored once and emitted both
+    * directions, per-anchor top-k via the bounded [[TopScoresAgg]]
+    * (O(k) state — no corpus-sized window). Sparse-output semantics as
+    * [[knnGraph]]: anchors with no cross-label bucket mate emit
+    * nothing. At 100 TB the label frame is corpus-sized — it joins on
+    * vec_id (co-keyed hash join), never broadcasts. */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val all = vecs(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val sigs = signatures(spark, all)
+    val pairs = sigs.select(col("t"), col("sig"), col("vec_id").as("va"))
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("vb")),
+        Seq("t", "sig"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+      .join(labels.select(col("vec_id").as("va"), col("label").as("la")), "va")
+      .join(labels.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
+      .filter(col("la") =!= col("lb"))
+    val nv = all.select(col("vec_id"), col("v"), col("norm"))
+    val scoredPairs = pairs
+      .join(nv.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("norm").as("na")), "va")
+      .join(nv.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("norm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
+          * 1e6 + 0.5).as("score_u"))
+    val directed = scoredPairs
+      .select(col("va").as("qid"), col("vb").as("vec_id"), col("score_u"))
+      .union(scoredPairs.select(col("vb").as("qid"), col("va").as("vec_id"),
+        col("score_u")))
+    topKScored(spark, directed, k)
+      .withColumnRenamed("vec_id", "negative")
+      .withColumnRenamed("qid", "vec_id")
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("negative"),
+        col("label").as("neg_label")), "negative")
+      .select(col("vec_id"), col("label"), col("rank"), col("negative"),
+        col("neg_label"), (col("score_u").cast("double") / 1e6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** DuckDB twin of [[hardNegatives]] — the [[knnGraphSql]] chain with
+    * the label anti-filter applied before scoring. */
+  val hardNegativesSql: String =
+    s"""WITH RECURSIVE
+       |$lshSigChainSql,
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |pr AS (SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
+       |       FROM sigs sa JOIN sigs sb
+       |         ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
+       |pf AS (SELECT p.va, p.vb FROM pr p
+       |       JOIN lbl x ON x.vec_id = p.va
+       |       JOIN lbl y ON y.vec_id = p.vb
+       |       WHERE x.label <> y.label),
+       |sc AS (SELECT p.va, p.vb,
+       |              CAST(floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+       |                         * 1e6 + 0.5) AS BIGINT) AS score_u
+       |       FROM pf p JOIN n a ON a.vec_id = p.va
+       |                 JOIN n b ON b.vec_id = p.vb),
+       |dr AS (SELECT va AS vec_id, vb AS negative, score_u FROM sc
+       |       UNION ALL
+       |       SELECT vb, va, score_u FROM sc),
+       |rk AS (SELECT vec_id, negative, score_u,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY score_u DESC, negative ASC) AS rank
+       |       FROM dr)
+       |SELECT r.vec_id, x.label, CAST(r.rank AS INT) AS rank, r.negative,
+       |       y.label AS neg_label, CAST(r.score_u AS DOUBLE) / 1e6 AS cosine
+       |FROM rk r JOIN lbl x ON x.vec_id = r.vec_id
+       |          JOIN lbl y ON y.vec_id = r.negative
+       |WHERE r.rank <= $KnnK
+       |ORDER BY r.vec_id, r.rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Neighborhood coherence (kNN-smoothed consistency score)
+  // --------------------------------------------------------------------
+
+  /** NEIGHBORHOOD COHERENCE: cosine between each vector and the MEAN of
+    * its [[knnGraph]] neighbors — the local-consistency score curation
+    * uses to flag noisy/mislabeled embeddings (a vector pointing away
+    * from its own neighborhood is suspect; the 1-hop GNN aggregation
+    * readout).
+    *
+    * All-integer construction: components integerise to micros
+    * (|x| ≤ ~0.53 → ≤ 5.3e5), the neighbor-mean keeps its integer
+    * NUMERATOR (Σ over ≤ k neighbors — the /k and the /1e6 cancel in
+    * the cosine), so dot/norms are exact int64 sums (≤ ~1.6e14 over 64
+    * dims, double-exact) and the final divide/sqrt is the same literal
+    * expression on both engines. Shape: kNN edges (bucket-occupancy
+    * cost) → explode to (vec_id, dim) — 64·k rows per vector, keyed
+    * shuffles only — two grouped aggs, one keyed join. Sparse-output
+    * semantics as [[knnGraph]] (isolates emit nothing). */
+  def knnCoherence(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val all = vecs(spark, sfDir)
+    val edges = knnEdges(spark, sfDir, k).select(col("vec_id"), col("neighbor"))
+    val comps = all
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * 1e6 + 0.5).cast("long").as("cu"))
+    val msum = edges
+      .join(comps.withColumnRenamed("vec_id", "neighbor"), "neighbor")
+      .groupBy("vec_id", "dim").agg(sum("cu").as("mnum"))
+    val nN = edges.groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+    comps.join(msum, Seq("vec_id", "dim"))
+      .groupBy("vec_id")
+      .agg(sum(col("cu") * col("mnum")).as("dot_im"),
+        sum(col("cu") * col("cu")).as("sx"),
+        sum(col("mnum") * col("mnum")).as("sm"))
+      .join(nN, "vec_id")
+      .select(col("vec_id"), col("n_neighbors"),
+        Det.r(when(col("sx") > 0 && col("sm") > 0,
+          col("dot_im").cast("double") /
+            (sqrt(col("sx").cast("double")) * sqrt(col("sm").cast("double")))), 6)
+          .as("coherence"))
+      .orderBy("vec_id")
+  }
+
+  val knnCoherenceSql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |ed AS (SELECT vec_id, neighbor FROM rk WHERE rank <= $KnnK),
+       |cp0 AS (SELECT vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x FROM n),
+       |cp AS (SELECT vec_id, dim, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS cu
+       |       FROM cp0),
+       |ms AS (SELECT e.vec_id, c.dim, CAST(sum(c.cu) AS BIGINT) AS mnum
+       |       FROM ed e JOIN cp c ON c.vec_id = e.neighbor
+       |       GROUP BY e.vec_id, c.dim),
+       |nn AS (SELECT vec_id, count(*) AS n_neighbors FROM ed GROUP BY vec_id),
+       |ag AS (SELECT c.vec_id,
+       |              CAST(sum(c.cu * m.mnum) AS BIGINT) AS dot_im,
+       |              CAST(sum(c.cu * c.cu) AS BIGINT) AS sx,
+       |              CAST(sum(m.mnum * m.mnum) AS BIGINT) AS sm
+       |       FROM cp c JOIN ms m ON m.vec_id = c.vec_id AND m.dim = c.dim
+       |       GROUP BY c.vec_id)
+       |SELECT a.vec_id, nn.n_neighbors,
+       |       ${Det.rSql(
+              "CASE WHEN a.sx > 0 AND a.sm > 0 THEN CAST(a.dot_im AS DOUBLE) " +
+              "/ (sqrt(CAST(a.sx AS DOUBLE)) * sqrt(CAST(a.sm AS DOUBLE))) END", 6)}
+       |         AS coherence
+       |FROM ag a JOIN nn ON nn.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // MMR diversified re-rank
+  // --------------------------------------------------------------------
+
+  private val MmrR = 20
+  private val MmrK = 5
+
+  /** MMR DIVERSIFIED TOP-K (Carbonell & Goldstein 1998): exact top-
+    * [[MmrR]] shortlist per query, then greedy Maximal-Marginal-
+    * Relevance selection of [[MmrK]] results — score = λ·rel −
+    * (1−λ)·max-sim-to-already-selected with λ = 0.7 — the search-result
+    * diversifier every production retrieval stack runs after ANN.
+    *
+    * Scale shape: the corpus is touched ONLY by the shortlist stage
+    * (broadcast query set × corpus scan → bounded [[TopScoresAgg]], the
+    * same O(k)-state shape as the PQ family); the greedy stage sees
+    * |Q|·R rows with their vectors — groupByKey(qid) over R-row groups,
+    * O(R²) pair sims per query computed in-task. R and |Q| are the
+    * knobs; nothing downstream of the shortlist is corpus-sized.
+    *
+    * Determinism: relevance and pair sims integerise to micros (the
+    * ascending-fold dot matches list_dot_product), the MMR score is
+    * 7·rel_u − 3·max_sim_u (λ in tenths — pure int64), ties break
+    * vec_id ASC, and the empty-selection penalty is 0 by convention.
+    * The oracle unrolls the [[MmrK]] greedy steps as CTEs. */
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, sfDir)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        floor(dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))
+          * 1e6 + 0.5).cast("long").as("score_u"))
+    val shortlist = topKScored(spark, scored, MmrR)
+    val cand = shortlist.join(all, "vec_id")
+      .select(col("qid"), col("vec_id"), col("score_u"), col("v"), col("norm"))
+    val picks = MmrK
+    cand.as[(Long, Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double], Double)]) =>
+        // rel desc, id asc — the deterministic candidate order
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val nc = cs.length
+        val vsArr = cs.map(_._4.toArray)
+        val sim = Array.ofDim[Long](nc, nc)
+        var i = 0
+        while (i < nc) {
+          var j = i + 1
+          while (j < nc) {
+            val vi = vsArr(i); val vj = vsArr(j)
+            var acc = 0.0; var d = 0
+            while (d < vi.length) { acc += vi(d) * vj(d); d += 1 }
+            val s = math.floor(acc / (cs(i)._5 * cs(j)._5) * 1e6 + 0.5).toLong
+            sim(i)(j) = s; sim(j)(i) = s
+            j += 1
+          }
+          i += 1
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val picked = new Array[Boolean](nc)
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long, Double)]
+        var r = 1
+        while (r <= math.min(picks, nc)) {
+          var best = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+          var c = 0
+          while (c < nc) {
+            if (!picked(c)) {
+              var maxSim = if (selected.isEmpty) 0L else Long.MinValue
+              selected.foreach { s => if (sim(c)(s) > maxSim) maxSim = sim(c)(s) }
+              val sc = 7L * cs(c)._3 - 3L * maxSim
+              if (sc > bestScore || (sc == bestScore && cs(c)._2 < bestId)) {
+                best = c; bestScore = sc; bestId = cs(c)._2
+              }
+            }
+            c += 1
+          }
+          picked(best) = true; selected += best
+          res += ((qid, r, cs(best)._2, bestScore, cs(best)._3.toDouble / 1e6))
+          r += 1
+        }
+        res.iterator
+      }
+      .toDF("qid", "rank", "vec_id", "mmr_u", "cosine")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("mmr_u").cast("double") / 1e7).as("mmr"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[mmrDiversify]] — shortlist + pair sims, then the
+    * greedy selection unrolled: step i picks argmax(7·rel − 3·max sim
+    * to sel_{i−1}), sel_i = sel_{i−1} ∪ {pick}. */
+  val mmrDiversifySql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""m$i AS (SELECT c.qid, c.vec_id, c.rel_u, max(p.sim_u) AS ms
+         |        FROM cand c
+         |        JOIN ps p ON p.qid = c.qid AND p.ca = c.vec_id
+         |        JOIN sel${i - 1} s ON s.qid = p.qid AND s.vec_id = p.cb
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+         |                          WHERE z.qid = c.qid AND z.vec_id = c.vec_id)
+         |        GROUP BY c.qid, c.vec_id, c.rel_u),
+         |s$i AS (SELECT qid, vec_id, mmr_u FROM (
+         |          SELECT qid, vec_id, 7 * rel_u - 3 * ms AS mmr_u,
+         |                 row_number() OVER (PARTITION BY qid
+         |                   ORDER BY 7 * rel_u - 3 * ms DESC, vec_id ASC) AS rn
+         |          FROM m$i) WHERE rn = 1),
+         |sel$i AS (SELECT qid, vec_id FROM sel${i - 1}
+         |          UNION ALL SELECT qid, vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val finalUnion = (1 to MmrK)
+      .map(i => s"SELECT qid, $i AS rank, vec_id, mmr_u FROM s$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |sc AS (SELECT qid, vec_id,
+       |              CAST(floor(list_dot_product(v, qv) / (norm * qnorm)
+       |                         * 1e6 + 0.5) AS BIGINT) AS rel_u
+       |       FROM n JOIN q ON vec_id <> qid),
+       |cand AS (SELECT qid, vec_id, rel_u FROM (
+       |           SELECT qid, vec_id, rel_u,
+       |                  row_number() OVER (PARTITION BY qid
+       |                    ORDER BY rel_u DESC, vec_id ASC) AS rn
+       |           FROM sc) WHERE rn <= $MmrR),
+       |ps AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+       |              CAST(floor(list_dot_product(x.v, y.v) / (x.norm * y.norm)
+       |                         * 1e6 + 0.5) AS BIGINT) AS sim_u
+       |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |       JOIN n x ON x.vec_id = a.vec_id
+       |       JOIN n y ON y.vec_id = b.vec_id),
+       |s1 AS (SELECT qid, vec_id, 7 * rel_u AS mmr_u FROM (
+       |         SELECT qid, vec_id, rel_u,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY rel_u DESC, vec_id ASC) AS rn
+       |         FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT qid, vec_id FROM s1),
+       |$steps,
+       |allp AS ($finalUnion)
+       |SELECT a.qid, CAST(a.rank AS INT) AS rank, a.vec_id,
+       |       CAST(a.mmr_u AS DOUBLE) / 1e7 AS mmr,
+       |       CAST(c.rel_u AS DOUBLE) / 1e6 AS cosine
+       |FROM allp a JOIN cand c ON c.qid = a.qid AND c.vec_id = a.vec_id
+       |ORDER BY a.qid, a.rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // IVF (inverted-file) ANN
   // --------------------------------------------------------------------
 
@@ -1757,6 +2061,9 @@ object Similarity {
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
+    "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
+    "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1777,5 +2084,8 @@ object Similarity {
     "knn_graph" -> knnGraphSql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,
+    "hard_negatives" -> hardNegativesSql,
+    "knn_coherence" -> knnCoherenceSql,
+    "mmr_diversify" -> mmrDiversifySql,
   )
 }
