@@ -57,7 +57,8 @@ object ScaleProbe {
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
-    "label_propagation")
+    "label_propagation",
+    "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -70,7 +71,8 @@ object ScaleProbe {
     "events_error_context", "json_events", "user_retention",
     "events_rolling_24h", "events_pivot_daily", "events_zscore",
     "session_paths", "events_csv", "events_jsonl", "events_orc",
-    "events_cms_topk", "events_value_quantiles")
+    "events_cms_topk", "events_value_quantiles",
+    "events_gap_fill", "range_join_bursts", "interval_union")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -84,7 +86,7 @@ object ScaleProbe {
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
-    "part_pagerank", "triangle_count")
+    "part_pagerank", "triangle_count", "fuzzy_join_parts")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -137,6 +137,14 @@ object SparkEntry {
         a.getOrElse("iters", "3").toInt,
         a.getOrElse("k", "3").toInt,
         a.getOrElse("mask_mod", "4").toInt)),
+    "fuzzy_join_parts" -> ((s, d, a) =>
+      Relational.fuzzyJoinParts(s, d, a.getOrElse("max_dist", "2").toInt)),
+    "weighted_sample_pps" -> ((s, d, a) =>
+      Curation.weightedSamplePps(s, d, a.getOrElse("k", "50").toLong)),
+    "hard_negatives" -> ((s, d, a) =>
+      Similarity.hardNegatives(s, d, a.getOrElse("k", "3").toInt)),
+    "knn_coherence" -> ((s, d, a) =>
+      Similarity.knnCoherence(s, d, a.getOrElse("k", "3").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -609,4 +609,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     val maxCum = rows.map(_.getAs[Long]("cum_tokens")).max
     assert(maxCum == rows.map(_.getAs[Long]("n_tokens")).sum)
   }
+
+  test("round-8 operators degrade to empty output on empty tables") {
+    // empty documents/embeddings: sampler (zero total weight short-
+    // circuits), and the three LSH-substrate vector ops
+    assert(queries.Curation.weightedSamplePps(spark, empty).count() == 0)
+    assert(queries.Similarity.hardNegatives(spark, empty).count() == 0)
+    assert(queries.Similarity.knnCoherence(spark, empty).count() == 0)
+    assert(queries.Similarity.mmrDiversify(spark, empty).count() == 0)
+    // empty events: grid, range join, and interval union all vanish
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_noevents8").getAbsolutePath
+    Tables.eventsTs(spark, TestSpark.sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(queries.Temporal.eventsGapFill(spark, dir).count() == 0)
+    assert(queries.Temporal.rangeJoinBursts(spark, dir).count() == 0)
+    assert(queries.Temporal.intervalUnion(spark, dir).count() == 0)
+    // empty part table: the fuzzy join sees no blocks
+    val pdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_nopart").getAbsolutePath
+    Tables.part(spark, TestSpark.sf).limit(0)
+      .write.mode("overwrite").parquet(s"$pdir/part.parquet")
+    assert(queries.Relational.fuzzyJoinParts(spark, pdir).count() == 0)
+  }
 }

@@ -634,4 +634,141 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(df.collect().length == 3)  // O/F/P orderstatus
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("events_gap_fill: contiguous hourly grid, observed hours carry raw values") {
+    val rows = queries.Temporal.eventsGapFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val raw = Tables.eventsTs(spark, sf)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"),
+        countDistinct("hour").as("nObs"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getAs[Long]("nObs"))).toMap
+    assert(byUser.keySet == raw.keySet)
+    byUser.foreach { case (u, rs) =>
+      val (h0, h1, nObs) = raw(u)
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      // exactly one row per hour in [h0, h1], stepping 3600s
+      assert(hours.head == h0.getTime && hours.last == h1.getTime)
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+        s"user $u grid has gaps or duplicates")
+      // observed flags match the distinct raw hours; first hour observed
+      assert(rs.count(_.getAs[Boolean]("observed")) == nObs)
+      val first = rs.minBy(_.getTimestamp(1).getTime)
+      assert(first.getAs[Boolean]("observed"))
+      // forward fill: after the first hour, filled_value is never null
+      assert(rs.forall(r => !r.isNullAt(r.fieldIndex("filled_value"))))
+    }
+  }
+
+  test("range_join_bursts: binned equi-join == unbinned theta join") {
+    import spark.implicits._
+    val got = queries.Temporal.rangeJoinBursts(spark, sf)
+      .as[(Long, Long, Double)].collect().toMap2
+    // naive theta join, computed independently (BNLJ is fine at spec scale)
+    val ev = Tables.eventsTs(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value")).collect()
+    val win = 30L * 60 * 1000000
+    val purchases = ev.filter(_.getString(1) == "purchase")
+      .map(r => (r.getLong(2), math.round(r.getDouble(3) * 100)))
+    val naive = ev.filter(_.getString(1) == "error").map { e =>
+      val t0 = e.getLong(2)
+      val in = purchases.filter(p => p._1 >= t0 && p._1 < t0 + win)
+      e.getLong(0) -> ((in.length.toLong, in.map(_._2).sum.toDouble / 100))
+    }.toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (id, (n, v)) =>
+      assert(got(id)._1 == n, s"burst $id count")
+      assert(math.abs(got(id)._2 - v) < 1e-9, s"burst $id sum")
+    }
+    assert(naive.values.exists(_._1 > 0), "fixture should have non-empty bursts")
+    assert(naive.values.exists(_._1 == 0), "fixture should have empty bursts")
+  }
+
+  test("interval_union: matches an in-memory sweep merge; bounds hold") {
+    val got = queries.Temporal.intervalUnion(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("active_us"))).toMap
+    val win = 30L * 60 * 1000000
+    val byUser = Tables.eventsTs(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t0")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, ts) =>
+      val sorted = ts.map(_._2).sorted
+      var islands = 0L; var active = 0L
+      var curS = -1L; var curE = -1L
+      sorted.foreach { t =>
+        if (curE < 0 || t > curE) {
+          if (curE >= 0) active += curE - curS
+          islands += 1; curS = t; curE = t + win
+        } else curE = math.max(curE, t + win)
+      }
+      if (curE >= 0) active += curE - curS
+      assert(got(u) == ((islands, active)), s"user $u")
+      // bounds: merged time never exceeds the naive sum, never undercuts
+      // one window, and islands <= events
+      assert(active <= sorted.length * win && active >= win)
+      assert(islands <= sorted.length)
+    }
+  }
+
+  test("weighted_sample_pps: exactly K tickets, PPS inclusion recomputes") {
+    val rows = queries.Curation.weightedSamplePps(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("times_picked")).sum == 50L)
+    assert(rows.forall(_.getAs[Long]("n_chars")  > 0))
+    // recompute the systematic sweep from scratch: md5-permuted order,
+    // integer cumsum, ticket crossings
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("skey"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast("int").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(d => (d._4, d._3, d._1))
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val expect = docs.flatMap { case (id, w, _, _) =>
+      val before = cum; cum += w
+      val picks = (cum * 50) / total - (before * 50) / total
+      if (picks >= 1) Some(id -> picks) else None
+    }.toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("times_picked")).toMap == expect)
+  }
+
+  test("fuzzy_join_parts: band blocking is lossless vs the unblocked join") {
+    import spark.implicits._
+    val got = queries.Relational.fuzzyJoinParts(spark, sf)
+      .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect().toSet
+    // unblocked within-brand join recomputed independently
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = parts.values.flatMap { ps =>
+      ps.toSeq.flatMap { a =>
+        ps.toSeq.filter(b => a._1 < b._1)
+          .map(b => (a._1, b._1, lev(a._3, b._3)))
+          .filter(_._3 <= 2)
+      }
+    }.toSet
+    assert(got == naive)
+    assert(got.nonEmpty && got.forall(_._3 <= 2))
+  }
+
+  private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }

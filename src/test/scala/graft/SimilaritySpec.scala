@@ -337,4 +337,84 @@ class SimilaritySpec extends AnyFunSuite {
     assert(masked.forall(r => !r.isNullAt(r.fieldIndex("pred_label"))))
     assert(masked.forall(_.getAs[Boolean]("correct")))
   }
+
+  test("hard_negatives: every negative is cross-label, ranked by cosine") {
+    val rows = queries.Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("label") != r.getAs[Int]("neg_label")))
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("negative")))
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"anchor $v")
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+    }
+    // cross-label really bites: some anchor's top knn_graph neighbor is
+    // same-label and must be absent here (else the filter is vacuous)
+    val knn1 = queries.Similarity.knnGraph(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"))).toMap
+    val hn = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("negative"))).toSet
+    assert(knn1.exists { case (v, n) => !hn.contains((v, n)) })
+  }
+
+  test("knn_coherence: bounded cosine, neighbor counts, spot recompute") {
+    val rows = queries.Similarity.knnCoherence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_neighbors") >= 1 && r.getAs[Long]("n_neighbors") <= 3)
+      if (!r.isNullAt(r.fieldIndex("coherence"))) {
+        val c = r.getAs[Double]("coherence")
+        assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6)
+      }
+    }
+    // exactly the knn_graph node set (same edges, sparse semantics)
+    val knnNodes = queries.Similarity.knnGraph(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == knnNodes)
+    // spot recompute one vector from its own edges + raw embeddings
+    val edges = queries.Similarity.knnGraph(spark, sf).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    val someV = edges.keys.min
+    val nbrs = edges(someV).map(_.getAs[Long]("neighbor")).toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val xu = vecs(someV).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val mnum = nbrs.toSeq.map(vecs).map(_.map(x =>
+      math.floor(x.toDouble * 1e6 + 0.5).toLong))
+      .transpose.map(_.sum).toArray
+    val dot = xu.zip(mnum).map { case (a, b) => a * b }.sum.toDouble
+    val exp = dot / (math.sqrt(xu.map(a => a * a).sum.toDouble) *
+      math.sqrt(mnum.map(a => a * a).sum.toDouble))
+    val got = rows.find(_.getAs[Long]("vec_id") == someV).get.getAs[Double]("coherence")
+    assert(math.abs(got - math.floor(exp * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("mmr_diversify: picks from the exact shortlist, rank-1 is argmax relevance") {
+    val rows = queries.Similarity.mmrDiversify(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    val top20 = queries.Similarity.bruteForceTopK(spark, sf, 20).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    val top1 = top20.map { case (q, rs) =>
+      q -> rs.minBy(_.getAs[Int]("rank")).getAs[Long]("vec_id") }
+    byQ.foreach { case (q, rs) =>
+      val picks = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+      assert(picks.length == 5 && picks.distinct.length == 5, s"qid $q")
+      // subset of the exact top-20 shortlist
+      val pool = top20(q).map(_.getAs[Long]("vec_id")).toSet
+      assert(picks.forall(pool.contains), s"qid $q picked outside shortlist")
+      // greedy step 1 has no penalty: pure relevance argmax
+      assert(picks.head == top1(q), s"qid $q rank-1")
+    }
+    // diversification must actually reorder at least one query vs plain top-5
+    val plain5 = top20.map { case (q, rs) =>
+      q -> rs.filter(_.getAs[Int]("rank") <= 5).map(_.getAs[Long]("vec_id")).toSet }
+    assert(byQ.exists { case (q, rs) =>
+      rs.map(_.getAs[Long]("vec_id")).toSet != plain5(q) },
+      "MMR output identical to undiversified top-5 on every query")
+  }
 }
