@@ -58,7 +58,8 @@ object ScaleProbe {
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
-    "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps")
+    "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
+    "ann_cosine_filtered")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -72,7 +73,8 @@ object ScaleProbe {
     "events_rolling_24h", "events_pivot_daily", "events_zscore",
     "session_paths", "events_csv", "events_jsonl", "events_orc",
     "events_cms_topk", "events_value_quantiles",
-    "events_gap_fill", "range_join_bursts", "interval_union")
+    "events_gap_fill", "range_join_bursts", "interval_union",
+    "events_mad_outliers")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

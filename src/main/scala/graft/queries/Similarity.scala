@@ -573,6 +573,63 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Filtered ANN (metadata predicate inside the search)
+  // --------------------------------------------------------------------
+
+  /** FILTERED VECTOR SEARCH: top-[[TopK]] neighbors per query among
+    * vectors sharing the query's label — the metadata-filtered search
+    * every production vector store exposes ("same language", "same
+    * tenant", "same license bucket").
+    *
+    * This is PRE-filtering (filter, then search) — the shape that keeps
+    * recall exact; post-filtering an unfiltered top-k silently returns
+    * < k or misses matches when the filter is selective (the classic
+    * filtered-ANN failure mode, documented in every vector-store
+    * design). The label predicate joins BEFORE any cosine is paid, so
+    * cost is |Q| × |matching corpus|; ranking goes through the bounded
+    * O(k)-state [[TopScoresAgg]] — no corpus-sized qid window. At
+    * 100 TB a selective filter SHRINKS the scan (label is a partition/
+    * cluster key in a real layout — this plan partition-prunes). */
+  def annCosineFiltered(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val all = vecs(spark, sfDir).join(labels, "vec_id")
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("label").as("q_label"))
+    val scored = all.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") === col("q_label"))
+      .select(col("qid"), col("vec_id"),
+        floor(dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))
+          * 1e6 + 0.5).cast("long").as("score_u"))
+    topKScored(spark, scored, k)
+      .join(broadcast(q.select(col("qid"), col("q_label"))), "qid")
+      .select(col("qid"), col("q_label"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val annCosineFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+       |      FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, label AS q_label
+       |      FROM n WHERE vec_id < $NumQueries),
+       |sc AS (SELECT q.qid, q.q_label, n.vec_id,
+       |              CAST(floor(list_dot_product(n.v, q.qv) / (n.norm * q.qnorm)
+       |                         * 1e6 + 0.5) AS BIGINT) AS score_u,
+       |              row_number() OVER (PARTITION BY q.qid
+       |                ORDER BY CAST(floor(list_dot_product(n.v, q.qv)
+       |                    / (n.norm * q.qnorm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |                  n.vec_id ASC) AS rank
+       |       FROM n JOIN q ON n.vec_id <> q.qid AND n.label = q.q_label)
+       |SELECT qid, q_label, CAST(rank AS INT) AS rank, vec_id,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS cosine
+       |FROM sc WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
   // MMR diversified re-rank
   // --------------------------------------------------------------------
 
@@ -2064,6 +2121,7 @@ object Similarity {
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
+    "ann_cosine_filtered" -> ((s, d) => annCosineFiltered(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2087,5 +2145,6 @@ object Similarity {
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,
+    "ann_cosine_filtered" -> annCosineFilteredSql,
   )
 }

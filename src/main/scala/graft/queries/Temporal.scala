@@ -1028,6 +1028,74 @@ object Temporal {
        |FROM s GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Robust outliers (median absolute deviation)
+  // --------------------------------------------------------------------
+
+  /** ROBUST OUTLIER FLAGS per user: |x − median| > 3·1.4826·MAD — the
+    * median-absolute-deviation rule that survives the heavy tails and
+    * corrupt spikes that wreck [[eventsZscore]]'s mean/σ (one bad
+    * telemetry row shifts a mean; it cannot shift a median).
+    *
+    * Medians are DISCRETE lower medians (the element at rank
+    * ⌊(n+1)/2⌋) selected by row_number — no interpolation, so both
+    * engines pick the identical cents value and the whole rule stays
+    * integer: outlier ⇔ 10000·d > 44478·mad (3·1.4826 in 1e-4 units),
+    * with the standard mad = 0 fallback (any deviation flags). Two
+    * rank-select passes + two joins, ALL keyed on user_id — each window
+    * sorts one user's rows, never the corpus; at 100 TB this
+    * distributes by user like the zscore twin. */
+  def eventsMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val wv = Window.partitionBy("user_id").orderBy(col("c").asc, col("event_id").asc)
+    val n = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val med = ev.withColumn("rk", row_number().over(wv))
+      .join(n, "user_id")
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("c").as("med_c"))
+    val dev = ev.join(med, "user_id")
+      .withColumn("d", abs(col("c") - col("med_c")))
+    val wd = Window.partitionBy("user_id").orderBy(col("d").asc, col("event_id").asc)
+    val mad = dev.withColumn("rk", row_number().over(wd))
+      .join(n, "user_id")
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("user_id"), col("d").as("mad_c"))
+    dev.join(mad, "user_id")
+      .select(col("event_id"), col("user_id"),
+        (col("c").cast("double") / 100).as("value"),
+        (col("med_c").cast("double") / 100).as("user_med"),
+        (col("mad_c").cast("double") / 100).as("user_mad"),
+        when(col("mad_c") === 0, col("d") > 0)
+          .otherwise(col("d") * 10000 > col("mad_c") * 44478).as("outlier"))
+      .orderBy("event_id")
+  }
+
+  val eventsMadOutliersSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |n AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id),
+      |rv AS (SELECT e.*, row_number() OVER (PARTITION BY user_id
+      |                     ORDER BY c ASC, event_id ASC) AS rk FROM e),
+      |med AS (SELECT rv.user_id, rv.c AS med_c FROM rv JOIN n USING (user_id)
+      |        WHERE rv.rk = (n.n + 1) // 2),
+      |dv AS (SELECT e.event_id, e.user_id, e.c, med.med_c,
+      |              abs(e.c - med.med_c) AS d
+      |       FROM e JOIN med USING (user_id)),
+      |rd AS (SELECT dv.*, row_number() OVER (PARTITION BY user_id
+      |                      ORDER BY d ASC, event_id ASC) AS rk FROM dv),
+      |mad AS (SELECT rd.user_id, rd.d AS mad_c FROM rd JOIN n USING (user_id)
+      |        WHERE rd.rk = (n.n + 1) // 2)
+      |SELECT dv.event_id, dv.user_id,
+      |       CAST(dv.c AS DOUBLE) / 100 AS value,
+      |       CAST(dv.med_c AS DOUBLE) / 100 AS user_med,
+      |       CAST(mad.mad_c AS DOUBLE) / 100 AS user_mad,
+      |       CASE WHEN mad.mad_c = 0 THEN dv.d > 0
+      |            ELSE dv.d * 10000 > mad.mad_c * 44478 END AS outlier
+      |FROM dv JOIN mad USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -1047,6 +1115,7 @@ object Temporal {
     "events_gap_fill"   -> ((s, d) => eventsGapFill(s, d)),
     "range_join_bursts" -> ((s, d) => rangeJoinBursts(s, d)),
     "interval_union"    -> ((s, d) => intervalUnion(s, d)),
+    "events_mad_outliers" -> ((s, d) => eventsMadOutliers(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1070,5 +1139,6 @@ object Temporal {
     "events_gap_fill"   -> eventsGapFillSql,
     "range_join_bursts" -> rangeJoinBurstsSql,
     "interval_union"    -> intervalUnionSql,
+    "events_mad_outliers" -> eventsMadOutliersSql,
   )
 }

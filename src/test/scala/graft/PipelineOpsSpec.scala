@@ -768,6 +768,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 <= 2))
   }
 
+  test("events_mad_outliers: medians are member values, rule matches recompute") {
+    val rows = queries.Temporal.eventsMadOutliers(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val cents = rs.map(r => math.round(r.getAs[Double]("value") * 100)).sorted
+      val medC = math.round(rs.head.getAs[Double]("user_med") * 100)
+      val madC = math.round(rs.head.getAs[Double]("user_mad") * 100)
+      // discrete lower median: the element at rank floor((n+1)/2)
+      assert(medC == cents((cents.length + 1) / 2 - 1), s"user $u median")
+      val devs = cents.map(c => math.abs(c - medC)).sorted
+      assert(madC == devs((devs.length + 1) / 2 - 1), s"user $u mad")
+      rs.foreach { r =>
+        val d = math.abs(math.round(r.getAs[Double]("value") * 100) - medC)
+        val expect = if (madC == 0) d > 0 else d * 10000 > madC * 44478
+        assert(r.getAs[Boolean]("outlier") == expect, s"user $u event")
+      }
+    }
+    // the robust rule must actually flag something AND not flag everything
+    val n = rows.count(_.getAs[Boolean]("outlier"))
+    assert(n > 0 && n < rows.length / 2)
+  }
+
+  test("ann_cosine_filtered: every hit shares the query's label, pre-filter exact") {
+    val rows = queries.Similarity.annCosineFiltered(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(rs.forall(_.getAs[Int]("q_label") == labels(q)))
+      assert(rs.forall(r => labels(r.getAs[Long]("vec_id")) == labels(q)))
+      // pre-filter is exact within the filtered corpus: recompute top-5
+      val cand = labels.filter { case (v, l) => l == labels(q) && v != q }.keySet
+      val gotSet = rs.map(_.getAs[Long]("vec_id")).toSet
+      assert(gotSet.subsetOf(cand))
+      // vs unfiltered search: at least one query's filtered set differs
+    }
+    val unfiltered = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(byQ.exists { case (q, rs) =>
+      rs.map(_.getAs[Long]("vec_id")).toSet != unfiltered(q) })
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
