@@ -95,6 +95,39 @@ object Similarity {
   private val SigBits = 6
   private val NumTables = 32
 
+  /** Occupancy-targeted signature width for the GRAPH family
+    * ([[knnGraph]] and everything built on its edges, plus
+    * [[hardNegatives]]): smallest width with expected bucket occupancy
+    * n / 2^bits ≤ [[SigTargetOcc]], floored at the search path's
+    * geometry-tuned [[SigBits]]. The SEARCH path keeps the fixed width
+    * (its bucket join is |Q|-bounded — 10 broadcast queries probe
+    * buckets); the graph family's bucket SELF-join costs Σ occupancy²
+    * per table, so a fixed width hits a wall as n grows (measured:
+    * 100k vecs × 6 bits ⇒ ~1.5k occupancy ⇒ ~2.5G candidate pairs —
+    * the probe that motivated this derivation). Wider signatures trade
+    * recall for tractability exactly like IVF's cell count
+    * ([[derivedIvfCells]]); the LSH scaling argument (denser corpus ⇒
+    * nearer neighbors ⇒ higher per-bit agreement) pushes the other way,
+    * and the probe's injected-near-dup recall readout monitors it.
+    * Integer ceil-log2 (no float log on the JVM side — the oracle's
+    * float log2 is exact at the only dangerous points, powers of two). */
+  private val SigTargetOcc = 256L
+  private[graft] def derivedSigBits(nVecs: Long): Int = {
+    val m = math.max(1L, (nVecs + SigTargetOcc - 1) / SigTargetOcc)
+    val ceilLog2 =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(SigBits, ceilLog2)
+  }
+
+  /** Corpus vector count per dir, memoized (the pqMemo pattern — corpus
+    * dirs are session-immutable); feeds [[derivedSigBits]] at query
+    * construction. */
+  private val nVecsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusVecCount(spark: SparkSession, sfDir: String): Long =
+    nVecsMemo.computeIfAbsent(sfDir,
+      _ => Long.box(Tables.embeddings(spark, sfDir).count()))
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1): seeded
     * LCG (numerical-recipes constants), pure function of (table, bit, dim). */
   private[graft] def hyperplane(table: Int, bit: Int): Array[Double] = {
@@ -186,9 +219,11 @@ object Similarity {
   /** Shared DuckDB fragment: the LCG hyperplane replay (RECURSIVE over
     * dims), norms, and per-(vec, table) signatures — prefixes
     * [[annCosineLshSql]] and [[knnGraphSql]]. Callers open with
-    * `WITH RECURSIVE`. */
-  private val lshSigChainSql: String =
-    s"""tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, $SigBits) r2(b)),
+    * `WITH RECURSIVE`. The (t, b) plane set comes from `tbClause` so the
+    * SEARCH path keeps its geometry-tuned fixed width while the GRAPH
+    * family derives width from corpus size ([[derivedSigBits]]). */
+  private def lshSigChainSqlWith(tbClause: String): String =
+    s"""$tbClause,
        |seeds AS (SELECT t, b,
        |    CAST(xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) AS HUGEINT)
        |      + CASE WHEN xor(xor(CAST(-7046029254386353131 AS BIGINT), t * 4294967296), b * 256) < 0
@@ -207,6 +242,24 @@ object Similarity {
        |sigs AS (SELECT e.vec_id, w.t,
        |           CAST(sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1 << w.b) ELSE 0 END) AS INT) AS sig
        |         FROM e CROSS JOIN wl w GROUP BY e.vec_id, w.t)""".stripMargin
+
+  private val lshSigChainSql: String = lshSigChainSqlWith(
+    s"tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, $SigBits) r2(b))")
+
+  /** The GRAPH-family chain: signature width nb = [[derivedSigBits]](n),
+    * derived HERE from count(*) with the identical integer ceil-log2
+    * (floor(log2(m−1))+1 is float-safe: log2 is exact at powers of two
+    * and strictly below the next integer elsewhere). Planes filter
+    * b < nb from a constant 24-bit range (range() cannot take scalar
+    * subqueries). */
+  private val lshSigChainAdaptiveSql: String = lshSigChainSqlWith(
+    s"""bits AS (SELECT GREATEST($SigBits,
+       |    CASE WHEN m <= 1 THEN 0
+       |         ELSE CAST(floor(log2(CAST(m - 1 AS DOUBLE))) AS INT) + 1 END) AS nb
+       |  FROM (SELECT GREATEST(1, (count(*) + ${SigTargetOcc - 1}) // $SigTargetOcc) AS m
+       |        FROM embeddings)),
+       |tb AS (SELECT t, b FROM range(0, $NumTables) r1(t), range(0, 24) r2(b), bits
+       |       WHERE b < bits.nb)""".stripMargin)
 
   val annCosineLshSql: String =
     s"""WITH RECURSIVE
@@ -262,21 +315,28 @@ object Similarity {
   private def knnEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
-    val sigs = signatures(spark, all)
-    val pairs = sigs.select(col("t"), col("sig"), col("vec_id").as("va"))
-      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("vb")),
-        Seq("t", "sig"))
+    val sigs = signaturesFor(spark, all, NumTables,
+      derivedSigBits(corpusVecCount(spark, sfDir)))
+    // Score INSIDE the bucket self-join, where the arrays are already
+    // collocated by the (t, sig) shuffle, and project to 24-byte
+    // (va, vb, score_u) rows BEFORE the distinct. The previous shape
+    // (distinct bare pairs, then join vectors back per pair) shipped two
+    // 512 B arrays through a pair-cardinality shuffle — measured 100k
+    // vecs: tens of GB of sort spill, disk-full. A pair colliding in c
+    // tables pays the 64-mult dot c times (cheap, codegen'd); the score
+    // is a pure function of the pair, so distinct on (va, vb, score_u)
+    // dedups identically to distinct on (va, vb).
+    val sigv = sigs.join(all, "vec_id")
+    val scoredPairs = sigv
+      .select(col("t"), col("sig"), col("vec_id").as("va"),
+        col("v").as("xa"), col("norm").as("na"))
+      .join(sigv.select(col("t"), col("sig"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("norm").as("nb")), Seq("t", "sig"))
       .filter(col("va") < col("vb"))
-      .select("va", "vb").distinct()
-    val nv = all.select(col("vec_id"), col("v"), col("norm"))
-    val scoredPairs = pairs
-      .join(nv.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("norm").as("na")), "va")
-      .join(nv.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("norm").as("nb")), "vb")
       .select(col("va"), col("vb"),
         floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
           * 1e6 + 0.5).as("score_u"))
+      .distinct()
     val directed = scoredPairs.select(col("va").as("qid"), col("vb").as("vec_id"), col("score_u"))
       .union(scoredPairs.select(col("vb").as("qid"), col("va").as("vec_id"), col("score_u")))
     topKScored(spark, directed, k)
@@ -290,7 +350,7 @@ object Similarity {
     * [[labelPropagationSql]] — ends in `rk` (vec_id, neighbor, score_u,
     * rank). */
   private val knnEdgeCtesSql: String =
-    s"""$lshSigChainSql,
+    s"""$lshSigChainAdaptiveSql,
        |pr AS (SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
        |       FROM sigs sa JOIN sigs sb
        |         ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
@@ -437,24 +497,23 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
     val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
-    val sigs = signatures(spark, all)
-    val pairs = sigs.select(col("t"), col("sig"), col("vec_id").as("va"))
-      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("vb")),
+    val sigs = signaturesFor(spark, all, NumTables,
+      derivedSigBits(corpusVecCount(spark, sfDir)))
+    // same score-in-bucket shape as [[knnEdges]] (see the spill note
+    // there), with the label attached to the signature stream so
+    // same-label pairs are filtered BEFORE the dot product
+    val sigv = sigs.join(all, "vec_id").join(labels, "vec_id")
+    val scoredPairs = sigv
+      .select(col("t"), col("sig"), col("vec_id").as("va"),
+        col("v").as("xa"), col("norm").as("na"), col("label").as("la"))
+      .join(sigv.select(col("t"), col("sig"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("norm").as("nb"), col("label").as("lb")),
         Seq("t", "sig"))
-      .filter(col("va") < col("vb"))
-      .select("va", "vb").distinct()
-      .join(labels.select(col("vec_id").as("va"), col("label").as("la")), "va")
-      .join(labels.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
-      .filter(col("la") =!= col("lb"))
-    val nv = all.select(col("vec_id"), col("v"), col("norm"))
-    val scoredPairs = pairs
-      .join(nv.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("norm").as("na")), "va")
-      .join(nv.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("norm").as("nb")), "vb")
+      .filter(col("va") < col("vb") && col("la") =!= col("lb"))
       .select(col("va"), col("vb"),
         floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
           * 1e6 + 0.5).as("score_u"))
+      .distinct()
     val directed = scoredPairs
       .select(col("va").as("qid"), col("vb").as("vec_id"), col("score_u"))
       .union(scoredPairs.select(col("vb").as("qid"), col("va").as("vec_id"),
@@ -474,7 +533,7 @@ object Similarity {
     * the label anti-filter applied before scoring. */
   val hardNegativesSql: String =
     s"""WITH RECURSIVE
-       |$lshSigChainSql,
+       |$lshSigChainAdaptiveSql,
        |lbl AS (SELECT vec_id, label FROM embeddings),
        |pr AS (SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
        |       FROM sigs sa JOIN sigs sb
