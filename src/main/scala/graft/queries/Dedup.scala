@@ -1243,8 +1243,8 @@ object Dedup {
     * (putIfAbsent publishes a future; losers await it; a failed writer
     * un-publishes so a later call can retry), registers the dir with the
     * shutdown-hook cleaner, and returns a plain parquet scan. */
-  private def materializeOnce(spark: SparkSession, prefix: String,
-                              sfDir: String)(df: => DataFrame): DataFrame = {
+  private[queries] def materializeOnce(spark: SparkSession, prefix: String,
+                                       sfDir: String)(df: => DataFrame): DataFrame = {
     val out = TextJobs.tmpOut(spark, prefix, sfDir)
     var done = false
     while (!done) {

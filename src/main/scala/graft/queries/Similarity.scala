@@ -307,7 +307,22 @@ object Similarity {
     * break neighbor ASC, and the output cosine is derived from the
     * SAME integer (score_u/1e6) so no second rounding can disagree. */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame =
-    knnEdges(spark, sfDir, k).orderBy("vec_id", "rank")
+    knnEdgesMaterialized(spark, sfDir, k).orderBy("vec_id", "rank")
+
+  /** [[knnEdges]] behind the write-once session sink
+    * ([[Dedup.materializeOnce]], the dedupClustersMaterialized engine):
+    * the edge build is the expensive stage of the family (probe: ~100 s
+    * at 100k vecs) and THREE queries consume the identical frame
+    * (knn_graph, label_propagation, knn_coherence) — without the sink
+    * each re-paid the full bucket join (probe: 102 + 94 + 86 s; with
+    * it, one build + two parquet scans). Edges are n·k rows — bounded,
+    * far smaller than the corpus arrays — and the sink is a pure
+    * function of (sfDir, k) under the session-immutable-corpus
+    * contract. */
+  private def knnEdgesMaterialized(spark: SparkSession, sfDir: String,
+                                   k: Int): DataFrame =
+    Dedup.materializeOnce(spark, s"graft_knn${k}_", sfDir)(
+      knnEdges(spark, sfDir, k))
 
   /** [[knnGraph]] without the presentation sort — the reusable edge
     * frame (vec_id, rank, neighbor, cosine) that [[labelPropagation]]
@@ -415,7 +430,7 @@ object Similarity {
     require(iters > 0, s"iters must be positive, got $iters")
     require(maskMod > 1, s"maskMod must be > 1, got $maskMod")
     val edges = graft.queries.TextAnalysis.maybeCache(
-      knnEdges(spark, sfDir, k).select("vec_id", "neighbor"))
+      knnEdgesMaterialized(spark, sfDir, k).select("vec_id", "neighbor"))
     val nodes = graft.queries.TextAnalysis.maybeCache(
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"),
@@ -583,7 +598,8 @@ object Similarity {
   def knnCoherence(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val all = vecs(spark, sfDir)
-    val edges = knnEdges(spark, sfDir, k).select(col("vec_id"), col("neighbor"))
+    val edges = knnEdgesMaterialized(spark, sfDir, k)
+      .select(col("vec_id"), col("neighbor"))
     val comps = all
       .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"),
