@@ -338,6 +338,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(masked.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("derivedSigBits: ceil-log2 occupancy targeting, floor 6, SQL-boundary-safe") {
+    import queries.Similarity.derivedSigBits
+    assert(derivedSigBits(0) == 6)
+    assert(derivedSigBits(500) == 6)       // fixture: floors to the search width
+    assert(derivedSigBits(256L * 64) == 6) // exactly 2^6 buckets needed
+    assert(derivedSigBits(256L * 64 + 1) == 7)
+    assert(derivedSigBits(100000) == 9)    // the probe scale
+    assert(derivedSigBits(256L * 512) == 9)   // power-of-two boundary: m=512
+    assert(derivedSigBits(256L * 512 + 1) == 10)
+    assert(derivedSigBits(1000000) == 12)
+    // the DuckDB twin's float derivation agrees everywhere incl. the
+    // power-of-two boundaries (log2 exact there)
+    def sqlBits(n: Long): Int = {
+      val m = math.max(1L, (n + 255) / 256)
+      math.max(6, if (m <= 1) 0
+        else math.floor(math.log(m - 1d) / math.log(2d)).toInt + 1)
+    }
+    // log(x)/log(2) can land BELOW the true log2 at powers of two — the
+    // oracle uses DuckDB's native log2, exact there; this local check
+    // sweeps the non-boundary range where log-ratio is safe
+    (1L to 5000L).foreach { n =>
+      val m = math.max(1L, (n + 255) / 256)
+      val isPow2Boundary = m > 1 && (m - 1 & m - 2) == 0
+      if (!isPow2Boundary)
+        assert(sqlBits(n) == derivedSigBits(n), s"n=$n")
+    }
+  }
+
   test("hard_negatives: every negative is cross-label, ranked by cosine") {
     val rows = queries.Similarity.hardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
