@@ -1029,6 +1029,79 @@ object Temporal {
        |ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Last-touch attribution (event-to-event as-of within one stream)
+  // --------------------------------------------------------------------
+
+  private val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000 // 7 days
+
+  /** LAST-TOUCH ATTRIBUTION: each purchase attributes to the same
+    * user's most recent click at or before it, if that click is within
+    * 7 days — the conversion-attribution readout every marketing
+    * warehouse computes nightly.
+    *
+    * The [[asofJoinOrders]] MERGE shape applied within ONE stream: no
+    * join at all — union is the identity here — just one window pass
+    * per user over (ts, kind, event_id) carrying the latest click
+    * forward (clicks sort before purchases at equal ts, so a same-
+    * instant click attributes). The 7-day staleness rule applies to the
+    * CARRIED value afterward, so expired clicks cost a comparison, not
+    * a join. One shuffle on user_id, one carried row of state — the
+    * same 100 TB story as the as-of join, salting included if a bot
+    * user needs it. All micros integer; gap_min derives from the same
+    * integer on both engines. */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("fresh",
+        col("last_click_ts").isNotNull &&
+          col("ts_us") - col("last_click_ts") <= AttributionWindowUs)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("fresh"), col("last_click_id")).as("click_event_id"),
+        when(col("fresh"),
+          (col("ts_us") - col("last_click_ts")).cast("double") / 60000000d)
+          .as("gap_min"),
+        col("fresh").as("attributed"))
+      .orderBy("event_id")
+  }
+
+  val purchaseAttributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, ts,
+       |                  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+       |           FROM events
+       |           WHERE event_type IN ('click', 'purchase')),
+       |c AS (SELECT e.*,
+       |             last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+       |               OVER w AS last_click_id,
+       |             last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+       |               OVER w AS last_click_ts
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id
+       |                   ORDER BY ts_us, kind, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, user_id, ts,
+       |       CASE WHEN fresh THEN last_click_id END AS click_event_id,
+       |       CASE WHEN fresh THEN CAST(ts_us - last_click_ts AS DOUBLE) / 60000000 END AS gap_min,
+       |       fresh AS attributed
+       |FROM (SELECT c.*,
+       |             last_click_ts IS NOT NULL
+       |               AND ts_us - last_click_ts <= $AttributionWindowUs AS fresh
+       |      FROM c)
+       |WHERE kind = 1
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Robust outliers (median absolute deviation)
   // --------------------------------------------------------------------
 
@@ -1116,6 +1189,7 @@ object Temporal {
     "range_join_bursts" -> ((s, d) => rangeJoinBursts(s, d)),
     "interval_union"    -> ((s, d) => intervalUnion(s, d)),
     "events_mad_outliers" -> ((s, d) => eventsMadOutliers(s, d)),
+    "purchase_attribution" -> ((s, d) => purchaseAttribution(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1214,6 @@ object Temporal {
     "range_join_bursts" -> rangeJoinBurstsSql,
     "interval_union"    -> intervalUnionSql,
     "events_mad_outliers" -> eventsMadOutliersSql,
+    "purchase_attribution" -> purchaseAttributionSql,
   )
 }

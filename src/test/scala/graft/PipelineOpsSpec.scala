@@ -768,6 +768,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 <= 2))
   }
 
+  test("purchase_attribution: matches an in-memory last-touch recompute") {
+    val got = queries.Temporal.purchaseAttribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("click_event_id"))) None
+         else Some(r.getAs[Long]("click_event_id")))).toMap
+    val ev = Tables.eventsTs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .filter(e => e._3 == "click" || e._3 == "purchase")
+    val winUs = 7L * 24 * 3600 * 1000000
+    val byUser = ev.groupBy(_._2)
+    val expect = byUser.values.flatten.filter(_._3 == "purchase").map { p =>
+      val clicks = byUser(p._2).filter(c => c._3 == "click" &&
+        (c._4 < p._4 || (c._4 == p._4)))
+      val best = if (clicks.isEmpty) None
+        else Some(clicks.maxBy(c => (c._4, c._1)))
+      p._1 -> best.filter(c => p._4 - c._4 <= winUs).map(_._1)
+    }.toMap
+    assert(got == expect)
+    // both outcomes present in the fixture
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("events_mad_outliers: medians are member values, rule matches recompute") {
     val rows = queries.Temporal.eventsMadOutliers(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
