@@ -74,7 +74,7 @@ object ScaleProbe {
     "session_paths", "events_csv", "events_jsonl", "events_orc",
     "events_cms_topk", "events_value_quantiles",
     "events_gap_fill", "range_join_bursts", "interval_union",
-    "events_mad_outliers", "purchase_attribution")
+    "events_mad_outliers", "purchase_attribution", "cohort_ltv")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

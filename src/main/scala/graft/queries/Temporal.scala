@@ -1029,6 +1029,64 @@ object Temporal {
        |ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Cohort LTV (cumulative revenue by cohort age)
+  // --------------------------------------------------------------------
+
+  /** COHORT LTV: users grouped by first-event day (the cohort), each
+    * cohort's purchase revenue laid out by age-in-days since that day,
+    * with buyers, per-age revenue, and the cumulative LTV curve — the
+    * follow-on readout to [[userRetention]] every growth dashboard
+    * plots ("how much has the Jan-3 cohort spent by day 14").
+    *
+    * Two keyed aggs (first-day per user on user_id; revenue per
+    * (cohort, age) after a co-keyed join back on user_id), then the
+    * cumulative window runs over the AGGREGATED frame — ≤ span² rows
+    * (cohorts × ages) regardless of corpus size, so the growing frame
+    * partitioned by cohort is model-state-sized, never a corpus
+    * window. Cents integers; distinct buyers is exact. */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .withColumn("age", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "age")
+      .agg(countDistinct("user_id").as("buyers"),
+        sum("cents").as("cents"))
+    val w = Window.partitionBy("cohort_day").orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum("cents").over(w))
+      .select(col("cohort_day"), col("age"), col("buyers"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        (col("cum_cents").cast("double") / 100).as("cum_revenue"))
+      .orderBy("cohort_day", "age")
+  }
+
+  val cohortLtvSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |p AS (SELECT c.cohort_day, datediff('day', c.cohort_day, e.day) AS age,
+      |             e.user_id, e.cents
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase'),
+      |g AS (SELECT cohort_day, age, count(DISTINCT user_id) AS buyers,
+      |             CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM p GROUP BY cohort_day, age)
+      |SELECT cohort_day, age, buyers,
+      |       CAST(cents AS DOUBLE) / 100 AS revenue,
+      |       CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |         AS cum_revenue
+      |FROM g
+      |ORDER BY cohort_day, age""".stripMargin
+
+  // --------------------------------------------------------------------
   // Last-touch attribution (event-to-event as-of within one stream)
   // --------------------------------------------------------------------
 
@@ -1190,6 +1248,7 @@ object Temporal {
     "interval_union"    -> ((s, d) => intervalUnion(s, d)),
     "events_mad_outliers" -> ((s, d) => eventsMadOutliers(s, d)),
     "purchase_attribution" -> ((s, d) => purchaseAttribution(s, d)),
+    "cohort_ltv"          -> ((s, d) => cohortLtv(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1215,5 +1274,6 @@ object Temporal {
     "interval_union"    -> intervalUnionSql,
     "events_mad_outliers" -> eventsMadOutliersSql,
     "purchase_attribution" -> purchaseAttributionSql,
+    "cohort_ltv"          -> cohortLtvSql,
   )
 }

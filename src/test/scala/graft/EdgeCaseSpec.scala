@@ -627,6 +627,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Temporal.intervalUnion(spark, dir).count() == 0)
     assert(queries.Temporal.eventsMadOutliers(spark, dir).count() == 0)
     assert(queries.Temporal.purchaseAttribution(spark, dir).count() == 0)
+    assert(queries.Temporal.cohortLtv(spark, dir).count() == 0)
     assert(queries.Similarity.annCosineFiltered(spark, empty).count() == 0)
     // empty part table: the fuzzy join sees no blocks
     val pdir = new java.io.File(System.getProperty("java.io.tmpdir"),

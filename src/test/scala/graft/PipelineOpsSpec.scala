@@ -768,6 +768,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 <= 2))
   }
 
+  test("cohort_ltv: cum_revenue telescopes, totals match raw purchases") {
+    val rows = queries.Temporal.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (cd, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("age"))
+      // cumulative = prefix sum of per-age revenue, strictly increasing ages
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += math.round(r.getAs[Double]("revenue") * 100)
+        assert(math.round(r.getAs[Double]("cum_revenue") * 100) == cum, s"$cd")
+        assert(r.getAs[Int]("age") >= 0 && r.getAs[Long]("buyers") >= 1)
+      }
+    }
+    // grand total equals the raw purchase revenue
+    val total = rows.map(r => math.round(r.getAs[Double]("revenue") * 100)).sum
+    val raw = Tables.eventsTs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(total == raw)
+  }
+
   test("purchase_attribution: matches an in-memory last-touch recompute") {
     val got = queries.Temporal.purchaseAttribution(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") ->
