@@ -88,7 +88,8 @@ object ScaleProbe {
     "cube_orders", "scalar_battery", "string_battery", "array_battery",
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
-    "part_pagerank", "triangle_count", "fuzzy_join_parts")
+    "part_pagerank", "triangle_count", "fuzzy_join_parts",
+    "bloom_semi_join")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

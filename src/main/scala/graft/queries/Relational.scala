@@ -908,6 +908,74 @@ object Relational {
   val sqlAboveAvgOrdersSql: String = aboveAvgOrdersSqlText
 
   // --------------------------------------------------------------------
+  // Bloom-pruned semi join (the runtime-filter shape, made explicit)
+  // --------------------------------------------------------------------
+
+  private val BloomMaxKeys = 5000000L
+
+  /** BLOOM-PRUNED SEMI JOIN: revenue of lineitem rows belonging to
+    * URGENT orders, with the fact side pre-filtered by a Bloom filter
+    * built over the dim keys BEFORE any join shuffle — the
+    * runtime-filter pattern Spark's own InjectRuntimeFilter applies,
+    * made explicit with the engine's native Catalyst machinery
+    * (BloomFilterAggregate / BloomFilterMightContain + XxHash64, the
+    * exact expressions the optimizer injects). Non-matching fact rows
+    * die at the scan; survivors (matches + false positives) go through
+    * the EXACT semi join, so the result is identical to the plain semi
+    * join — the Bloom is pure pruning, and the oracle proves it.
+    *
+    * Scale: the filter is |dim|-derived model state (~1.2 MB at 1M
+    * keys), built by one map-side-combining agg and inlined as a
+    * literal — the [[Temporal.eventsCmsTopk]] bounded-sketch
+    * discipline. A dim side over [[BloomMaxKeys]] keys skips the
+    * bloom (a GB-scale filter stops being "model state") and runs the
+    * straight semi join — the same size gate Spark's injector applies
+    * via its creation-side threshold. */
+  def bloomSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val nKeys = dim.count() // one cheap agg; also sizes the filter
+    val pruned =
+      if (nKeys == 0) fact.filter(lit(false))
+      else if (nKeys > BloomMaxKeys) fact // gate: filter no longer model-state-sized
+      else {
+        val bf = dim.select(Bridge.column(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(Bridge.expression(col("o_orderkey")))),
+            math.max(nKeys, 1000L)).toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        fact.filter(Bridge.column(new BloomFilterMightContain(
+          Literal.create(bf, BinaryType),
+          new XxHash64(Seq(Bridge.expression(col("l_orderkey")))))))
+      }
+    pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum("cents").cast("double") / 100).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle: the plain IN-subquery semi join — equality proves the
+    * Bloom stage prunes without dropping or inventing a row. */
+  val bloomSemiJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100 AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
   // Fuzzy join (blocked edit-distance entity resolution)
   // --------------------------------------------------------------------
 
@@ -974,6 +1042,7 @@ object Relational {
        |ORDER BY a_key, b_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
     "fuzzy_join_parts"    -> ((s, d) => fuzzyJoinParts(s, d)),
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
@@ -1001,6 +1070,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "bloom_semi_join"      -> bloomSemiJoinSql,
     "fuzzy_join_parts"     -> fuzzyJoinPartsSql,
     "pricing_summary"      -> pricingSummarySql,
     "distinct_agg"         -> distinctAggSql,

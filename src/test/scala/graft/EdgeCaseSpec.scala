@@ -635,5 +635,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     Tables.part(spark, TestSpark.sf).limit(0)
       .write.mode("overwrite").parquet(s"$pdir/part.parquet")
     assert(queries.Relational.fuzzyJoinParts(spark, pdir).count() == 0)
+    // empty dim side: the bloom builder must short-circuit, not NPE on
+    // a null aggregate blob
+    val odir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_noorders").getAbsolutePath
+    Tables.orders(spark, TestSpark.sf).limit(0)
+      .write.mode("overwrite").parquet(s"$odir/orders.parquet")
+    Tables.lineitem(spark, TestSpark.sf).limit(2000)
+      .write.mode("overwrite").parquet(s"$odir/lineitem.parquet")
+    assert(queries.Relational.bloomSemiJoin(spark, odir).count() == 0)
   }
 }

@@ -740,6 +740,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.getAs[Long]("times_picked")).toMap == expect)
   }
 
+  test("bloom_semi_join: bloom stage prunes without changing the result") {
+    val rows = queries.Relational.bloomSemiJoin(spark, sf).collect()
+    // equality with a plain Spark semi join (the oracle twin in-engine)
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val li = Tables.lineitem(spark, sf)
+    val plain = li
+      .join(dim, li("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap == plain)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum <
+      Tables.lineitem(spark, sf).count())  // selective: something was pruned
+  }
+
   test("fuzzy_join_parts: band blocking is lossless vs the unblocked join") {
     import spark.implicits._
     val got = queries.Relational.fuzzyJoinParts(spark, sf)
