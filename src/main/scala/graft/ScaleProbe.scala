@@ -89,7 +89,7 @@ object ScaleProbe {
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
-    "bloom_semi_join")
+    "bloom_semi_join", "skyline_parts")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

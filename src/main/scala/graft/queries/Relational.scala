@@ -908,6 +908,70 @@ object Relational {
   val sqlAboveAvgOrdersSql: String = aboveAvgOrdersSqlText
 
   // --------------------------------------------------------------------
+  // Skyline (Pareto frontier)
+  // --------------------------------------------------------------------
+
+  /** SKYLINE / PARETO FRONTIER: parts not dominated on
+    * (price ↓, size ↑) — q dominates r iff q is no more expensive AND
+    * no smaller, strictly better somewhere; the multi-objective
+    * shortlist ("cheapest for at least its size") behind any
+    * best-tradeoff query.
+    *
+    * The naive shape is the O(n²) dominance anti-join (the oracle).
+    * Scalable decomposition: with B(s) = min price over parts of size
+    * ≥ s, a part (p, s) is in the skyline iff p == B(s) AND
+    * B(s+1) > p (a same-priced strictly-larger part would dominate;
+    * an equal (p, s) twin does not — no strict edge). B comes from a
+    * per-size min-price agg — ≤ |distinct sizes| rows at ANY corpus
+    * size — suffix-minned by a window over that bounded frame and
+    * broadcast back: one grouped agg + one broadcast join, no global
+    * sort, no pair join. (Both-dimensions-continuous skylines bucket
+    * the first dimension and carry prefix maxes — the
+    * [[graft.queries.Curation.weightedSamplePps]] histogram move; here
+    * the integer size axis IS the bounded bucket set.) Cents integers
+    * throughout. */
+  def skylineParts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+    // bounded model state: one (size, min price) row per distinct size
+    // (integer axis; TPC-H: ≤ 50) — suffix-minned on the driver, the
+    // eventsValueQuantiles pattern (a window over the frame would plan
+    // the SinglePartition funnel PlanShapeSpec bans)
+    val bySize = parts.groupBy("p_size").agg(min("cents").as("mn"))
+      .collect().map(r => (r.getAs[Int]("p_size"), r.getAs[Long]("mn")))
+      .sortBy(-_._1)
+    if (bySize.isEmpty)
+      return Seq.empty[(Long, Int, Double)].toDF("p_partkey", "p_size", "price")
+    val suffix = bySize.scanLeft((Int.MaxValue, Long.MaxValue)) {
+      case ((_, acc), (s, mn)) => (s, math.min(acc, mn))
+    }.drop(1) // B(s) in size-desc order
+    val frontier = suffix.zip(Long.MaxValue +: suffix.map(_._2)).map {
+      case ((s, b), bNext) => (s, b, bNext) // bNext = B over strictly larger sizes
+    }
+    parts.join(broadcast(frontier.toSeq.toDF("p_size", "b", "b_next")), "p_size")
+      .filter(col("cents") === col("b") && col("b_next") > col("cents"))
+      .select(col("p_partkey"), col("p_size"),
+        (col("cents").cast("double") / 100).as("price"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle: the direct NOT EXISTS dominance filter — equality proves
+    * the suffix-min decomposition keeps exactly the frontier. */
+  val skylinePartsSql: String =
+    """WITH p AS (SELECT p_partkey, p_size,
+      |                  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |           FROM part)
+      |SELECT p_partkey, p_size, CAST(cents AS DOUBLE) / 100 AS price
+      |FROM p r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p q
+      |  WHERE q.cents <= r.cents AND q.p_size >= r.p_size
+      |    AND (q.cents < r.cents OR q.p_size > r.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------
   // Bloom-pruned semi join (the runtime-filter shape, made explicit)
   // --------------------------------------------------------------------
 
@@ -1043,6 +1107,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
+    "skyline_parts"       -> ((s, d) => skylineParts(s, d)),
     "fuzzy_join_parts"    -> ((s, d) => fuzzyJoinParts(s, d)),
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
@@ -1071,6 +1136,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "bloom_semi_join"      -> bloomSemiJoinSql,
+    "skyline_parts"        -> skylinePartsSql,
     "fuzzy_join_parts"     -> fuzzyJoinPartsSql,
     "pricing_summary"      -> pricingSummarySql,
     "distinct_agg"         -> distinctAggSql,

@@ -635,6 +635,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     Tables.part(spark, TestSpark.sf).limit(0)
       .write.mode("overwrite").parquet(s"$pdir/part.parquet")
     assert(queries.Relational.fuzzyJoinParts(spark, pdir).count() == 0)
+    assert(queries.Relational.skylineParts(spark, pdir).count() == 0)
     // empty dim side: the bloom builder must short-circuit, not NPE on
     // a null aggregate blob
     val odir = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -740,6 +740,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.getAs[Long]("times_picked")).toMap == expect)
   }
 
+  test("skyline_parts: matches the O(n^2) dominance recompute") {
+    val got = queries.Relational.skylineParts(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val all = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expect = all.filter { r =>
+      !all.exists(q => q._3 <= r._3 && q._2 >= r._2 &&
+        (q._3 < r._3 || q._2 > r._2))
+    }.map(_._1).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
   test("bloom_semi_join: bloom stage prunes without changing the result") {
     val rows = queries.Relational.bloomSemiJoin(spark, sf).collect()
     // equality with a plain Spark semi join (the oracle twin in-engine)
