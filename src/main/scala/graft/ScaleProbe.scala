@@ -89,11 +89,12 @@ object ScaleProbe {
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
-    "bloom_semi_join", "skyline_parts")
+    "bloom_semi_join", "skyline_parts", "table_profile")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(
-    "asof_join_orders", "asof_join_orders_salted", "events_by_segment")
+    "asof_join_orders", "asof_join_orders_salted", "events_by_segment",
+    "dq_violations")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L

@@ -1105,7 +1105,168 @@ object Relational {
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY a_key, b_key""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Data-quality: one-pass column profiling + constraint checks
+  // --------------------------------------------------------------------
+
+  /** TABLE PROFILE: per-column null count, exact distinct count, and
+    * canonically-rendered min/max over `orders` in ONE scan — the
+    * column-profiling pass every ingestion pipeline runs before trusting
+    * a new drop (the Deequ/Great-Expectations "profile" surface).
+    *
+    * Shape: a single wide agg row (count + 4 stats × 6 columns, all
+    * partial/map-side combining) unpivoted by `stack` into one row per
+    * column — output is |columns|-sized model state regardless of corpus
+    * size. The exact `count(DISTINCT c)` per column makes Catalyst plan
+    * an expand×6 (one pass over the data, 6× rows into the partial
+    * aggs); that is the price of oracle-exact distincts — at 100 TB swap
+    * in approx_count_distinct (HLL, one expand-free pass; the sketch
+    * discipline [[approxDistinctParts]] already demonstrates) and keep
+    * this exact path for audit reruns. Min/max render per type (ints as
+    * digits, money as cents, timestamps via one fixed format) so the
+    * strings are engine-portable.
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val asStr   = (c: Column) => c.cast("string")
+    val asCents = (c: Column) => round(c * 100).cast("long").cast("string")
+    val asTs    = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val cols: Seq[(String, Column => Column)] = Seq(
+      "o_orderkey" -> asStr, "o_custkey" -> asStr, "o_orderstatus" -> asStr,
+      "o_totalprice" -> asCents, "o_orderdate" -> asTs,
+      "o_orderpriority" -> asStr)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, render) =>
+      Seq((count(lit(1)) - count(col(n))).as(s"${n}__nn"),
+        countDistinct(col(n)).as(s"${n}__nd"),
+        render(min(col(n))).as(s"${n}__mn"),
+        render(max(col(n))).as(s"${n}__mx"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', `${n}__nn`, `${n}__nd`, `${n}__mn`, `${n}__mx`"
+    }.mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
+  /** Oracle: one UNION ALL branch per column with the same canonical
+    * renderings (min-then-render == render-then-min: every rendering is
+    * monotone on its type). */
+  val tableProfileSql: String = {
+    val branches = Seq(
+      ("o_orderkey", "CAST(%s AS VARCHAR)"),
+      ("o_custkey", "CAST(%s AS VARCHAR)"),
+      ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+      ("o_totalprice", "CAST(CAST(round((%s) * 100) AS BIGINT) AS VARCHAR)"),
+      ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+      ("o_orderpriority", "CAST(%s AS VARCHAR)")
+    ).map { case (n, fmt) =>
+      s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($n) AS n_nulls,
+         |       count(DISTINCT $n) AS n_distinct,
+         |       ${fmt.format(s"min($n)")} AS min_s,
+         |       ${fmt.format(s"max($n)")} AS max_s
+         |FROM orders""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** DATA-QUALITY CONSTRAINT CHECKS: one row per named invariant with its
+    * violation count — referential integrity (orphan foreign keys),
+    * key uniqueness, value-range and NaN/empty guards across five
+    * fixture tables. The "did last night's drop break the contract"
+    * gate that runs before anything downstream is allowed to read.
+    *
+    * Shape: per-table scalar checks FUSE into one agg scan per table
+    * (`count(CASE WHEN bad)` columns unpivoted by stack — never one scan
+    * per check); the two referential checks are shuffle LEFT ANTI joins
+    * on the foreign key (fact shuffles once; AQE handles skew; at
+    * warehouse scale Spark's own InjectRuntimeFilter blooms the fact
+    * scan first — [[bloomSemiJoin]] shows that machinery explicitly).
+    * Output is |checks| rows — model-sized. Never broadcasts `orders` or
+    * `customer` (both user-scaled).
+    */
+  def dqViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val bad = (name: String, cond: Column) =>
+      count(when(cond, lit(1))).as(name)
+    val ordersChecks = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_orderkey"),
+        bad("orders_nonpositive_price", col("o_totalprice") <= 0))
+      .selectExpr("stack(2, 'orders_dup_orderkey', orders_dup_orderkey, " +
+        "'orders_nonpositive_price', orders_nonpositive_price) AS (check_name, n_bad)")
+    val liChecks = li.agg(
+        bad("lineitem_range_violations",
+          col("l_quantity") <= 0 || col("l_discount") < 0 || col("l_discount") > 1))
+      .selectExpr("stack(1, 'lineitem_range_violations', lineitem_range_violations)" +
+        " AS (check_name, n_bad)")
+    val eventsChecks = Tables.eventsTs(spark, sfDir).agg(
+        bad("events_null_user", col("user_id").isNull),
+        bad("events_nonfinite_value", col("value").isNull || isnan(col("value"))))
+      .selectExpr("stack(2, 'events_null_user', events_null_user, " +
+        "'events_nonfinite_value', events_nonfinite_value) AS (check_name, n_bad)")
+    val docChecks = Tables.documents(spark, sfDir).agg(
+        bad("documents_empty_text",
+          col("text").isNull || length(trim(col("text"))) === 0))
+      .selectExpr("stack(1, 'documents_empty_text', documents_empty_text)" +
+        " AS (check_name, n_bad)")
+    val partChecks = Tables.part(spark, sfDir).agg(
+        bad("part_size_range", col("p_size") < 1 || col("p_size") > 50))
+      .selectExpr("stack(1, 'part_size_range', part_size_range) AS (check_name, n_bad)")
+    val orphanLi = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("lineitem_orphan_orderkey").as("check_name"), col("n_bad"))
+    val orphanOrd = orders.select(col("o_custkey"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("orders_orphan_custkey").as("check_name"), col("n_bad"))
+    ordersChecks.union(liChecks).union(eventsChecks).union(docChecks)
+      .union(partChecks).union(orphanLi).union(orphanOrd)
+      .orderBy("check_name")
+  }
+
+  /** Oracle: one UNION ALL branch per check; referential checks via
+    * NOT EXISTS (NOT IN would null-absorb). */
+  val dqViolationsSql: String =
+    """SELECT 'orders_dup_orderkey' AS check_name,
+      |       count(*) - count(DISTINCT o_orderkey) AS n_bad FROM orders
+      |UNION ALL
+      |SELECT 'orders_nonpositive_price', count(*) FROM orders
+      |WHERE o_totalprice <= 0
+      |UNION ALL
+      |SELECT 'lineitem_range_violations', count(*) FROM lineitem
+      |WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+      |UNION ALL
+      |SELECT 'events_null_user', count(*) FROM events WHERE user_id IS NULL
+      |UNION ALL
+      |SELECT 'events_nonfinite_value', count(*) FROM events
+      |WHERE value IS NULL OR isnan(value)
+      |UNION ALL
+      |SELECT 'documents_empty_text', count(*) FROM documents
+      |WHERE text IS NULL OR length(trim(text)) = 0
+      |UNION ALL
+      |SELECT 'part_size_range', count(*) FROM part
+      |WHERE p_size < 1 OR p_size > 50
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey', count(*) FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = o.o_custkey)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_profile"       -> ((s, d) => tableProfile(s, d)),
+    "dq_violations"       -> ((s, d) => dqViolations(s, d)),
     "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
     "skyline_parts"       -> ((s, d) => skylineParts(s, d)),
     "fuzzy_join_parts"    -> ((s, d) => fuzzyJoinParts(s, d)),
@@ -1135,6 +1296,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "table_profile"        -> tableProfileSql,
+    "dq_violations"        -> dqViolationsSql,
     "bloom_semi_join"      -> bloomSemiJoinSql,
     "skyline_parts"        -> skylinePartsSql,
     "fuzzy_join_parts"     -> fuzzyJoinPartsSql,

@@ -646,4 +646,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$odir/lineitem.parquet")
     assert(queries.Relational.bloomSemiJoin(spark, odir).count() == 0)
   }
+
+  test("data-quality ops degrade on empty tables: profile keeps its shape, checks all zero") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_dq_empty").getAbsolutePath
+    Seq("orders", "lineitem", "events", "documents", "part", "customer")
+      .foreach { t =>
+        Tables(spark, TestSpark.sf, t).limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    // profile still emits one row per column; counts zero, min/max null
+    val prof = queries.Relational.tableProfile(spark, dir).collect()
+    assert(prof.length == 6)
+    assert(prof.forall(r => r.getAs[Long]("n_rows") == 0 &&
+      r.getAs[Long]("n_nulls") == 0 && r.getAs[Long]("n_distinct") == 0 &&
+      r.getAs[String]("min_s") == null && r.getAs[String]("max_s") == null))
+    // every check still reports, with zero violations (anti joins included)
+    val dq = queries.Relational.dqViolations(spark, dir).collect()
+    assert(dq.length == 9 && dq.forall(_.getAs[Long]("n_bad") == 0))
+  }
 }

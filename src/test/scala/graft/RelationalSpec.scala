@@ -152,4 +152,74 @@ class RelationalSpec extends AnyFunSuite {
     val t = f.getAs[Double]("transitivity")
     assert(t >= 0.0 && t <= 1.0)
   }
+
+  test("table_profile: one row per column, stats consistent with the table") {
+    val prof = queries.Relational.tableProfile(spark, sf).collect()
+    assert(prof.length == 6)
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    assert(prof.forall(_.getAs[Long]("n_rows") == n))
+    val byCol = prof.map(r => r.getAs[String]("col_name") -> r).toMap
+    // o_orderkey is the unique key: no nulls, distinct == rows, min/max exact
+    val ok = byCol("o_orderkey")
+    assert(ok.getAs[Long]("n_nulls") == 0 && ok.getAs[Long]("n_distinct") == n)
+    val Seq(mn, mx) = orders.agg(min("o_orderkey"), max("o_orderkey"))
+      .collect().head.toSeq.map(_.toString)
+    assert(ok.getAs[String]("min_s") == mn && ok.getAs[String]("max_s") == mx)
+    // low-cardinality enums profile to their fixture domains
+    assert(byCol("o_orderstatus").getAs[Long]("n_distinct") <= 3)
+    assert(byCol("o_orderpriority").getAs[Long]("n_distinct") <= 5)
+  }
+
+  test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
+    val clean = queries.Relational.dqViolations(spark, sf).collect()
+    assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
+
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_dq_bad").getAbsolutePath
+    Seq((1L, 10L, "F", 100.0, "1995-01-01", "1-URGENT"),
+        (1L, 10L, "F", -5.0, "1995-01-02", "1-URGENT"), // dup key + nonpositive
+        (2L, 99L, "O", 50.0, "1995-01-03", "5-LOW"))    // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ds", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.05, 0.02, "N", "O"),
+        (7L, 1L, 1L, 1, 1.0, 10.0, 0.05, 0.02, "N", "O"), // orphan orderkey
+        (2L, 1L, 1L, 2, -3.0, 10.0, 0.05, 0.02, "N", "O")) // qty <= 0
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus")
+      .withColumn("l_shipdate", to_timestamp(lit("1995-02-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "2024-01-01 00:00:00", Option(5L), "view", Option(1.0), "{}"),
+        (2L, "2024-01-01 00:00:01", Option.empty[Long], "view", Option(1.0), "{}"),
+        (3L, "2024-01-01 00:00:02", Option(6L), "view", Option(Double.NaN), "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "hello world", "en", "web", 11L), (2L, "   ", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, "widget", "B#1", "t", 0, 1.0), (2L, "gadget", "B#1", "t", 10, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, "Customer#10", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val m = queries.Relational.dqViolations(spark, dir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap
+    assert(m == Map(
+      "orders_dup_orderkey" -> 1L,
+      "orders_nonpositive_price" -> 1L,
+      "lineitem_range_violations" -> 1L,
+      "events_null_user" -> 1L,
+      "events_nonfinite_value" -> 1L,
+      "documents_empty_text" -> 1L,
+      "part_size_range" -> 1L,
+      "lineitem_orphan_orderkey" -> 1L,
+      "orders_orphan_custkey" -> 1L))
+  }
 }
