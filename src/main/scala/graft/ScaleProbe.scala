@@ -74,7 +74,8 @@ object ScaleProbe {
     "session_paths", "events_csv", "events_jsonl", "events_orc",
     "events_cms_topk", "events_value_quantiles",
     "events_gap_fill", "range_join_bursts", "interval_union",
-    "events_mad_outliers", "purchase_attribution", "cohort_ltv")
+    "events_mad_outliers", "purchase_attribution", "cohort_ltv",
+    "events_seasonal")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -89,7 +90,8 @@ object ScaleProbe {
     "agg_custom_topk", "approx_distinct_parts", "bucketed_join_orders",
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
-    "bloom_semi_join", "skyline_parts", "table_profile")
+    "bloom_semi_join", "skyline_parts", "table_profile",
+    "scd2_order_status")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -1227,7 +1227,127 @@ object Temporal {
       |FROM dv JOIN mad USING (user_id)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Seasonal decomposition (hour-of-day profile + seasonality index)
+  // --------------------------------------------------------------------
+
+  /** HOUR-OF-DAY SEASONALITY: per (event_type, hour) the event count,
+    * mean value, and a seasonality index (that hour's share of the
+    * type's traffic vs a flat 1/24 baseline — idx 2.0 = "this hour runs
+    * at twice the type's average rate"). The capacity-planning /
+    * anomaly-baseline readout every event pipeline keeps: residuals
+    * against `n/idx` are the deseasonalized series.
+    *
+    * One corpus scan into a (event_type, hour) grouped agg — the output
+    * frame is ≤ 24·|types| rows, bounded model state at ANY corpus
+    * size. The per-type totals come from a window over THAT bounded
+    * frame (partitioned on event_type — a shuffle of ≤120 rows), never
+    * a second corpus scan. Cents-integer value sums; [[Det.r]] final
+    * rounding; total (event_type, hr) ordering. */
+  def eventsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHr = Tables.eventsTs(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+    byHr
+      .withColumn("tot",
+        sum("n").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("hr"), col("n"),
+        Det.r(col("sc").cast("double") / col("n") / 100, 4).as("avg_value"),
+        Det.r((col("n") * 24).cast("double") / col("tot"), 4).as("idx"))
+      .orderBy("event_type", "hr")
+  }
+
+  val eventsSeasonalSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |                  CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+       |                  count(*) AS n,
+       |                  sum(CAST(round(value * 100) AS BIGINT)) AS sc
+       |           FROM events GROUP BY 1, 2)
+       |SELECT event_type, hr, n,
+       |       ${Det.rSql("CAST(sc AS DOUBLE) / n / 100", 4)} AS avg_value,
+       |       ${Det.rSql(
+            "CAST(n * 24 AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)", 4)} AS idx
+       |FROM h ORDER BY event_type, hr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // SCD2 (type-2 slowly-changing-dimension interval build)
+  // --------------------------------------------------------------------
+
+  /** SCD2 HISTORY BUILD: compress each customer's order-status stream
+    * into type-2 validity intervals — one row per consecutive run of
+    * equal status, with [valid_from, valid_to) bounds and an is_current
+    * flag on the open interval. The dimension-table maintenance shape
+    * every warehouse runs nightly (Kimball type-2): the engine side is
+    * the full gaps-and-islands → run-compress → interval-close chain.
+    *
+    * Three stages share ONE hash partitioning on o_custkey (lag window,
+    * running-sum run_id window, grouped run agg, then the lead window
+    * closing intervals — Spark reuses the exchange across all four
+    * since each key set refines the last). No broadcast (customer-scaled
+    * both sides), no global sort until the final bounded output
+    * ordering. run_id restarts per customer so late-arriving history
+    * reprocesses per-key, not globally. Determinism: orders sort on
+    * (o_orderdate, o_orderkey) — the unique key breaks same-day ties. */
+  def scd2OrderStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("chg",
+        when(lag("o_orderstatus", 1).over(w).isNull ||
+          lag("o_orderstatus", 1).over(w) =!= col("o_orderstatus"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("o_custkey"), col("run_id"))
+      .agg(min("o_orderstatus").as("status"), // constant within a run
+        min("o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    runs
+      .withColumn("valid_to",
+        lead("valid_from", 1).over(
+          Window.partitionBy("o_custkey").orderBy("run_id")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("run_id"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_orders"),
+        col("is_current"))
+      .orderBy("o_custkey", "run_id")
+  }
+
+  val scd2OrderStatusSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+      |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+      |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey)),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |                ORDER BY o_orderdate, o_orderkey
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM s),
+      |g AS (
+      |  SELECT o_custkey, run_id, min(o_orderstatus) AS status,
+      |         min(o_orderdate) AS valid_from, count(*) AS n_orders
+      |  FROM r GROUP BY 1, 2)
+      |SELECT o_custkey, run_id, status, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+      |         AS valid_to,
+      |       n_orders,
+      |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+      |         IS NULL AS is_current
+      |FROM g
+      |ORDER BY o_custkey, run_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
+    "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
     "asof_join_orders_salted" -> ((s, d) => asofJoinOrdersSalted(s, d)),
@@ -1252,6 +1372,8 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_seasonal"   -> eventsSeasonalSql,
+    "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,
     "asof_join_orders"  -> asofJoinOrdersSql,
     // same oracle as the single-pass variant BY DESIGN: the decomposition

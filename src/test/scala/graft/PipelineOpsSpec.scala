@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
+  import spark.implicits._
 
   test("doc_chunk: every token covered, overlap honored, last chunk short only") {
     val budget = 64; val overlap = 16; val stride = budget - overlap
@@ -887,6 +888,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
     assert(byQ.exists { case (q, rs) =>
       rs.map(_.getAs[Long]("vec_id")).toSet != unfiltered(q) })
+  }
+
+  test("events_seasonal: per-type counts total to the corpus, indices average to 1") {
+    val rows = queries.Temporal.eventsSeasonal(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val corpus = Tables.eventsTs(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(byType.keySet == corpus.keySet)
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == corpus(t))
+      assert(rs.forall(r => r.getAs[Int]("hr") >= 0 && r.getAs[Int]("hr") <= 23))
+      // idx = n·24/tot → Σ_hours idx = 24 (up to r4 rounding per row)
+      val sumIdx = rs.map(_.getAs[Double]("idx")).sum
+      assert(math.abs(sumIdx - 24.0) < 0.01 * rs.length,
+        s"$t seasonality indices sum to $sumIdx, want ~24")
+    }
+  }
+
+  test("scd2_order_status: partitions each customer's history into maximal runs") {
+    val rows = queries.Temporal.scd2OrderStatus(spark, sf).collect()
+    val perCust = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("count")).toMap
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(byCust.keySet == perCust.keySet)
+    byCust.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("run_id"))
+      // runs cover every order exactly once
+      assert(sorted.map(_.getAs[Long]("n_orders")).sum == perCust(c))
+      // exactly one open (current) interval, and it is the last run
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // intervals chain: valid_to == next run's valid_from; runs maximal
+      // (consecutive statuses differ)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // NTZ timestamps surface as LocalDateTime — compare generically
+          assert(a.getAs[Any]("valid_to") == b.getAs[Any]("valid_from"))
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+        case _ =>
+      }
+    }
+    // golden: F,F,O,F compresses to 3 runs of sizes 2/1/1
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_scd2_golden").getAbsolutePath
+    Seq((10L, 1L, "F", 5.0, "1995-01-01", "1-URGENT"),
+        (11L, 1L, "F", 5.0, "1995-01-02", "1-URGENT"),
+        (12L, 1L, "O", 5.0, "1995-01-03", "1-URGENT"),
+        (13L, 1L, "F", 5.0, "1995-01-04", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ds", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val g = queries.Temporal.scd2OrderStatus(spark, dir).collect()
+    assert(g.map(r => (r.getAs[String]("status"), r.getAs[Long]("n_orders")))
+      .toSeq == Seq(("F", 2L), ("O", 1L), ("F", 1L)))
   }
 
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
