@@ -1264,7 +1264,81 @@ object Relational {
       |                  WHERE c.c_custkey = o.o_custkey)
       |ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Incremental materialized-view maintenance
+  // --------------------------------------------------------------------
+
+  /** Memoized base MV per corpus dir (corpus dirs are immutable for a
+    * session — the bpeTrainMerges/pqMemo pattern): (cutoff date string,
+    * base rows (ship_month, returnflag, n_items, cents)). The MV is
+    * |months·flags|-sized model state (~250 rows), driver-safe. */
+  private val mvBaseMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, String, Long, Long)])]()
+
+  private val MvDeltaDays = 30
+
+  /** INCREMENTAL MV REFRESH: maintain the monthly-revenue materialized
+    * view (ship_month × returnflag → n_items, revenue) the way a
+    * warehouse actually refreshes it — merge a pre-aggregated BASE state
+    * with a re-aggregated DELTA (the trailing [[MvDeltaDays]] days by
+    * l_shipdate) instead of recomputing from scratch. The oracle IS the
+    * full recompute, so the hash gate proves base ⊎ delta ≡ full — the
+    * correctness obligation of every incremental-maintenance engine.
+    *
+    * Scale: the base MV is bounded model state (|months·flags| rows,
+    * memoized per corpus dir like the BPE merge table — computed once,
+    * then every refresh touches ONLY the delta); the delta scan carries
+    * a pushed-down l_shipdate range predicate, which on a
+    * date-partitioned warehouse layout is partition pruning — refresh
+    * cost tracks delta size, not corpus size (the [[Dedup.dedupDelta]]
+    * argument, applied to aggregation state instead of an index). The
+    * merge is a union of one bounded local frame with the delta agg and
+    * a re-agg on the group keys — groups straddling the cutoff combine
+    * exactly because count/sum are commutative monoids (the partial-agg
+    * algebra Spark itself uses, applied across refresh generations). */
+  def mvRefreshIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def monthAgg(df: DataFrame): DataFrame = df
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("ship_month", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("c").as("cents"))
+    val li = Tables.lineitem(spark, sfDir)
+    val (cutoff, baseRows) = mvBaseMemo.computeIfAbsent(sfDir, _ => {
+      val maxStr = li.agg(
+        date_format(date_sub(max(col("l_shipdate")), MvDeltaDays),
+          "yyyy-MM-dd")).head().getString(0)
+      val cut = if (maxStr == null) "1970-01-01" else maxStr
+      val base = monthAgg(
+        li.filter(col("l_shipdate") < lit(cut).cast("timestamp")))
+        .as[(String, String, Long, Long)].collect().toSeq
+      (cut, base)
+    })
+    val delta = monthAgg(
+      li.filter(col("l_shipdate") >= lit(cutoff).cast("timestamp")))
+    baseRows.toDF("ship_month", "l_returnflag", "n_items", "cents")
+      .union(delta)
+      .groupBy("ship_month", "l_returnflag")
+      .agg(sum("n_items").as("n_items"), sum("cents").as("cents"))
+      .select(col("ship_month"), col("l_returnflag"), col("n_items"),
+        (col("cents").cast("double") / 100).as("revenue"))
+      .orderBy("ship_month", "l_returnflag")
+  }
+
+  /** Oracle: the full recompute — equality proves the incremental merge
+    * reconstructs it exactly, including cutoff-straddling months. */
+  val mvRefreshIncrementalSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100 AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY ship_month, l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
     "dq_violations"       -> ((s, d) => dqViolations(s, d)),
     "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
@@ -1296,6 +1370,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,
     "dq_violations"        -> dqViolationsSql,
     "bloom_semi_join"      -> bloomSemiJoinSql,

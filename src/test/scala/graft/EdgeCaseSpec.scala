@@ -664,8 +664,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     // every check still reports, with zero violations (anti joins included)
     val dq = queries.Relational.dqViolations(spark, dir).collect()
     assert(dq.length == 9 && dq.forall(_.getAs[Long]("n_bad") == 0))
-    // empty inputs: no seasonal profile rows, no SCD2 intervals
+    // empty inputs: no seasonal profile rows, no SCD2 intervals, and the
+    // MV refresh survives a null max-date (base and delta both empty)
     assert(queries.Temporal.eventsSeasonal(spark, dir).count() == 0)
     assert(queries.Temporal.scd2OrderStatus(spark, dir).count() == 0)
+    assert(queries.Relational.mvRefreshIncremental(spark, dir).count() == 0)
   }
 }

@@ -171,6 +171,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(byCol("o_orderpriority").getAs[Long]("n_distinct") <= 5)
   }
 
+  test("mv_refresh_incremental: merge equals full recompute; delta filter pushed") {
+    val got = queries.Relational.mvRefreshIncremental(spark, sf)
+    val full = Tables.lineitem(spark, sf)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("ship_month", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        (sum("c").cast("double") / 100).as("revenue"))
+      .orderBy("ship_month", "l_returnflag")
+    assert(got.collect().map(_.toString).toSeq ==
+      full.collect().map(_.toString).toSeq)
+    // the refresh path's only corpus scan is the delta, range-pruned at
+    // the reader (the base is a LocalTableScan of memoized model state)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta predicate should reach PushedFilters:\n$p")
+    assert(p.contains("LocalTableScan"), "base MV should be local model state")
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
