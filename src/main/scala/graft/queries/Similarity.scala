@@ -490,6 +490,88 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // k-core decomposition of the kNN graph
+  // --------------------------------------------------------------------
+
+  private val KcoreK = 3
+  private val KcorePeels = 8
+
+  /** K-CORE of the kNN graph: iteratively peel nodes of degree <
+    * [[KcoreK]] from the symmetrized edge set until stable; survivors
+    * (with their in-core degree) are the graph's dense backbone — the
+    * standard "prototype region" detector over an embedding corpus
+    * (dense cores = well-represented content; everything peeled = the
+    * sparse fringe that ANN search and semdedup treat differently).
+    *
+    * Substrate: the session-materialized [[knnEdgesMaterialized]] frame
+    * (n·k rows — the expensive LSH build is paid once per session across
+    * the whole knn family), symmetrized with one distinct. Each peel
+    * round is one degree agg + two semi joins ON THE SAME `a`/`b` keys
+    * (the frame only shrinks), localCheckpoint'd to stop lineage
+    * doubling — the [[graft.queries.Relational.partPagerank]] loop
+    * discipline. Rounds cap at [[KcorePeels]] with a count-gated early
+    * exit at the fixpoint; the cap and the oracle agree BY CONSTRUCTION
+    * because peeling a fixpoint is the identity, so an early-exited run
+    * equals the oracle's full [[KcorePeels]] unrolled rounds. At 100 TB
+    * the per-round cost is |surviving edges| — monotonically shrinking,
+    * shuffle-keyed on the node id, no broadcast, no driver state beyond
+    * the one count per round. */
+  def kcoreGraph(spark: SparkSession, sfDir: String,
+                 k: Int = KnnK, coreK: Int = KcoreK,
+                 peels: Int = KcorePeels): DataFrame = {
+    require(coreK > 0 && peels > 0, s"coreK/peels must be positive")
+    val e = knnEdgesMaterialized(spark, sfDir, k)
+      .select(col("vec_id").as("a"), col("neighbor").as("b"))
+    var edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var nEdges = edges.count()
+    var round = 0
+    var stable = false
+    while (round < peels && !stable) {
+      val keep = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= coreK).select("a")
+      edges = edges.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint()
+      val n = edges.count()
+      stable = n == nEdges
+      nEdges = n
+      round += 1
+    }
+    edges.groupBy("a").agg(count(lit(1)).as("degree"))
+      .select(col("a").as("vec_id"), col("degree"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[kcoreGraph]] — the [[knnEdgeCtesSql]] chain, the
+    * symmetrized distinct edge set, then [[KcorePeels]] peel rounds
+    * unrolled as CTE pairs (degree filter + edge restriction). */
+  val kcoreGraphSql: String = {
+    // MATERIALIZED throughout (the labelPropagationSql lesson): each
+    // round references the previous edge set twice and the node set
+    // twice — inlined CTEs would double the plan per round (2^peels
+    // scans of the parquet + LSH chain; observed as DuckDB running out
+    // of file handles)
+    val peels = (1 to KcorePeels).map { i =>
+      val p = i - 1
+      s"""kn$i AS MATERIALIZED (
+         |  SELECT a FROM ke$p GROUP BY a HAVING count(*) >= $KcoreK),
+         |ke$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM ke$p e JOIN kn$i x ON e.a = x.a
+         |  JOIN kn$i y ON e.b = y.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |ke0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |          SELECT vec_id AS a, neighbor AS b FROM rk WHERE rank <= $KnnK
+       |          UNION ALL
+       |          SELECT neighbor, vec_id FROM rk WHERE rank <= $KnnK) t),
+       |$peels
+       |SELECT a AS vec_id, count(*) AS degree
+       |FROM ke$KcorePeels GROUP BY a ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Hard-negative mining (contrastive training pairs)
   // --------------------------------------------------------------------
 
@@ -2193,6 +2275,7 @@ object Similarity {
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
+    "kcore_graph" -> ((s, d) => kcoreGraph(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2217,6 +2300,7 @@ object Similarity {
     "knn_graph" -> knnGraphSql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,
+    "kcore_graph" -> kcoreGraphSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

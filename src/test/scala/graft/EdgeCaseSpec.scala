@@ -554,6 +554,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // empty embeddings → empty IVF training set, empty codebook, empty
     // candidate stream — every stage must yield zero rows, not throw
     assert(queries.Similarity.annCosineIvfPq(spark, empty).count() == 0)
+    assert(queries.Similarity.kcoreGraph(spark, empty).count() == 0)
     assert(queries.Similarity.annCosinePqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.annCosineIvfPqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.knnGraph(spark, empty).count() == 0)

@@ -445,4 +445,29 @@ class SimilaritySpec extends AnyFunSuite {
       rs.map(_.getAs[Long]("vec_id")).toSet != plain5(q) },
       "MMR output identical to undiversified top-5 on every query")
   }
+
+  test("kcore_graph: matches an in-memory peel of the same kNN edges") {
+    val got = queries.Similarity.kcoreGraph(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
+    // recompute: symmetrize the knn_graph edges, peel degree<3 up to 8
+    // rounds (the query's cap)
+    val directed = queries.Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor")))
+    var edges = directed.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 8) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      done = next.length == edges.length
+      edges = next
+      rounds += 1
+    }
+    val want = edges.groupBy(_._1)
+      .map { case (n, es) => n -> es.length.toLong }
+    assert(got == want)
+    // every survivor meets the core bar
+    assert(got.values.forall(_ >= 3))
+  }
 }
