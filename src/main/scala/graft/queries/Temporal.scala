@@ -1227,6 +1227,32 @@ object Temporal {
       |FROM dv JOIN mad USING (user_id)
       |ORDER BY event_id""".stripMargin
 
+  /** [[asofJoinOrders]] through the NATIVE operator
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec — custom logical plan,
+    * planner strategy, and physical streaming-merge exec injected via
+    * SparkSessionExtensions): one exchange per side on the user key,
+    * partition-local (key, time) sorts, then a single-pass merge with
+    * O(1) state — no union row inflation, no window carry columns.
+    * Same oracle as the composed variants; TemporalNativeSpec also
+    * asserts row-identity against [[asofJoinOrders]] directly. */
+  def asofJoinNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val events = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        orders, "uid", "o_orderdate",
+        payloadCols = Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("o_orderkey"),
+        // match the composed variant's schema: its union coerces the NTZ
+        // order date to timestamp (value-exact under the pinned UTC zone)
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   // --------------------------------------------------------------------
   // Seasonal decomposition (hour-of-day profile + seasonality index)
   // --------------------------------------------------------------------
@@ -1346,6 +1372,7 @@ object Temporal {
       |ORDER BY o_custkey, run_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1372,6 +1399,9 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    // native-operator variant claims row-identity with the composed
+    // as-of forms — all three share one oracle, enforced by the hash gate
+    "asof_join_native"  -> asofJoinOrdersSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,
