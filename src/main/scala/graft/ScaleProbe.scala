@@ -91,7 +91,7 @@ object ScaleProbe {
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
     "bloom_semi_join", "skyline_parts", "table_profile",
-    "scd2_order_status", "mv_refresh_incremental")
+    "scd2_order_status", "mv_refresh_incremental", "rfm_segments")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

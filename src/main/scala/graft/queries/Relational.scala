@@ -1337,7 +1337,124 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------
+  // RFM segmentation (recency / frequency / monetary quintiles)
+  // --------------------------------------------------------------------
+
+  /** RFM SEGMENTATION: per customer, days-since-last-order (R), order
+    * count (F), lifetime spend (M), each quantized to a quintile score
+    * (5 = most recent / most frequent / biggest spender), plus the
+    * composite RFM code — the classic CRM segmentation every marketing
+    * warehouse derives.
+    *
+    * Quintiles WITHOUT a corpus-wide window (the
+    * [[Temporal.eventsValueQuantiles]] bounded-histogram discipline): a
+    * percent_rank over |customers| rows would plan the single-partition
+    * funnel, so each dimension instead aggregates a VALUE histogram —
+    * R in days (bounded by the corpus time span), F in orders (bounded
+    * by max per-customer activity), M in $100 buckets (bounded by the
+    * price range — none of the three grows with row count) — collects
+    * it (≤ a few thousand rows of model state), prefix-sums
+    * below/(n-1) on the driver, and broadcast-joins the (value, score)
+    * map back. The per-customer base is cached: one narrow |customers|
+    * agg frame with four consumers (three histograms + the final join);
+    * uncached it would rescan orders four times. The corpus max date is
+    * model state (the as-of span precedent). Ranks tie exactly like SQL
+    * percent_rank (equal values share the below-count), so the DuckDB
+    * twin uses the plain window. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val maxRow = orders.agg(max("o_orderdate")).head()
+    if (maxRow.isNullAt(0)) {
+      return Seq.empty[(Long, Long, Long, Double, Int, Int, Int, Int)]
+        .toDF("c_custkey", "r_days", "f_orders", "m_dollars",
+          "r_score", "f_score", "m_score", "rfm")
+    }
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(max("o_orderdate").as("last_d"),
+        count(lit(1)).as("f_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("o_custkey"),
+        datediff(lit(maxRow.get(0)).cast("date"),
+          col("last_d").cast("date")).cast("long").as("r_days"),
+        col("f_orders"),
+        expr("cents div 10000").as("m_b"))
+      .cache()
+    // bounded value histogram → driver prefix-sum → (value, score) map;
+    // asc=false ranks descending values (recency: newest first)
+    def scoreMap(valCol: String, asc: Boolean, outCol: String): DataFrame = {
+      val hist = base.groupBy(valCol).agg(count(lit(1)).as("n_at"))
+        .collect().map(r => (r.getAs[Long](valCol), r.getAs[Long]("n_at")))
+      val sorted = if (asc) hist.sortBy(_._1) else hist.sortBy(v => -v._1)
+      val n = sorted.map(_._2).sum
+      var below = 0L
+      val rows = sorted.map { case (v, cnt) =>
+        val pr = if (n > 1) below.toDouble / (n - 1) else 0.0
+        below += cnt
+        val s = if (pr < 0.2) 1 else if (pr < 0.4) 2
+          else if (pr < 0.6) 3 else if (pr < 0.8) 4 else 5
+        (v, s)
+      }
+      rows.toSeq.toDF(valCol, outCol)
+    }
+    base
+      .join(broadcast(scoreMap("r_days", asc = false, "r_score")), "r_days")
+      .join(broadcast(scoreMap("f_orders", asc = true, "f_score")), "f_orders")
+      .join(broadcast(scoreMap("m_b", asc = true, "m_score")), "m_b")
+      .select(col("o_custkey").as("c_custkey"), col("r_days"),
+        col("f_orders"),
+        (col("m_b").cast("double") * 100).as("m_dollars"),
+        col("r_score"), col("f_score"), col("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("c_custkey")
+  }
+
+  /** Oracle: plain percent_rank windows over customers (affordable at
+    * oracle scale); equality proves the histogram decomposition ranks
+    * and ties identically. */
+  val rfmSegmentsSql: String =
+    """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+      |                  count(*) AS f_orders,
+      |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1),
+      |mx AS (SELECT max(o_orderdate) AS md FROM orders),
+      |b AS (SELECT o_custkey,
+      |             CAST(date_diff('day', CAST(last_d AS DATE),
+      |                            CAST(md AS DATE)) AS BIGINT) AS r_days,
+      |             f_orders, cents // 10000 AS m_b
+      |      FROM c, mx),
+      |p AS (SELECT *,
+      |             percent_rank() OVER (ORDER BY r_days DESC) AS pr_r,
+      |             percent_rank() OVER (ORDER BY f_orders ASC) AS pr_f,
+      |             percent_rank() OVER (ORDER BY m_b ASC) AS pr_m
+      |      FROM b)
+      |SELECT o_custkey AS c_custkey, r_days, f_orders,
+      |       CAST(m_b AS DOUBLE) * 100 AS m_dollars,
+      |       CASE WHEN pr_r < 0.2 THEN 1 WHEN pr_r < 0.4 THEN 2
+      |            WHEN pr_r < 0.6 THEN 3 WHEN pr_r < 0.8 THEN 4
+      |            ELSE 5 END AS r_score,
+      |       CASE WHEN pr_f < 0.2 THEN 1 WHEN pr_f < 0.4 THEN 2
+      |            WHEN pr_f < 0.6 THEN 3 WHEN pr_f < 0.8 THEN 4
+      |            ELSE 5 END AS f_score,
+      |       CASE WHEN pr_m < 0.2 THEN 1 WHEN pr_m < 0.4 THEN 2
+      |            WHEN pr_m < 0.6 THEN 3 WHEN pr_m < 0.8 THEN 4
+      |            ELSE 5 END AS m_score,
+      |       (CASE WHEN pr_r < 0.2 THEN 1 WHEN pr_r < 0.4 THEN 2
+      |             WHEN pr_r < 0.6 THEN 3 WHEN pr_r < 0.8 THEN 4
+      |             ELSE 5 END) * 100 +
+      |       (CASE WHEN pr_f < 0.2 THEN 1 WHEN pr_f < 0.4 THEN 2
+      |             WHEN pr_f < 0.6 THEN 3 WHEN pr_f < 0.8 THEN 4
+      |             ELSE 5 END) * 10 +
+      |       (CASE WHEN pr_m < 0.2 THEN 1 WHEN pr_m < 0.4 THEN 2
+      |             WHEN pr_m < 0.6 THEN 3 WHEN pr_m < 0.8 THEN 4
+      |             ELSE 5 END) AS rfm
+      |FROM p ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
     "dq_violations"       -> ((s, d) => dqViolations(s, d)),
@@ -1370,6 +1487,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments"         -> rfmSegmentsSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,
     "dq_violations"        -> dqViolationsSql,

@@ -670,5 +670,6 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Temporal.eventsSeasonal(spark, dir).count() == 0)
     assert(queries.Temporal.scd2OrderStatus(spark, dir).count() == 0)
     assert(queries.Relational.mvRefreshIncremental(spark, dir).count() == 0)
+    assert(queries.Relational.rfmSegments(spark, dir).count() == 0)
   }
 }

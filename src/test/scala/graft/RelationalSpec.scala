@@ -191,6 +191,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), "base MV should be local model state")
   }
 
+  test("rfm_segments: one row per customer, scores monotone in their dimension") {
+    val rows = queries.Relational.rfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.length == nCust)
+    // monotone: more spend never lowers m_score; more recency (smaller
+    // r_days) never lowers r_score; frequency likewise
+    def mono(v: org.apache.spark.sql.Row => Long, s: org.apache.spark.sql.Row => Int,
+             asc: Boolean): Unit = {
+      val sorted = rows.sortBy(v)
+      val scores = if (asc) sorted.map(s) else sorted.map(s).reverse
+      scores.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"score not monotone: $a then $b")
+        case _ =>
+      }
+    }
+    mono(_.getAs[Long]("f_orders"), _.getAs[Int]("f_score"), asc = true)
+    mono(r => (r.getAs[Double]("m_dollars") / 100).toLong,
+      _.getAs[Int]("m_score"), asc = true)
+    mono(_.getAs[Long]("r_days"), _.getAs[Int]("r_score"), asc = false)
+    // composite code decomposes
+    assert(rows.forall(r => r.getAs[Int]("rfm") ==
+      r.getAs[Int]("r_score") * 100 + r.getAs[Int]("f_score") * 10 +
+        r.getAs[Int]("m_score")))
+    // quintiles actually spread (fixture has >5 distinct spend levels)
+    assert(rows.map(_.getAs[Int]("m_score")).distinct.sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
