@@ -91,7 +91,8 @@ object ScaleProbe {
     "sql_above_avg_orders", "part_affinity", "key_skew_report",
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
     "bloom_semi_join", "skyline_parts", "table_profile",
-    "scd2_order_status", "mv_refresh_incremental", "rfm_segments")
+    "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
+    "window_battery", "corr_matrix")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

