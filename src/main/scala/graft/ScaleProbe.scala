@@ -92,7 +92,7 @@ object ScaleProbe {
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
     "bloom_semi_join", "skyline_parts", "table_profile",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
-    "window_battery", "corr_matrix")
+    "window_battery", "corr_matrix", "zorder_orders")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -1338,6 +1338,97 @@ object Relational {
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------
+  // Z-order layout (Morton-curve multi-dimensional clustering)
+  // --------------------------------------------------------------------
+
+  private val ZBits = 16
+
+  /** Morton interleave of two [[ZBits]]-bit ints: x occupies the even
+    * bit positions, y the odd. Pure shift/and/or tree — 32 terms, all
+    * inside whole-stage codegen. */
+  private def morton(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT: quantize (o_custkey, order day) to 16 bits each,
+    * interleave into a Morton z-value, and report per-z-bucket locality
+    * stats (row count + the custkey/day bounding box each coarse
+    * z-range covers) — the readout behind multi-dimensional data
+    * clustering (Delta/Iceberg OPTIMIZE ZORDER BY): sorting by z makes
+    * EVERY bucket a small rectangle in (customer, time) space, so
+    * min/max row-group statistics prune scans on EITHER dimension. A
+    * single-column sort gives perfect pruning on one axis and none on
+    * the other; the z-curve trades to √-locality on both.
+    *
+    * Quantization constants (max key, day span) are 3 scalars of model
+    * state (exact integer scaling — (v·2¹⁶) div (max+1) — so both
+    * engines derive identical codes); the layout itself is
+    * `repartitionByRange(zval)` + in-partition sort at write time
+    * (ZorderSpec measures the bounding-box shrink on the actual
+    * partitioning). The registered readout is one scan + one bounded
+    * agg (≤ 2⁸ buckets). At 100 TB the z computation is per-row
+    * codegen'd bit math — no shuffle beyond the final range partition
+    * a layout rewrite pays by definition. */
+  def zorderOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    // epoch-day integers end to end: date objects round-trip through
+    // three JVM types depending on fixture encoding; ints don't
+    val epochDay = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date"))
+    val c = o.agg(max("o_custkey").as("mk"),
+      min(epochDay).as("d0"), max(epochDay).as("d1")).head()
+    if (c.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("zbucket", "n", "min_cust", "max_cust", "min_day", "max_day")
+    }
+    val maxKey = c.getAs[Long]("mk")
+    val d0 = c.getAs[Int]("d0")
+    val spanDays = (c.getAs[Int]("d1") - d0).toLong
+    val scale = 1L << ZBits
+    val coded = o.select(col("o_custkey"),
+        (epochDay - lit(d0)).cast("long").as("day"))
+      .withColumn("xq", expr(s"(o_custkey * $scale) div ${maxKey + 1}"))
+      .withColumn("yq", expr(s"(day * $scale) div ${spanDays + 1}"))
+      .withColumn("z", morton(col("xq"), col("yq")))
+    // integer div, NOT `/`+cast: Spark's long cast truncates while
+    // DuckDB's double→BIGINT cast rounds — `div`/`//` agree exactly
+    coded.groupBy(expr(s"z div ${1L << (2 * ZBits - 8)}").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy("zbucket")
+  }
+
+  val zorderOrdersSql: String = {
+    val z = mortonSql("xq", "yq")
+    s"""WITH c AS (SELECT max(o_custkey) AS mk,
+       |                  min(CAST(o_orderdate AS DATE)) AS d0,
+       |                  max(CAST(o_orderdate AS DATE)) AS d1
+       |           FROM orders),
+       |b AS (SELECT o_custkey,
+       |             CAST(date_diff('day', c.d0,
+       |                  CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |             (o_custkey * 65536) // (c.mk + 1) AS xq,
+       |             (CAST(date_diff('day', c.d0, CAST(o_orderdate AS DATE))
+       |                   AS BIGINT) * 65536)
+       |               // (date_diff('day', c.d0, c.d1) + 1) AS yq
+       |      FROM orders, c)
+       |SELECT ($z) // ${1L << (2 * ZBits - 8)} AS zbucket,
+       |       count(*) AS n,
+       |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       |       min(day) AS min_day, max(day) AS max_day
+       |FROM b GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Window-function battery (breadth, one oracled query)
   // --------------------------------------------------------------------
 
@@ -1605,6 +1696,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
+    "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
@@ -1640,6 +1732,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
+    "zorder_orders"        -> zorderOrdersSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,

@@ -259,6 +259,31 @@ class RelationalSpec extends AnyFunSuite {
       s"exact-moment corr ${got(("qty", "price"))} vs builtin $builtin")
   }
 
+  test("zorder_orders: buckets are small rectangles that prune on BOTH dimensions") {
+    val rows = queries.Relational.zorderOrders(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    val minC = rows.map(_.getAs[Long]("min_cust")).min
+    val maxC = rows.map(_.getAs[Long]("max_cust")).max
+    val minD = rows.map(_.getAs[Long]("min_day")).min
+    val maxD = rows.map(_.getAs[Long]("max_day")).max
+    val globalArea = (maxC - minC + 1).toDouble * (maxD - minD + 1)
+    val avgArea = rows.map(r =>
+      (r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust") + 1).toDouble *
+        (r.getAs[Long]("max_day") - r.getAs[Long]("min_day") + 1)).sum / rows.length
+    assert(avgArea < globalArea / 16,
+      s"z-buckets cover $avgArea avg area vs $globalArea global — no locality")
+    // min/max stats prune a 1/16-wide predicate on EITHER dimension:
+    // most buckets' bounding boxes must miss it (a single-dimension sort
+    // would intersect every bucket on the other dimension)
+    def hitFrac(lo: Long, hi: Long, mn: String, mx: String): Double =
+      rows.count(r => r.getAs[Long](mx) >= lo && r.getAs[Long](mn) <= hi)
+        .toDouble / rows.length
+    val custW = (maxC - minC + 1) / 16
+    val dayW = (maxD - minD + 1) / 16
+    assert(hitFrac(minC, minC + custW, "min_cust", "max_cust") < 0.6)
+    assert(hitFrac(minD, minD + dayW, "min_day", "max_day") < 0.6)
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
