@@ -75,7 +75,7 @@ object ScaleProbe {
     "events_cms_topk", "events_value_quantiles",
     "events_gap_fill", "range_join_bursts", "interval_union",
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
-    "events_seasonal")
+    "events_seasonal", "events_heavy_hitters")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -92,7 +92,8 @@ object ScaleProbe {
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
     "bloom_semi_join", "skyline_parts", "table_profile",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
-    "window_battery", "corr_matrix", "zorder_orders")
+    "window_battery", "corr_matrix", "zorder_orders",
+    "orders_forecast_snaive")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -1338,6 +1338,47 @@ object Relational {
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------
+  // Seasonal-naive forecast backtest
+  // --------------------------------------------------------------------
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST: forecast each day's revenue as
+    * the value seven days earlier and report the per-weekday MAE — the
+    * baseline every demand-forecasting pipeline must beat, evaluated
+    * the way a backtest evaluates it (walk-forward, horizon 7).
+    *
+    * Shape: one corpus scan into a |days|-bounded daily-revenue frame
+    * (epoch-day integers — weekday is day % 7, identical on both
+    * engines; named weekday functions disagree on week start), then a
+    * self-join of that bounded frame shifted by 7 (broadcast — the
+    * frame is calendar-sized, never corpus-sized) and a ≤ 7-row agg.
+    * MAE sums exact cents; one double division + [[Det.r]] at the end. */
+  def ordersForecastSnaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochDay = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date"))
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(epochDay.as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+    val prior = daily.select((col("day") + 7).as("day"), col("c").as("c7"))
+    daily.join(broadcast(prior), "day")
+      .groupBy((col("day") % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        Det.r(sum(abs(col("c") - col("c7"))).cast("double") /
+          count(lit(1)) / 100, 2).as("mae"))
+      .orderBy("weekday")
+  }
+
+  val ordersForecastSnaiveSql: String =
+    s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |                  CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+       |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+       |           FROM orders GROUP BY 1)
+       |SELECT a.day % 7 AS weekday, count(*) AS n_days,
+       |       ${Det.rSql(
+          "CAST(sum(abs(a.c - b.c)) AS DOUBLE) / count(*) / 100", 2)} AS mae
+       |FROM d a JOIN d b ON b.day = a.day - 7
+       |GROUP BY 1 ORDER BY weekday""".stripMargin
+
+  // --------------------------------------------------------------------
   // Z-order layout (Morton-curve multi-dimensional clustering)
   // --------------------------------------------------------------------
 
@@ -1697,6 +1738,7 @@ object Relational {
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
     "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
+    "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
@@ -1733,6 +1775,7 @@ object Relational {
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,
+    "orders_forecast_snaive" -> ordersForecastSnaiveSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,

@@ -1254,6 +1254,74 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Heavy hitters (Misra–Gries shortlist + exact recount, 2-pass)
+  // --------------------------------------------------------------------
+
+  // 150 discriminates on the fixture's ~uniform 150 users (75 qualify,
+  // 75 don't — both branches of the HAVING exercised); the MG state
+  // bound is k counters per partition regardless
+  private val HhK = 150
+
+  /** EXACT HEAVY HITTERS with BOUNDED STATE: users producing more than
+    * n/(k+1) of all events, found by the production 2-pass shape — a
+    * per-partition Misra–Gries summary of ≤ k counters (pass 1, one
+    * mapPartitions with O(k) memory regardless of key cardinality),
+    * then an exact recount restricted to the ≤ k·partitions surviving
+    * candidates (pass 2, a broadcast semi join + grouped count). The
+    * result is EXACTLY the plain `GROUP BY HAVING` answer — the oracle
+    * — because any key with global freq > Σnₚ/(k+1) must exceed
+    * nₚ/(k+1) in at least one partition (pigeonhole), so the MG
+    * guarantee keeps every true hitter in some summary; the recount
+    * then discards false candidates with exact counts.
+    *
+    * Why it exists: a plain groupBy's hash state is |distinct keys| —
+    * fine for user ids, fatal for 100 TB of URLs/ngrams. This pins the
+    * bounded-state decomposition against the unbounded-state answer.
+    * The threshold test is integer (cnt·(k+1) > n) — no division.
+    * mapPartitions closure uses only locals (the Similarity
+    * serialization lesson). */
+  def eventsHeavyHitters(spark: SparkSession, sfDir: String,
+                         k: Int = HhK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    val kk = k // local copy: the closure must not capture the query object
+    val ev = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).as[Long]
+    val n = ev.count()
+    val candidates = ev.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach { u =>
+        if (m.contains(u)) m(u) += 1L
+        else if (m.size < kk) m(u) = 1L
+        else {
+          // decrement-all step: snapshot keys, then mutate
+          val keys = m.keys.toArray
+          keys.foreach { key =>
+            val c = m(key) - 1L
+            if (c == 0L) m.remove(key) else m(key) = c
+          }
+        }
+      }
+      m.keysIterator
+    }.toDF("user_id").distinct()
+    ev.toDF("user_id")
+      .join(broadcast(candidates), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (kk + 1) > n)
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
+  /** Oracle: the unbounded-state answer. */
+  val eventsHeavyHittersSql: String =
+    s"""SELECT user_id, count(*) AS cnt
+       |FROM events WHERE user_id IS NOT NULL
+       |GROUP BY user_id
+       |HAVING count(*) * ${HhK + 1} > (SELECT count(*) FROM events
+       |                                WHERE user_id IS NOT NULL)
+       |ORDER BY cnt DESC, user_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Seasonal decomposition (hour-of-day profile + seasonality index)
   // --------------------------------------------------------------------
 
@@ -1373,6 +1441,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
+    "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1402,6 +1471,7 @@ object Temporal {
     // native-operator variant claims row-identity with the composed
     // as-of forms — all three share one oracle, enforced by the hash gate
     "asof_join_native"  -> asofJoinOrdersSql,
+    "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

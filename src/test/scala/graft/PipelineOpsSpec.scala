@@ -945,6 +945,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toSeq == Seq(("F", 2L), ("O", 1L), ("F", 1L)))
   }
 
+  test("events_heavy_hitters: equals unbounded groupBy; MG finds the bot in a sea of singletons") {
+    // fixture: exact equality with the plain HAVING answer
+    val got = queries.Temporal.eventsHeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")).toMap
+    val n = Tables.eventsTs(spark, sf).filter(col("user_id").isNotNull).count()
+    val want = Tables.eventsTs(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count"))
+      .filter { case (_, c) => c * 151 > n }.toMap
+    assert(got == want && got.nonEmpty && got.size < 150)
+    // synthetic: one bot among 5000 singletons; k=150 counters per
+    // partition << 5001 distinct keys, the bot still survives
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hh_bot").getAbsolutePath
+    val rows = (1L to 5000L).map(i => (i, "2024-01-01 00:00:00", i + 100L)) ++
+      (5001L to 10000L).map(i => (i, "2024-01-01 00:00:00", 7L))
+    rows.toDF("event_id", "tss", "user_id")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val bot = queries.Temporal.eventsHeavyHitters(spark, dir).collect()
+    assert(bot.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt")))
+      .toSeq == Seq((7L, 5000L)))
+  }
+
+  test("orders_forecast_snaive: seven weekdays, MAE matches a hand recompute") {
+    val got = queries.Relational.ordersForecastSnaive(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("weekday")).toSeq == (0 to 6))
+    assert(got.forall(_.getAs[Double]("mae") >= 0))
+    // recompute weekday 0 from the daily series
+    val daily = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getAs[Int]("day") -> r.getAs[Long]("c")).toMap
+    val pairs = daily.keys.filter(d => daily.contains(d - 7) && d % 7 == 0).toSeq
+    val mae = pairs.map(d => math.abs(daily(d) - daily(d - 7))).sum.toDouble /
+      pairs.length / 100
+    val gotMae = got.find(_.getAs[Int]("weekday") == 0).get.getAs[Double]("mae")
+    assert(math.abs(gotMae - mae) < 0.01,
+      s"weekday-0 MAE $gotMae vs recomputed $mae")
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
