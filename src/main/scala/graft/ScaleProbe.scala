@@ -59,7 +59,7 @@ object ScaleProbe {
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
-    "ann_cosine_filtered", "kcore_graph")
+    "ann_cosine_filtered", "kcore_graph", "embedding_drift")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -93,7 +93,7 @@ object ScaleProbe {
     "bloom_semi_join", "skyline_parts", "table_profile",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
-    "orders_forecast_snaive")
+    "orders_forecast_snaive", "revenue_cusum")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -1379,6 +1379,84 @@ object Relational {
        |GROUP BY 1 ORDER BY weekday""".stripMargin
 
   // --------------------------------------------------------------------
+  // CUSUM change-point detection on daily revenue
+  // --------------------------------------------------------------------
+
+  /** CUSUM CHANGE-POINT DETECTION over daily revenue — the sequential
+    * drift monitor (Page's cumulative sum): S_d = max(0, S_{d-1} +
+    * (x_d − mean)), alarm when S exceeds 4σ·n. Flags sustained upward
+    * level shifts that per-day z-scores miss.
+    *
+    * Exact-integer construction: the recursion is computed through the
+    * identity S_d = C_d − min_{0≤j≤d} C_j with C in cents·n units
+    * (dev_i = c_i·n − Σc — exact longs, so the cumulative sum is
+    * order-free; a float cumsum would be engine-order-dependent:
+    * DuckDB's running windows use segment trees, not left-to-right
+    * folds). The series is the |days|-bounded daily frame — calendar-
+    * sized model state (the skyline/quantile-histogram precedent), so
+    * the scan+agg distributes and only the ≤ few-thousand-point
+    * recursion runs on the driver; the oracle replays the identity with
+    * exact-int windows. The alarm bar 4·sqrt(n·Σc²−(Σc)²) (= 4σ·n in
+    * C units) derives from exact decimal moments with one
+    * rounding-path-identical double conversion per engine. */
+  def revenueCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epochDay = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date"))
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(epochDay.as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+      .collect().map(r => (r.getAs[Int]("day"), r.getAs[Long]("c")))
+      .sortBy(_._1)
+    if (daily.isEmpty)
+      return Seq.empty[(Int, Double, Double, Boolean)]
+        .toDF("day", "revenue", "cusum", "alarm")
+    val n = daily.length.toLong
+    val s1 = daily.map(_._2).sum
+    val s2 = daily.map(d => BigInt(d._2) * d._2).sum
+    val bar = 4.0 * math.sqrt((BigInt(n) * s2 - BigInt(s1) * s1).toDouble)
+    var cum = 0L
+    var mn = 0L
+    val rows = daily.map { case (d, c) =>
+      cum += c * n - s1
+      mn = math.min(mn, cum)
+      val s = cum - mn
+      (d, c.toDouble / 100, s, s.toDouble > bar)
+    }
+    rows.toSeq.toDF("day", "revenue", "s", "alarm")
+      .select(col("day"), col("revenue"),
+        Det.r(col("s").cast("double") / (n * 100.0), 2).as("cusum"),
+        col("alarm"))
+      .orderBy("day")
+  }
+
+  val revenueCusumSql: String =
+    s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |                  CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+       |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+       |           FROM orders GROUP BY 1),
+       |m AS (SELECT count(*) AS n, sum(c) AS s1,
+       |             sum(CAST(c AS DECIMAL(38,0)) * c) AS s2
+       |      FROM d),
+       |cc AS (SELECT day, c,
+       |              sum(c * m.n - m.s1) OVER (ORDER BY day
+       |                ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM d, m),
+       |ss AS (SELECT day, c,
+       |              cum - least(0, min(cum) OVER (ORDER BY day
+       |                ROWS UNBOUNDED PRECEDING)) AS s
+       |       FROM cc)
+       |SELECT day, CAST(c AS DOUBLE) / 100 AS revenue,
+       |       ${Det.rSql(
+        "CAST(s AS DOUBLE) / ((SELECT n FROM m) * 100.0)", 2)} AS cusum,
+       |       CAST(s AS DOUBLE) >
+       |         4.0 * sqrt(CAST((SELECT n * s2
+       |                          - CAST(s1 AS DECIMAL(38,0)) * s1 FROM m)
+       |                    AS DOUBLE))
+       |         AS alarm
+       |FROM ss ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------
   // Z-order layout (Morton-curve multi-dimensional clustering)
   // --------------------------------------------------------------------
 
@@ -1739,6 +1817,7 @@ object Relational {
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
     "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
     "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
+    "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
@@ -1776,6 +1855,7 @@ object Relational {
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,
     "orders_forecast_snaive" -> ordersForecastSnaiveSql,
+    "revenue_cusum"        -> revenueCusumSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,

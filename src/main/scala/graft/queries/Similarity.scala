@@ -1534,6 +1534,61 @@ object Similarity {
        |       ${Det.rSql("CAST(sum_micros AS DOUBLE) / 1e6 / n_vecs", 6)} AS centroid
        |FROM cg ORDER BY label, pos""".stripMargin
 
+  /** EMBEDDING DRIFT: per label, the L2 distance between the label's
+    * centroid and the global centroid — the model-monitoring readout
+    * ("did source X's embeddings move away from the corpus center after
+    * the encoder swap / data refresh"). Complements
+    * [[embeddingCentroids]] (the raw prototypes) with the scalar a
+    * monitor alerts on.
+    *
+    * Exactness: per-dim micros sums are exact ints; the centroid
+    * difference sl/nl − sg/ng becomes the exact decimal numerator
+    * num = sl·ng − sg·nl over the common denominator nl·ng, so
+    * Σ_dims num² accumulates EXACTLY in decimal(38,0) (64 dims of
+    * ~1e30 terms — order-free, no float summation across dims) and only
+    * the final sqrt/divide runs in double, one identical IEEE path per
+    * engine. Shape: one posexplode scan → (label, dim) grouped sums
+    * (bounded |labels|·64 frame), global sums re-aggregated FROM that
+    * frame (no second scan), bounded join + per-label agg. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDim = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .withColumn("q", floor(col("col") * 1e6 + 0.5).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("nl"), sum("q").as("sl"))
+    val global = perDim.groupBy("pos")
+      .agg(sum("sl").as("sg"), sum("nl").as("ng"))
+    perDim.join(global, "pos")
+      .withColumn("num",
+        col("sl").cast("decimal(38,0)") * col("ng") -
+          col("sg").cast("decimal(38,0)") * col("nl"))
+      .groupBy("label")
+      .agg(max("nl").as("n_vecs"), // constant within a label
+        sum(col("num") * col("num")).as("ssq"),
+        max(col("nl").cast("decimal(38,0)") * col("ng")).as("den"))
+      .select(col("label"), col("n_vecs"),
+        Det.r(sqrt(col("ssq").cast("double")) /
+          col("den").cast("double") / 1e6, 6).as("drift_l2"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    s"""WITH $centroidSqlCtes,
+       |gl AS (SELECT pos, CAST(sum(sum_micros) AS BIGINT) AS sg,
+       |              CAST(sum(n_vecs) AS BIGINT) AS ng
+       |       FROM cg GROUP BY 1),
+       |dj AS (SELECT g.label, g.n_vecs AS nl,
+       |              CAST(g.sum_micros AS DECIMAL(38,0)) * gl.ng
+       |                - CAST(gl.sg AS DECIMAL(38,0)) * g.n_vecs AS num,
+       |              CAST(g.n_vecs AS DECIMAL(38,0)) * gl.ng AS den
+       |       FROM cg g JOIN gl USING (pos))
+       |SELECT label, CAST(max(nl) AS BIGINT) AS n_vecs,
+       |       ${Det.rSql(
+        "sqrt(CAST(sum(num * num) AS DOUBLE)) / CAST(max(den) AS DOUBLE) / 1e6",
+        6)} AS drift_l2
+       |FROM dj GROUP BY label ORDER BY label""".stripMargin
+
   /** Nearest-centroid assignment + confusion matrix: every vector is
     * assigned to its closest label prototype (squared L2, expanded as
     * v·v − 2·v·c + c·c so each term is one deterministic sequential
@@ -2276,6 +2331,7 @@ object Similarity {
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
     "kcore_graph" -> ((s, d) => kcoreGraph(s, d)),
+    "embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2301,6 +2357,7 @@ object Similarity {
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,
     "kcore_graph" -> kcoreGraphSql,
+    "embedding_drift" -> embeddingDriftSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

@@ -555,6 +555,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // candidate stream — every stage must yield zero rows, not throw
     assert(queries.Similarity.annCosineIvfPq(spark, empty).count() == 0)
     assert(queries.Similarity.kcoreGraph(spark, empty).count() == 0)
+    assert(queries.Similarity.embeddingDrift(spark, empty).count() == 0)
     assert(queries.Similarity.annCosinePqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.annCosineIvfPqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.knnGraph(spark, empty).count() == 0)
@@ -671,5 +672,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Temporal.scd2OrderStatus(spark, dir).count() == 0)
     assert(queries.Relational.mvRefreshIncremental(spark, dir).count() == 0)
     assert(queries.Relational.rfmSegments(spark, dir).count() == 0)
+    assert(queries.Relational.revenueCusum(spark, dir).count() == 0)
+    assert(queries.Relational.ordersForecastSnaive(spark, dir).count() == 0)
+    assert(queries.Relational.zorderOrders(spark, dir).count() == 0)
   }
 }

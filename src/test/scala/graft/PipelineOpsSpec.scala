@@ -990,6 +990,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"weekday-0 MAE $gotMae vs recomputed $mae")
   }
 
+  test("embedding_drift: matches an in-memory exact-centroid recompute") {
+    val got = queries.Similarity.embeddingDrift(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("drift_l2"))).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val dims = embs.head._2.length
+    val byLabel = embs.groupBy(_._1)
+    val globalSum = Array.tabulate(dims)(d => embs.map(_._2(d)).sum)
+    val ng = embs.length.toLong
+    byLabel.foreach { case (l, vs) =>
+      val nl = vs.length.toLong
+      val sl = Array.tabulate(dims)(d => vs.map(_._2(d)).sum)
+      val ssq = (0 until dims).map { d =>
+        val num = BigInt(sl(d)) * ng - BigInt(globalSum(d)) * nl
+        num * num
+      }.sum
+      val want = math.sqrt(ssq.toDouble) / (nl.toDouble * ng) / 1e6
+      assert(got(l)._1 == nl)
+      assert(math.abs(got(l)._2 - want) < 1e-6,
+        s"label $l drift ${got(l)._2} vs $want")
+    }
+  }
+
+  test("revenue_cusum: identity output equals the direct max(0, .) recursion") {
+    val rows = queries.Relational.revenueCusum(spark, sf).collect()
+    val daily = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getAs[Int]("day") -> r.getAs[Long]("c"))
+      .sortBy(_._1)
+    assert(rows.length == daily.length)
+    val n = daily.length.toLong
+    val s1 = daily.map(_._2).sum
+    // direct recursion in cents·n units
+    var s = 0L
+    val direct = daily.map { case (_, c) =>
+      s = math.max(0L, s + (c * n - s1)); s }
+    rows.sortBy(_.getAs[Int]("day")).zip(direct).foreach { case (r, d) =>
+      val want = math.floor(d.toDouble / (n * 100.0) * 100 + 0.5) / 100
+      assert(r.getAs[Double]("cusum") == want,
+        s"day ${r.getAs[Int]("day")}: ${r.getAs[Double]("cusum")} vs $want")
+    }
+    assert(rows.forall(_.getAs[Double]("cusum") >= 0))
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
