@@ -59,7 +59,8 @@ object ScaleProbe {
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
-    "ann_cosine_filtered", "kcore_graph", "embedding_drift")
+    "ann_cosine_filtered", "kcore_graph", "embedding_drift",
+    "bm25_topk")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

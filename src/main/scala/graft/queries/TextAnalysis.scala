@@ -2361,7 +2361,102 @@ object TextAnalysis {
        |       ${Det.rSql("CAST(nll_micros AS DOUBLE) / 1e6 / n_bigrams", 6)} AS avg_nll
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // BM25 retrieval (log-free rational variant)
+  // --------------------------------------------------------------------
+
+  private val Bm25Query = Seq("hash", "join", "vector")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopN = 10
+
+  /** BM25 TOP-K RETRIEVAL: score every document against a fixed query
+    * ("hash join vector") and return the 10 best — the actual SEARCH
+    * query the text stack serves, on top of the inverted-index /
+    * tf-idf machinery already here.
+    *
+    * Log-free rational BM25 (documented deviation): idf(t) =
+    * (N − df + ½)/(df + ½) instead of its log — the LOG of a ratio is
+    * libm-dependent (Spark's JDK log and DuckDB's C library can differ
+    * in the last ulp, [[Det]] can't fix an input disagreement), while
+    * the ratio itself is one exact-int division. Ranking is order-
+    * isomorphic per term; only inter-term weighting compresses
+    * differently, which a 3-term query tolerates. tf saturation keeps
+    * the standard k1/b form with len/avglen as len·N/ΣLen (exact ints
+    * → identical doubles).
+    *
+    * Shape: the posting scan filters to the query terms BEFORE any agg
+    * (|query| ≈ 3 — the explode stream drops to ~3 rows/doc
+    * immediately); df and the length stats are bounded side frames
+    * (crossJoin-broadcast one-row stats, broadcast |query|-row df);
+    * top-k plans as TakeOrderedAndProject, never a global sort. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lens = docs.select(col("doc_id"), size(toks(col("text"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("len"), lit(0L)).as("tot_len"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val lenNorm = lit(1.0) - lit(Bm25B) +
+      lit(Bm25B) * (col("len").cast("double") * col("n_docs") / col("tot_len"))
+    val termScore = idf * (col("tf") * (lit(Bm25K1) + 1.0)) /
+      (col("tf") + lit(Bm25K1) * lenNorm)
+    tf.join(broadcast(df_), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      // micros-integerised per-term score BEFORE the per-doc sum: each
+      // term score is one identical double expression per engine, but a
+      // double SUM over the (≤3) term rows would be summation-order-
+      // dependent — integer sums are order-free
+      .withColumn("ts_u", floor(termScore * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_terms"),
+        Det.r(sum("ts_u").cast("double") / 1e6, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopN)
+  }
+
+  val bm25TopKSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |             x -> length(x) > 0)) AS len
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n_docs,
+       |              coalesce(sum(len), 0) AS tot_len FROM lens),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                      x -> length(x) > 0)) AS term
+       |        FROM documents)
+       |  WHERE term IN ($terms)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         CAST(floor(
+       |           (st.n_docs - df.df + 0.5) / (df.df + 0.5)
+       |             * (tf.tf * (${Bm25K1} + 1.0))
+       |             / (tf.tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B}
+       |                * (CAST(lens.len AS DOUBLE) * st.n_docs / st.tot_len)))
+       |           * 1e6 + 0.5) AS BIGINT) AS ts_u
+       |  FROM tf JOIN df USING (term) JOIN lens ON lens.doc_id = tf.doc_id
+       |  CROSS JOIN st)
+       |SELECT doc_id, count(*) AS matched_terms,
+       |       ${Det.rSql("CAST(sum(ts_u) AS DOUBLE) / 1e6", 4)} AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $Bm25TopN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
     "token_counts"     -> ((s, d) => tokenCounts(s, d)),
@@ -2401,6 +2496,7 @@ object TextAnalysis {
     "token_counts"     -> tokenCountsSql,
     "doc_fingerprint"  -> docFingerprintSql,
     "tfidf_top_terms"  -> tfidfTopTermsSql,
+    "bm25_topk"        -> bm25TopKSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,
     "sequence_pack"    -> sequencePackSql,

@@ -250,4 +250,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(mean(en) < mean(rest),
       s"en mean NLL ${mean(en)} should be below non-en mean ${mean(rest)}")
   }
+
+  test("bm25_topk: matches an in-memory BM25 recompute of the full ranking") {
+    val got = queries.TextAnalysis.bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_terms"),
+        r.getAs[Double]("score")))
+    assert(got.length == 10 && got.forall(_._2 <= 3) && got.forall(_._3 > 0))
+    // full recompute with the same rational-idf formula
+    val q = Seq("hash", "join", "vector")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty).toSeq)
+    val n = docs.length.toLong
+    val totLen = docs.map(_._2.length.toLong).sum
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val len = toks.length
+      val tsU = q.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          val norm = 1.0 - 0.75 + 0.75 * (len.toDouble * n / totLen)
+          Some(math.floor(idf * (tf * 2.2) / (tf + 1.2 * norm) * 1e6 + 0.5).toLong)
+        }
+      }
+      (id, tsU.length.toLong,
+        math.floor(tsU.sum.toDouble / 1e6 * 1e4 + 0.5) / 1e4)
+    }.filter(_._2 > 0)
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
+    assert(got.toSeq == want)
+  }
 }
