@@ -279,6 +279,66 @@ object Similarity {
        |SELECT qid, rank, vec_id, CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
        |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  /** [[annCosineLsh]] with MULTIPROBE: each query probes its own bucket
+    * PLUS every bucket at Hamming distance 1 (flip each of the
+    * [[SigBits]] signature bits) in every table — the standard
+    * recall-vs-memory lever (Lv et al., VLDB'07): near neighbors that
+    * landed one sign flip away become candidates WITHOUT doubling the
+    * table count. Candidates are a strict superset of the base LSH's,
+    * so recall can only rise (SimilaritySpec pins both the ordering and
+    * a higher floor); cost rises by ≤ (bits+1)× on the QUERY side only
+    * — the corpus is neither rescanned nor re-bucketed, and the probe
+    * expansion is |Q|·T·(bits+1) rows of model state, still a broadcast.
+    * The exact re-rank stage is IDENTICAL to the base (same window,
+    * same Det rounding), so output rows differ only where multiprobe
+    * actually recovered a neighbor. */
+  def annCosineLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val bucketed = signatures(spark, all)
+    val probes = array(
+      (col("sig") +: (0 until SigBits).map(b =>
+        col("sig").bitwiseXOR(lit(1 << b)))): _*)
+    val qb = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("t"), explode(probes).as("sig"))
+      .distinct()
+    val cands = bucketed.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    cands
+      .join(all, "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val annCosineLshMultiprobeSql: String =
+    s"""WITH RECURSIVE
+       |$lshSigChainSql,
+       |qp AS (SELECT DISTINCT vec_id AS qid, t,
+       |              CASE WHEN p = $SigBits THEN sig
+       |                   ELSE CAST(xor(sig, 1 << p) AS INT) END AS sig
+       |       FROM sigs CROSS JOIN range(0, ${SigBits + 1}) r(p)
+       |       WHERE vec_id < $NumQueries),
+       |cands AS (SELECT DISTINCT qp.qid, s.vec_id
+       |          FROM sigs s JOIN qp ON s.t = qp.t AND s.sig = qp.sig
+       |          WHERE s.vec_id <> qp.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY c.qid
+       |                            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                                     c.vec_id ASC) AS rank
+       |  FROM cands c JOIN n a ON c.vec_id = a.vec_id
+       |               JOIN n q ON c.qid = q.vec_id)
+       |SELECT qid, rank, vec_id, CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   // --------------------------------------------------------------------
   // k-NN graph (all-vectors top-k over LSH candidates)
   // --------------------------------------------------------------------
@@ -2332,6 +2392,7 @@ object Similarity {
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
     "kcore_graph" -> ((s, d) => kcoreGraph(s, d)),
     "embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
+    "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2358,6 +2419,7 @@ object Similarity {
     "label_propagation" -> labelPropagationSql,
     "kcore_graph" -> kcoreGraphSql,
     "embedding_drift" -> embeddingDriftSql,
+    "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

@@ -34,6 +34,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("multiprobe LSH recall@5 >= base LSH recall, floor 0.85") {
+    val truth = queries.Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val base = queries.Similarity.annCosineLsh(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val mp = queries.Similarity.annCosineLshMultiprobe(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rBase = (truth & base).size.toDouble / truth.size
+    val rMp = (truth & mp).size.toDouble / truth.size
+    info(s"recall@5: base $rBase -> multiprobe $rMp")
+    // candidates are a superset, so recall cannot drop; the floor pins
+    // the measured lift (0.74 -> expected >= 0.85 with bits+1 probes)
+    assert(rMp >= rBase, s"multiprobe recall $rMp below base $rBase")
+    assert(rMp >= 0.85, s"multiprobe recall $rMp below floor")
+  }
+
   test("derivedIvfCells: sqrt(n/2) clamped to [16, 65536]") {
     import queries.Similarity.derivedIvfCells
     assert(derivedIvfCells(0) == 16)
