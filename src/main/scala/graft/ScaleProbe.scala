@@ -60,7 +60,7 @@ object ScaleProbe {
     "label_propagation",
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
     "ann_cosine_filtered", "kcore_graph", "embedding_drift",
-    "bm25_topk", "ann_cosine_lsh_mp")
+    "bm25_topk", "ann_cosine_lsh_mp", "knn_delta")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

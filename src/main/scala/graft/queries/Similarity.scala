@@ -453,6 +453,68 @@ object Similarity {
        |FROM rk WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  private val KnnDeltaMod = 10L
+
+  /** INCREMENTAL kNN INGEST: the top-[[KnnK]] BASE-corpus neighbors of
+    * each DELTA vector (vec_id ≡ 0 mod [[KnnDeltaMod]] plays the newly
+    * arrived batch) — [[graft.queries.Dedup.dedupDelta]]'s incremental
+    * argument applied to ANN: a nightly embedding ingest probes the
+    * EXISTING index's buckets; it never rescores base×base (the already-
+    * indexed corpus is untouched except where a delta vector collides),
+    * so ingest cost tracks |delta|·occupancy, not corpus². Same adaptive
+    * signature substrate as [[knnGraph]]; delta→base candidate pairs
+    * are scored inside the bucket join (the r8 spill discipline) and
+    * ranked by the bounded [[TopScoresAgg]]. Delta vectors whose buckets
+    * hold no base mate emit nothing (the sparse-output semantics of the
+    * family). */
+  def knnDelta(spark: SparkSession, sfDir: String,
+               k: Int = KnnK, deltaMod: Long = KnnDeltaMod): DataFrame = {
+    require(k > 0 && deltaMod > 1, s"need k > 0, deltaMod > 1")
+    val all = vecs(spark, sfDir)
+    val sigs = signaturesFor(spark, all, NumTables,
+      derivedSigBits(corpusVecCount(spark, sfDir)))
+    val sigv = sigs.join(all, "vec_id")
+    val delta = sigv.filter(col("vec_id") % deltaMod === 0)
+      .select(col("t"), col("sig"), col("vec_id").as("qid"),
+        col("v").as("xa"), col("norm").as("na"))
+    val base = sigv.filter(col("vec_id") % deltaMod =!= 0)
+      .select(col("t"), col("sig"), col("vec_id"),
+        col("v").as("xb"), col("norm").as("nb"))
+    val scored = delta.join(base, Seq("t", "sig"))
+      .select(col("qid"), col("vec_id"),
+        floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
+          * 1e6 + 0.5).cast("long").as("score_u"))
+      .distinct()
+    topKScored(spark, scored, k)
+      .withColumnRenamed("vec_id", "neighbor")
+      .withColumnRenamed("qid", "vec_id")
+      .select(col("vec_id"), col("rank"), col("neighbor"),
+        (col("score_u").cast("double") / 1e6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnDeltaSql: String =
+    s"""WITH RECURSIVE
+       |$lshSigChainAdaptiveSql,
+       |dp AS (SELECT DISTINCT sa.vec_id AS qid, sb.vec_id AS neighbor
+       |       FROM sigs sa JOIN sigs sb
+       |         ON sa.t = sb.t AND sa.sig = sb.sig
+       |       WHERE sa.vec_id % $KnnDeltaMod = 0
+       |         AND sb.vec_id % $KnnDeltaMod <> 0),
+       |dsc AS (SELECT p.qid, p.neighbor,
+       |               CAST(floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+       |                          * 1e6 + 0.5) AS BIGINT) AS score_u
+       |        FROM dp p JOIN n a ON a.vec_id = p.qid
+       |                  JOIN n b ON b.vec_id = p.neighbor),
+       |drk AS (SELECT qid, neighbor, score_u,
+       |               row_number() OVER (PARTITION BY qid
+       |                  ORDER BY score_u DESC, neighbor ASC) AS rank
+       |        FROM dsc)
+       |SELECT qid AS vec_id, CAST(rank AS INT) AS rank, neighbor,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS cosine
+       |FROM drk WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
+
   // --------------------------------------------------------------------
   // Semi-supervised label propagation over the kNN graph
   // --------------------------------------------------------------------
@@ -2393,6 +2455,7 @@ object Similarity {
     "kcore_graph" -> ((s, d) => kcoreGraph(s, d)),
     "embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
+    "knn_delta" -> ((s, d) => knnDelta(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2420,6 +2483,7 @@ object Similarity {
     "kcore_graph" -> kcoreGraphSql,
     "embedding_drift" -> embeddingDriftSql,
     "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
+    "knn_delta" -> knnDeltaSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

@@ -462,6 +462,29 @@ class SimilaritySpec extends AnyFunSuite {
       "MMR output identical to undiversified top-5 on every query")
   }
 
+  test("knn_delta: delta-only queries, base-only neighbors, order-consistent with knn_graph") {
+    val rows = queries.Similarity.knnDelta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("vec_id") % 10 == 0))
+    assert(rows.forall(_.getAs[Long]("neighbor") % 10 != 0))
+    val byQ = rows.groupBy(_.getAs[Long]("vec_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // same buckets, same scores: the base-only entries of knn_graph's
+    // top-k must prefix knn_delta's ranking in order
+    val full = queries.Similarity.knnGraph(spark, sf).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    byQ.foreach { case (q, rs) =>
+      val deltaOrder = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor"))
+      val fullBaseOnly = full.getOrElse(q, Array.empty)
+        .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor"))
+        .filter(_ % 10 != 0)
+      assert(deltaOrder.startsWith(fullBaseOnly),
+        s"vec $q: delta ranking $deltaOrder vs knn_graph base-only $fullBaseOnly")
+    }
+  }
+
   test("kcore_graph: matches an in-memory peel of the same kNN edges") {
     val got = queries.Similarity.kcoreGraph(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
