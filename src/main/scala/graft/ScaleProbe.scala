@@ -76,7 +76,8 @@ object ScaleProbe {
     "events_cms_topk", "events_value_quantiles",
     "events_gap_fill", "range_join_bursts", "interval_union",
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
-    "events_seasonal", "events_heavy_hitters")
+    "events_seasonal", "events_heavy_hitters",
+    "events_quantiles_by_type")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -94,7 +95,7 @@ object ScaleProbe {
     "bloom_semi_join", "skyline_parts", "table_profile",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
-    "orders_forecast_snaive", "revenue_cusum")
+    "orders_forecast_snaive", "revenue_cusum", "k_anonymity")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

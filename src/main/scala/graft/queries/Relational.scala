@@ -1379,6 +1379,41 @@ object Relational {
        |GROUP BY 1 ORDER BY weekday""".stripMargin
 
   // --------------------------------------------------------------------
+  // k-anonymity audit
+  // --------------------------------------------------------------------
+
+  private val KAnonK = 5
+
+  /** K-ANONYMITY AUDIT: cell sizes over the quasi-identifier tuple
+    * (c_nationkey, c_mktsegment) with a per-cell k≥[[KAnonK]] flag and
+    * each cell's share of the table — the privacy gate run before any
+    * customer extract leaves the warehouse (a cell smaller than k
+    * re-identifies its members; those rows must be suppressed or
+    * generalized). One grouped agg; output is |nations·segments|
+    * bounded; the total is a windowless broadcast one-row frame. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val total = cust.agg(count(lit(1)).as("total"))
+    cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") >= KAnonK).as("k_ok"),
+        Det.r(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val kAnonymitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       |       count(*) >= $KAnonK AS k_ok,
+       |       ${Det.rSql(
+        "CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer)", 6)}
+       |         AS share
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------------
   // CUSUM change-point detection on daily revenue
   // --------------------------------------------------------------------
 
@@ -1818,6 +1853,7 @@ object Relational {
     "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
     "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
     "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
+    "k_anonymity"         -> ((s, d) => kAnonymity(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
@@ -1856,6 +1892,7 @@ object Relational {
     "zorder_orders"        -> zorderOrdersSql,
     "orders_forecast_snaive" -> ordersForecastSnaiveSql,
     "revenue_cusum"        -> revenueCusumSql,
+    "k_anonymity"          -> kAnonymitySql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,

@@ -1254,6 +1254,68 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Per-group exact quantiles (bounded cents histogram per type)
+  // --------------------------------------------------------------------
+
+  private val GroupQPs = Seq(0.5, 0.9, 0.99)
+
+  /** PER-GROUP EXACT QUANTILES: p50/p90/p99 of event value per
+    * event_type as exact rank-selected member values (quantile_disc
+    * semantics: the smallest value whose cumulative count reaches
+    * ⌈p·n⌉) — the per-stream latency/spend percentile readout every
+    * telemetry pipeline exports, done WITHOUT a per-group sort of the
+    * corpus: values are 2-dp money, so the (type, cents) histogram is
+    * bounded by the VALUE RANGE (not the row count); it collects as
+    * model state (the [[eventsValueQuantiles]] precedent, one frame per
+    * type) and the rank walk runs on the driver. Cross-engine: ranks
+    * compare against ⌈p·n⌉ computed with the identical doubles; the
+    * selected values are exact cents. */
+  def eventsQuantilesByType(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.eventsTs(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("c"),
+        r.getAs[Long]("cnt")))
+    val rows = hist.groupBy(_._1).toSeq.flatMap { case (t, cells) =>
+      val sorted = cells.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      val cums = sorted.scanLeft(0L)(_ + _._3)
+      GroupQPs.map { p =>
+        val r = math.ceil(p * n).toLong
+        val i = sorted.indices.find(i => cums(i + 1) >= r).get
+        (t, p, r, sorted(i)._2.toDouble / 100)
+      }
+    }
+    rows.toDF("event_type", "p", "rank_target", "value")
+      .orderBy("event_type", "p")
+  }
+
+  val eventsQuantilesByTypeSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |                  CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events
+       |           WHERE value IS NOT NULL AND isfinite(value)),
+       |h AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |w AS (SELECT event_type, c, cnt,
+       |             sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+       |               ROWS UNBOUNDED PRECEDING) AS cum,
+       |             sum(cnt) OVER (PARTITION BY event_type) AS n
+       |      FROM h),
+       |ps AS (SELECT unnest([${GroupQPs.mkString(", ")}]) AS p)
+       |SELECT w.event_type, ps.p,
+       |       CAST(ceil(ps.p * w.n) AS BIGINT) AS rank_target,
+       |       CAST(min(w.c) AS DOUBLE) / 100 AS value
+       |FROM w CROSS JOIN ps
+       |WHERE w.cum >= ceil(ps.p * w.n)
+       |GROUP BY 1, 2, CAST(ceil(ps.p * w.n) AS BIGINT)
+       |ORDER BY event_type, p""".stripMargin
+
+  // --------------------------------------------------------------------
   // Heavy hitters (Misra–Gries shortlist + exact recount, 2-pass)
   // --------------------------------------------------------------------
 
@@ -1442,6 +1504,7 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
+    "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1472,6 +1535,7 @@ object Temporal {
     // as-of forms — all three share one oracle, enforced by the hash gate
     "asof_join_native"  -> asofJoinOrdersSql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
+    "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

@@ -1039,6 +1039,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("cusum") >= 0))
   }
 
+  test("events_quantiles_by_type: rank-selected member values, monotone across p") {
+    val rows = queries.Temporal.eventsQuantilesByType(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val vals = Tables.eventsTs(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t ->
+        rs.map(r => math.round(r.getAs[Double]("value") * 100)).sorted }
+    assert(byType.keySet == vals.keySet)
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Double]("p"))
+      assert(sorted.map(_.getAs[Double]("p")).toSeq == Seq(0.5, 0.9, 0.99))
+      // monotone in p, and each is the exact rank-selected member
+      val got = sorted.map(r => math.round(r.getAs[Double]("value") * 100))
+      assert(got.zip(got.tail).forall { case (a, b) => a <= b })
+      sorted.foreach { r =>
+        val rank = r.getAs[Long]("rank_target").toInt
+        assert(math.round(r.getAs[Double]("value") * 100) == vals(t)(rank - 1),
+          s"$t p=${r.getAs[Double]("p")}")
+      }
+    }
+  }
+
+  test("k_anonymity: cells partition the table, flags match the threshold") {
+    val rows = queries.Relational.kAnonymity(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.forall(r => r.getAs[Boolean]("k_ok") == (r.getAs[Long]("n") >= 5)))
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
