@@ -95,7 +95,8 @@ object ScaleProbe {
     "bloom_semi_join", "skyline_parts", "table_profile",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
-    "orders_forecast_snaive", "revenue_cusum", "k_anonymity")
+    "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
+    "basket_rules")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

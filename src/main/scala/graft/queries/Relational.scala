@@ -609,6 +609,96 @@ object Relational {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $AffinityTopN""".stripMargin
 
+  private val RulesTopN = 50
+  private val RulesMinSupport = 3L
+
+  /** ASSOCIATION RULES: a → b with support, confidence
+    * (supp(ab)/supp(a)) and lift (N·supp(ab)/(supp(a)·supp(b))), top-N
+    * by lift — the recommendation readout on top of [[partAffinity]]'s
+    * co-occurrence counts (affinity says "bought together often";
+    * rules say "given a, how surprising is b").
+    *
+    * Same capped basket-pair kernel as the affinity query (one scan,
+    * basket cap bounds the mega-order fan-out; the cap applies to PAIR
+    * emission only — single-item supports stay uncapped, both engines
+    * identically). A min-support floor ([[RulesMinSupport]]) prunes the
+    * pair tail before the joins — the Apriori downward-closure step.
+    * Item supports join on the part key (|parts| catalog-sized — AQE
+    * broadcasts when small, shuffles when not; never forced). All
+    * ratios are exact-int divisions rounded once ([[Det.r]]); ordering
+    * ties break on (ant, cons). */
+  def basketRules(spark: SparkSession, sfDir: String,
+                  topN: Int = RulesTopN,
+                  maxBasket: Int = AffinityMaxBasket): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    import spark.implicits._
+    val op = graft.queries.TextAnalysis.maybeCache(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val nOrders = op.select("ok").distinct().count()
+    val itemSupp = op.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pairSupp = op
+      .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(col("ps")).as[Seq[Long]]
+      .flatMap { ps =>
+        val n = math.min(ps.length, maxBasket)
+        val b = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) { b += ((ps(i), ps(j))); j += 1 }
+          i += 1
+        }
+        b.result()
+      }
+      .toDF("a", "b")
+      .groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= RulesMinSupport)
+    val directed = pairSupp
+      .select(col("a").as("ant"), col("b").as("cons"), col("supp_ab"))
+      .union(pairSupp
+        .select(col("b").as("ant"), col("a").as("cons"), col("supp_ab")))
+    directed
+      .join(itemSupp.select(col("pk").as("ant"), col("supp").as("supp_ant")),
+        "ant")
+      .join(itemSupp.select(col("pk").as("cons"), col("supp").as("supp_cons")),
+        "cons")
+      .select(col("ant"), col("cons"), col("supp_ab"),
+        Det.r(col("supp_ab").cast("double") / col("supp_ant"), 6).as("conf"),
+        Det.r((col("supp_ab") * lit(nOrders)).cast("double") /
+          (col("supp_ant") * col("supp_cons")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("conf").desc,
+        col("ant").asc, col("cons").asc)
+      .limit(topN)
+  }
+
+  val basketRulesSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |rr AS (SELECT ok, pk,
+       |              row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk
+       |       FROM op),
+       |pp AS (SELECT a.pk AS a, b.pk AS b, count(*) AS supp_ab
+       |       FROM rr a JOIN rr b ON a.ok = b.ok AND a.pk < b.pk
+       |       WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= $RulesMinSupport),
+       |si AS (SELECT pk, count(*) AS supp FROM op GROUP BY 1),
+       |nn AS (SELECT count(DISTINCT ok) AS n FROM op),
+       |dd AS (SELECT a AS ant, b AS cons, supp_ab FROM pp
+       |       UNION ALL
+       |       SELECT b, a, supp_ab FROM pp)
+       |SELECT dd.ant, dd.cons, dd.supp_ab,
+       |       ${Det.rSql("CAST(dd.supp_ab AS DOUBLE) / sa.supp", 6)} AS conf,
+       |       ${Det.rSql(
+        "CAST(dd.supp_ab * nn.n AS DOUBLE) / (sa.supp * sc.supp)", 6)} AS lift
+       |FROM dd JOIN si sa ON sa.pk = dd.ant
+       |        JOIN si sc ON sc.pk = dd.cons
+       |        CROSS JOIN nn
+       |ORDER BY lift DESC, conf DESC, ant, cons
+       |LIMIT $RulesTopN""".stripMargin
+
   private val PrIters = 5
   private val PrTopN = 50
 
@@ -1854,6 +1944,7 @@ object Relational {
     "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
     "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
     "k_anonymity"         -> ((s, d) => kAnonymity(s, d)),
+    "basket_rules"        -> ((s, d) => basketRules(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
@@ -1893,6 +1984,7 @@ object Relational {
     "orders_forecast_snaive" -> ordersForecastSnaiveSql,
     "revenue_cusum"        -> revenueCusumSql,
     "k_anonymity"          -> kAnonymitySql,
+    "basket_rules"         -> basketRulesSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,

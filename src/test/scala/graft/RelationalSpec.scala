@@ -284,6 +284,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(hitFrac(minD, minD + dayW, "min_day", "max_day") < 0.6)
   }
 
+  test("basket_rules: rule math reconciles against raw supports") {
+    val rules = queries.Relational.basketRules(spark, sf).collect()
+    assert(rules.length == 50)
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val itemSupp = op.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+    val pairSupp = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, rs) => p -> rs.size.toLong }
+    rules.foreach { r =>
+      val (a, b) = (r.getAs[Long]("ant"), r.getAs[Long]("cons"))
+      val key = if (a < b) (a, b) else (b, a)
+      assert(pairSupp(key) == r.getAs[Long]("supp_ab"))
+      val conf = pairSupp(key).toDouble / itemSupp(a)
+      val lift = pairSupp(key).toDouble * nOrders / (itemSupp(a) * itemSupp(b))
+      assert(math.abs(r.getAs[Double]("conf") - conf) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-5)
+      assert(r.getAs[Double]("conf") > 0 && r.getAs[Double]("conf") <= 1.0)
+    }
+    // output is lift-sorted
+    val lifts = rules.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
