@@ -292,7 +292,36 @@ object Multimodal {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  /** ASSET CONTENT-HASH DEDUP: groups of byte-identical payloads within
+    * a modality (md5 over the binary column), reporting group size and
+    * the min/max doc ids — the "same JPEG uploaded twice" detector every
+    * media lake runs at ingest. Hash-groupBy on a 16-byte digest: the
+    * shuffle carries (modality, md5, doc_id) — never the payload bytes
+    * (at 100 TB the payloads are the table; the digest projection is
+    * the only thing that moves). One scan, one agg; oracle hashes the
+    * identical UTF-8 bytes DuckDB-side. */
+  def mmDedup(spark: SparkSession, sfDir: String): DataFrame =
+    assets(spark, sfDir).toDF()
+      .select(col("modality"), md5(col("payload")).as("payload_md5"),
+        col("doc_id"))
+      .groupBy("modality", "payload_md5")
+      .agg(count(lit(1)).as("n_assets"),
+        min("doc_id").as("keeper_doc_id"), max("doc_id").as("dup_max_id"))
+      .filter(col("n_assets") > 1)
+      .orderBy("modality", "payload_md5")
+
+  val mmDedupSql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+      |         AS modality,
+      |       md5(text) AS payload_md5, count(*) AS n_assets,
+      |       min(doc_id) AS keeper_doc_id, max(doc_id) AS dup_max_id
+      |FROM documents
+      |GROUP BY 1, 2
+      |HAVING count(*) > 1
+      |ORDER BY modality, payload_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup"     -> ((s, d) => mmDedup(s, d)),
     "mm_features"     -> ((s, d) => mmFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_fusion"       -> ((s, d) => mmFusion(s, d)),
@@ -300,6 +329,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup"     -> mmDedupSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_fusion"       -> mmFusionSql,

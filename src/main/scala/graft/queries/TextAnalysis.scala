@@ -2362,6 +2362,71 @@ object TextAnalysis {
        |FROM g ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Quality-filter agreement (inter-rater reliability of two gates)
+  // --------------------------------------------------------------------
+
+  /** QUALITY-GATE AGREEMENT: the 2×2 confusion between the heuristic
+    * gate ([[qualityGate]].keep) and the Gopher rules
+    * ([[gopherQuality]].pass) plus observed agreement and Cohen's κ —
+    * the inter-rater-reliability readout that says whether two filters
+    * are redundant (κ→1), complementary, or contradictory, BEFORE a
+    * curation pipeline pays for both at 100 TB.
+    *
+    * One join of two per-doc flag frames on doc_id (both sides derive
+    * from the same documents scan; co-keyed hash join), then a single
+    * keyless agg (the sanctioned scalar-agg SinglePartition shape).
+    * κ = (pₒ − pₑ)/(1 − pₑ) from exact integer cell counts with one
+    * identical double expression per engine ([[Det.r]] r6); κ is null
+    * when pₑ = 1 (a degenerate all-one-cell corpus). */
+  def qualityAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val gate = qualityGateFrame(docs).select(col("doc_id"), col("keep"))
+    val gopher = gopherLabeled(spark, sfDir, GopherMinWords)
+      .select(col("doc_id"), col("pass"))
+    val cells = gate.join(gopher, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("keep") && col("pass"), 1)).as("both_keep"),
+      count(when(!col("keep") && !col("pass"), 1)).as("both_drop"),
+      count(when(col("keep") && !col("pass"), 1)).as("gate_only"),
+      count(when(!col("keep") && col("pass"), 1)).as("gopher_only"))
+    val n = col("n_docs").cast("double")
+    val po = (col("both_keep") + col("both_drop")) / n
+    val pe = ((col("both_keep") + col("gate_only")) / n) *
+      ((col("both_keep") + col("gopher_only")) / n) +
+      ((col("both_drop") + col("gopher_only")) / n) *
+        ((col("both_drop") + col("gate_only")) / n)
+    cells.select(col("n_docs"), col("both_keep"), col("both_drop"),
+      col("gate_only"), col("gopher_only"),
+      Det.r(po, 6).as("po"),
+      Det.r(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  val qualityAgreementSql: String = {
+    val n = "CAST(n_docs AS DOUBLE)"
+    val po = s"(both_keep + both_drop) / $n"
+    val pe = s"((both_keep + gate_only) / $n) * ((both_keep + gopher_only) / $n)" +
+      s" + ((both_drop + gopher_only) / $n) * ((both_drop + gate_only) / $n)"
+    s"""WITH $repetitionBaseSqlCte,
+       |gatef AS (SELECT doc_id,
+       |                 NOT (n_tokens < 20 OR dup_bigram_frac > 0.05) AS keep
+       |          FROM rb),
+       |gopherf AS (SELECT doc_id, pass FROM (${gopherLabeledSql()})),
+       |cells AS (
+       |  SELECT count(*) AS n_docs,
+       |         count(*) FILTER (WHERE g.keep AND p.pass) AS both_keep,
+       |         count(*) FILTER (WHERE NOT g.keep AND NOT p.pass) AS both_drop,
+       |         count(*) FILTER (WHERE g.keep AND NOT p.pass) AS gate_only,
+       |         count(*) FILTER (WHERE NOT g.keep AND p.pass) AS gopher_only
+       |  FROM gatef g JOIN gopherf p USING (doc_id))
+       |SELECT n_docs, both_keep, both_drop, gate_only, gopher_only,
+       |       ${Det.rSql(po, 6)} AS po,
+       |       CASE WHEN $pe < 1.0
+       |            THEN ${Det.rSql(s"($po - ($pe)) / (1.0 - ($pe))", 6)}
+       |       END AS kappa
+       |FROM cells""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // BM25 retrieval (log-free rational variant)
   // --------------------------------------------------------------------
 
@@ -2457,6 +2522,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "quality_agreement" -> ((s, d) => qualityAgreement(s, d)),
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
     "token_counts"     -> ((s, d) => tokenCounts(s, d)),
@@ -2497,6 +2563,7 @@ object TextAnalysis {
     "doc_fingerprint"  -> docFingerprintSql,
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "bm25_topk"        -> bm25TopKSql,
+    "quality_agreement" -> qualityAgreementSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,
     "sequence_pack"    -> sequencePackSql,

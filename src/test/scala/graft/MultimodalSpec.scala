@@ -77,4 +77,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_frames") == fb.length)
     }
   }
+
+  test("mm_dedup: clean fixture has no byte-dups; doctored corpus groups them by modality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the driver corpus has no byte-identical texts — all-clear is the
+    // correct (oracled) answer there
+    assert(queries.Multimodal.mmDedup(spark, sf).count() == 0)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mm_dedup").getAbsolutePath
+    // doc_id parity defines modality: 2/4 are both "image" and share
+    // payload bytes -> one group; 1 ("audio") shares the TEXT with 2 but
+    // not the modality -> must not merge; 3/5 unique
+    Seq((1L, "same bytes", "en", "web", 10L),
+        (2L, "same bytes", "en", "web", 10L),
+        (4L, "same bytes", "en", "web", 10L),
+        (3L, "other audio", "en", "web", 11L),
+        (5L, "lone audio", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Multimodal.mmDedup(spark, dir).collect()
+    assert(got.length == 1)
+    val g = got.head
+    assert(g.getAs[String]("modality") == "image" &&
+      g.getAs[Long]("n_assets") == 2 &&
+      g.getAs[Long]("keeper_doc_id") == 2 &&
+      g.getAs[Long]("dup_max_id") == 4)
+  }
 }

@@ -282,4 +282,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
     assert(got.toSeq == want)
   }
+
+  test("quality_agreement: cells reconcile with the two gates; kappa recomputes") {
+    val r = queries.TextAnalysis.qualityAgreement(spark, sf).head()
+    val keep = queries.TextAnalysis.qualityGate(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    val pass = queries.TextAnalysis.gopherQuality(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("pass")).toMap
+    val bk = keep.count { case (d, k) => k && pass(d) }
+    val bd = keep.count { case (d, k) => !k && !pass(d) }
+    val go = keep.count { case (d, k) => k && !pass(d) }
+    val po = keep.count { case (d, k) => !k && pass(d) }
+    assert(r.getAs[Long]("n_docs") == keep.size)
+    assert(r.getAs[Long]("both_keep") == bk && r.getAs[Long]("both_drop") == bd)
+    assert(r.getAs[Long]("gate_only") == go && r.getAs[Long]("gopher_only") == po)
+    val n = keep.size.toDouble
+    val pObs = (bk + bd) / n
+    val pExp = ((bk + go) / n) * ((bk + po) / n) + ((bd + po) / n) * ((bd + go) / n)
+    val kappa = (pObs - pExp) / (1.0 - pExp)
+    assert(math.abs(r.getAs[Double]("po") - pObs) < 1e-5)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-5)
+    assert(r.getAs[Double]("kappa") <= 1.0)
+  }
 }
