@@ -1400,20 +1400,29 @@ object Temporal {
     * frame (partitioned on event_type — a shuffle of ≤120 rows), never
     * a second corpus scan. Cents-integer value sums; [[Det.r]] final
     * rounding; total (event_type, hr) ordering. */
-  def eventsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
-    val byHr = Tables.eventsTs(spark, sfDir)
-      .select(col("event_type"), hour(col("ts")).as("hr"),
-        round(col("value") * 100).cast("long").as("c"))
-      .groupBy("event_type", "hr")
-      .agg(count(lit(1)).as("n"), sum("c").as("sc"))
-    byHr
-      .withColumn("tot",
-        sum("n").over(Window.partitionBy("event_type")))
-      .select(col("event_type"), col("hr"), col("n"),
-        Det.r(col("sc").cast("double") / col("n") / 100, 4).as("avg_value"),
-        Det.r((col("n") * 24).cast("double") / col("tot"), 4).as("idx"))
-      .orderBy("event_type", "hr")
-  }
+  /** The streamable stage of [[eventsSeasonal]]: one grouped agg — runs
+    * identically over a batch frame or a complete-mode stream
+    * (StreamingSpec proves the parity; windows and second aggs are not
+    * streamable, so the finisher below runs over the ≤24·|types| state
+    * frame instead). */
+  private[graft] def seasonalBase(ev: DataFrame): DataFrame = ev
+    .select(col("event_type"), hour(col("ts")).as("hr"),
+      round(col("value") * 100).cast("long").as("c"))
+    .groupBy("event_type", "hr")
+    .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+
+  /** Finisher over the bounded profile frame (batch, or a streamed
+    * complete-mode state table). */
+  private[graft] def seasonalFinish(byHr: DataFrame): DataFrame = byHr
+    .withColumn("tot",
+      sum("n").over(Window.partitionBy("event_type")))
+    .select(col("event_type"), col("hr"), col("n"),
+      Det.r(col("sc").cast("double") / col("n") / 100, 4).as("avg_value"),
+      Det.r((col("n") * 24).cast("double") / col("tot"), 4).as("idx"))
+    .orderBy("event_type", "hr")
+
+  def eventsSeasonal(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalFinish(seasonalBase(Tables.eventsTs(spark, sfDir)))
 
   val eventsSeasonalSql: String =
     s"""WITH h AS (SELECT event_type,

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed seasonal profile + bounded finisher == batch events_seasonal") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    // the grouped profile streams (complete mode); the window finisher
+    // runs over the <=24*|types| state table, exactly as it would over
+    // a production state-store dump
+    val q = queries.Temporal.seasonalBase(df).writeStream
+      .format("memory").queryName("seasonal_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(eventRows)
+      q.processAllAvailable()
+      val streamed = queries.Temporal.seasonalFinish(spark.table("seasonal_test"))
+        .collect().map(_.toString).toSeq
+      val batch = queries.Temporal.eventsSeasonal(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static segment enrichment join == batch twin (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
