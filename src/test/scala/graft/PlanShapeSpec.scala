@@ -115,6 +115,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan("bpe_train").contains("ReadSchema"))
   }
 
+  test("round-8 continuation: pruned scans, anti joins, shared exchanges") {
+    // per-table constraint scans prune to exactly the checked columns
+    Seq("scd2_order_status" ->
+          "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string",
+        "corr_matrix" ->
+          "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>",
+        "window_battery" ->
+          "struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp")
+      .foreach { case (q, rs) =>
+        assert(plan(q).contains(rs), s"$q scan should be pruned to $rs:\n${plan(q)}")
+      }
+    // referential checks plan as anti joins, never as full outer shapes
+    assert("LeftAnti".r.findAllIn(plan("dq_violations")).length == 2)
+    // the SCD2 chain shares ONE o_custkey exchange across its four
+    // window/agg stages (exchange reuse is the query's scale claim)
+    assert("Exchange hashpartitioning\\(o_custkey#\\d+L, \\d+\\)".r
+      .findAllIn(plan("scd2_order_status")).length == 1,
+      s"scd2 should shuffle on o_custkey exactly once:\n${plan("scd2_order_status")}")
+    // basket_rules' top-N is TakeOrdered, not a global sort
+    assert(plan("basket_rules").contains("TakeOrderedAndProject"))
+  }
+
   test("no registered query funnels data through SinglePartition or CollectLimit") {
     // global sorts plan as range partitioning; a SinglePartition exchange
     // carrying table data (or a CollectLimit) is a driver-width funnel.
