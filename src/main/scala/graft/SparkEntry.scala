@@ -147,6 +147,21 @@ object SparkEntry {
       Similarity.knnCoherence(s, d, a.getOrElse("k", "3").toInt)),
     "ann_cosine_filtered" -> ((s, d, a) =>
       Similarity.annCosineFiltered(s, d, a.getOrElse("k", "5").toInt)),
+    "kcore_graph" -> ((s, d, a) =>
+      Similarity.kcoreGraph(s, d,
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("core_k", "3").toInt,
+        a.getOrElse("peels", "8").toInt)),
+    "knn_delta" -> ((s, d, a) =>
+      Similarity.knnDelta(s, d,
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("delta_mod", "10").toLong)),
+    "events_heavy_hitters" -> ((s, d, a) =>
+      Temporal.eventsHeavyHitters(s, d, a.getOrElse("k", "150").toInt)),
+    "basket_rules" -> ((s, d, a) =>
+      Relational.basketRules(s, d,
+        a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

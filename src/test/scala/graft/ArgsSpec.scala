@@ -21,6 +21,32 @@ class ArgsSpec extends AnyFunSuite {
     assert(scan.map(_._1).toSet != data.map(_._1).toSet)
   }
 
+  test("kcore_graph honors core_k (higher bar peels more nodes)") {
+    val run = SparkEntry.queriesWithArgs("kcore_graph")
+    val k2 = run(spark, sf, Map("core_k" -> "2")).count()
+    val k5 = run(spark, sf, Map("core_k" -> "5")).count()
+    assert(k2 >= k5, s"2-core ($k2 nodes) must contain the 5-core ($k5)")
+  }
+
+  test("events_heavy_hitters honors k (smaller k raises the support bar)") {
+    val run = SparkEntry.queriesWithArgs("events_heavy_hitters")
+    val loose = run(spark, sf, Map("k" -> "300")).count()
+    val strict = run(spark, sf, Map("k" -> "20")).count()
+    assert(loose >= strict && loose > 0)
+  }
+
+  test("basket_rules honors top_n") {
+    val run = SparkEntry.queriesWithArgs("basket_rules")
+    assert(run(spark, sf, Map("top_n" -> "7")).count() == 7)
+  }
+
+  test("knn_delta honors delta_mod (denser delta => more query rows)") {
+    val run = SparkEntry.queriesWithArgs("knn_delta")
+    val sparse = run(spark, sf, Map("delta_mod" -> "10")).select("vec_id").distinct().count()
+    val dense = run(spark, sf, Map("delta_mod" -> "2")).select("vec_id").distinct().count()
+    assert(dense > sparse)
+  }
+
   test("grep with no args uses the reference default pattern 'error'") {
     // the fixture vocabulary lacks 'error', so comparing against the
     // fixture would be vacuous (empty == empty) — build a corpus where
