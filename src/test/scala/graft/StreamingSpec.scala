@@ -115,6 +115,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental MV upsert == batch aggregate (multi-micro-batch)") {
+    // the mv_refresh_incremental merge algebra, run as a STREAMING sink:
+    // each micro-batch's partial (count, cents) agg upserts into MV
+    // state by monoid merge — three separate micro-batches must land on
+    // exactly the batch groupBy answer
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val mv = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+          .collect().foreach { r =>
+            val k = r.getAs[String]("event_type")
+            val (n0, s0) = mv.getOrElse(k, (0L, 0L))
+            mv(k) = (n0 + r.getAs[Long]("n"), s0 + r.getAs[Long]("sc"))
+          }
+    }.start()
+    try {
+      val rows = eventRows
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { part =>
+        mem.addData(part)
+        q.processAllAvailable()
+      }
+      val want = Tables.eventsTs(spark, sf)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sc"))).toMap
+      assert(mv.toMap == want && mv.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file-source stream (readStream parquet) == batch twin") {
     val q = StreamingJobs.tumbling1h(StreamingJobs.readEventsStream(spark, sf))
       .writeStream.format("memory").queryName("file_stream_test")
