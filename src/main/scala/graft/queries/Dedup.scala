@@ -1102,7 +1102,7 @@ object Dedup {
     * delta edge set. Small edge sets take the single-task union-find;
     * larger ones the large-star/small-star fixpoint with the star-forest
     * proof. Returns only edge-touching nodes as (doc_id, comp). */
-  private def ccLabelsOf(spark: SparkSession, pairs: DataFrame,
+  private[queries] def ccLabelsOf(spark: SparkSession, pairs: DataFrame,
                          localCcMaxEdges: Long = 10_000_000L): DataFrame = {
     import spark.implicits._
     // reliable (HDFS-style) checkpointing per round, for clusters where

@@ -453,6 +453,49 @@ object Similarity {
        |FROM rk WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** SEMANTIC CLUSTERS: connected components of the kNN graph — the
+    * unsupervised "what topical islands does this corpus contain"
+    * readout (SemDeDup clusters per prototype; this labels EVERY
+    * edge-touching vector with its component and size). Engine:
+    * [[Dedup.ccLabelsOf]] — the same union-find fast path /
+    * large-star–small-star fixpoint (checkpointed, star-forest-proved)
+    * that resolves dedup clusters, run over the session-materialized
+    * kNN edges symmetrized to unique (min, max) pairs. Isolated vectors
+    * (no bucket mate) emit nothing — the family's sparse-output
+    * semantics. Oracle: recursive min-reachability closure over the
+    * shared kNN edge CTE chain. */
+  def knnComponents(spark: SparkSession, sfDir: String,
+                    k: Int = KnnK): DataFrame = {
+    val pairs = knnEdgesMaterialized(spark, sfDir, k)
+      .select(least(col("vec_id"), col("neighbor")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor")).as("doc_b"))
+      .distinct()
+    val labels = Dedup.ccLabelsOf(spark, pairs)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id").as("vec_id"), col("comp").as("cluster_id"),
+        col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  val knnComponentsSql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |kp AS (SELECT DISTINCT least(vec_id, neighbor) AS doc_a,
+       |              greatest(vec_id, neighbor) AS doc_b
+       |       FROM rk WHERE rank <= $KnnK),
+       |ke2 AS (SELECT doc_a AS src, doc_b AS dst FROM kp
+       |        UNION ALL SELECT doc_b, doc_a FROM kp),
+       |reach(v, m) AS (
+       |  SELECT DISTINCT src, src FROM ke2
+       |  UNION
+       |  SELECT e.src, r.m FROM ke2 e JOIN reach r ON e.dst = r.v),
+       |lab AS (SELECT v AS vec_id, min(m) AS cluster_id
+       |        FROM reach GROUP BY v)
+       |SELECT vec_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM lab ORDER BY vec_id""".stripMargin
+
   private val KnnDeltaMod = 10L
 
   /** INCREMENTAL kNN INGEST: the top-[[KnnK]] BASE-corpus neighbors of
@@ -2456,6 +2499,7 @@ object Similarity {
     "embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
     "knn_delta" -> ((s, d) => knnDelta(s, d)),
+    "knn_components" -> ((s, d) => knnComponents(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2484,6 +2528,7 @@ object Similarity {
     "embedding_drift" -> embeddingDriftSql,
     "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
     "knn_delta" -> knnDeltaSql,
+    "knn_components" -> knnComponentsSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

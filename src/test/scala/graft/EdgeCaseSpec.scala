@@ -557,6 +557,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Similarity.kcoreGraph(spark, empty).count() == 0)
     assert(queries.Similarity.embeddingDrift(spark, empty).count() == 0)
     assert(queries.Similarity.knnDelta(spark, empty).count() == 0)
+    assert(queries.Similarity.knnComponents(spark, empty).count() == 0)
     assert(queries.Similarity.annCosinePqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.annCosineIvfPqRerank(spark, empty).count() == 0)
     assert(queries.Similarity.knnGraph(spark, empty).count() == 0)

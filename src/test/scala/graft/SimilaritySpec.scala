@@ -485,6 +485,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn_components: matches an in-memory union-find over the same edges") {
+    val got = queries.Similarity.knnComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"))).toMap
+    val edges = queries.Similarity.knnGraph(spark, sf).collect()
+      .map(r => {
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor")
+        (math.min(a, b), math.max(a, b))
+      }).distinct
+    // union-find with min-label resolution
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comp = nodes.map(n => n -> find(n)).toMap
+    val sizes = comp.values.groupBy(identity).map { case (c, m) => c -> m.size.toLong }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(got(n) == (comp(n), sizes(comp(n))), s"vec $n")
+    }
+  }
+
   test("kcore_graph: matches an in-memory peel of the same kNN edges") {
     val got = queries.Similarity.kcoreGraph(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
