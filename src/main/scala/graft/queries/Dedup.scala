@@ -633,6 +633,98 @@ object Dedup {
        |WHERE raw_j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val ContainT = 0.8
+  private val ContainMaxDf = 1000
+
+  /** ASYMMETRIC CONTAINMENT PAIRS: (contained, container) where
+    * |A∩B|/|A| ≥ [[ContainT]] — the quote/excerpt/boilerplate-wrapper
+    * detector. This is the near-dup geometry the Jaccard family's
+    * AllPairs LENGTH FILTER deliberately excludes (a 100-shingle doc
+    * fully inside a 10000-shingle doc has jaccard ≈ 0.01 and containment
+    * 1.0), so it completes the dedup family rather than duplicating it.
+    *
+    * Same 48-bit hashed-shingle universe end to end
+    * ([[docShingleHashes]], shared cache): candidates are pairs sharing
+    * ≥1 shingle of document frequency ≤ [[ContainMaxDf]] (the
+    * [[graft.queries.TextAnalysis.contaminationCheck]] df-cap semantics,
+    * applied identically in the oracle — a pair ALL of whose shared
+    * shingles are ultra-common is boilerplate, not a quote, and capping
+    * bounds each posting's fan-out at df² instead of letting one
+    * stop-shingle emit |corpus|² pairs). Verification is the exact
+    * two-pointer merge over the sorted hash arrays; both directional
+    * ratios are tested and each direction ≥ t emits its own row.
+    * Filter on the RAW ratio, emit the r6-rounded value (the
+    * [[verifyJaccard]] discipline). */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       t: Double = ContainT,
+                       maxDf: Int = ContainMaxDf): DataFrame = {
+    require(t > 0 && t <= 1, s"need 0 < t <= 1, got $t")
+    import spark.implicits._
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = post.join(
+      post.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("h"), "h")
+    val cands = rare.select(col("h"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val joined = cands
+      .join(hv.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hv.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (a, b, ha, hb) =>
+          var i = 0; var j = 0; var inter = 0L
+          while (i < ha.length && j < hb.length) {
+            val c = java.lang.Long.compare(ha(i), hb(j))
+            if (c == 0) { inter += 1; i += 1; j += 1 }
+            else if (c < 0) i += 1
+            else j += 1
+          }
+          (a, b, ha.length.toLong, hb.length.toLong, inter)
+        }
+      }.toDF("doc_a", "doc_b", "n_a", "n_b", "n_common")
+    val directed = joined
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        col("n_a").as("n_contained"), col("n_common"))
+      .union(joined
+        .select(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("n_b").as("n_contained"), col("n_common")))
+    directed
+      .withColumn("raw", col("n_common").cast("double") / col("n_contained"))
+      .filter(col("raw") >= t)
+      .select(col("contained"), col("container"), col("n_common"),
+        Det.r(col("raw"), 6).as("containment"))
+      .orderBy("contained", "container")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |post AS (SELECT doc_id, unnest(hs) AS h FROM hv),
+       |rare AS (SELECT p.doc_id, p.h FROM post p
+       |         JOIN (SELECT h FROM post GROUP BY h
+       |               HAVING count(*) <= $ContainMaxDf) d USING (h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rare a JOIN rare b
+       |           ON a.h = b.h AND a.doc_id < b.doc_id),
+       |iv AS (SELECT c.doc_a, c.doc_b, len(a.hs) AS n_a, len(b.hs) AS n_b,
+       |              len(list_intersect(a.hs, b.hs)) AS n_common
+       |       FROM cand c JOIN hv a ON a.doc_id = c.doc_a
+       |                   JOIN hv b ON b.doc_id = c.doc_b),
+       |dirp AS (SELECT doc_a AS contained, doc_b AS container,
+       |                n_a AS n_contained, n_common FROM iv
+       |         UNION ALL
+       |         SELECT doc_b, doc_a, n_b, n_common FROM iv)
+       |SELECT contained, container, n_common,
+       |       ${Det.rSql("CAST(n_common AS DOUBLE) / n_contained", 6)}
+       |         AS containment
+       |FROM dirp
+       |WHERE CAST(n_common AS DOUBLE) / n_contained >= $ContainT
+       |ORDER BY contained, container""".stripMargin
+
   // --------------------------------------------------------------------
   // MinHash + LSH
   // --------------------------------------------------------------------
@@ -1814,6 +1906,7 @@ object Dedup {
     "substring_dedup"      -> ((s, d) => substringDedup(s, d)),
     "pipeline_funnel"      -> ((s, d) => pipelineFunnel(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
+    "containment_pairs"    -> ((s, d) => containmentPairs(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
@@ -1833,6 +1926,7 @@ object Dedup {
     "substring_dedup"      -> substringDedupSql,
     "pipeline_funnel"      -> pipelineFunnelSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
+    "containment_pairs"    -> containmentPairsSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,
     "dup_pair_sources"     -> dupPairSourcesSql,

@@ -188,4 +188,37 @@ class DedupSpec extends AnyFunSuite {
       assert(exact.contains(p), s"semdedup drop $p not an exact cosine dup")
     }
   }
+
+  test("containment_pairs: supersets jaccard pairs; catches the quote jaccard misses") {
+    import spark.implicits._
+    val cont = queries.Dedup.containmentPairs(spark, sf).collect()
+    assert(cont.forall(_.getAs[Double]("containment") >= 0.8))
+    // j >= 0.8 implies containment(smaller side) >= j, and at fixture
+    // scale the df cap prunes nothing — every jaccard pair must appear
+    val jacc = queries.Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val contPairs = cont.map(r =>
+      (r.getAs[Long]("contained"), r.getAs[Long]("container"))).toSet
+    jacc.foreach { case (a, b) =>
+      assert(contPairs.contains((a, b)) || contPairs.contains((b, a)),
+        s"jaccard pair ($a,$b) missing from containment output")
+    }
+    // golden: a 30-token quote inside a long document — containment 1.0
+    // where jaccard is far below threshold (the operator's reason to exist)
+    val quote = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val long = quote + " " + (100 to 400).map(i => s"w$i").mkString(" ")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_containment").getAbsolutePath
+    Seq((1L, quote, "en", "web", quote.length.toLong),
+        (2L, long, "en", "web", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = queries.Dedup.containmentPairs(spark, dir).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("contained") == 1L &&
+      g.head.getAs[Long]("container") == 2L &&
+      g.head.getAs[Double]("containment") == 1.0)
+    assert(queries.Dedup.ngramJaccardPairs(spark, dir).count() == 0,
+      "jaccard should miss the size-mismatched quote pair")
+  }
 }
