@@ -103,7 +103,7 @@ object ScaleProbe {
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(
     "asof_join_orders", "asof_join_orders_salted", "events_by_segment",
-    "dq_violations", "asof_join_native")
+    "dq_violations", "asof_join_native", "user_erasure_audit")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L

@@ -654,7 +654,17 @@ object Dedup {
     * two-pointer merge over the sorted hash arrays; both directional
     * ratios are tested and each direction ≥ t emits its own row.
     * Filter on the RAW ratio, emit the r6-rounded value (the
-    * [[verifyJaccard]] discipline). */
+    * [[verifyJaccard]] discipline).
+    *
+    * Cost boundary (the [[ngramJaccardPairs]] lesson, inherited): this
+    * is the family's GUARANTEED-EXACT containment option, and exact
+    * candidate generation costs Σ_rare-shingle df² — on a vocabulary-
+    * similar corpus where most pairs share shingles that is inherently
+    * ~pair-density-bound (probe: tractable at 20k docs, runaway at 100k
+    * adversarial docs). On corpora that dense, the probabilistic
+    * in-family paths (minhash/simhash for symmetric near-dups) or a
+    * tighter df cap are the scale route; real web corpora with heavy-
+    * tailed shingle frequencies sit far below the adversarial bound. */
   def containmentPairs(spark: SparkSession, sfDir: String,
                        t: Double = ContainT,
                        maxDf: Int = ContainMaxDf): DataFrame = {

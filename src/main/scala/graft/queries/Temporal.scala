@@ -1254,6 +1254,60 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Erasure-impact audit (right-to-be-forgotten)
+  // --------------------------------------------------------------------
+
+  private val ErasureMod = 97L
+
+  /** ERASURE-IMPACT AUDIT: for a deletion cohort (user_id ≡ 0 mod
+    * [[ErasureMod]] stands in for the GDPR request list), the row count
+    * each table would lose — the blast-radius report every compliance
+    * pipeline produces BEFORE running the actual delete, including the
+    * indirect fact rows (lineitem reached through the cohort's orders).
+    *
+    * Shape: the cohort predicate is a pure function of the key (no list
+    * to broadcast — a real request list is a small broadcast join,
+    * same plan shape); per-table counts are one filtered agg each;
+    * lineitem counts through a semi join on the cohort's orderkeys
+    * (fact never broadcasts). Output is |tables| rows. */
+  def userErasureAudit(spark: SparkSession, sfDir: String,
+                       mod: Long = ErasureMod): DataFrame = {
+    require(mod > 1, s"mod must be > 1, got $mod")
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(name).as("table_name"), col("n_rows"))
+    val cohortOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % mod === 0)
+    val events = one("events",
+      Tables.eventsTs(spark, sfDir).filter(col("user_id") % mod === 0))
+    val customer = one("customer",
+      Tables.customer(spark, sfDir).filter(col("c_custkey") % mod === 0))
+    val orders = one("orders", cohortOrders)
+    val lineitem = one("lineitem",
+      Tables.lineitem(spark, sfDir).join(
+        cohortOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi"))
+    events.union(customer).union(orders).union(lineitem)
+      .orderBy("table_name")
+  }
+
+  val userErasureAuditSql: String =
+    s"""SELECT 'events' AS table_name, count(*) AS n_rows FROM events
+       |WHERE user_id % $ErasureMod = 0
+       |UNION ALL
+       |SELECT 'customer', count(*) FROM customer
+       |WHERE c_custkey % $ErasureMod = 0
+       |UNION ALL
+       |SELECT 'orders', count(*) FROM orders
+       |WHERE o_custkey % $ErasureMod = 0
+       |UNION ALL
+       |SELECT 'lineitem', count(*) FROM lineitem l
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_orderkey = l.l_orderkey
+       |                AND o.o_custkey % $ErasureMod = 0)
+       |ORDER BY table_name""".stripMargin
+
+  // --------------------------------------------------------------------
   // Per-group exact quantiles (bounded cents histogram per type)
   // --------------------------------------------------------------------
 
@@ -1514,6 +1568,7 @@ object Temporal {
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
+    "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1545,6 +1600,7 @@ object Temporal {
     "asof_join_native"  -> asofJoinOrdersSql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
+    "user_erasure_audit" -> userErasureAuditSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

@@ -1072,6 +1072,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-3)
   }
 
+  test("user_erasure_audit: counts reconcile per table, indirect rows included") {
+    val got = queries.Temporal.userErasureAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("n_rows")).toMap
+    assert(got.keySet == Set("events", "customer", "orders", "lineitem"))
+    val wantEv = Tables.eventsTs(spark, sf)
+      .filter(col("user_id") % 97 === 0).count()
+    val cohortOrders = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 97 === 0)
+    val keys = cohortOrders.select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val wantLi = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .count(r => keys.contains(r.getLong(0)))
+    assert(got("events") == wantEv)
+    assert(got("orders") == cohortOrders.count())
+    assert(got("lineitem") == wantLi && wantLi > 0)
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
