@@ -62,7 +62,7 @@ object ScaleProbe {
     "ann_cosine_filtered", "kcore_graph", "embedding_drift",
     "bm25_topk", "ann_cosine_lsh_mp", "knn_delta",
     "mm_dedup", "quality_agreement", "knn_components",
-    "containment_pairs")
+    "containment_pairs", "embedding_standardize")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -453,6 +453,58 @@ object Similarity {
        |FROM rk WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** EMBEDDING STANDARDIZATION: z-score each vector component against
+    * its DIMENSION's corpus distribution — the whitening pass run
+    * before clustering/linear probes so no dimension dominates by raw
+    * scale. Long-form output (vec_id, dim, z) so the oracle stays a
+    * plain join (array reassembly is a collect_list away for callers).
+    *
+    * One posexplode scan → micros-exact per-dim moments (the
+    * [[embeddingDimStats]] integerisation: Σq, Σq² in decimal — cents²
+    * overflow law) on a 64-row bounded frame, broadcast back over a
+    * second scan. Zero-variance dims emit z = 0.0 (not null — a
+    * constant dim standardizes to its mean, and downstream dot products
+    * must not null-poison). Same varNum guard as the z-score family:
+    * the numerator test, never sqrt-then-compare (NaN > 0 is true
+    * under Spark total ordering). */
+  def embeddingStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x") * 1e6 + 0.5).cast("long"))
+    val stats = exploded.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sqq"))
+    val varNum = col("sqq").cast("double") * col("n") -
+      col("sq").cast("double") * col("sq")
+    exploded.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        Det.r(when(varNum > 0,
+          (col("q") - col("sq").cast("double") / col("n")) /
+            sqrt(varNum / (col("n").cast("double") * col("n"))))
+          .otherwise(lit(0.0)), 6).as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val embeddingStandardizeSql: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+       |         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |              * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+       |st AS (SELECT dim, count(*) AS n, sum(q) AS sq,
+       |              sum(CAST(q AS DECIMAL(38,0)) * q) AS sqq
+       |       FROM x GROUP BY 1)
+       |SELECT vec_id, dim,
+       |       ${Det.rSql(
+        "CASE WHEN CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) > 0 " +
+          "THEN (q - CAST(sq AS DOUBLE) / n) " +
+          "/ sqrt((CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * n)) ELSE 0.0 END", 6)} AS z
+       |FROM x JOIN st USING (dim)
+       |ORDER BY vec_id, dim""".stripMargin
+
   /** SEMANTIC CLUSTERS: connected components of the kNN graph — the
     * unsupervised "what topical islands does this corpus contain"
     * readout (SemDeDup clusters per prototype; this labels EVERY
@@ -2500,6 +2552,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
     "knn_delta" -> ((s, d) => knnDelta(s, d)),
     "knn_components" -> ((s, d) => knnComponents(s, d)),
+    "embedding_standardize" -> ((s, d) => embeddingStandardize(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
     "mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
@@ -2529,6 +2582,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
     "knn_delta" -> knnDeltaSql,
     "knn_components" -> knnComponentsSql,
+    "embedding_standardize" -> embeddingStandardizeSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,
     "mmr_diversify" -> mmrDiversifySql,

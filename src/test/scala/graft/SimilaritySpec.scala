@@ -485,6 +485,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_standardize: per-dim mean ~0, std ~1, count preserved") {
+    val rows = queries.Similarity.embeddingStandardize(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n * 64)
+    rows.groupBy(_.getAs[Int]("dim")).foreach { case (d, rs) =>
+      val zs = rs.map(_.getAs[Double]("z"))
+      val mean = zs.sum / zs.length
+      val varz = zs.map(z => (z - mean) * (z - mean)).sum / zs.length
+      assert(math.abs(mean) < 1e-3, s"dim $d mean $mean")
+      assert(math.abs(varz - 1.0) < 1e-2, s"dim $d var $varz")
+    }
+  }
+
   test("knn_components: matches an in-memory union-find over the same edges") {
     val got = queries.Similarity.knnComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
