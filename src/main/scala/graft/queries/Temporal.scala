@@ -1254,6 +1254,102 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // A/B experiment readout (Welch t, lift, SRM guard)
+  // --------------------------------------------------------------------
+
+  /** A/B EXPERIMENT READOUT: user_id parity as the assignment, per-user
+    * purchase spend as the metric — group means, relative lift, Welch's
+    * t statistic, a |t| > 1.96 significance flag, and the
+    * sample-ratio-mismatch χ² every experimentation platform runs
+    * before trusting the metric at all (an SRM means the assignment is
+    * broken and the t-test is meaningless).
+    *
+    * Determinism: the unit of analysis is the USER (per-user cents
+    * totals — exact ints), group moments are exact (Σ, Σ² in decimal),
+    * and t/χ²/lift are single identical double expressions per engine
+    * ([[Det.r]] r4-rounded outputs; comparisons on the raw doubles).
+    * Welch, not pooled: no equal-variance assumption, and the d.o.f.
+    * never enters the statistic itself. Shape: one events scan →
+    * per-user agg (user-keyed shuffle) → 2-row group agg → 1-row
+    * conditional pivot. Users with no purchases count as zero-spend
+    * members of their arm (intent-to-treat — dropping them would bias
+    * both means upward). */
+  def eventsAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("c"))
+      .select(col("user_id") % 2 === 0, col("c")).toDF("treat", "c")
+    val g = perUser.agg(
+      count(when(!col("treat"), 1)).as("n_c"),
+      count(when(col("treat"), 1)).as("n_t"),
+      coalesce(sum(when(!col("treat"), col("c"))), lit(0L)).as("s_c"),
+      coalesce(sum(when(col("treat"), col("c"))), lit(0L)).as("s_t"),
+      coalesce(sum(when(!col("treat"),
+        col("c").cast("decimal(38,0)") * col("c"))),
+        lit(0L).cast("decimal(38,0)")).as("ss_c"),
+      coalesce(sum(when(col("treat"),
+        col("c").cast("decimal(38,0)") * col("c"))),
+        lit(0L).cast("decimal(38,0)")).as("ss_t"))
+    def mean(s: Column, n: Column) = s.cast("double") / n / 100
+    // sample variance in cents² via exact moments: (Σx² − (Σx)²/n)/(n−1)
+    def v(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") - s.cast("double") * s / n) / (n - 1)
+    val mC = mean(col("s_c"), col("n_c"))
+    val mT = mean(col("s_t"), col("n_t"))
+    val se = sqrt(v(col("ss_c"), col("s_c"), col("n_c")) / col("n_c") +
+      v(col("ss_t"), col("s_t"), col("n_t")) / col("n_t")) / 100
+    val t = (mT - mC) / se
+    val e = (col("n_c") + col("n_t")).cast("double") / 2
+    val chi2 = (col("n_c") - e) * (col("n_c") - e) / e +
+      (col("n_t") - e) * (col("n_t") - e) / e
+    g.select(col("n_c"), col("n_t"),
+      Det.r(mC, 4).as("mean_c"), Det.r(mT, 4).as("mean_t"),
+      Det.r((mT - mC) / mC * 100, 4).as("lift_pct"),
+      Det.r(t, 4).as("t_stat"),
+      (abs(t) > 1.96).as("significant"),
+      Det.r(chi2, 4).as("srm_chi2"))
+  }
+
+  val eventsAbTestSql: String = {
+    val mC = "CAST(s_c AS DOUBLE) / n_c / 100"
+    val mT = "CAST(s_t AS DOUBLE) / n_t / 100"
+    def v(ss: String, s: String, n: String) =
+      s"(CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * $s / $n) / ($n - 1)"
+    val se = s"sqrt(${v("ss_c", "s_c", "n_c")} / n_c + " +
+      s"${v("ss_t", "s_t", "n_t")} / n_t) / 100"
+    val t = s"(($mT) - ($mC)) / ($se)"
+    val e = "CAST(n_c + n_t AS DOUBLE) / 2"
+    val chi2 = s"(n_c - ($e)) * (n_c - ($e)) / ($e) + " +
+      s"(n_t - ($e)) * (n_t - ($e)) / ($e)"
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 = 0 AS treat,
+       |         coalesce(sum(CASE WHEN event_type = 'purchase'
+       |                  THEN CAST(round(value * 100) AS BIGINT) END), 0) AS c
+       |  FROM events WHERE user_id IS NOT NULL
+       |  GROUP BY user_id),
+       |g AS (
+       |  SELECT count(*) FILTER (WHERE NOT treat) AS n_c,
+       |         count(*) FILTER (WHERE treat) AS n_t,
+       |         coalesce(sum(c) FILTER (WHERE NOT treat), 0) AS s_c,
+       |         coalesce(sum(c) FILTER (WHERE treat), 0) AS s_t,
+       |         coalesce(sum(CAST(c AS DECIMAL(38,0)) * c)
+       |           FILTER (WHERE NOT treat), 0) AS ss_c,
+       |         coalesce(sum(CAST(c AS DECIMAL(38,0)) * c)
+       |           FILTER (WHERE treat), 0) AS ss_t
+       |  FROM pu)
+       |SELECT n_c, n_t,
+       |       ${Det.rSql(mC, 4)} AS mean_c,
+       |       ${Det.rSql(mT, 4)} AS mean_t,
+       |       ${Det.rSql(s"(($mT) - ($mC)) / ($mC) * 100", 4)} AS lift_pct,
+       |       ${Det.rSql(t, 4)} AS t_stat,
+       |       abs($t) > 1.96 AS significant,
+       |       ${Det.rSql(chi2, 4)} AS srm_chi2
+       |FROM g""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Erasure-impact audit (right-to-be-forgotten)
   // --------------------------------------------------------------------
 
@@ -1569,6 +1665,7 @@ object Temporal {
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
+    "events_ab_test" -> ((s, d) => eventsAbTest(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1601,6 +1698,7 @@ object Temporal {
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,
+    "events_ab_test" -> eventsAbTestSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

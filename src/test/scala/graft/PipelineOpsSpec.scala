@@ -1089,6 +1089,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("lineitem") == wantLi && wantLi > 0)
   }
 
+  test("events_ab_test: Welch t recomputes from per-user totals; parity split has no SRM") {
+    val r = queries.Temporal.eventsAbTest(spark, sf).head()
+    val perUser = Tables.eventsTs(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("c"))
+      .collect().map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("c")))
+    val (t0, c0) = perUser.partition(_._1 % 2 == 0)
+    assert(r.getAs[Long]("n_c") == c0.length && r.getAs[Long]("n_t") == t0.length)
+    def stats(xs: Array[Long]) = {
+      val n = xs.length; val m = xs.sum.toDouble / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (m, v, n)
+    }
+    val (mc, vc, nc) = stats(c0.map(_._2))
+    val (mt, vt, nt) = stats(t0.map(_._2))
+    val t = (mt - mc) / math.sqrt(vc / nc + vt / nt)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3,
+      s"t ${r.getAs[Double]("t_stat")} vs recomputed $t")
+    assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    // parity assignment over contiguous user ids cannot mismatch by more
+    // than one unit: chi2 ~ 0
+    assert(r.getAs[Double]("srm_chi2") < 0.1)
+    assert(math.abs(r.getAs[Double]("mean_c") - mc / 100) < 1e-3)
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
