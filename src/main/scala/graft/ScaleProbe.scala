@@ -79,7 +79,8 @@ object ScaleProbe {
     "events_gap_fill", "range_join_bursts", "interval_union",
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
     "events_seasonal", "events_heavy_hitters",
-    "events_quantiles_by_type", "events_ab_test")
+    "events_quantiles_by_type", "events_ab_test",
+    "events_winsorized_stats")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -1254,6 +1254,96 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Winsorized robust metrics
+  // --------------------------------------------------------------------
+
+  /** WINSORIZED METRICS: mean/std of event value before and after
+    * clamping to the exact [p01, p99] member values — the
+    * outlier-robust metric variant every experimentation/monitoring
+    * pipeline reports beside the raw mean (one whale purchase moves a
+    * raw mean; the winsorized mean says whether the EFFECT survives
+    * without it).
+    *
+    * Cutoffs come from the value-range-bounded cents histogram walked
+    * on the driver ([[eventsQuantilesByType]] machinery, global here);
+    * the clamp + moments are a second exact-integer scan (clamped cents
+    * are ints; Σ, Σ² decimal). Output one row; every double derives
+    * from exact ints through one shared expression per engine. */
+  def eventsWinsorizedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.eventsTs(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(round(col("value") * 100).cast("long").as("c"))
+    val hist = ev.groupBy("c").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("c"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    if (hist.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double, Double, Double, Double)]
+        .toDF("n", "p01", "p99", "mean_raw", "mean_wins",
+          "std_raw", "std_wins")
+    val n = hist.map(_._2).sum
+    val cums = hist.scanLeft(0L)(_ + _._2)
+    def cut(p: Double): Long = {
+      val r = math.ceil(p * n).toLong
+      hist(hist.indices.find(i => cums(i + 1) >= r).get)._1
+    }
+    val (lo, hi) = (cut(0.01), cut(0.99))
+    val w = greatest(least(col("c"), lit(hi)), lit(lo))
+    val g = ev.agg(count(lit(1)).as("n"),
+      sum("c").as("s"), sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"),
+      sum(w).as("sw"),
+      sum(w.cast("decimal(38,0)") * w).as("ssw"))
+    def m(s: Column) = s.cast("double") / col("n") / 100
+    def sd(ss: Column, s: Column) = {
+      val varNum = ss.cast("double") * col("n") - s.cast("double") * s
+      when(varNum > 0,
+        sqrt(varNum / (col("n").cast("double") * col("n"))) / 100)
+        .otherwise(lit(0.0))
+    }
+    g.select(col("n"),
+      lit(lo.toDouble / 100).as("p01"), lit(hi.toDouble / 100).as("p99"),
+      Det.r(m(col("s")), 4).as("mean_raw"),
+      Det.r(m(col("sw")), 4).as("mean_wins"),
+      Det.r(sd(col("ss"), col("s")), 4).as("std_raw"),
+      Det.r(sd(col("ssw"), col("sw")), 4).as("std_wins"))
+  }
+
+  val eventsWinsorizedStatsSql: String = {
+    def m(s: String) = s"CAST($s AS DOUBLE) / n / 100"
+    def sd(ss: String, s: String) =
+      s"CASE WHEN CAST($ss AS DOUBLE) * n - CAST($s AS DOUBLE) * $s > 0 " +
+        s"THEN sqrt((CAST($ss AS DOUBLE) * n - CAST($s AS DOUBLE) * $s) " +
+        s"/ (CAST(n AS DOUBLE) * n)) / 100 ELSE 0.0 END"
+    s"""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events
+       |           WHERE value IS NOT NULL AND isfinite(value)),
+       |h AS (SELECT c, count(*) AS cnt FROM e GROUP BY 1),
+       |w AS (SELECT c, cnt,
+       |             sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+       |             sum(cnt) OVER () AS n
+       |      FROM h),
+       |cuts AS (SELECT
+       |    (SELECT min(c) FROM w WHERE cum >= ceil(0.01 * n)) AS lo,
+       |    (SELECT min(c) FROM w WHERE cum >= ceil(0.99 * n)) AS hi),
+       |g AS (SELECT count(*) AS n, sum(c) AS s,
+       |             sum(CAST(c AS DECIMAL(38,0)) * c) AS ss,
+       |             sum(greatest(least(c, cuts.hi), cuts.lo)) AS sw,
+       |             sum(CAST(greatest(least(c, cuts.hi), cuts.lo)
+       |                 AS DECIMAL(38,0))
+       |                 * greatest(least(c, cuts.hi), cuts.lo)) AS ssw
+       |      FROM e, cuts)
+       |SELECT g.n,
+       |       CAST(cuts.lo AS DOUBLE) / 100 AS p01,
+       |       CAST(cuts.hi AS DOUBLE) / 100 AS p99,
+       |       ${Det.rSql(m("s"), 4)} AS mean_raw,
+       |       ${Det.rSql(m("sw"), 4)} AS mean_wins,
+       |       ${Det.rSql(sd("ss", "s"), 4)} AS std_raw,
+       |       ${Det.rSql(sd("ssw", "sw"), 4)} AS std_wins
+       |FROM g, cuts""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // A/B experiment readout (Welch t, lift, SRM guard)
   // --------------------------------------------------------------------
 
@@ -1666,6 +1756,7 @@ object Temporal {
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
     "events_ab_test" -> ((s, d) => eventsAbTest(s, d)),
+    "events_winsorized_stats" -> ((s, d) => eventsWinsorizedStats(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1699,6 +1790,7 @@ object Temporal {
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,
     "events_ab_test" -> eventsAbTestSql,
+    "events_winsorized_stats" -> eventsWinsorizedStatsSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

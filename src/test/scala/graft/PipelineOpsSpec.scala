@@ -1115,6 +1115,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_c") - mc / 100) < 1e-3)
   }
 
+  test("events_winsorized_stats: clamping shrinks std, preserves count, cutoffs are members") {
+    val r = queries.Temporal.eventsWinsorizedStats(spark, sf).head()
+    val vals = Tables.eventsTs(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getAs[Long]("n") == vals.length)
+    // winsorizing can only reduce spread; means move toward the center
+    assert(r.getAs[Double]("std_wins") <= r.getAs[Double]("std_raw"))
+    // cutoffs are exact member values at the ceil(p*n) ranks
+    def cut(p: Double) = vals(math.ceil(p * vals.length).toInt - 1)
+    assert(math.round(r.getAs[Double]("p01") * 100) == cut(0.01))
+    assert(math.round(r.getAs[Double]("p99") * 100) == cut(0.99))
+    // winsorized mean recomputes
+    val lo = cut(0.01); val hi = cut(0.99)
+    val mw = vals.map(v => math.max(lo, math.min(hi, v))).sum.toDouble /
+      vals.length / 100
+    assert(math.abs(r.getAs[Double]("mean_wins") - mw) < 1e-3)
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
