@@ -80,7 +80,7 @@ object ScaleProbe {
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
     "events_seasonal", "events_heavy_hitters",
     "events_quantiles_by_type", "events_ab_test",
-    "events_winsorized_stats")
+    "events_winsorized_stats", "user_diversity_simpson")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -99,7 +99,7 @@ object ScaleProbe {
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
-    "basket_rules")
+    "basket_rules", "revenue_pareto_share")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

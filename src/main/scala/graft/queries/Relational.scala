@@ -1469,6 +1469,92 @@ object Relational {
        |GROUP BY 1 ORDER BY weekday""".stripMargin
 
   // --------------------------------------------------------------------
+  // Revenue concentration (Pareto share per spend decile)
+  // --------------------------------------------------------------------
+
+  /** REVENUE CONCENTRATION: for each top-spend percentile bar (10%,
+    * 1%), the share of total revenue those customers hold — the
+    * "do 10% of customers drive 60% of revenue" Pareto readout.
+    *
+    * The exact version needs a global sort + cumsum over |customers|;
+    * instead spend quantises to $100 buckets (the [[rfmSegments]]
+    * move — bucket count bounded by the PRICE RANGE, not the customer
+    * count), the bucket histogram collects as model state, the driver
+    * walks it for each bar's cutoff bucket, and one re-agg sums
+    * revenue/count above the cutoffs. Quantisation semantics (both
+    * engines identical): the "top p%" boundary rounds to a bucket
+    * edge, so the reported customer count can exceed p% by at most one
+    * bucket's population — the honest price of never sorting the
+    * corpus, stated in the output (n_top is reported, not assumed). */
+  def revenueParetoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      .select(col("cents"), expr("cents div 10000").as("m_b"))
+    val hist = perCust.groupBy("m_b").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("m_b"), r.getAs[Long]("cnt")))
+      .sortBy(v => -v._1) // top spenders first
+    if (hist.isEmpty)
+      return Seq.empty[(Double, Long, Long, Double, Double)]
+        .toDF("top_pct", "cutoff_dollars", "n_top", "rev_share", "cust_share")
+    val n = hist.map(_._2).sum
+    val cums = hist.scanLeft(0L)(_ + _._2)
+    def cutoff(p: Double): Long = {
+      val want = math.ceil(p * n).toLong
+      hist(hist.indices.find(i => cums(i + 1) >= want).get)._1
+    }
+    val bars = Seq(0.10, 0.01).map(p => (p, cutoff(p)))
+    val total = perCust.agg(sum("cents").as("tc"), count(lit(1)).as("nc")).head()
+    val (totCents, nCust) = (total.getAs[Long]("tc"), total.getAs[Long]("nc"))
+    val rows = bars.map { case (p, cut) =>
+      val top = perCust.filter(col("m_b") >= cut)
+        .agg(coalesce(sum("cents"), lit(0L)).as("s"),
+          count(lit(1)).as("k")).head()
+      (p, cut * 100, top.getAs[Long]("k"),
+        math.floor(top.getAs[Long]("s").toDouble / totCents * 1e6 + 0.5) / 1e6,
+        math.floor(top.getAs[Long]("k").toDouble / nCust * 1e6 + 0.5) / 1e6)
+    }
+    rows.toDF("top_pct", "cutoff_dollars", "n_top", "rev_share", "cust_share")
+      .orderBy(col("top_pct").desc)
+  }
+
+  val revenueParetoShareSql: String =
+    s"""WITH c AS (SELECT o_custkey,
+       |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |                       AS BIGINT) AS cents,
+       |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |                       // 10000 AS BIGINT) AS m_b
+       |           FROM orders GROUP BY 1),
+       |h AS (SELECT m_b, count(*) AS cnt FROM c GROUP BY 1),
+       |w AS (SELECT m_b, cnt,
+       |             sum(cnt) OVER (ORDER BY m_b DESC
+       |               ROWS UNBOUNDED PRECEDING) AS cum,
+       |             sum(cnt) OVER () AS n
+       |      FROM h),
+       |-- DOUBLE, not DuckDB's default DECIMAL literal: ceil(0.1·n) can
+       |-- differ between decimal-exact and IEEE-double at rank
+       |-- boundaries, and the Spark side computes in doubles
+       |bars AS (SELECT unnest([CAST(0.10 AS DOUBLE),
+       |                        CAST(0.01 AS DOUBLE)]) AS p),
+       |cuts AS (SELECT p, (SELECT max(m_b) FROM w
+       |                    WHERE cum >= ceil(p * n)) AS cut
+       |         FROM bars),
+       |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc,
+       |               count(*) AS nc FROM c)
+       |SELECT cuts.p AS top_pct,
+       |       CAST(cuts.cut * 100 AS BIGINT) AS cutoff_dollars,
+       |       count(c.o_custkey) AS n_top,
+       |       CAST(floor(CAST(coalesce(sum(c.cents), 0) AS DOUBLE)
+       |            / tot.tc * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rev_share,
+       |       CAST(floor(CAST(count(c.o_custkey) AS DOUBLE)
+       |            / tot.nc * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cust_share
+       |FROM cuts CROSS JOIN tot
+       |LEFT JOIN c ON c.m_b >= cuts.cut
+       |GROUP BY cuts.p, cuts.cut, tot.tc, tot.nc
+       |ORDER BY top_pct DESC""".stripMargin
+
+  // --------------------------------------------------------------------
   // k-anonymity audit
   // --------------------------------------------------------------------
 
@@ -1944,6 +2030,7 @@ object Relational {
     "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
     "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
     "k_anonymity"         -> ((s, d) => kAnonymity(s, d)),
+    "revenue_pareto_share" -> ((s, d) => revenueParetoShare(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
@@ -1984,6 +2071,7 @@ object Relational {
     "orders_forecast_snaive" -> ordersForecastSnaiveSql,
     "revenue_cusum"        -> revenueCusumSql,
     "k_anonymity"          -> kAnonymitySql,
+    "revenue_pareto_share" -> revenueParetoShareSql,
     "basket_rules"         -> basketRulesSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,

@@ -1254,6 +1254,44 @@ object Temporal {
   }
 
   // --------------------------------------------------------------------
+  // Behavioral diversity (Simpson index — rational, no libm)
+  // --------------------------------------------------------------------
+
+  /** PER-USER BEHAVIORAL DIVERSITY: Simpson's index 1 − Σᵢ(nᵢ/n)² over
+    * each user's event-type mix — 0 for a single-behavior user, →1 for
+    * an even spread; the engagement-breadth feature scoring/segmentation
+    * pipelines attach per user. Simpson, not Shannon, BY DESIGN: the
+    * entropy form needs ln (libm — last-ulp engine drift the hash gate
+    * can't tolerate, the [[graft.queries.TextAnalysis]] token_pmi
+    * lesson) while Simpson is one exact rational: 1 − Σnᵢ²/n². Two
+    * grouped aggs sharing the user_id partitioning; Σnᵢ² accumulates in
+    * decimal (a bot user's nᵢ² passes Long at 100 TB — the stats_agg
+    * law). */
+  def userDiversitySimpson(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("ni"))
+    byType.groupBy("user_id")
+      .agg(sum("ni").as("n"), count(lit(1)).as("n_types"),
+        sum(col("ni").cast("decimal(38,0)") * col("ni")).as("ssq"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        Det.r(lit(1.0) - col("ssq").cast("double") /
+          (col("n").cast("double") * col("n")), 6).as("simpson"))
+      .orderBy("user_id")
+  }
+
+  val userDiversitySimpsonSql: String =
+    s"""WITH t AS (SELECT user_id, event_type, count(*) AS ni
+       |           FROM events WHERE user_id IS NOT NULL
+       |           GROUP BY 1, 2)
+       |SELECT user_id, CAST(sum(ni) AS BIGINT) AS n, count(*) AS n_types,
+       |       ${Det.rSql(
+        "1.0 - CAST(sum(CAST(ni AS DECIMAL(38,0)) * ni) AS DOUBLE) " +
+          "/ (CAST(sum(ni) AS DOUBLE) * sum(ni))", 6)} AS simpson
+       |FROM t GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // Winsorized robust metrics
   // --------------------------------------------------------------------
 
@@ -1757,6 +1795,7 @@ object Temporal {
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
     "events_ab_test" -> ((s, d) => eventsAbTest(s, d)),
     "events_winsorized_stats" -> ((s, d) => eventsWinsorizedStats(s, d)),
+    "user_diversity_simpson" -> ((s, d) => userDiversitySimpson(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
@@ -1791,6 +1830,7 @@ object Temporal {
     "user_erasure_audit" -> userErasureAuditSql,
     "events_ab_test" -> eventsAbTestSql,
     "events_winsorized_stats" -> eventsWinsorizedStatsSql,
+    "user_diversity_simpson" -> userDiversitySimpsonSql,
     "events_seasonal"   -> eventsSeasonalSql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,

@@ -1135,6 +1135,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_wins") - mw) < 1e-3)
   }
 
+  test("user_diversity_simpson: recomputes per user; single-behavior users score 0") {
+    val got = queries.Temporal.userDiversitySimpson(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_types"), r.getAs[Double]("simpson"))).toMap
+    val raw = Tables.eventsTs(spark, sf).filter(col("user_id").isNotNull)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1)
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (u, evs) =>
+      val counts = evs.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = counts.sum
+      val simpson = 1.0 - counts.map(c => c.toDouble * c).sum / (n.toDouble * n)
+      val (gn, gt, gs) = got(u)
+      assert(gn == n && gt == counts.length)
+      assert(math.abs(gs - simpson) < 1e-5)
+      if (counts.length == 1) assert(gs == 0.0)
+    }
+  }
+
+  test("revenue_pareto_share: shares recompute at the bucket cutoffs; top spenders over-indexed") {
+    val rows = queries.Relational.revenueParetoShare(spark, sf).collect()
+    assert(rows.length == 2)
+    val perCust = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val tot = perCust.sum
+    rows.foreach { r =>
+      val cutCents = r.getAs[Long]("cutoff_dollars") * 100
+      val top = perCust.filter(c => c / 10000 >= cutCents / 10000)
+      assert(r.getAs[Long]("n_top") == top.length)
+      val share = math.floor(top.sum.toDouble / tot * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("rev_share") == share)
+      // spend-ranked top group must hold at least its headcount share
+      assert(r.getAs[Double]("rev_share") >= r.getAs[Double]("cust_share") - 1e-9)
+    }
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }
