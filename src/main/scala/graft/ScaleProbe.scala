@@ -99,7 +99,7 @@ object ScaleProbe {
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
-    "basket_rules", "revenue_pareto_share")
+    "basket_rules", "revenue_pareto_share", "nation_revenue_yoy")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

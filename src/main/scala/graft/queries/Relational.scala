@@ -1428,6 +1428,54 @@ object Relational {
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------
+  // Year-over-year growth by nation
+  // --------------------------------------------------------------------
+
+  /** YEAR-OVER-YEAR REVENUE by customer nation: each (nation, year)'s
+    * order revenue beside the prior year's and the growth percentage —
+    * the board-deck BI readout. Shape: one orders⋈customer join
+    * (customer is user-scaled — plain key join, AQE decides broadcast),
+    * a (nation, year) agg to a |nations·years| BOUNDED frame, and the
+    * prior-year values via a broadcast self-join of that frame shifted
+    * by one year (the [[ordersForecastSnaive]] join-shift move — a lag
+    * window over the bounded frame would be equivalent; the join keeps
+    * the no-corpus-window discipline uniform). First year of a nation
+    * emits null growth (nothing to compare), never 0. */
+  def nationRevenueYoy(spark: SparkSession, sfDir: String): DataFrame = {
+    val byYear = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+    val prior = byYear.select(col("nation"), (col("yr") + 1).as("yr"),
+      col("c").as("c_prior"))
+    byYear.join(broadcast(prior), Seq("nation", "yr"), "left")
+      .select(col("nation"), col("yr"),
+        (col("c").cast("double") / 100).as("revenue"),
+        (col("c_prior").cast("double") / 100).as("revenue_prior"),
+        Det.r((col("c") - col("c_prior")).cast("double") /
+          col("c_prior") * 100, 4).as("yoy_pct"))
+      .orderBy("nation", "yr")
+  }
+
+  val nationRevenueYoySql: String =
+    s"""WITH y AS (SELECT c.c_nationkey AS nation,
+       |                  CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+       |                  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS c
+       |           FROM orders o JOIN customer c
+       |             ON o.o_custkey = c.c_custkey
+       |           GROUP BY 1, 2)
+       |SELECT a.nation, a.yr,
+       |       CAST(a.c AS DOUBLE) / 100 AS revenue,
+       |       CAST(b.c AS DOUBLE) / 100 AS revenue_prior,
+       |       ${Det.rSql(
+        "CAST(a.c - b.c AS DOUBLE) / b.c * 100", 4)} AS yoy_pct
+       |FROM y a LEFT JOIN y b
+       |  ON b.nation = a.nation AND b.yr = a.yr - 1
+       |ORDER BY a.nation, a.yr""".stripMargin
+
+  // --------------------------------------------------------------------
   // Seasonal-naive forecast backtest
   // --------------------------------------------------------------------
 
@@ -2031,6 +2079,7 @@ object Relational {
     "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
     "k_anonymity"         -> ((s, d) => kAnonymity(s, d)),
     "revenue_pareto_share" -> ((s, d) => revenueParetoShare(s, d)),
+    "nation_revenue_yoy"  -> ((s, d) => nationRevenueYoy(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
@@ -2072,6 +2121,7 @@ object Relational {
     "revenue_cusum"        -> revenueCusumSql,
     "k_anonymity"          -> kAnonymitySql,
     "revenue_pareto_share" -> revenueParetoShareSql,
+    "nation_revenue_yoy"   -> nationRevenueYoySql,
     "basket_rules"         -> basketRulesSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,

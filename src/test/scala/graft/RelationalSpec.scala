@@ -311,6 +311,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("nation_revenue_yoy: growth recomputes; first year per nation has null growth") {
+    val rows = queries.Relational.nationRevenueYoy(spark, sf).collect()
+    val byNation = rows.groupBy(_.getAs[Int]("nation"))
+    byNation.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("yr"))
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("yoy_pct")))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur)
+          if cur.getAs[Int]("yr") == prev.getAs[Int]("yr") + 1 =>
+          val want = (cur.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+            prev.getAs[Double]("revenue") * 100
+          assert(math.abs(cur.getAs[Double]("yoy_pct") - want) < 1e-2)
+          assert(cur.getAs[Double]("revenue_prior") == prev.getAs[Double]("revenue"))
+        case _ =>
+      }
+    }
+    // revenue totals reconcile with the raw join
+    val tot = rows.map(_.getAs[Double]("revenue")).sum
+    val want = Tables.orders(spark, sf).agg(
+      sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0) / 100.0
+    assert(math.abs(tot - want) < 1.0)
+  }
+
   test("dq_violations: clean fixture is all-zero; doctored corpus counts each class") {
     val clean = queries.Relational.dqViolations(spark, sf).collect()
     assert(clean.length == 9 && clean.forall(_.getAs[Long]("n_bad") == 0))
