@@ -60,9 +60,10 @@ object ScaleProbe {
     "label_propagation",
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
     "ann_cosine_filtered", "kcore_graph", "embedding_drift",
-    "bm25_topk", "ann_cosine_lsh_mp", "knn_delta",
+    "bm25_topk", "ann_cosine_lsh_mp", "ann_cosine_ivf_mp", "knn_delta",
     "mm_dedup", "quality_agreement", "knn_components",
-    "containment_pairs", "embedding_standardize")
+    "containment_pairs", "embedding_standardize",
+    "containment_pairs_sketch")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -99,7 +100,8 @@ object ScaleProbe {
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
-    "basket_rules", "revenue_pareto_share", "nation_revenue_yoy")
+    "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
+    "orders_recon")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(
@@ -338,14 +340,34 @@ object ScaleProbe {
       }
     }
 
+    // -- containment recall of the INJECTED near-dups: every 100th doc
+    //    is its predecessor plus one trailing token, so the predecessor
+    //    is fully contained (ratio 1.0) — the bounded sketch path must
+    //    keep finding these directed pairs as corpus density grows.
+    //    Join-based count, nothing corpus-sized collects.
+    if (run.contains("containment_pairs_sketch")) {
+      val found = SparkEntry.queries("containment_pairs_sketch")(spark, dir)
+        .select("contained", "container")
+      val expected = spark.range(nDocs).filter(col("id") % 100 === 99)
+        .select((col("id") - 1).as("contained"), col("id").as("container"))
+      val nExp = expected.count()
+      val hit = if (nExp == 0) 0L
+        else found.join(expected, Seq("contained", "container")).count()
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"containment_pairs_sketch","recall_injected":%.3f,"n_expected":%d,"n_docs":%d}""",
+        Double.box(if (nExp == 0) 0.0 else hit.toDouble / nExp),
+        Long.box(nExp), Long.box(nDocs)))
+    }
+
     // -- ANN recall at probe scale (50 result rows per query — model-
     //    sized collects, not data)
-    if (run.exists(Set("ann_cosine_lsh", "ann_cosine_ivf"))) {
+    if (run.exists(Set("ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_ivf_mp"))) {
       def top5(name: String): Set[(Long, Long)] =
         SparkEntry.queries(name)(spark, dir).select("qid", "vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val bf = top5("ann_cosine_topk")
-      Seq("ann_cosine_lsh", "ann_cosine_ivf").filter(run.contains).foreach { name =>
+      Seq("ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_ivf_mp")
+        .filter(run.contains).foreach { name =>
         val recall = if (bf.isEmpty) 0.0
           else top5(name).intersect(bf).size.toDouble / bf.size
         println(String.format(java.util.Locale.ROOT,

@@ -35,11 +35,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *     row) and never the two-sided materialization of the union+window
   *     form. Cost: one scan of each sorted side.
   *
-  * At 100 TB both sides shuffle once on the key and stream; skew on the
-  * key is AQE's to split at the exchange, or callers use the salted
-  * decomposition ([[graft.queries.Temporal.asofJoinOrdersSalted]]) whose
-  * range-split trick composes with any as-of implementation, this one
-  * included. */
+  * At 100 TB both sides shuffle once on the key and stream. Key skew is
+  * NOT AQE's to fix here: OptimizeSkewedJoin only rewrites
+  * SortMergeJoin/ShuffledHashJoin and never splits partitions feeding a
+  * custom BinaryExecNode — so for skewed keys the salted decomposition
+  * ([[graft.queries.Temporal.asofJoinOrdersSalted]]), whose range-split
+  * trick composes with any as-of implementation, IS the skew path;
+  * this node is the uniform-key fast path. */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
@@ -144,9 +146,16 @@ object AsOfJoin {
            payloadCols: Seq[String]): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String, side: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def attr(p: LogicalPlan, n: String, side: String): Attribute = {
+      val matches = p.output.filter(_.name == n)
+      // mirror Spark's ambiguous-reference behavior: a post-join frame
+      // with duplicate names must fail loudly, not bind the first match
+      if (matches.length > 1)
+        sys.error(s"as-of $side column '$n' is ambiguous: " +
+          s"${matches.length} attributes share the name in ${p.output.map(_.name)}")
+      matches.headOption.getOrElse(
         sys.error(s"as-of $side column '$n' not in ${p.output.map(_.name)}"))
+    }
     val (lk, lt) = (attr(lPlan, leftKey, "left"), attr(lPlan, leftTime, "left"))
     val (rk, rt) = (attr(rPlan, rightKey, "right"), attr(rPlan, rightTime, "right"))
     require(lk.dataType == LongType && rk.dataType == LongType,

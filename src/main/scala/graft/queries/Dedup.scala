@@ -651,7 +651,7 @@ object Dedup {
     * shingles are ultra-common is boilerplate, not a quote, and capping
     * bounds each posting's fan-out at df² instead of letting one
     * stop-shingle emit |corpus|² pairs). Verification is the exact
-    * two-pointer merge over the sorted hash arrays; both directional
+    * set intersection over the hashed shingle arrays; both directional
     * ratios are tested and each direction ≥ t emits its own row.
     * Filter on the RAW ratio, emit the r6-rounded value (the
     * [[verifyJaccard]] discipline).
@@ -669,7 +669,6 @@ object Dedup {
                        t: Double = ContainT,
                        maxDf: Int = ContainMaxDf): DataFrame = {
     require(t > 0 && t <= 1, s"need 0 < t <= 1, got $t")
-    import spark.implicits._
     val hv = docShingleHashes(spark, docShingles(spark, sfDir))
     val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = post.join(
@@ -679,23 +678,16 @@ object Dedup {
       .join(rare.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // intersection via the builtin (codegen'd, no task-closure kernel to
+    // keep serialization-safe) — arrays are distinct sets so the count
+    // equals the sorted-merge's; same O(n+m) work per pair
     val joined = cands
       .join(hv.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(hv.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
-      .as[(Long, Long, Seq[Long], Seq[Long])]
-      .mapPartitions { it =>
-        it.map { case (a, b, ha, hb) =>
-          var i = 0; var j = 0; var inter = 0L
-          while (i < ha.length && j < hb.length) {
-            val c = java.lang.Long.compare(ha(i), hb(j))
-            if (c == 0) { inter += 1; i += 1; j += 1 }
-            else if (c < 0) i += 1
-            else j += 1
-          }
-          (a, b, ha.length.toLong, hb.length.toLong, inter)
-        }
-      }.toDF("doc_a", "doc_b", "n_a", "n_b", "n_common")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ha")).cast("long").as("n_a"),
+        size(col("hb")).cast("long").as("n_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
     val directed = joined
       .select(col("doc_a").as("contained"), col("doc_b").as("container"),
         col("n_a").as("n_contained"), col("n_common"))
@@ -732,6 +724,122 @@ object Dedup {
        |       ${Det.rSql("CAST(n_common AS DOUBLE) / n_contained", 6)}
        |         AS containment
        |FROM dirp
+       |WHERE CAST(n_common AS DOUBLE) / n_contained >= $ContainT
+       |ORDER BY contained, container""".stripMargin
+
+  private val SketchK = 128
+  /** Estimator admission threshold, scaled ×10⁴: admit a directed pair
+    * to exact verification when the SKETCH-estimated rare-containment is
+    * ≥ 0.5 — [[ContainT]] minus a generous noise margin (binomial sd at
+    * k = 128, p = 0.8 is ≈ 0.035; 0.3 is ~8σ, so a true ≥ t pair whose
+    * sketch estimate dips below admission is vanishingly rare). */
+  private val SketchTEstScaled = 5000L
+
+  /** BOUNDED containment pairs — the scale path for the
+    * [[containmentPairs]] geometry (quote/excerpt detection). Same
+    * output contract (directed (contained, container) rows with the
+    * EXACT full-intersection containment ≥ [[ContainT]]); the difference
+    * is candidate generation, which replaces the exact query's
+    * Σ_rare-shingle df² posting self-join with a deterministic bottom-k
+    * sketch estimator (the minhash→verify discipline applied to the
+    * asymmetric geometry):
+    *
+    *  1. Sketch S_k(A) = the k smallest 48-bit md5 shingle hashes of A —
+    *     a prefix slice of the already-sorted [[docShingleHashes]] array,
+    *     and (hash order being independent of content frequency) a
+    *     uniform size-k sample of A's shingle set.
+    *  2. Directed candidates + estimate in ONE narrow aggregation:
+    *     sketch postings (≤ k rows/doc, df ≤ [[ContainMaxDf]]) join full
+    *     postings (df-capped likewise) on the shingle hash; count hits
+    *     per (contained, container). hits/|S_k(A)∩rare| is an unbiased
+    *     estimate of A's rare-containment in B. Join cost is
+    *     Σ_h sketchdf(h)·df(h) ≤ maxDf·k·|docs| — LINEAR in corpus size
+    *     (the exact query's Σ df² is not), and the rows carry two ids +
+    *     a count, never an array (the r8 shuffle rule), with map-side
+    *     partial aggregation.
+    *  3. Admission: hits·10⁴ ≥ [[SketchTEstScaled]]·k_rare — an 8σ-slack
+    *     filter, so survivors ≈ output-sized.
+    *  4. EXACT verify of survivors only: full set intersection
+    *     (common shingles included — identical semantics to the exact
+    *     query's verify), emit ≥ t with the same Det rounding.
+    *
+    * Precision is 1 by construction (every emitted row passes the exact
+    * test and shares ≥ 1 rare shingle, so it appears in
+    * [[containmentPairs]]' output too); recall is probabilistic —
+    * DedupSpec pins it against the exact twin at the fixture, and the
+    * 100k-doc adversarial ScaleProbe corpus (where the exact query is a
+    * documented runaway) completes because no stage is pair-density-
+    * bound before the admission filter. 100 TB story: postings shuffle
+    * on the shingle hash (≤ maxDf·k·N rows), the estimate aggregates on
+    * (contained, container) with partial agg, and float-free narrow rows
+    * are all that move until the output-sized verify join. */
+  def containmentPairsSketch(spark: SparkSession, sfDir: String,
+                             t: Double = ContainT,
+                             k: Int = SketchK,
+                             maxDf: Int = ContainMaxDf): DataFrame = {
+    require(t > 0 && t <= 1, s"need 0 < t <= 1, got $t")
+    require(k > 0, s"need k > 0, got $k")
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rareH = post.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    // bottom-k sketch: hs is sorted ascending, so the k smallest hashes
+    // are a prefix slice (O(1) per doc, identical on the oracle side)
+    val skRare = hv.select(col("doc_id"), explode(slice(col("hs"), 1, k)).as("h"))
+      .join(rareH, "h")
+    val postRare = post.join(rareH, "h")
+    val kRare = skRare.groupBy("doc_id").agg(count(lit(1)).as("k_rare"))
+    val est = skRare.select(col("h"), col("doc_id").as("contained"))
+      .join(postRare.select(col("h"), col("doc_id").as("container")), "h")
+      .filter(col("contained") =!= col("container"))
+      .groupBy("contained", "container").agg(count(lit(1)).as("hits"))
+    val surv = est
+      .join(kRare.select(col("doc_id").as("contained"), col("k_rare")), "contained")
+      .filter(col("hits") * lit(10000L) >= lit(SketchTEstScaled) * col("k_rare"))
+      .select("contained", "container")
+    surv
+      .join(hv.select(col("doc_id").as("contained"), col("hs").as("ha")), "contained")
+      .join(hv.select(col("doc_id").as("container"), col("hs").as("hb")), "container")
+      .select(col("contained"), col("container"),
+        size(col("ha")).cast("long").as("n_contained"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
+      .withColumn("raw", col("n_common").cast("double") / col("n_contained"))
+      .filter(col("raw") >= t)
+      .select(col("contained"), col("container"), col("n_common"),
+        Det.r(col("raw"), 6).as("containment"))
+      .orderBy("contained", "container")
+  }
+
+  /** DuckDB twin of [[containmentPairsSketch]] — the sketch is the same
+    * prefix slice of the sorted hash list (`hs[1:k]`), the estimator the
+    * same integer cross-multiplied admission, the verify the same full
+    * list intersection. */
+  val containmentPairsSketchSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |post AS (SELECT doc_id, unnest(hs) AS h FROM hv),
+       |rare AS (SELECT h FROM post GROUP BY h
+       |         HAVING count(*) <= $ContainMaxDf),
+       |skr AS (SELECT s.doc_id, s.h
+       |        FROM (SELECT doc_id, unnest(hs[1:$SketchK]) AS h FROM hv) s
+       |        JOIN rare USING (h)),
+       |postr AS (SELECT p.doc_id, p.h FROM post p JOIN rare USING (h)),
+       |krare AS (SELECT doc_id, count(*) AS k_rare FROM skr GROUP BY doc_id),
+       |est AS (SELECT a.doc_id AS contained, b.doc_id AS container,
+       |               count(*) AS hits
+       |        FROM skr a JOIN postr b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |        GROUP BY 1, 2),
+       |surv AS (SELECT e.contained, e.container
+       |         FROM est e JOIN krare k ON k.doc_id = e.contained
+       |         WHERE e.hits * 10000 >= $SketchTEstScaled * k.k_rare),
+       |iv AS (SELECT s.contained, s.container, len(a.hs) AS n_contained,
+       |              len(list_intersect(a.hs, b.hs)) AS n_common
+       |       FROM surv s JOIN hv a ON a.doc_id = s.contained
+       |                   JOIN hv b ON b.doc_id = s.container)
+       |SELECT contained, container, n_common,
+       |       ${Det.rSql("CAST(n_common AS DOUBLE) / n_contained", 6)}
+       |         AS containment
+       |FROM iv
        |WHERE CAST(n_common AS DOUBLE) / n_contained >= $ContainT
        |ORDER BY contained, container""".stripMargin
 
@@ -1917,6 +2025,7 @@ object Dedup {
     "pipeline_funnel"      -> ((s, d) => pipelineFunnel(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "containment_pairs"    -> ((s, d) => containmentPairs(s, d)),
+    "containment_pairs_sketch" -> ((s, d) => containmentPairsSketch(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
@@ -1937,6 +2046,7 @@ object Dedup {
     "pipeline_funnel"      -> pipelineFunnelSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "containment_pairs"    -> containmentPairsSql,
+    "containment_pairs_sketch" -> containmentPairsSketchSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,
     "dup_pair_sources"     -> dupPairSourcesSql,

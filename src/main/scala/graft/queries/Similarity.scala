@@ -112,11 +112,19 @@ object Similarity {
     * Integer ceil-log2 (no float log on the JVM side — the oracle's
     * float log2 is exact at the only dangerous points, powers of two). */
   private val SigTargetOcc = 256L
+  /** Hard width cap, shared with the oracle: the adaptive DuckDB twins
+    * draw hyperplanes from `range(0, 24)` (see the `bits` CTE in
+    * knnGraphSql and friends), so the JVM side MUST cap at the same 24
+    * or a corpus past 256·2²⁴ ≈ 4.3e9 vectors would silently use more
+    * signature bits than the oracle and break the hash gate. 24 bits ⇒
+    * 16M buckets — occupancy targeting is long saturated well before
+    * the cap binds. */
+  private val SigBitsCap = 24
   private[graft] def derivedSigBits(nVecs: Long): Int = {
     val m = math.max(1L, (nVecs + SigTargetOcc - 1) / SigTargetOcc)
     val ceilLog2 =
       if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.max(SigBits, ceilLog2)
+    math.min(SigBitsCap, math.max(SigBits, ceilLog2))
   }
 
   /** Corpus vector count per dir, memoized (the pqMemo pattern — corpus
@@ -1157,6 +1165,13 @@ object Similarity {
   private val IvfCellsCap = 65536
   private val IvfIters = 3
   private val NProbe = 4
+  /** Escalated probe count for the multiprobe IVF path — the standard
+    * FAISS nprobe knob. Cost scales ~nProbe× on the QUERY side only
+    * (|Q|·nProbe cells scanned; the corpus-side index is untouched), so
+    * doubling it is cheap while it lifts the coarse-quantizer candidate
+    * recall that caps every composed IVF variant. Bounded by
+    * [[IvfMinCells]] so the floor-cell corpus stays a strict subset. */
+  private val NProbeMp = 8
 
   /** Cell count DERIVED from corpus size — the `derivedPackShards` move
     * ([[TextAnalysis]]): a hardcoded 16 makes per-query probe cost
@@ -1334,6 +1349,33 @@ object Similarity {
       .select("qid", "vec_id").distinct()
   }
 
+  /** Multiprobe IVF — [[annCosineIvf]] at [[NProbeMp]] probes: the
+    * `ann_cosine_lsh_mp` move applied to the cell geometry. Each query
+    * scans its 8 nearest cells instead of 4; candidate recall rises
+    * toward exact while corpus-side cost (assignment, storage,
+    * partitioning) is IDENTICAL — only the |Q|-sized probe list and the
+    * candidate stream grow ~2×. SimilaritySpec pins recall ≥ the
+    * single-probe path's and ≥ 0.95 at the fixture; ScaleProbe carries
+    * the nprobe-×-query-side cost evidence. */
+  def annCosineIvfMp(spark: SparkSession, sfDir: String): DataFrame =
+    annCosineIvf(spark, sfDir, nProbe = NProbeMp)
+
+  /** DuckDB twin of [[annCosineIvfMp]] — the [[ivfChain]] at
+    * [[NProbeMp]], same scoring tail as [[annCosineIvfSql]]. */
+  val annCosineIvfMpSql: String =
+    s"""WITH ${ivfChain(NProbeMp)},
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY c.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     c.vec_id ASC) AS rank
+       |  FROM cand c JOIN nv a ON c.vec_id = a.vec_id
+       |              JOIN nv q ON c.qid = q.vec_id)
+       |SELECT qid, rank, vec_id,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM scored WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   def annCosineIvf(spark: SparkSession, sfDir: String,
                    nProbe: Int = NProbe): DataFrame = {
     val cands = ivfCandidates(spark, sfDir, nProbe)
@@ -1366,9 +1408,11 @@ object Similarity {
     * Cells that lose all training members keep their previous centroid
     * (LEFT JOIN + COALESCE ≡ the in-place array update). */
   /** The shared IVF DuckDB chain (through the DISTINCT (qid, vec_id)
-    * candidate set `cand`) — prefixes both [[annCosineIvfSql]] and
-    * [[annCosineIvfPqSql]]. */
-  private[queries] val ivfChainSql: String = {
+    * candidate set `cand`) — prefixes [[annCosineIvfSql]],
+    * [[annCosineIvfPqSql]] and (at [[NProbeMp]]) the multiprobe twins.
+    * Parameterized on nProbe: the only nProbe-dependent CTE is the
+    * query-side probe list `pro`, exactly mirroring [[ivfCandidates]]. */
+  private[queries] def ivfChain(nProbe: Int): String = {
     val rounds = (1 to IvfIters).map { r =>
       s"""asn$r AS (
          |  SELECT vec_id, q, cell
@@ -1423,12 +1467,16 @@ object Similarity {
        |               row_number() OVER (PARTITION BY v.vec_id
        |                  ORDER BY list_dot_product(c.c, v.u) DESC, c.cell ASC) AS rk
        |        FROM uv v CROSS JOIN cent$IvfIters c WHERE v.vec_id < $NumQueries)
-       |  WHERE rk <= $NProbe),
+       |  WHERE rk <= $nProbe),
        |cand AS (
        |  SELECT DISTINCT p.qid, f.vec_id
        |  FROM fin f JOIN pro p ON f.cell = p.cell
        |  WHERE f.vec_id <> p.qid)""".stripMargin
   }
+
+  /** The default-[[NProbe]] chain (kept as a val — [[graft.queries.Dedup.semDedupSql]]
+    * composes with its `fin`/`nv` CTEs, which are nProbe-independent). */
+  private[queries] val ivfChainSql: String = ivfChain(NProbe)
 
   val annCosineIvfSql: String =
     s"""WITH $ivfChainSql,
@@ -2446,11 +2494,15 @@ object Similarity {
     * query re-rank against their float vectors, final rank by exact
     * cosine. Recall is bounded by the coarse quantizer's candidate
     * recall (the PQ ranking noise inside the candidate set is fully
-    * recovered); at 100 TB the floats are fetched for |Q|·8k rows only.
+    * recovered) — which is why this composition runs MULTIPROBE
+    * ([[NProbeMp]] = 8 cells/query, the r8 0.85-candidate-recall ceiling
+    * lifted the standard FAISS way): the extra cost is |Q|·nProbe
+    * query-side scans only, while the recall pin rises 0.8 → ≥ 0.9.
+    * At 100 TB the floats are fetched for |Q|·8k rows only.
     * Determinism: composed from three hash-exact stages, ties vec_id
     * ASC at both ranks. */
   def annCosineIvfPqRerank(spark: SparkSession, sfDir: String,
-                           nProbe: Int = NProbe): DataFrame = {
+                           nProbe: Int = NProbeMp): DataFrame = {
     val shortlist = topKScored(spark, ivfPqScored(spark, sfDir, nProbe),
       TopK * RerankFactor).drop("rank")
     val all = vecs(spark, sfDir)
@@ -2507,9 +2559,10 @@ object Similarity {
        |WHERE r.rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
-  /** DuckDB twin of [[annCosineIvfPqRerank]]. */
+  /** DuckDB twin of [[annCosineIvfPqRerank]] — [[ivfChain]] at the
+    * multiprobe [[NProbeMp]]. */
   val annCosineIvfPqRerankSql: String =
-    s"""WITH $ivfChainSql,
+    s"""WITH ${ivfChain(NProbeMp)},
        |${pqChain("p_")},
        |$ivfPqAdcRankedSql,
        |rr AS (
@@ -2533,6 +2586,7 @@ object Similarity {
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
+    "ann_cosine_ivf_mp" -> ((s, d) => annCosineIvfMp(s, d)),
     "embedding_quantize" -> ((s, d) => embeddingQuantize(s, d)),
     "embedding_dim_stats" -> ((s, d) => embeddingDimStats(s, d)),
     "ann_cosine_topk_q8" -> ((s, d) => quantizedTopK(s, d)),
@@ -2568,6 +2622,7 @@ object Similarity {
     "centroid_assign" -> centroidAssignSql,
     "ann_cosine_lsh" -> annCosineLshSql,
     "ann_cosine_ivf" -> annCosineIvfSql,
+    "ann_cosine_ivf_mp" -> annCosineIvfMpSql,
     "embedding_pq" -> embeddingPqSql,
     "ann_cosine_pq" -> annCosinePqSql,
     "embedding_outliers" -> embeddingOutliersSql,

@@ -1378,7 +1378,8 @@ object Temporal {
        |       ${Det.rSql(m("sw"), 4)} AS mean_wins,
        |       ${Det.rSql(sd("ss", "s"), 4)} AS std_raw,
        |       ${Det.rSql(sd("ssw", "sw"), 4)} AS std_wins
-       |FROM g, cuts""".stripMargin
+       |FROM g, cuts
+       |WHERE g.n > 0""".stripMargin
   }
 
   // --------------------------------------------------------------------

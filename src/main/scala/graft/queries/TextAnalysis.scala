@@ -2072,7 +2072,7 @@ object TextAnalysis {
     * state is B=[[HashBuckets]] longs regardless of vocabulary size — THE property
     * that makes these operators 100 TB-safe where vocab-sized models
     * (docSurprisal's unigram table) grow with the corpus. */
-  private val HashBuckets = 4096
+  private[graft] val HashBuckets = 4096
   private def tokBucket(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % HashBuckets
   private def tokBucketSql(c: String): String =
@@ -2102,10 +2102,9 @@ object TextAnalysis {
     * per-doc integer sum ([[Det]] discipline); the double divisions are
     * identical IEEE ops on both engines, leaving only the ~1e-9/bucket
     * libm-ulp boundary risk over [[HashBuckets]] buckets. */
-  def dsirWeights(spark: SparkSession, sfDir: String,
-                  targetLang: String = "en"): DataFrame = {
-    val B = HashBuckets
-    val tok = Tables.documents(spark, sfDir)
+  /** The DSIR feature stream (uni+bigram hashed buckets per doc). */
+  private def dsirTok(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("lang"),
         explode(concat(col("t"), zip_with(
@@ -2113,17 +2112,38 @@ object TextAnalysis {
           slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b)))).as("tok"))
       .withColumn("b", tokBucket(col("tok")))
+
+  /** The exact integer count tuples feeding [[dsirLwMicros]] — exposed
+    * private[graft] so PropertiesSpec can recompute every emitted micro
+    * with 30-digit BigDecimal ln (the r8-flagged libm-ulp hazard: a
+    * libm/engine bump that lands a weight within 1 ulp of a
+    * ⌊x·10⁶+0.5⌋ boundary must fail a spec HERE, not the hash gate). */
+  private[graft] def dsirBucketCounts(spark: SparkSession, sfDir: String,
+                                      targetLang: String = "en"): DataFrame = {
+    val tok = dsirTok(spark, sfDir)
     val hist = tok.groupBy("b").agg(
       count(lit(1)).as("cnt_raw"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_tgt"))
     val totals = hist.agg(
       coalesce(sum("cnt_raw"), lit(0L)).as("tot_raw"),
       coalesce(sum("cnt_tgt"), lit(0L)).as("tot_tgt"))
-    val w = hist.crossJoin(broadcast(totals))
-      .withColumn("lw_micros",
-        floor((log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + B))
-             - log((col("cnt_raw") + 1).cast("double") / (col("tot_raw") + B)))
-          * 1e6 + 0.5).cast("long"))
+    hist.crossJoin(broadcast(totals))
+  }
+
+  /** The per-bucket DSIR log-ratio weight in micros, over
+    * [[dsirBucketCounts]] columns. */
+  private def dsirLwMicros: Column = {
+    val B = HashBuckets
+    floor((log((col("cnt_tgt") + 1).cast("double") / (col("tot_tgt") + B))
+         - log((col("cnt_raw") + 1).cast("double") / (col("tot_raw") + B)))
+      * 1e6 + 0.5).cast("long")
+  }
+
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val tok = dsirTok(spark, sfDir)
+    val w = dsirBucketCounts(spark, sfDir, targetLang)
+      .withColumn("lw_micros", dsirLwMicros)
       .select("b", "lw_micros")
     tok.join(broadcast(w), "b")
       .groupBy("doc_id")
@@ -2192,9 +2212,9 @@ object TextAnalysis {
     * Self-labeled-and-self-scored on the fixture, the classifier is a
     * SMOOTHED reconstruction of its labels (TextAnalysisSpec pins the
     * agreement floor); the production use trains here, scores elsewhere. */
-  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val B = HashBuckets
-    val labeled = gopherLabeled(spark, sfDir, GopherMinWords)
+  /** The NB labeled feature stream (hashed unigrams + meta features). */
+  private def nbTok(spark: SparkSession, sfDir: String): DataFrame =
+    gopherLabeled(spark, sfDir, GopherMinWords)
       .select(col("doc_id"), col("pass"),
         concat(col("t"), array(
           concat(lit("len:"),
@@ -2205,27 +2225,45 @@ object TextAnalysis {
             floor(col("alpha_word_ratio") * 10).cast("long").cast("string")),
           concat(lit("stp:"),
             least(col("stop_hits"), lit(4)).cast("string")))).as("t"))
-    val tok = labeled
       .select(col("doc_id"), col("pass"), explode(col("t")).as("tok"))
       .withColumn("b", tokBucket(col("tok")))
-    val hist = tok.groupBy("b").agg(
+
+  /** Count tuples feeding [[nbLwMicros]] — the [[dsirBucketCounts]]
+    * libm-hardening hook for the NB weight table. */
+  private[graft] def nbBucketCounts(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val hist = nbTok(spark, sfDir).groupBy("b").agg(
       sum(when(col("pass"), 1L).otherwise(0L)).as("cnt_p"),
       sum(when(!col("pass"), 1L).otherwise(0L)).as("cnt_f"))
     val tokTot = hist.agg(
       coalesce(sum("cnt_p"), lit(0L)).as("tot_p"),
       coalesce(sum("cnt_f"), lit(0L)).as("tot_f"))
-    val prior = labeled.agg(
+    hist.crossJoin(broadcast(tokTot))
+  }
+
+  /** Count tuple feeding the class-prior micros — libm-hardening hook. */
+  private[graft] def nbPriorCounts(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    gopherLabeled(spark, sfDir, GopherMinWords).agg(
       coalesce(sum(when(col("pass"), 1L).otherwise(0L)), lit(0L)).as("n_p"),
       coalesce(sum(when(!col("pass"), 1L).otherwise(0L)), lit(0L)).as("n_f"))
+
+  private def nbLwMicros: Column = {
+    val B = HashBuckets
+    floor((log((col("cnt_p") + 1).cast("double") / (col("tot_p") + B))
+         - log((col("cnt_f") + 1).cast("double") / (col("tot_f") + B)))
+      * 1e6 + 0.5).cast("long")
+  }
+
+  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = nbTok(spark, sfDir)
+    val prior = nbPriorCounts(spark, sfDir)
       .withColumn("prior_micros",
         floor((log((col("n_p") + 1).cast("double"))
              - log((col("n_f") + 1).cast("double"))) * 1e6 + 0.5).cast("long"))
       .select("prior_micros")
-    val w = hist.crossJoin(broadcast(tokTot))
-      .withColumn("lw_micros",
-        floor((log((col("cnt_p") + 1).cast("double") / (col("tot_p") + B))
-             - log((col("cnt_f") + 1).cast("double") / (col("tot_f") + B)))
-          * 1e6 + 0.5).cast("long"))
+    val w = nbBucketCounts(spark, sfDir)
+      .withColumn("lw_micros", nbLwMicros)
       .select("b", "lw_micros")
     tok.join(broadcast(w), "b")
       .groupBy("doc_id")
@@ -2291,8 +2329,12 @@ object TextAnalysis {
     * the scoring stream itself is one scan, no corpus-sized state.
     * Determinism: per-position nll integerised to micros pre-sum; the
     * backoff constant is the shared literal [[Ln04]]. */
-  def bigramLmScore(spark: SparkSession, sfDir: String,
-                    trainLang: String = "en"): DataFrame = {
+  /** The bigram stream joined against the model tables — the count
+    * tuple (c12, c1, c2, n_train, v_train) behind every per-position
+    * [[bigramNllMicros]] value. private[graft]: PropertiesSpec
+    * recomputes the distinct tuples' micros with BigDecimal ln. */
+  private[graft] def bigramJoined(spark: SparkSession, sfDir: String,
+                                  trainLang: String = "en"): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
     val bg = docs.select(col("doc_id"), col("lang"),
@@ -2314,13 +2356,21 @@ object TextAnalysis {
       .join(c1, Seq("w1"), "left")
       .join(c2, Seq("w2"), "left")
       .crossJoin(broadcast(nv))
-      .withColumn("nll_micros",
-        when(col("c12").isNotNull,
-          floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5))
-        .otherwise(
-          floor(-(lit(Ln04) + log((coalesce(col("c2"), lit(0L)) + 1).cast("double")
-            / greatest(col("n_train") + col("v_train"), lit(1L)))) * 1e6 + 0.5))
-        .cast("long"))
+  }
+
+  /** Per-position stupid-backoff nll in micros over [[bigramJoined]]. */
+  private def bigramNllMicros: Column =
+    when(col("c12").isNotNull,
+      floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5))
+    .otherwise(
+      floor(-(lit(Ln04) + log((coalesce(col("c2"), lit(0L)) + 1).cast("double")
+        / greatest(col("n_train") + col("v_train"), lit(1L)))) * 1e6 + 0.5))
+    .cast("long")
+
+  def bigramLmScore(spark: SparkSession, sfDir: String,
+                    trainLang: String = "en"): DataFrame = {
+    bigramJoined(spark, sfDir, trainLang)
+      .withColumn("nll_micros", bigramNllMicros)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nll_micros").as("nll_micros"))
       .withColumn("avg_nll",

@@ -221,4 +221,43 @@ class DedupSpec extends AnyFunSuite {
     assert(queries.Dedup.ngramJaccardPairs(spark, dir).count() == 0,
       "jaccard should miss the size-mismatched quote pair")
   }
+
+  test("containment_pairs_sketch: precision 1 vs exact; recall pinned; golden quote found") {
+    import spark.implicits._
+    val exact = queries.Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"))
+        -> (r.getAs[Long]("n_common"), r.getAs[Double]("containment"))).toMap
+    val sk = queries.Dedup.containmentPairsSketch(spark, sf).collect()
+    // PRECISION 1 by construction: every sketch row is exact-verified, so
+    // it must appear in the exact output with identical values
+    sk.foreach { r =>
+      val key = (r.getAs[Long]("contained"), r.getAs[Long]("container"))
+      assert(exact.contains(key), s"sketch pair $key not in exact output")
+      assert(exact(key) == ((r.getAs[Long]("n_common"), r.getAs[Double]("containment"))),
+        s"sketch values for $key differ from exact")
+    }
+    // RECALL pin vs the exact twin (measured 1.0 at the fixture — every
+    // fixture doc has < k = 128 shingles so the sketch IS the full set
+    // and the 0.5 admission only prunes sub-threshold pairs); pin at
+    // >= 0.9 so a sketch/estimator regression fails loudly here
+    val recall = if (exact.isEmpty) 1.0 else sk.length.toDouble / exact.size
+    info(s"containment sketch recall vs exact = $recall (${sk.length}/${exact.size})")
+    assert(recall >= 0.9, s"sketch recall $recall below 0.9")
+    // golden: the quote-in-a-big-doc geometry survives the sketch path
+    // (reuses the corpus written by the exact test when run in order;
+    // rewrite it here so the test is self-contained)
+    val quote = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val long = quote + " " + (100 to 400).map(i => s"w$i").mkString(" ")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_containment_sk").getAbsolutePath
+    Seq((1L, quote, "en", "web", quote.length.toLong),
+        (2L, long, "en", "web", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = queries.Dedup.containmentPairsSketch(spark, dir).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("contained") == 1L &&
+      g.head.getAs[Long]("container") == 2L &&
+      g.head.getAs[Double]("containment") == 1.0)
+  }
 }

@@ -677,5 +677,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Relational.revenueCusum(spark, dir).count() == 0)
     assert(queries.Relational.ordersForecastSnaive(spark, dir).count() == 0)
     assert(queries.Relational.zorderOrders(spark, dir).count() == 0)
+    // PINNED empty-input contract (r8 ADVICE): both engines emit ZERO
+    // rows on empty input — the oracles carry matching n > 0 guards, so
+    // a future edit dropping either side breaks here, not in a fixture
+    // the hash gate never exercises
+    assert(queries.Temporal.eventsWinsorizedStats(spark, dir).count() == 0)
+    assert(queries.Relational.revenueParetoShare(spark, dir).count() == 0)
+  }
+
+  test("orders_recon: one-sided (month, nation) keys survive the full outer join") {
+    import java.sql.Timestamp
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_recon").getAbsolutePath
+    // nation 10 bills in Jan (nothing ships); nation 20 ships in Feb
+    // (nothing billed); nation 10 both bills and ships in Mar
+    Seq((1L, 1L, Timestamp.valueOf("2024-01-15 00:00:00"), 100.0),
+        (2L, 1L, Timestamp.valueOf("2024-03-10 00:00:00"), 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((5L, 20L), (6L, 10L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // Feb line: supplier 5 (nation 20), 30.00 · (1-0.10) · (1+0.05) = 28.35
+    // Mar line: supplier 6 (nation 10), 20.00 flat
+    Seq((5L, Timestamp.valueOf("2024-02-01 00:00:00"), 30.0, 0.10, 0.05),
+        (6L, Timestamp.valueOf("2024-03-20 00:00:00"), 20.0, 0.0, 0.0))
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = queries.Relational.ordersRecon(spark, dir).collect()
+    assert(rows.length == 3)
+    val bySide = rows.map(r => r.getAs[String]("side") -> r).toMap
+    val bo = bySide("billed_only")
+    assert(bo.getAs[String]("month") == "2024-01" && bo.getAs[Long]("nation") == 10L)
+    assert(bo.getAs[Long]("n_orders") == 1L && bo.getAs[Long]("n_lines") == 0L)
+    assert(bo.getAs[Double]("billed") == 100.0 && bo.isNullAt(bo.fieldIndex("shipped")))
+    assert(bo.getAs[Double]("delta") == 100.0)
+    val so = bySide("shipped_only")
+    assert(so.getAs[String]("month") == "2024-02" && so.getAs[Long]("nation") == 20L)
+    assert(so.getAs[Long]("n_orders") == 0L && so.getAs[Long]("n_lines") == 1L)
+    assert(so.isNullAt(so.fieldIndex("billed")) && so.getAs[Double]("shipped") == 28.35)
+    assert(so.getAs[Double]("delta") == -28.35)
+    val both = bySide("both")
+    assert(both.getAs[String]("month") == "2024-03" && both.getAs[Long]("nation") == 10L)
+    assert(both.getAs[Double]("billed") == 50.0 && both.getAs[Double]("shipped") == 20.0)
+    assert(both.getAs[Double]("delta") == 30.0)
   }
 }

@@ -145,4 +145,114 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  // ------------------------------------------------------------------
+  // libm-ln hardening (r8 verdict #4): every micro-rounded ln weight the
+  // three scorers emit is recomputed with 40-digit BigDecimal ln and
+  // must (a) agree with the double path and (b) sit >= 1e-4 micros from
+  // its floor boundary — so a DuckDB/JDK libm bump that moves ln by a
+  // last-ulp fails HERE, not in a CORRECTNESS hash downstream.
+  // ------------------------------------------------------------------
+
+  private object BdLn {
+    import java.math.{BigDecimal => BD, MathContext}
+    val mc = new MathContext(40)
+    private val Ln2 =
+      new BD("0.6931471805599453094172321214581765680755")
+    private val Two = new BD(2)
+    private val Half = new BD("0.5")
+    /** ln(x) to ~40 digits: power-of-two reduction + atanh series. */
+    def ln(x: BD): BD = {
+      require(x.signum > 0, s"ln domain: $x")
+      var m = x; var k = 0
+      while (m.compareTo(Two) >= 0) { m = m.divide(Two, mc); k += 1 }
+      while (m.compareTo(Half) < 0) { m = m.multiply(Two, mc); k -= 1 }
+      val z = m.subtract(BD.ONE).divide(m.add(BD.ONE), mc)
+      val z2 = z.multiply(z, mc)
+      var term = z; var sum = BD.ZERO; var j = 1
+      while (term.abs.compareTo(new BD("1e-45")) > 0) {
+        sum = sum.add(term.divide(new BD(j), mc), mc)
+        term = term.multiply(z2, mc); j += 2
+      }
+      sum.multiply(Two, mc).add(Ln2.multiply(new BD(k), mc), mc)
+    }
+    /** Exact BD of the IEEE double (the division is a single exact-
+      * rounded op identical on both engines; only ln is libm). */
+    def ofDouble(d: Double): BD = new BD(d)
+    /** Checks x_exact = (hi − lo)·1e6 + 0.5 agrees with the double-path
+      * long AND is >= eps micros away from its floor boundary. */
+    def checkMicros(label: String, exact: BD, doublePath: Long): Unit = {
+      val scaled = exact.multiply(new BD(1000000), mc).add(Half, mc)
+      val fl = scaled.setScale(0, java.math.RoundingMode.FLOOR)
+      assert(fl.longValueExact() == doublePath,
+        s"$label: BigDecimal micros ${fl} != double path $doublePath")
+      val frac = scaled.subtract(fl).doubleValue()
+      val margin = math.min(frac, 1 - frac)
+      assert(margin >= 1e-4,
+        s"$label: value $scaled sits $margin micros from a floor boundary" +
+          " — a libm ulp could flip the emitted weight")
+    }
+  }
+
+  test("dsir/nb/bigram ln weights: BigDecimal recomputation agrees, off-boundary") {
+    import java.math.{BigDecimal => BD}
+    val sf = TestSpark.sf
+    val B = queries.TextAnalysis.HashBuckets.toLong
+    // DSIR per-bucket log-ratio weights
+    val dsir = queries.TextAnalysis.dsirBucketCounts(spark, sf).collect()
+    assert(dsir.nonEmpty)
+    dsir.foreach { r =>
+      val (cr, ct) = (r.getAs[Long]("cnt_raw"), r.getAs[Long]("cnt_tgt"))
+      val (tr, tt) = (r.getAs[Long]("tot_raw"), r.getAs[Long]("tot_tgt"))
+      val qT = (ct + 1).toDouble / (tt + B)
+      val qR = (cr + 1).toDouble / (tr + B)
+      val dp = math.floor((math.log(qT) - math.log(qR)) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"dsir b=${r.getAs[Long]("b")}",
+        BdLn.ln(BdLn.ofDouble(qT)).subtract(BdLn.ln(BdLn.ofDouble(qR)), BdLn.mc), dp)
+    }
+    // NB per-bucket weights + class prior
+    val nb = queries.TextAnalysis.nbBucketCounts(spark, sf).collect()
+    assert(nb.nonEmpty)
+    nb.foreach { r =>
+      val (cp, cf) = (r.getAs[Long]("cnt_p"), r.getAs[Long]("cnt_f"))
+      val (tp, tf) = (r.getAs[Long]("tot_p"), r.getAs[Long]("tot_f"))
+      val qP = (cp + 1).toDouble / (tp + B)
+      val qF = (cf + 1).toDouble / (tf + B)
+      val dp = math.floor((math.log(qP) - math.log(qF)) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"nb b=${r.getAs[Long]("b")}",
+        BdLn.ln(BdLn.ofDouble(qP)).subtract(BdLn.ln(BdLn.ofDouble(qF)), BdLn.mc), dp)
+    }
+    val pr = queries.TextAnalysis.nbPriorCounts(spark, sf).head()
+    val (np, nf) = (pr.getAs[Long]("n_p"), pr.getAs[Long]("n_f"))
+    val dpPrior =
+      math.floor((math.log((np + 1).toDouble) - math.log((nf + 1).toDouble))
+        * 1e6 + 0.5).toLong
+    BdLn.checkMicros("nb prior",
+      BdLn.ln(new BD(np + 1)).subtract(BdLn.ln(new BD(nf + 1)), BdLn.mc), dpPrior)
+    // Bigram stupid-backoff: distinct (c12, c1) seen tuples and distinct
+    // (c2, n, v) backoff tuples — the full per-position value space
+    val bj = queries.TextAnalysis.bigramJoined(spark, sf)
+    val ln04 = BdLn.ofDouble(math.log(0.4)) // the shared double literal
+    val seen = bj.filter(col("c12").isNotNull)
+      .select("c12", "c1").distinct().collect()
+    assert(seen.nonEmpty)
+    seen.foreach { r =>
+      val (c12, c1) = (r.getAs[Long]("c12"), r.getAs[Long]("c1"))
+      val q = c12.toDouble / c1
+      val dp = math.floor(-math.log(q) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"bigram seen ($c12,$c1)",
+        BdLn.ln(BdLn.ofDouble(q)).negate(), dp)
+    }
+    val backoff = bj.filter(col("c12").isNull)
+      .select(coalesce(col("c2"), lit(0L)).as("c2"), col("n_train"), col("v_train"))
+      .distinct().collect()
+    backoff.foreach { r =>
+      val (c2, n, v) = (r.getAs[Long]("c2"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("v_train"))
+      val q = (c2 + 1).toDouble / math.max(n + v, 1L)
+      val dp = math.floor(-(math.log(0.4) + math.log(q)) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"bigram backoff ($c2,$n,$v)",
+        ln04.add(BdLn.ln(BdLn.ofDouble(q)), BdLn.mc).negate(), dp)
+    }
+  }
 }

@@ -187,6 +187,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ADC recall@5 $recall below floor 0.4")
   }
 
+  test("ann_cosine_ivf_mp: multiprobe recall >= single-probe IVF recall, floor 0.95") {
+    val bf = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .count(bf.contains).toDouble / bf.size
+    val mp = queries.Similarity.annCosineIvfMp(spark, sf).collect()
+    // well-formed: 10 queries × ranks 1..5, no self-matches
+    val byQ = mp.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, grp) =>
+      assert(grp.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"qid $q")
+      assert(grp.forall(_.getAs[Long]("vec_id") != q), s"qid $q self-match")
+    }
+    val rMp = recallOf(mp)
+    val rIvf = recallOf(queries.Similarity.annCosineIvf(spark, sf).collect())
+    info(s"IVF recall@5 = $rIvf, multiprobe (8 cells) = $rMp")
+    // more probed cells can only widen the candidate set — recall must
+    // dominate the 4-probe path, and 8/16 cells at the fixture should be
+    // near-exact
+    assert(rMp >= rIvf, s"multiprobe recall $rMp below single-probe $rIvf")
+    assert(rMp >= 0.95, s"multiprobe recall $rMp below floor 0.95")
+  }
+
   test("ann_cosine_ivfpq: candidate-restricted ADC, subset of IVF candidates, recall floor") {
     val ivfpq = queries.Similarity.annCosineIvfPq(spark, sf).collect()
     val byQ = ivfpq.groupBy(_.getAs[Long]("qid"))
@@ -237,7 +261,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ+rerank recall@5 $recall below 0.9")
   }
 
-  test("ann_cosine_ivfpq_rerank: recall bounded by IVF candidates, >= 0.8") {
+  test("ann_cosine_ivfpq_rerank: multiprobe coarse quantizer, recall >= 0.9") {
     val rr = queries.Similarity.annCosineIvfPqRerank(spark, sf).collect()
     val byQ = rr.groupBy(_.getAs[Long]("qid"))
     assert(byQ.size == 10)
@@ -247,9 +271,10 @@ class SimilaritySpec extends AnyFunSuite {
       .count(bf.contains)
     val recall = hit.toDouble / bf.size
     info(s"IVF-PQ+rerank recall@5 = $recall")
-    // ceiling is the coarse quantizer's candidate recall (IVF pin: 0.85+);
+    // ceiling is the coarse quantizer's candidate recall — lifted by the
+    // NProbeMp = 8 multiprobe (r8's 4-probe ceiling pinned this at 0.8);
     // the re-rank recovers all PQ ranking noise inside the candidate set
-    assert(recall >= 0.8, s"IVF-PQ+rerank recall@5 $recall below 0.8")
+    assert(recall >= 0.9, s"IVF-PQ+rerank recall@5 $recall below 0.9")
     // re-rank can only help: recall must dominate the no-rerank ivfpq
     val base = queries.Similarity.annCosineIvfPq(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
@@ -364,6 +389,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(derivedSigBits(256L * 512) == 9)   // power-of-two boundary: m=512
     assert(derivedSigBits(256L * 512 + 1) == 10)
     assert(derivedSigBits(1000000) == 12)
+    // hard cap at 24 = the oracle's range(0, 24) hyperplane pool (r8
+    // ADVICE): past 256·2^24 vectors both sides saturate TOGETHER
+    assert(derivedSigBits(256L * (1L << 24)) == 24)
+    assert(derivedSigBits(256L * (1L << 24) + 1) == 24)
+    assert(derivedSigBits(Long.MaxValue / 2) == 24)
     // the DuckDB twin's float derivation agrees everywhere incl. the
     // power-of-two boundaries (log2 exact there)
     def sqlBits(n: Long): Int = {
