@@ -55,6 +55,7 @@ object ScaleProbe {
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
+    "ann_cosine_ivfpq_res",
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
@@ -81,7 +82,8 @@ object ScaleProbe {
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
     "events_seasonal", "events_heavy_hitters",
     "events_quantiles_by_type", "events_ab_test",
-    "events_winsorized_stats", "user_diversity_simpson")
+    "events_winsorized_stats", "user_diversity_simpson",
+    "user_growth_daily")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -101,12 +103,13 @@ object ScaleProbe {
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
-    "orders_recon")
+    "orders_recon", "l_diversity")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(
     "asof_join_orders", "asof_join_orders_salted", "events_by_segment",
-    "dq_violations", "asof_join_native", "user_erasure_audit")
+    "dq_violations", "asof_join_native", "asof_join_native_fwd",
+    "user_erasure_audit")
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L

@@ -46,7 +46,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -57,17 +58,27 @@ case class AsOfJoinPlan(
   * [[graft.functions.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, p) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, p, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, p, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false`: latest right row at-or-before each left time
+  * (backward as-of, the default everywhere). `forward = true`: EARLIEST
+  * right row at-or-after each left time — the "next event" lookup
+  * (order → next shipment, click → next purchase). Same single-pass
+  * streaming merge either way: backward retains ONE consumed row;
+  * forward PEEKS the buffered head without consuming (sorted left times
+  * mean a right row behind the current left time can never match a
+  * later left, so discarding is safe, and the head may match many
+  * consecutive lefts). Both are inner joins: unmatched lefts drop. */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -92,12 +103,13 @@ case class AsOfJoinExec(
       "as-of key/time attributes must come from the join children")
     val outAttrs = output
     val inAttrs = left.output ++ right.output
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // O(1) merge state: the latest right row at or before the current
-      // left row's time, for the key it belongs to
+      // O(1) merge state (backward only): the latest right row at or
+      // before the current left row's time, for the key it belongs to
       var curKey = 0L
       var curRow: InternalRow = null
       lIter.flatMap { l =>
@@ -113,14 +125,29 @@ case class AsOfJoinExec(
             if (h.isNullAt(rki) || h.isNullAt(rti)) { rBuf.next() }
             else {
               val hk = h.getLong(rki)
-              if (hk < lk || (hk == lk && h.getLong(rti) <= lt)) {
+              if (fwd) {
+                // discard rows strictly behind (key, time): sorted left
+                // times mean they can never match a later left either
+                if (hk < lk || (hk == lk && h.getLong(rti) < lt)) rBuf.next()
+                else advance = false
+              } else if (hk < lk || (hk == lk && h.getLong(rti) <= lt)) {
                 val r = rBuf.next()
                 curKey = hk
                 curRow = r.copy()
               } else advance = false
             }
           }
-          if (curRow != null && curKey == lk) {
+          if (fwd) {
+            // PEEK, never consume: the head (first row at/after lt for
+            // some key) may be the forward match of many lefts; it stays
+            // pinned in the buffer (no underlying next() call) until a
+            // later left advances past it
+            if (rBuf.hasNext && !rBuf.head.isNullAt(rki) &&
+                rBuf.head.getLong(rki) == lk) {
+              joined(l, rBuf.head)
+              Iterator.single(project(joined))
+            } else Iterator.empty
+          } else if (curRow != null && curKey == lk) {
             joined(l, curRow)
             Iterator.single(project(joined))
           } else Iterator.empty
@@ -143,7 +170,7 @@ object AsOfJoin {
     * pruning — the optimizer does not see through a custom node). */
   def asof(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
-           payloadCols: Seq[String]): DataFrame = {
+           payloadCols: Seq[String], forward: Boolean = false): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute = {
@@ -166,6 +193,6 @@ object AsOfJoin {
       s"as-of times must be timestamps, got ${lt.dataType}/${rt.dataType}")
     val pay = payloadCols.map(attr(rPlan, _, "payload"))
     org.apache.spark.sql.graft.Bridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
+      AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay, forward))
   }
 }

@@ -1727,6 +1727,45 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  private val LDivL = 3
+  /** Sensitive-attribute band width in cents ($2500) and the shift that
+    * keeps the banded value non-negative (c_acctbal ≥ −$1000 in the
+    * schema) — NON-NEGATIVE because Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they only agree above zero (the
+    * CLAUDE.md integer-division trap). */
+  private val LDivBandCents = 250000L
+  private val LDivShiftCents = 100000L
+
+  /** L-DIVERSITY AUDIT — [[kAnonymity]]'s companion: k-anonymity stops
+    * re-identification, l-diversity stops ATTRIBUTE disclosure (a
+    * 5-member cell whose members all share one salary band leaks the
+    * salary even though no row is identifiable — Machanavajjhala et
+    * al. 2007). Per quasi-identifier cell (nation × segment): size n,
+    * l = distinct $2500 account-balance bands present, and the l ≥ 3
+    * verdict. Same one-scan grouped-agg shape as the k audit (the
+    * distinct lands in Spark's two-phase expand+agg); banding keeps the
+    * sensitive domain bounded and the division exact cross-engine. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"(cast(round(c_acctbal * 100) as bigint) + $LDivShiftCents) " +
+          s"div $LDivBandCents").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("l"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l"),
+        (col("l") >= LDivL).as("l_ok"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val lDiversitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       |       count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+       |                       + $LDivShiftCents) // $LDivBandCents) AS l,
+       |       count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+       |                       + $LDivShiftCents) // $LDivBandCents) >= $LDivL AS l_ok
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // --------------------------------------------------------------------
   // CUSUM change-point detection on daily revenue
   // --------------------------------------------------------------------
@@ -2171,6 +2210,7 @@ object Relational {
     "revenue_pareto_share" -> ((s, d) => revenueParetoShare(s, d)),
     "nation_revenue_yoy"  -> ((s, d) => nationRevenueYoy(s, d)),
     "orders_recon"        -> ((s, d) => ordersRecon(s, d)),
+    "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
@@ -2214,6 +2254,7 @@ object Relational {
     "revenue_pareto_share" -> revenueParetoShareSql,
     "nation_revenue_yoy"   -> nationRevenueYoySql,
     "orders_recon"         -> ordersReconSql,
+    "l_diversity"          -> lDiversitySql,
     "basket_rules"         -> basketRulesSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,

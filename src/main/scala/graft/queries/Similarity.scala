@@ -2054,13 +2054,25 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
   private def pqCodebook(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
-    pqMemo.computeIfAbsent(sfDir, _ => {
+    pqMemo.computeIfAbsent(sfDir, _ => trainPqCodebook(spark, pqRaw(spark, sfDir)))
+
+  /** Residual codebook for [[annCosineIvfPqRes]]: the same trainer over
+    * unit-space coarse-quantizer residuals, memoized under its own key. */
+  private def pqResCodebook(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(sfDir + "#res",
+      _ => trainPqCodebook(spark, unitResiduals(spark, sfDir)
+        .select(col("vec_id"), col("x"))))
+
+  /** The Lloyd trainer shared by the raw and residual codebooks; `rawIn`
+    * must provide (vec_id, x: Array[Double]). */
+  private def trainPqCodebook(spark: SparkSession,
+                              rawIn: DataFrame): Array[Array[Array[Double]]] = {
       import spark.implicits._
       // local copies: a closure touching the object's fields would drag
       // the whole (non-serializable) Similarity$ into the task closure
       val nSub = PqSub; val subDim = PqSubDim; val nK = PqK
       val kernel = PqKernel
-      val raw = pqRaw(spark, sfDir).cache()
+      val raw = rawIn.cache()
       try {
       val n = raw.count()
       val step = math.max(1L, n / (PqK.toLong * 128L))
@@ -2100,7 +2112,29 @@ object Similarity {
       }
       cent
       } finally { raw.unpersist(); () }
-    })
+  }
+
+  /** Unit-space coarse-quantizer residuals (vec_id, cell, x = u − c_cell)
+    * — the input both [[pqResCodebook]] trains on and
+    * [[annCosineIvfPqRes]] encodes. One map over [[unitVecs]] with the
+    * memoized centroids in a broadcast; the assignment is the same
+    * [[IvfKernel.nearestCell]] the `fin` CTE replays, so cell and
+    * residual are bit-identical to the oracle's. */
+  private def unitResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val kernel = IvfKernel
+    val bc = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+    unitVecs(spark, sfDir).as[(Long, Array[Double])]
+      .map { case (id, u) =>
+        val cs = bc.value
+        val cell = kernel.nearestCell(cs, u)
+        val c = cs(cell)
+        val r = new Array[Double](u.length)
+        var i = 0
+        while (i < u.length) { r(i) = u(i) - c(i); i += 1 }
+        (id, cell, r)
+      }.toDF("vec_id", "cell", "x")
+  }
 
   def embeddingPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2142,7 +2176,9 @@ object Similarity {
     * Prefixes [[embeddingPqSql]] and [[annCosinePqSql]] (empty prefix) and
     * composes with [[ivfChainSql]] inside [[annCosineIvfPqSql]] (prefix
     * `p_` keeps the two chains' CTE names disjoint). */
-  private def pqChain(p: String): String = {
+  private def pqChain(p: String,
+      src: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
     val score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, %s)"
     val rounds = (1 to PqIters).map { r =>
       s"""${p}asn$r AS (
@@ -2164,7 +2200,7 @@ object Similarity {
          |  FROM ${p}cent${r - 1} c0 LEFT JOIN ${p}upd$r u ON u.m = c0.m AND u.k = c0.k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""${p}e AS ($src),
        |${p}sub AS MATERIALIZED (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |         v[CAST(m * $PqSubDim + 1 AS INT):CAST((m + 1) * $PqSubDim AS INT)] AS xm
@@ -2582,6 +2618,151 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** RESIDUAL IVF-PQ with exact re-rank — FAISS's actual `IVFx,PQ8`
+    * memory layout (IVFADC, Jégou et al. 2011 §IV-A): PQ encodes the
+    * coarse-quantizer RESIDUAL u − c_cell, not the vector itself.
+    * Residuals concentrate around the origin with the coarse-explained
+    * variance removed, so the same 8×256 codebook spends its capacity
+    * on what the cell assignment didn't already encode. How much that
+    * buys tracks how much structure the coarse quantizer captures: on
+    * the fixture's ISOTROPIC random vectors 16 cells explain almost no
+    * variance, so the measured ADC error edge over the raw-space path
+    * is real but small (0.0449 vs 0.0455 mean |est − cosine| —
+    * SimilaritySpec pins residual ≤ raw and the ≤ 0.05 band, plus
+    * recall ≥ 0.9, measured 0.96); on clustered production embeddings
+    * the residual radius shrinks with the cell radius and the gap
+    * widens — the reason FAISS defaults to residual encoding.
+    * Everything runs in UNIT space end to end, so the ADC score
+    * directly estimates the cosine: u_q·u = u_q·c_cell + u_q·r ≈
+    * off(q, cell) + Σₘ LUT_q[m][code_m].
+    *
+    * Scale shape = [[annCosineIvfPqRerank]] plus one |Q|·cells offset
+    * table riding the broadcast beside the |Q|·8·256 LUT (both model
+    * state; at 65536 cells and 10 queries that is 5 MB): candidates
+    * from the multiprobe coarse quantizer, ADC from 8-byte codes + two
+    * table lookups, floats fetched for the |Q|·8k shortlist only.
+    * Determinism: off/LUT entries integerise to micros before the
+    * order-free long sum; the encode replays the oracle's `r_enc` CTE
+    * (same ‖c‖²−2c·x fold, ties k-ASC); residuals are exact IEEE
+    * subtractions of hash-proven inputs (uv, cent, fin all oracle-
+    * shared with ann_cosine_ivf). */
+  def annCosineIvfPqRes(spark: SparkSession, sfDir: String,
+                        nProbe: Int = NProbeMp): DataFrame = {
+    import spark.implicits._
+    val nSub = PqSub; val subDim = PqSubDim; val nQ = NumQueries
+    val kernel = PqKernel
+    val cands = ivfCandidates(spark, sfDir, nProbe)
+    val coarse = ivfCentroids(spark, sfDir)
+    val cb = pqResCodebook(spark, sfDir)
+    val qvecs = unitVecs(spark, sfDir).as[(Long, Array[Double])]
+      .filter(_._1 < nQ).collect().sortBy(_._1)
+    val lut: Map[Long, Array[Array[Long]]] = qvecs.map { case (qid, qu) =>
+      qid -> Array.tabulate(nSub) { m =>
+        cb(m).map { w =>
+          var d = 0.0; var i = 0
+          while (i < w.length) { d += w(i) * qu(m * subDim + i); i += 1 }
+          math.floor(d * 1e6 + 0.5).toLong
+        }
+      }
+    }.toMap
+    val off: Map[Long, Array[Long]] = qvecs.map { case (qid, qu) =>
+      qid -> coarse.map { c =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { d += c(i) * qu(i); i += 1 }
+        math.floor(d * 1e6 + 0.5).toLong
+      }
+    }.toMap
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val bcOff = spark.sparkContext.broadcast(off)
+    val codes = unitResiduals(spark, sfDir).as[(Long, Int, Array[Double])]
+      .map { case (id, cell, r) =>
+        val cs = new Array[Int](nSub); var m = 0
+        while (m < nSub) {
+          cs(m) = kernel.nearest(bcCb.value(m), r, m * subDim)._1; m += 1
+        }
+        (id, cell, cs)
+      }.toDF("vec_id", "cell", "codes")
+    val scored = cands.join(codes, "vec_id")
+      .as[(Long, Long, Int, Array[Int])]  // (vec_id, qid, cell, codes)
+      .map { case (vid, qid, cell, cs) =>
+        val tab = bcLut.value(qid)
+        var s = bcOff.value(qid)(cell)
+        var m = 0
+        while (m < nSub) { s += tab(m)(cs(m)); m += 1 }
+        (qid, vid, s)
+      }.toDF("qid", "vec_id", "score_u")
+    val shortlist = topKScored(spark, scored, TopK * RerankFactor).drop("rank")
+    val all = vecs(spark, sfDir)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_cos"),
+        Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annCosineIvfPqRes]] — [[ivfChain]] at [[NProbeMp]],
+    * the `r_`-prefixed [[pqChain]] re-rooted on the residual source, and
+    * the offset+LUT ADC with the exact re-rank tail. */
+  val annCosineIvfPqResSql: String = {
+    val resSrc =
+      s"""SELECT u.vec_id,
+         |       list_transform(range(1, ${Dim + 1}), i -> u.u[i] - c.c[i]) AS v
+         |  FROM uv u JOIN fin f ON f.vec_id = u.vec_id
+         |            JOIN cent$IvfIters c ON c.cell = f.cell""".stripMargin
+    s"""WITH ${ivfChain(NProbeMp)},
+       |${pqChain("r_", resSrc)},
+       |r_qs AS (
+       |  SELECT vec_id AS qid, CAST(m AS INT) AS m,
+       |         u[CAST(m * $PqSubDim + 1 AS INT):CAST((m + 1) * $PqSubDim AS INT)] AS qm
+       |  FROM uv CROSS JOIN range(0, $PqSub) r(m)
+       |  WHERE vec_id < $NumQueries),
+       |r_lut AS MATERIALIZED (
+       |  SELECT q.qid, c.m, c.k,
+       |         CAST(floor(list_dot_product(q.qm, c.c) * 1e6 + 0.5) AS BIGINT) AS du
+       |  FROM r_qs q JOIN r_cent$PqIters c ON c.m = q.m),
+       |r_off AS MATERIALIZED (
+       |  SELECT u.vec_id AS qid, c.cell,
+       |         CAST(floor(list_dot_product(u.u, c.c) * 1e6 + 0.5) AS BIGINT) AS ou
+       |  FROM uv u CROSS JOIN cent$IvfIters c
+       |  WHERE u.vec_id < $NumQueries),
+       |r_adc AS (
+       |  SELECT cd.qid, cd.vec_id, CAST(o.ou + sum(l.du) AS BIGINT) AS score_u
+       |  FROM cand cd
+       |  JOIN fin f ON f.vec_id = cd.vec_id
+       |  JOIN r_enc en ON en.vec_id = cd.vec_id
+       |  JOIN r_lut l ON l.qid = cd.qid AND l.m = en.m AND l.k = en.k
+       |  JOIN r_off o ON o.qid = cd.qid AND o.cell = f.cell
+       |  GROUP BY cd.qid, cd.vec_id, o.ou),
+       |r_ranked AS (
+       |  SELECT qid, vec_id, score_u,
+       |         row_number() OVER (PARTITION BY qid
+       |            ORDER BY score_u DESC, vec_id ASC) AS rank
+       |  FROM r_adc),
+       |r_rr AS (
+       |  SELECT r.qid, r.vec_id, r.score_u,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY r.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     r.vec_id ASC) AS rank
+       |  FROM r_ranked r
+       |  JOIN nv a ON a.vec_id = r.vec_id
+       |  JOIN nv q ON q.vec_id = r.qid
+       |  WHERE r.rank <= ${TopK * RerankFactor})
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+       |       CAST(score_u AS DOUBLE) / 1e6 AS adc_cos,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM r_rr WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
@@ -2598,6 +2779,7 @@ object Similarity {
     "ann_cosine_ivfpq" -> ((s, d) => annCosineIvfPq(s, d)),
     "ann_cosine_pq_rerank" -> ((s, d) => annCosinePqRerank(s, d)),
     "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
+    "ann_cosine_ivfpq_res" -> ((s, d) => annCosineIvfPqRes(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
@@ -2629,6 +2811,7 @@ object Similarity {
     "ann_cosine_ivfpq" -> annCosineIvfPqSql,
     "ann_cosine_pq_rerank" -> annCosinePqRerankSql,
     "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
+    "ann_cosine_ivfpq_res" -> annCosineIvfPqResSql,
     "knn_graph" -> knnGraphSql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,

@@ -1253,6 +1253,101 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of through the native operator — each order matched to
+    * the customer's NEXT site event at-or-after the order date ("what
+    * did the customer do after ordering"), the attribution direction
+    * backward as-of can't express. Same physical shape
+    * ([[asofJoinNative]]: one exchange per side, local sorts,
+    * single-pass merge); the forward merge PEEKS the sorted right head
+    * instead of retaining a consumed row (one head may match many
+    * consecutive orders). Right side dedups (user, ts) ties to the
+    * max-event_id row so the peeked head is deterministic. Inner join:
+    * an order with no later event drops, mirrored by the oracle's
+    * inner ASOF with the reversed inequality. */
+  def asofJoinNativeFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    val events = Tables.eventsTs(spark, sfDir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("r"))
+      .select(col("user_id"), col("ts"),
+        col("r.event_id").as("event_id"), col("r.event_type").as("event_type"))
+    graft.plans.AsOfJoin.asof(
+        orders, "o_custkey", "o_orderdate",
+        events, "user_id", "ts",
+        payloadCols = Seq("event_id", "ts", "event_type"), forward = true)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("event_id"), col("ts").as("event_ts"), col("event_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB twin of [[asofJoinNativeFwd]] — inner ASOF with the
+    * reversed inequality (nearest FOLLOWING right row), the same
+    * max-event_id tie dedup on the right. */
+  val asofJoinNativeFwdSql: String =
+    """WITH ev AS (SELECT user_id, ts, max(event_id) AS event_id,
+      |                   arg_max(event_type, event_id) AS event_type
+      |            FROM events GROUP BY 1, 2)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |       ev.event_id, ev.ts AS event_ts, ev.event_type
+      |FROM orders o
+      |ASOF JOIN ev ON o.o_custkey = ev.user_id
+      |            AND CAST(o.o_orderdate AS TIMESTAMP) <= ev.ts
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Daily growth (DAU / new / cumulative uniques)
+  // --------------------------------------------------------------------
+
+  /** DAILY GROWTH READOUT: per calendar day — events, DAU (exact
+    * distinct users), NEW users (first-ever-seen that day), and the
+    * cumulative unique-user count. The growth-dashboard staple, built
+    * the scale-safe way: cumulative distinct is NOT a running
+    * count-distinct window (state = all users ever seen per window
+    * step); it is Σ of new_users via the first-seen trick — min(day)
+    * per user is one grouped agg, and the cumsum is an integer sum over
+    * the |days|-BOUNDED daily frame, computed as a broadcast self-join
+    * of that bounded frame (the [[graft.queries.Relational.nationRevenueYoy]]
+    * join-shift discipline — no corpus window, no SinglePartition
+    * funnel, and integer sums keep it engine-order-free). */
+  def userGrowthDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day").agg(
+      count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("dau"))
+    val news = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val cum = daily.select(col("day"))
+      .join(broadcast(news.select(col("day").as("nd"), col("new_users"))),
+        col("nd") <= col("day"))
+      .groupBy("day").agg(sum("new_users").as("cum_users"))
+    daily
+      .join(news, Seq("day"), "left")
+      .join(cum, Seq("day"))
+      .select(col("day"), col("n_events"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[userGrowthDaily]]. */
+  val userGrowthDailySql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
+      |           FROM events WHERE user_id IS NOT NULL),
+      |d AS (SELECT day, count(*) AS n_events,
+      |             count(DISTINCT user_id) AS dau FROM e GROUP BY 1),
+      |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+      |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1),
+      |c AS (SELECT d.day, CAST(sum(nu.new_users) AS BIGINT) AS cum_users
+      |      FROM d JOIN nu ON nu.day <= d.day GROUP BY d.day)
+      |SELECT d.day, d.n_events, d.dau,
+      |       COALESCE(nu.new_users, 0) AS new_users, c.cum_users
+      |FROM d LEFT JOIN nu ON nu.day = d.day
+      |       JOIN c ON c.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   // --------------------------------------------------------------------
   // Behavioral diversity (Simpson index — rational, no libm)
   // --------------------------------------------------------------------
@@ -1791,6 +1886,8 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
+    "asof_join_native_fwd" -> ((s, d) => asofJoinNativeFwd(s, d)),
+    "user_growth_daily" -> ((s, d) => userGrowthDaily(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
@@ -1826,6 +1923,8 @@ object Temporal {
     // native-operator variant claims row-identity with the composed
     // as-of forms — all three share one oracle, enforced by the hash gate
     "asof_join_native"  -> asofJoinOrdersSql,
+    "asof_join_native_fwd" -> asofJoinNativeFwdSql,
+    "user_growth_daily" -> userGrowthDailySql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,

@@ -1173,6 +1173,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l_diversity: cells match the k-anonymity audit; l bounded by n and band count") {
+    val ld = queries.Relational.lDiversity(spark, sf).collect()
+    val ka = queries.Relational.kAnonymity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+        -> r.getAs[Long]("n")).toMap
+    assert(ld.nonEmpty && ld.length == ka.size)
+    ld.foreach { r =>
+      val key = (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val (n, l) = (r.getAs[Long]("n"), r.getAs[Long]("l"))
+      assert(ka(key) == n, s"cell $key size differs from k-anonymity")
+      assert(l >= 1 && l <= n, s"cell $key l=$l outside [1, n=$n]")
+      // band domain: acctbal in [-1000, 10000) → at most 5 bands of $2500
+      assert(l <= 5, s"cell $key l=$l exceeds the band domain")
+      assert(r.getAs[Boolean]("l_ok") == (l >= 3))
+    }
+    // golden: one cell whose members all share a band leaks the attribute
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ldiv_golden").getAbsolutePath
+    Seq((1L, 5L, "AUTO", 100.0), (2L, 5L, "AUTO", 200.0),
+        (3L, 5L, "AUTO", 300.0),                       // one band: leaks
+        (4L, 5L, "BLDG", 100.0), (5L, 5L, "BLDG", 2700.0),
+        (6L, 5L, "BLDG", 5200.0))                      // three bands: diverse
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val g = queries.Relational.lDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("c_mktsegment")
+        -> (r.getAs[Long]("l"), r.getAs[Boolean]("l_ok"))).toMap
+    assert(g("AUTO") == ((1L, false)) && g("BLDG") == ((3L, true)))
+  }
+
+  test("user_growth_daily: cumulative uniques reconcile with DAU and first-seen") {
+    val rows = queries.Temporal.userGrowthDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cum = rows.map(_.getAs[Long]("cum_users"))
+    // cumulative is nondecreasing and equals the running sum of new_users
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    val runSum = rows.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail
+    assert(cum.toSeq == runSum.toSeq)
+    // final cumulative == total distinct users; per-day DAU <= cum
+    val total = Tables.eventsTs(spark, sf).filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(cum.last == total)
+    rows.foreach(r => assert(r.getAs[Long]("dau") <= r.getAs[Long]("cum_users")))
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN semantics: brute force is the ground truth; LSH is graded on
@@ -280,6 +281,51 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
       .count(bf.contains)
     assert(hit >= base, s"re-rank recall ($hit) below ADC-only ($base)")
+  }
+
+  test("ann_cosine_ivfpq_res: residual ADC estimates cosine tighter than raw-space ADC; recall >= 0.9") {
+    val res = queries.Similarity.annCosineIvfPqRes(spark, sf).collect()
+    val byQ = res.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, grp) =>
+      assert(grp.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"qid $q")
+      assert(grp.forall(_.getAs[Long]("vec_id") != q), s"qid $q self-match")
+      val cos = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"qid $q")
+    }
+    // recall vs brute force
+    val bf = queries.Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val hit = res.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .count(bf.contains)
+    val recall = hit.toDouble / bf.size
+    info(s"residual IVF-PQ rerank recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    // the IVFADC claim: residual codes spend codebook capacity on what
+    // the coarse quantizer didn't explain, so the unit-space ADC score
+    // tracks the exact cosine far tighter than the raw-space ADC's
+    // norm-corrected estimate over the SAME rerank composition
+    val errRes = res.map(r =>
+      math.abs(r.getAs[Double]("adc_cos") - r.getAs[Double]("cosine"))).sum / res.length
+    val norms = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "sqrt(aggregate(cast(embedding as array<double>), 0D, (a, x) -> a + x*x))")
+        .as("norm"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("norm")).toMap
+    val raw = queries.Similarity.annCosineIvfPqRerank(spark, sf).collect()
+    val errRaw = raw.map { r =>
+      val est = r.getAs[Double]("adc_dot") /
+        (norms(r.getAs[Long]("vec_id")) * norms(r.getAs[Long]("qid")))
+      math.abs(est - r.getAs[Double]("cosine"))
+    }.sum / raw.length
+    info(s"mean |ADC - exact cosine|: residual = $errRes, raw-space = $errRaw")
+    // on the fixture's isotropic vectors the coarse quantizer explains
+    // little variance, so the residual edge is small (0.0449 vs 0.0455
+    // measured) — pin the ordering (deterministic fixture) + the band;
+    // clustered corpora widen the gap (scaladoc)
+    assert(errRes <= errRaw,
+      s"residual ADC error $errRes not below raw-space $errRaw")
+    assert(errRes <= 0.05, s"residual ADC error band $errRes above 0.05")
   }
 
   test("knn_graph: per-vector top-k over LSH buckets — ranks, symmetry of scoring, no self-edges") {

@@ -52,6 +52,44 @@ class TemporalNativeSpec extends AnyFunSuite {
     assert(queries.Temporal.asofJoinNative(spark, edir).count() == 0)
   }
 
+  test("forward native as-of: golden next-match, shared head, tie at ts, trailing drop") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_asof_fwd_golden").getAbsolutePath
+    // orders for user 1 at 09:00, 09:30 (both should share the 10:00
+    // event — the PEEK case), 10:00 (tie: event AT the order date
+    // matches), 13:00 (after the last event: drops); user 2 has no events
+    Seq((100L, 1L, "2024-01-01 09:00:00"),
+        (200L, 1L, "2024-01-01 09:30:00"),
+        (300L, 1L, "2024-01-01 10:00:00"),
+        (400L, 1L, "2024-01-01 13:00:00"),
+        (500L, 2L, "2024-01-01 09:00:00"))
+      .toDF("o_orderkey", "o_custkey", "ds")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "2024-01-01 10:00:00", 1L, "view"),
+        (2L, "2024-01-01 12:00:00", 1L, "click"))
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Temporal.asofJoinNativeFwd(spark, dir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("event_id"))
+    assert(got.toSeq == Seq(100L -> 1L, 200L -> 1L, 300L -> 1L))
+  }
+
+  test("AsOfJoin.asof rejects ambiguous column names (r8 ADVICE)") {
+    val a = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "t")
+    // a frame with two attributes literally named "t" (post-join shape)
+    val twoT = a.select(col("k"), col("t"), col("t").as("t"))
+    val err = intercept[RuntimeException] {
+      graft.plans.AsOfJoin.asof(twoT, "k", "t", a.toDF("k2", "t2"), "k2", "t2",
+        payloadCols = Seq.empty)
+    }
+    assert(err.getMessage.contains("ambiguous"), err.getMessage)
+  }
+
   test("native as-of plans: one key exchange per side, local sorts, merge exec") {
     val p = queries.Temporal.asofJoinNative(spark, sf)
       .queryExecution.executedPlan.toString
