@@ -1054,8 +1054,8 @@ object Dedup {
     * each unordered pair emit exactly once. Extra columns on either
     * frame ride through bucket construction and are visible to `dedupe`
     * (the delta path's `is_delta` flag). */
-  private def bandedHammingPairs(l: DataFrame, r: DataFrame,
-                                 dedupe: Column): DataFrame = {
+  private[queries] def bandedHammingPairs(l: DataFrame, r: DataFrame,
+                                          dedupe: Column): DataFrame = {
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(0xFFF).as("chunk")))

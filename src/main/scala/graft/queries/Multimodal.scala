@@ -320,8 +320,91 @@ object Multimodal {
       |HAVING count(*) > 1
       |ORDER BY modality, payload_md5""".stripMargin
 
+  /** ASSET NEAR-DUP: the perceptual-hash production pattern (pHash/PDQ)
+    * re-expressed deterministically — a 48-bit simhash over the
+    * payload's byte 4-grams pairs assets whose BYTES are mostly shared
+    * (same media re-encoded with a small patch, a retimed header, a
+    * cropped tail) that the byte-exact [[mmDedup]] digest misses. Pairs
+    * restrict to the same modality (an image is never a near-dup of an
+    * audio clip) and verify at Hamming ≤ 3.
+    *
+    * Scale shape: the signature kernel is one JIT'd pass over the
+    * payload (the shuffle carries 8-byte sigs, NEVER payload bytes —
+    * the [[mmDedup]] rule), and candidate pairing reuses the dedup
+    * family's banded-Hamming engine ([[Dedup.bandedHammingPairs]]:
+    * 4×12-bit pigeonhole bands, recall exactly 1 at ≤ 3, hot-bucket
+    * recursive sub-banding) — same machinery, new column type. A real
+    * deployment swaps the byte-4-gram vote for a decoded perceptual
+    * feature (DCT for images, chroma for audio) inside the same
+    * signature kernel; everything downstream is unchanged. */
+  def mmNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = assets(spark, sfDir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { a =>
+        val p = a.payload
+        val n = p.length - 3
+        // < 4 bytes: no 4-gram to vote with — emit nothing (the
+        // zero-token simhash rule: sig=0 would pair all tiny assets)
+        if (n <= 0) Iterator.empty
+        else {
+          val bitCounts = new Array[Long](48)
+          var i = 0
+          while (i < n) {
+            md.reset()
+            md.update(p, i, 4)
+            val d = md.digest()
+            var h = 0L; var k = 0
+            while (k < 6) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+            var b = 0
+            while (b < 48) { bitCounts(b) += (h >> b) & 1L; b += 1 }
+            i += 1
+          }
+          var sig = 0L; var b = 0
+          while (b < 48) { if (bitCounts(b) * 2 > n) sig |= 1L << b; b += 1 }
+          Iterator.single((a.doc_id, a.modality, sig))
+        }
+      }
+    }.toDF("doc_id", "modality", "simhash")
+    Dedup.bandedHammingPairs(sigs, sigs,
+        col("x.modality") === col("y.modality") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[mmNearDedup]] — byte k of the ASCII payload ==
+    * ascii char k, so the 4-gram md5 votes replay over substr(text). */
+  val mmNearDedupSql: String = {
+    val bitSumSql = (0 until 48).map(b =>
+      s"sum((h >> $b) & 1) AS b$b").mkString(",\n      |             ")
+    val simhashSql = (0 until 48).map(b =>
+      s"(CASE WHEN b$b * 2 > n_g THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 2),
+       |                        i -> substr(text, i, 4))) AS gram
+       |  FROM documents WHERE length(text) >= 4),
+       |gh AS (SELECT doc_id,
+       |              CAST(CAST('0x' || substr(md5(gram), 1, 12) AS UBIGINT) AS BIGINT) AS h
+       |       FROM g),
+       |bs AS (SELECT doc_id,
+       |             $bitSumSql,
+       |             count(*) AS n_g
+       |       FROM gh GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       |               $simhashSql AS simhash
+       |        FROM bs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND a.modality = b.modality
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup"     -> ((s, d) => mmDedup(s, d)),
+    "mm_near_dedup" -> ((s, d) => mmNearDedup(s, d)),
     "mm_features"     -> ((s, d) => mmFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_fusion"       -> ((s, d) => mmFusion(s, d)),
@@ -330,6 +413,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_dedup"     -> mmDedupSql,
+    "mm_near_dedup" -> mmNearDedupSql,
     "mm_features"     -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_fusion"       -> mmFusionSql,

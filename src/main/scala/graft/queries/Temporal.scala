@@ -161,6 +161,22 @@ object Temporal {
       |ASOF LEFT JOIN o ON e.user_id = o.uid AND e.ts >= o.t
       |ORDER BY event_id""".stripMargin
 
+  /** INNER twin of [[asofJoinOrdersSql]] for [[asofJoinNative]]: the
+    * native exec DROPS unmatched lefts (TemporalNativeSpec's golden
+    * pins it) while the composed union+window form carries a NULL — at
+    * the fixture every event has a prior order so the two coincide, but
+    * the oracle must encode the native operator's own inner contract,
+    * not borrow the LEFT one that happens to hash the same today. */
+  val asofJoinNativeSql: String =
+    """WITH o AS (SELECT o_custkey AS uid, o_orderdate AS t,
+      |                  max(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |       o.o_orderkey, o.t AS o_orderdate
+      |FROM events e
+      |ASOF JOIN o ON e.user_id = o.uid AND e.ts >= o.t
+      |ORDER BY event_id""".stripMargin
+
   /** Typed JSON extraction: from_json with an explicit schema (vs
     * multikey_counts' per-path get_json_object) — one parse per row, all
     * fields, null-safe on malformed input. */
@@ -1922,7 +1938,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     // native-operator variant claims row-identity with the composed
     // as-of forms — all three share one oracle, enforced by the hash gate
-    "asof_join_native"  -> asofJoinOrdersSql,
+    "asof_join_native"  -> asofJoinNativeSql,
     "asof_join_native_fwd" -> asofJoinNativeFwdSql,
     "user_growth_daily" -> userGrowthDailySql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,

@@ -2570,9 +2570,108 @@ object TextAnalysis {
        |LIMIT $Bm25TopN""".stripMargin
   }
 
+  /** DATASET CARD — the one-query corpus summary every released
+    * training set publishes (docs, tokens, sources, language mix, dup
+    * rate, quality keep rate, length profile): the readout a curation
+    * pipeline prints at the end of a build. Composes the module's
+    * proven deterministic pieces — the \W+ tokenizer, md5 exact-dup
+    * identity, the [[qualityGateFrame]] rules, and the value-bounded
+    * n_chars histogram (the [[graft.queries.Temporal.eventsWinsorizedStats]]
+    * cut idiom) for the exact median — into one (metric, value) frame.
+    * Three corpus scans (scalars, gate, histogram), each a parquet-speed
+    * agg; everything that reaches the driver is a handful of scalars
+    * plus the |distinct lengths|-bounded histogram. Empty corpus emits
+    * ZERO rows on both sides (the r9 empty-guard discipline). */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), size(toks(col("text"))).as("n_tokens"),
+      md5(col("text")).as("h"))
+    val a = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)), lit(0L)).as("n_en"),
+      countDistinct("h").as("n_uniq"),
+      coalesce(sum("n_chars"), lit(0L)).as("total_chars")).head()
+    val nDocs = a.getAs[Long]("n_docs")
+    if (nDocs == 0)
+      return Seq.empty[(String, Double)].toDF("metric", "value")
+    val hist = base.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val cums = hist.scanLeft(0L)(_ + _._2)
+    val p50 = hist(hist.indices.find(i =>
+      cums(i + 1) >= math.ceil(0.5 * nDocs).toLong).get)._1
+    val gate = qualityGateFrame(docs).agg(
+      count(lit(1)).as("nq"),
+      coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("nk")).head()
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq(
+      "n_docs" -> nDocs.toDouble,
+      "total_tokens" -> a.getAs[Long]("total_tokens").toDouble,
+      "n_sources" -> a.getAs[Long]("n_sources").toDouble,
+      "n_langs" -> a.getAs[Long]("n_langs").toDouble,
+      "pct_en" -> r6(a.getAs[Long]("n_en").toDouble / nDocs),
+      "exact_dup_rate" -> r6(1.0 - a.getAs[Long]("n_uniq").toDouble / nDocs),
+      "mean_chars" -> r6(a.getAs[Long]("total_chars").toDouble / nDocs),
+      "p50_chars" -> p50.toDouble,
+      "quality_keep_rate" -> r6(gate.getAs[Long]("nk").toDouble / gate.getAs[Long]("nq")))
+      .toDF("metric", "value")
+      .orderBy("metric")
+  }
+
+  /** DuckDB twin of [[datasetCard]]. */
+  val datasetCardSql: String =
+    s"""WITH $repetitionBaseSqlCte,
+       |base AS (SELECT doc_id, lang, source, n_chars,
+       |                len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                x -> length(x) > 0)) AS n_tokens,
+       |                md5(text) AS h
+       |         FROM documents),
+       |a AS (SELECT count(*) AS n_docs,
+       |             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+       |             count(DISTINCT source) AS n_sources,
+       |             count(DISTINCT lang) AS n_langs,
+       |             CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0)
+       |                  AS BIGINT) AS n_en,
+       |             count(DISTINCT h) AS n_uniq,
+       |             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
+       |      FROM base),
+       |hh AS (SELECT n_chars, count(*) AS cnt FROM base GROUP BY 1),
+       |w AS (SELECT n_chars,
+       |             sum(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+       |             sum(cnt) OVER () AS n
+       |      FROM hh),
+       |med AS (SELECT min(n_chars) AS p50 FROM w WHERE cum >= ceil(0.5 * n)),
+       |q AS (SELECT count(*) AS nq,
+       |             CAST(coalesce(sum(CASE WHEN n_tokens >= 20
+       |                                     AND dup_bigram_frac <= 0.05
+       |                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nk
+       |      FROM rb)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+       |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+       |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+       |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+       |  UNION ALL SELECT 'pct_en',
+       |    ${Det.rSql("CAST(n_en AS DOUBLE) / n_docs", 6)} FROM a
+       |  UNION ALL SELECT 'exact_dup_rate',
+       |    ${Det.rSql("1.0 - CAST(n_uniq AS DOUBLE) / n_docs", 6)} FROM a
+       |  UNION ALL SELECT 'mean_chars',
+       |    ${Det.rSql("CAST(total_chars AS DOUBLE) / n_docs", 6)} FROM a
+       |  UNION ALL SELECT 'p50_chars', CAST(med.p50 AS DOUBLE) FROM med
+       |  UNION ALL SELECT 'quality_keep_rate',
+       |    ${Det.rSql("CAST(q.nk AS DOUBLE) / q.nq", 6)} FROM q)
+       |WHERE (SELECT n_docs FROM a) > 0
+       |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "quality_agreement" -> ((s, d) => qualityAgreement(s, d)),
+    "dataset_card"     -> ((s, d) => datasetCard(s, d)),
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
     "token_counts"     -> ((s, d) => tokenCounts(s, d)),
@@ -2636,6 +2735,7 @@ object TextAnalysis {
     "bpe_apply"        -> bpeApplySql,
     "bpe_vocab"        -> bpeVocabSql,
     "gopher_quality"   -> gopherQualitySql,
+    "dataset_card"     -> datasetCardSql,
     "pii_scrub"        -> piiScrubSql,
     "dsir_weights"     -> dsirWeightsSql,
     "nb_quality_score" -> nbQualityScoreSql,

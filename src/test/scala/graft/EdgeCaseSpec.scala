@@ -683,6 +683,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // the hash gate never exercises
     assert(queries.Temporal.eventsWinsorizedStats(spark, dir).count() == 0)
     assert(queries.Relational.revenueParetoShare(spark, dir).count() == 0)
+    assert(queries.TextAnalysis.datasetCard(spark, dir).count() == 0)
   }
 
   test("orders_recon: one-sided (month, nation) keys survive the full outer join") {

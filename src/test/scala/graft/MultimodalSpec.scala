@@ -104,4 +104,33 @@ class MultimodalSpec extends AnyFunSuite {
       g.getAs[Long]("keeper_doc_id") == 2 &&
       g.getAs[Long]("dup_max_id") == 4)
   }
+
+  test("mm_near_dedup: one-byte patch pairs at small hamming; modality never crosses") {
+    // fixture sweep: every pair same-modality (doc_id parity) and <= 3
+    val fix = queries.Multimodal.mmNearDedup(spark, sf).collect()
+    fix.foreach { r =>
+      assert(r.getAs[Long]("doc_a") % 2 == r.getAs[Long]("doc_b") % 2)
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mm_near").getAbsolutePath
+    val base = (1 to 40).map(i => ('a' + i % 26).toChar.toString * 3).mkString("")
+    val patched = base.updated(60, 'Z')          // one byte of 120 changed
+    val other = (1 to 120).map(i => ('0' + i % 10).toChar).mkString("")
+    // 2/4 image near-dups; 6 image but unrelated bytes; 1 audio copy of
+    // the base text — same bytes, wrong modality, must not pair
+    Seq((2L, base), (4L, patched), (6L, other), (1L, base))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Multimodal.mmNearDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Int]("hamming")).toMap
+    assert(got.contains((2L, 4L)), s"patched near-dup missed: $got")
+    assert(got((2L, 4L)) <= 3)
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L },
+      "unrelated asset paired")
+    assert(!got.contains((1L, 2L)) && !got.contains((1L, 4L)),
+      "modality boundary crossed")
+  }
 }

@@ -304,4 +304,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-5)
     assert(r.getAs[Double]("kappa") <= 1.0)
   }
+
+  test("dataset_card: every metric reconciles with its source query") {
+    import org.apache.spark.sql.functions._
+    val card = queries.TextAnalysis.datasetCard(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card.size == 9)
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(card("n_docs") == n.toDouble)
+    assert(card("n_sources") == docs.select("source").distinct().count().toDouble)
+    assert(card("n_langs") == docs.select("lang").distinct().count().toDouble)
+    val nEn = docs.filter(col("lang") === "en").count()
+    assert(card("pct_en") == math.floor(nEn.toDouble / n * 1e6 + 0.5) / 1e6)
+    val nUniq = docs.select(md5(col("text"))).distinct().count()
+    assert(card("exact_dup_rate") ==
+      math.floor((1.0 - nUniq.toDouble / n) * 1e6 + 0.5) / 1e6)
+    // median: at least half the docs at or below, and p50 is attained
+    val p50 = card("p50_chars").toLong
+    assert(docs.filter(col("n_chars") <= p50).count() * 2 >= n)
+    assert(docs.filter(col("n_chars") === p50).count() > 0)
+    // keep rate reconciles with the quality gate itself
+    val gate = queries.TextAnalysis.qualityGateFrame(docs)
+    val keep = gate.filter(col("keep")).count().toDouble / gate.count()
+    assert(card("quality_keep_rate") == math.floor(keep * 1e6 + 0.5) / 1e6)
+    assert(card("total_tokens") > 0 && card("mean_chars") > 0)
+  }
 }
