@@ -37,7 +37,7 @@ object ScaleProbe {
     "ngram_jaccard_dedup", "dedup_clusters", "dedup_delta", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
-    "text_quality",
+    "readability", "text_quality", "tokenizer_fertility",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
@@ -63,6 +63,7 @@ object ScaleProbe {
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
     "ann_cosine_filtered", "kcore_graph", "embedding_drift",
     "bm25_topk", "ann_cosine_lsh_mp", "ann_cosine_ivf_mp", "knn_delta",
+    "matryoshka_recall",
     "mm_dedup", "mm_near_dedup", "quality_agreement", "knn_components",
     "containment_pairs", "embedding_standardize",
     "containment_pairs_sketch")

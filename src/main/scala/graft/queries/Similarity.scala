@@ -81,6 +81,79 @@ object Similarity {
        |FROM scored WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** Prefix dims evaluated by [[matryoshkaRecall]] (largest = the full
+    * embedding width, which is recall 1.0 by definition and anchors the
+    * readout). Shared verbatim with the oracle's `dims` CTE. */
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA EVAL: recall@[[TopK]] of truncated-dimension retrieval
+    * vs the full-width exact top-k — the question every
+    * retrieval-serving pipeline asks of an MRL-style embedding ("can I
+    * serve at 16 of 64 dims and keep 90% of the neighbors?"). One
+    * exact-cosine pass per prefix width over the SAME prefix of the
+    * stored vector (no re-embedding), each ranked with the brute-force
+    * tie-break (raw cosine desc, vec_id asc), then the per-dim top-k
+    * sets join the full-width set and the overlap fraction is the
+    * readout.
+    *
+    * Scale shape: each pass is [[bruteForceTopK]]'s — the |Q| query
+    * prefixes broadcast, the corpus scans once per dim (a 100 TB run
+    * fuses all four prefix dots into one scan since every prefix is a
+    * subrange of the same array), and only k·|Q| winner rows per dim
+    * ever shuffle; the final overlap join is k·|Q|·|dims| rows. Zero-
+    * norm prefixes are dropped on BOTH sides before ranking (the NaN
+    * total-ordering trap: Spark sorts NaN above every real cosine). */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    def topkAt(d: Int): DataFrame = {
+      val t = all.select(col("vec_id"), slice(col("v"), 1, d).as("tv"))
+        .withColumn("tnorm", sqrt(dot(col("tv"), col("tv"))))
+        .filter(col("tnorm") > 0)
+      val q = t.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("tv").as("qv"),
+          col("tnorm").as("qnorm"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      t.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("tv"), col("qv")) / (col("tnorm") * col("qnorm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(lit(d).as("dim"), col("qid"), col("vec_id"))
+    }
+    val tk = MatryoshkaDims.map(topkAt).reduce(_ unionByName _)
+    val full = tk.filter(col("dim") === MatryoshkaDims.max)
+      .select(col("qid"), col("vec_id"))
+    tk.join(full, Seq("qid", "vec_id"))
+      .groupBy("dim").agg(count(lit(1)).as("hits"))
+      .select(col("dim"), col("hits"),
+        Det.r(col("hits").cast("double") / (NumQueries * TopK), 6).as("recall"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin of [[matryoshkaRecall]] — list slicing `v[1:d]` is the
+    * 1-based-inclusive mirror of Spark's `slice(v, 1, d)`. */
+  val matryoshkaRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS dim),
+       |t AS (SELECT d.dim, vec_id, v[1:d.dim] AS tv FROM e, dims d),
+       |n AS (SELECT dim, vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tnorm FROM t),
+       |g AS (SELECT * FROM n WHERE tnorm > 0),
+       |q AS (SELECT dim, vec_id AS qid, tv AS qv, tnorm AS qnorm
+       |      FROM g WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT g.dim, qid, vec_id,
+       |         row_number() OVER (PARTITION BY g.dim, qid
+       |           ORDER BY list_dot_product(tv, qv) / (tnorm * qnorm) DESC,
+       |                    vec_id ASC) AS rank
+       |  FROM g JOIN q ON g.dim = q.dim AND vec_id <> qid),
+       |tk AS (SELECT dim, qid, vec_id FROM scored WHERE rank <= $TopK),
+       |fullk AS (SELECT qid, vec_id FROM tk WHERE dim = ${MatryoshkaDims.max}),
+       |ov AS (SELECT t.dim, count(*) AS hits
+       |       FROM tk t JOIN fullk f USING (qid, vec_id) GROUP BY 1)
+       |SELECT dim, hits,
+       |       ${Det.rSql(s"CAST(hits AS DOUBLE) / ${NumQueries * TopK}", 6)} AS recall
+       |FROM ov ORDER BY dim""".stripMargin
+
   // --------------------------------------------------------------------
   // Random-hyperplane LSH
   // --------------------------------------------------------------------
@@ -2765,6 +2838,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
+    "matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
     "ann_cosine_ivf"  -> ((s, d) => annCosineIvf(s, d)),
     "ann_cosine_ivf_mp" -> ((s, d) => annCosineIvfMp(s, d)),
@@ -2797,6 +2871,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceTopKSql,
+    "matryoshka_recall" -> matryoshkaRecallSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_dim_stats" -> embeddingDimStatsSql,
     "ann_cosine_topk_q8" -> quantizedTopKSql,

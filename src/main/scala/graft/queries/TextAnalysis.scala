@@ -1800,6 +1800,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY — the tokenizer-equity readout every
+    * multilingual pipeline publishes (how many subword symbols does a
+    * word cost per language — a high-fertility language pays more
+    * context window per sentence and trains on fewer effective
+    * documents). Same memoized merge chain and JIT'd re-fold as
+    * [[bpeApply]], aggregated to the bounded |langs| frame instead of
+    * per-doc: fertility = symbols/word, compression = chars/symbol.
+    *
+    * Scale shape: merges are driver model state (memoized per corpus
+    * dir); the apply is one corpus scan of string kernels; the agg key
+    * is |langs|-bounded. Nothing shuffles but the partial aggs. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String,
+                         nMerges: Int = BpeMerges): DataFrame = {
+    val merges = bpeTrainMerges(spark, sfDir, nMerges)
+    val rep = merges.foldLeft(regexp_replace(col("tok"), "(.)", " $1 ")) {
+      case (c, (_, a, b, _)) => replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .select(col("lang"), length(col("tok")).as("len"),
+        size(split(trim(rep), "  ")).as("syms"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("len").as("sum_chars"),
+        sum("syms").cast("long").as("n_syms"))
+      .select(col("lang"), col("n_words"), col("n_syms"),
+        Det.r(col("n_syms").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        Det.r(col("sum_chars").cast("double") / col("n_syms"), 6)
+          .as("chars_per_sym"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of [[tokenizerFertility]] — [[bpeApplySql]]'s unrolled
+    * merge chain, keyed by lang instead of doc_id. */
+  val tokenizerFertilitySql: String = {
+    val nested = (1 to BpeMerges).foldLeft(
+      "regexp_replace(tok, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+      s"replace($acc, ' ' || replace(b$r.pair, ' ', '  ') || ' ', " +
+        s"' ' || replace(b$r.pair, ' ', '') || ' ')"
+    }
+    val crosses = (1 to BpeMerges).map(r => s"CROSS JOIN best$r b$r").mkString(" ")
+    s"""WITH ${bpeCtes(BpeMerges)}
+       |SELECT lang, count(*) AS n_words,
+       |       CAST(sum(len(string_split(trim($nested), '  '))) AS BIGINT) AS n_syms,
+       |       ${Det.rSql(
+            s"CAST(sum(len(string_split(trim($nested), '  '))) AS DOUBLE) / count(*)", 6)} AS fertility,
+       |       ${Det.rSql(
+            s"CAST(sum(length(tok)) AS DOUBLE) / sum(len(string_split(trim($nested), '  ')))", 6)} AS chars_per_sym
+       |FROM (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                      x -> length(x) > 0)) AS tok
+       |      FROM documents) d
+       |$crosses
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** TOKENIZER VOCABULARY — the third leg of the tokenizer story
     * (train → apply → vocab): the post-merge symbol inventory with
     * occurrence-weighted frequencies, i.e. the dataset-card / tokenizer-
@@ -2668,10 +2724,100 @@ object TextAnalysis {
        |WHERE (SELECT n_docs FROM a) > 0
        |ORDER BY metric""".stripMargin
 
+  /** READABILITY: Flesch reading ease + Flesch–Kincaid grade per
+    * (lang, source) slice — the classic pre-LLM quality signal corpus
+    * filters still ship (prose-like text scores high; tag soup and
+    * keyword stuffing crater). Counts are fully deterministic
+    * heuristics shared verbatim with the oracle: words = the module's
+    * `\W+` tokenizer, sentences = runs of `[.!?]+` floored at 1,
+    * syllables = vowel-group (`[aeiouy]+`) runs over the lowered text
+    * plus one for each vowel-less word (a group never spans a `\W`
+    * boundary, so the global count equals the per-word sum), complex
+    * words = ≥ 3 vowel groups. Per-doc scores are micro-integerised
+    * BEFORE the group sum (the float-cumsum trap — the mean is then a
+    * single exact-integer ÷ count division, identical on both
+    * engines); the formulas are pure IEEE rational arithmetic — no
+    * libm anywhere.
+    *
+    * Scale shape: one corpus scan of JIT-friendly regexp kernels into
+    * per-doc integer counts, one hash agg on the bounded
+    * |langs × sources| key — nothing else shuffles. Empty corpus emits
+    * zero rows on both sides (keyed agg). */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = toks(col("text"))
+    val base = Tables.documents(spark, sfDir).select(
+      col("lang"), col("source"),
+      size(ws).cast("long").as("w"),
+      greatest(lit(1L),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+      (regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long") +
+        size(filter(ws, t => !t.rlike("[aeiouy]"))).cast("long")).as("y"),
+      size(filter(ws, t => regexp_count(t, lit("[aeiouy]+")) >= 3))
+        .cast("long").as("cx"))
+      .filter(col("w") > 0)
+    val wd = col("w").cast("double")
+    val sd = col("s").cast("double")
+    val yd = col("y").cast("double")
+    val scored = base.select(col("lang"), col("source"), col("w"), col("cx"),
+      floor((lit(206.835) - lit(1.015) * (wd / sd) - lit(84.6) * (yd / wd))
+        * 1e6 + 0.5).cast("long").as("fmic"),
+      floor((lit(0.39) * (wd / sd) + lit(11.8) * (yd / wd) - lit(15.59))
+        * 1e6 + 0.5).cast("long").as("gmic"))
+    scored.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("fmic").as("sf"), sum("gmic").as("sg"),
+        sum("cx").as("scx"), sum("w").as("sw"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        Det.r((col("sf").cast("double") / col("n_docs")) / lit(1e6), 6)
+          .as("flesch_ease"),
+        Det.r((col("sg").cast("double") / col("n_docs")) / lit(1e6), 6)
+          .as("fk_grade"),
+        Det.r(col("scx").cast("double") / col("sw"), 6).as("pct_complex"))
+      .orderBy("lang", "source")
+  }
+
+  /** DuckDB twin of [[readability]]. */
+  val readabilitySql: String =
+    s"""WITH ws AS (
+       |  SELECT lang, source, text,
+       |         list_filter(string_split_regex(lower(text), '\\W+'),
+       |                     x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |c AS (SELECT lang, source,
+       |             CAST(len(toks) AS BIGINT) AS w,
+       |             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+       |                  AS BIGINT) AS s,
+       |             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |                  + len(list_filter(toks,
+       |                        t -> NOT regexp_matches(t, '[aeiouy]')))
+       |                  AS BIGINT) AS y,
+       |             CAST(len(list_filter(toks,
+       |                   t -> len(regexp_extract_all(t, '[aeiouy]+')) >= 3))
+       |                  AS BIGINT) AS cx
+       |      FROM ws),
+       |m AS (SELECT lang, source, w, cx,
+       |             CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+       |                         - 84.6 * (CAST(y AS DOUBLE) / w))
+       |                        * 1000000.0 + 0.5) AS BIGINT) AS fmic,
+       |             CAST(floor((0.39 * (CAST(w AS DOUBLE) / s)
+       |                         + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59)
+       |                        * 1000000.0 + 0.5) AS BIGINT) AS gmic
+       |      FROM c WHERE w > 0)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       ${Det.rSql("(CAST(sum(fmic) AS DOUBLE) / count(*)) / 1000000.0", 6)}
+       |         AS flesch_ease,
+       |       ${Det.rSql("(CAST(sum(gmic) AS DOUBLE) / count(*)) / 1000000.0", 6)}
+       |         AS fk_grade,
+       |       ${Det.rSql("CAST(sum(cx) AS DOUBLE) / sum(w)", 6)} AS pct_complex
+       |FROM m GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "quality_agreement" -> ((s, d) => qualityAgreement(s, d)),
     "dataset_card"     -> ((s, d) => datasetCard(s, d)),
+    "readability"      -> ((s, d) => readability(s, d)),
+    "tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d)),
     "lang_id"          -> ((s, d) => langId(s, d)),
     "text_quality"     -> ((s, d) => textQuality(s, d)),
     "token_counts"     -> ((s, d) => tokenCounts(s, d)),
@@ -2736,6 +2882,8 @@ object TextAnalysis {
     "bpe_vocab"        -> bpeVocabSql,
     "gopher_quality"   -> gopherQualitySql,
     "dataset_card"     -> datasetCardSql,
+    "readability"      -> readabilitySql,
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "pii_scrub"        -> piiScrubSql,
     "dsir_weights"     -> dsirWeightsSql,
     "nb_quality_score" -> nbQualityScoreSql,

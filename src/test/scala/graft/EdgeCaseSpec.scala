@@ -684,6 +684,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Temporal.eventsWinsorizedStats(spark, dir).count() == 0)
     assert(queries.Relational.revenueParetoShare(spark, dir).count() == 0)
     assert(queries.TextAnalysis.datasetCard(spark, dir).count() == 0)
+    assert(queries.TextAnalysis.readability(spark, dir).count() == 0)
   }
 
   test("orders_recon: one-sided (month, nation) keys survive the full outer join") {

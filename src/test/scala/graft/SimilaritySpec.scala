@@ -626,4 +626,23 @@ class SimilaritySpec extends AnyFunSuite {
     // every survivor meets the core bar
     assert(got.values.forall(_ >= 3))
   }
+
+  test("matryoshka_recall: full width is exact by definition; recall grows with prefix width") {
+    val rows = queries.Similarity.matryoshkaRecall(spark, sf).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall")))
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    val byDim = rows.toMap
+    // the full-width leg IS the reference ranking — recall exactly 1
+    assert(byDim(64)._2 == 1.0 && byDim(64)._1 == 50L)
+    rows.foreach { case (_, (h, r)) =>
+      assert(h >= 0 && r >= 0.0 && r <= 1.0)
+      assert(r == math.floor(h.toDouble / 50 * 1e6 + 0.5) / 1e6)
+    }
+    // isotropic fixture: wider prefixes never lose neighbors (8 -> 64
+    // monotone); an MRL-trained embedding would START high instead
+    val recalls = rows.map(_._2._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+  }
 }

@@ -330,4 +330,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(card("quality_keep_rate") == math.floor(keep * 1e6 + 0.5) / 1e6)
     assert(card("total_tokens") > 0 && card("mean_chars") > 0)
   }
+
+  test("readability: hand-computed Flesch counts (sentence floor, vowel-less fallback, complex words)") {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_readability").getAbsolutePath
+    // doc 1: w=6, sentences=2 ('.' and '!'), vowel groups=6, complex=0
+    // doc 2: w=2, NO terminator -> s floored to 1; zero vowel groups in
+    //        text, both words vowel-less -> y=2 (the +1-per-word rule)
+    // doc 3: w=1, 5 vowel groups in one word -> complex, pct=1.0
+    Seq((1L, "the cat sat. a dry gym!", "en", "a"),
+        (2L, "tsk tsk", "en", "b"),
+        (3L, "bananarama", "en", "c"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.TextAnalysis.readability(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("flesch_ease"), r.getAs[Double]("fk_grade"),
+          r.getAs[Double]("pct_complex"))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(close(rows("a")._1, 119.19), s"got ${rows("a")}")
+    // 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert(close(rows("a")._2, -2.62))
+    assert(rows("a")._3 == 0.0)
+    // 206.835 - 1.015*(2/1) - 84.6*(2/2) = 120.205
+    assert(close(rows("b")._1, 120.205), s"got ${rows("b")}")
+    // 206.835 - 1.015*1 - 84.6*5 = -217.18; 1 complex word of 1
+    assert(close(rows("c")._1, -217.18), s"got ${rows("c")}")
+    assert(rows("c")._3 == 1.0)
+  }
+
+  test("tokenizer_fertility: per-lang sums reconcile with bpe_apply; fertility >= 1") {
+    val byLang = queries.TextAnalysis.tokenizerFertility(spark, sf).collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val s = r.getAs[Long]("n_syms")
+      // a word is at least one symbol and at most its char count
+      assert(s >= w, s"lang ${r.getAs[String]("lang")}: syms $s < words $w")
+      assert(r.getAs[Double]("fertility") ==
+        math.floor(s.toDouble / w * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Double]("chars_per_sym") >= 1.0)
+    }
+    // same merge chain, same corpus: total symbols must agree exactly
+    // with the per-doc bpe_apply readout
+    val totalSyms = byLang.map(_.getAs[Long]("n_syms")).sum
+    val applyTotal = queries.TextAnalysis.bpeApply(spark, sf).collect()
+      .map(_.getAs[Long]("n_bpe_symbols")).sum
+    assert(totalSyms == applyTotal, s"$totalSyms != $applyTotal")
+  }
 }
