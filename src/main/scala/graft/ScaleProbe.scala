@@ -63,7 +63,7 @@ object ScaleProbe {
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",
     "ann_cosine_filtered", "kcore_graph", "embedding_drift",
     "bm25_topk", "ann_cosine_lsh_mp", "ann_cosine_ivf_mp", "knn_delta",
-    "matryoshka_recall",
+    "matryoshka_recall", "seed_expansion",
     "mm_dedup", "mm_near_dedup", "quality_agreement", "knn_components",
     "containment_pairs", "embedding_standardize",
     "containment_pairs_sketch")

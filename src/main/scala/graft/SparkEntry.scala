@@ -145,6 +145,8 @@ object SparkEntry {
       Similarity.hardNegatives(s, d, a.getOrElse("k", "3").toInt)),
     "knn_coherence" -> ((s, d, a) =>
       Similarity.knnCoherence(s, d, a.getOrElse("k", "3").toInt)),
+    "seed_expansion" -> ((s, d, a) =>
+      Similarity.seedExpansion(s, d, a.getOrElse("max_hops", "3").toInt)),
     "ann_cosine_filtered" -> ((s, d, a) =>
       Similarity.annCosineFiltered(s, d, a.getOrElse("k", "5").toInt)),
     "kcore_graph" -> ((s, d, a) =>

@@ -629,6 +629,76 @@ object Similarity {
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lab ORDER BY vec_id""".stripMargin
 
+  /** Hop bound for [[seedExpansion]] — mirrored by the oracle's three
+    * unrolled MATERIALIZED rounds. */
+  private val BfsMaxHops = 3
+
+  /** SEED EXPANSION: bounded-hop BFS over the kNN graph from a curated
+    * seed set (the [[NumQueries]] query vectors play the seeds) — the
+    * standard curation move for growing a small hand-labeled set into a
+    * training slice ("give me everything within 3 semantic hops of the
+    * docs we trust"). Output is every reached vector with its minimum
+    * hop count; hop 0 = the seeds themselves.
+    *
+    * Scale shape: the edge substrate is the memoized [[knnGraph]] frame
+    * (banded-LSH build, priced once per corpus dir); each of the
+    * ≤ [[BfsMaxHops]] rounds is one frontier⋈edges shuffle on vec_id
+    * whose size tracks the REACHED set (ball of the seeds), not the
+    * corpus — the anti-join keeps visited nodes out of the frontier so
+    * a dense ball converges instead of re-expanding. min-hops needs no
+    * tie-break: the first round that reaches a node IS its minimum.
+    * Round count is a fixed constant, so the lineage stays bounded (the
+    * pagerank discipline); the oracle unrolls the same three rounds as
+    * MATERIALIZED CTEs (the 2^rounds plan-inlining trap). */
+  def seedExpansion(spark: SparkSession, sfDir: String,
+                    maxHops: Int = BfsMaxHops): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val pairs = knnEdgesMaterialized(spark, sfDir, KnnK)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = vecs(spark, sfDir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), lit(0).as("hops"))
+    var reached = seeds
+    var frontier = seeds.select("vec_id")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(und, frontier("vec_id") === und("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(reached.select("vec_id"), Seq("vec_id"), "left_anti")
+      reached = reached.unionByName(next.withColumn("hops", lit(h)))
+      frontier = next
+    }
+    reached.orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[seedExpansion]] — the knn edge chain + three
+    * unrolled BFS rounds, each MATERIALIZED (a plain CTE referenced
+    * twice per round doubles the plan per round — 2^rounds scans). */
+  val seedExpansionSql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |kp AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+       |              greatest(vec_id, neighbor) AS b
+       |       FROM rk WHERE rank <= $KnnK),
+       |und AS (SELECT a AS src, b AS dst FROM kp
+       |        UNION ALL SELECT b, a FROM kp),
+       |d0 AS MATERIALIZED (
+       |  SELECT vec_id, 0 AS hops FROM embeddings WHERE vec_id < $NumQueries),
+       |${(1 to BfsMaxHops).map { h =>
+          s"""d$h AS MATERIALIZED (
+             |  SELECT vec_id, min(hops) AS hops FROM (
+             |    SELECT vec_id, hops FROM d${h - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS vec_id, $h AS hops
+             |    FROM und e JOIN d${h - 1} p ON e.src = p.vec_id
+             |      AND p.hops = ${h - 1}
+             |  ) GROUP BY vec_id)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT vec_id, CAST(hops AS INT) AS hops
+       |FROM d$BfsMaxHops ORDER BY vec_id""".stripMargin
+
   private val KnnDeltaMod = 10L
 
   /** INCREMENTAL kNN INGEST: the top-[[KnnK]] BASE-corpus neighbors of
@@ -2862,6 +2932,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
     "knn_delta" -> ((s, d) => knnDelta(s, d)),
     "knn_components" -> ((s, d) => knnComponents(s, d)),
+    "seed_expansion" -> ((s, d) => seedExpansion(s, d)),
     "embedding_standardize" -> ((s, d) => embeddingStandardize(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "knn_coherence" -> ((s, d) => knnCoherence(s, d)),
@@ -2895,6 +2966,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
     "knn_delta" -> knnDeltaSql,
     "knn_components" -> knnComponentsSql,
+    "seed_expansion" -> seedExpansionSql,
     "embedding_standardize" -> embeddingStandardizeSql,
     "hard_negatives" -> hardNegativesSql,
     "knn_coherence" -> knnCoherenceSql,

@@ -645,4 +645,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
       s"recall not monotone: ${recalls.toSeq}")
   }
+
+  test("seed_expansion: hops match a driver-side BFS over the same knn edges") {
+    val got = queries.Similarity.seedExpansion(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("hops")).toMap
+    // reference BFS from the directed knn edges, undirected
+    val directed = queries.Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor")))
+    val adj = directed.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = (0L until 10L).map(_ -> 0).toMap
+    var frontier = dist.keySet
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(got == dist, s"sizes got ${got.size} want ${dist.size}")
+    // seeds are hop 0; everything else within the bound
+    assert((0L until 10L).forall(s => got.get(s).contains(0)))
+    assert(got.values.forall(h => h >= 0 && h <= 3))
+  }
 }
