@@ -105,7 +105,7 @@ object ScaleProbe {
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
-    "orders_recon", "l_diversity")
+    "orders_recon", "l_diversity", "t_closeness")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

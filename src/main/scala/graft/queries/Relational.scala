@@ -1766,6 +1766,112 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** t-closeness release bar: a cell whose band distribution sits
+    * within EMD 0.2 of the global one discloses (by definition) little
+    * attribute information. Mirrored in the oracle literal. */
+  private val TClosenessT = 0.2
+
+  /** T-CLOSENESS: the third leg of the privacy-audit trio
+    * (k-anonymity → cell sizes, l-diversity → distinct sensitive
+    * values, t-closeness → DISTRIBUTION distance): per quasi-identifier
+    * cell (nation × segment), the Earth Mover's Distance between the
+    * cell's balance-band distribution and the global one — the audit
+    * that catches a cell whose 5 distinct bands are all "broke" while
+    * the corpus is not (l-diversity passes, disclosure remains).
+    *
+    * Determinism: EMD over an ordered attribute is
+    * Σ_i |cumP_i − cumQ_i| / (m−1); proportions are micro-quantised by
+    * pure positive-integer division ((cnt·10⁶) div n — Spark `div` and
+    * DuckDB `//` agree on non-negatives) so every cumulative sum is an
+    * exact integer and the one double division happens at the final
+    * readout. Quantisation bias is < m·1e-6 — a defined metric, not an
+    * approximation of one (the micro-EMD is what both engines compute
+    * bit-identically).
+    *
+    * Scale shape: one corpus scan into three bounded aggs (cell×band,
+    * cell, band — all value-bounded: ≤ |nations|·|segments| cells,
+    * ≤ |balance range|/band width bands); the zero-filled grid is a
+    * bounded cross join; windows run over ≤ m-row partitions. The two
+    * corpus scalars (total, band count) are driver model state. */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"(cast(round(c_acctbal * 100) as bigint) + $LDivShiftCents) " +
+          s"div $LDivBandCents").as("band"))
+    val t = base.agg(count(lit(1)).as("tot"),
+      countDistinct("band").as("m")).head()
+    val tot = t.getAs[Long]("tot")
+    val m = t.getAs[Long]("m")
+    if (tot == 0)
+      return Seq.empty[(Long, String, Long, Double, Boolean)]
+        .toDF("c_nationkey", "c_mktsegment", "n", "emd", "t_ok")
+    val cellBand = base.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val cells = base.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val glob = base.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emdCol =
+      if (m > 1) Det.r((col("sad").cast("double") / (m - 1)) / lit(1e6), 6)
+      else lit(0.0)
+    cells.crossJoin(glob)
+      .join(cellBand, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("band"),
+        expr("(cnt * 1000000) div n").as("p_mic"),
+        expr(s"(gcnt * 1000000) div $tot").as("q_mic"))
+      .withColumn("ad", abs(sum("p_mic").over(w) - sum("q_mic").over(w)))
+      .groupBy("c_nationkey", "c_mktsegment", "n")
+      .agg(sum("ad").as("sad"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        emdCol.as("emd"))
+      .withColumn("t_ok", col("emd") <= TClosenessT)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** DuckDB twin of [[tCloseness]]. */
+  val tClosenessSql: String =
+    s"""WITH base AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + $LDivShiftCents)
+       |           // $LDivBandCents AS band
+       |  FROM customer),
+       |tq AS (SELECT count(*) AS tot, count(DISTINCT band) AS m FROM base),
+       |cb AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+       |       FROM base GROUP BY 1, 2, 3),
+       |cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+       |          FROM base GROUP BY 1, 2),
+       |gb AS (SELECT band, count(*) AS gcnt FROM base GROUP BY 1),
+       |grid AS (
+       |  SELECT c.c_nationkey, c.c_mktsegment, c.n, g.band,
+       |         (coalesce(cb.cnt, 0) * 1000000) // c.n AS p_mic,
+       |         (g.gcnt * 1000000) // (SELECT tot FROM tq) AS q_mic
+       |  FROM cells c CROSS JOIN gb g
+       |  LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+       |    AND cb.c_mktsegment = c.c_mktsegment AND cb.band = g.band),
+       |cw AS (
+       |  SELECT c_nationkey, c_mktsegment, n,
+       |         abs(sum(p_mic) OVER win - sum(q_mic) OVER win) AS ad
+       |  FROM grid
+       |  WINDOW win AS (PARTITION BY c_nationkey, c_mktsegment
+       |                 ORDER BY band ROWS UNBOUNDED PRECEDING)),
+       |s2 AS (SELECT c_nationkey, c_mktsegment, n,
+       |              CAST(sum(ad) AS BIGINT) AS sad
+       |       FROM cw GROUP BY 1, 2, 3)
+       |SELECT c_nationkey, c_mktsegment, n,
+       |       CASE WHEN (SELECT m FROM tq) > 1 THEN
+       |         ${Det.rSql(
+            "(CAST(sad AS DOUBLE) / ((SELECT m FROM tq) - 1)) / 1000000.0", 6)}
+       |       ELSE 0.0 END AS emd,
+       |       CASE WHEN (SELECT m FROM tq) > 1 THEN
+       |         ${Det.rSql(
+            "(CAST(sad AS DOUBLE) / ((SELECT m FROM tq) - 1)) / 1000000.0", 6)}
+       |       ELSE 0.0 END <= $TClosenessT AS t_ok
+       |FROM s2
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // --------------------------------------------------------------------
   // CUSUM change-point detection on daily revenue
   // --------------------------------------------------------------------
@@ -2211,6 +2317,7 @@ object Relational {
     "nation_revenue_yoy"  -> ((s, d) => nationRevenueYoy(s, d)),
     "orders_recon"        -> ((s, d) => ordersRecon(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
+    "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
@@ -2255,6 +2362,7 @@ object Relational {
     "nation_revenue_yoy"   -> nationRevenueYoySql,
     "orders_recon"         -> ordersReconSql,
     "l_diversity"          -> lDiversitySql,
+    "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,

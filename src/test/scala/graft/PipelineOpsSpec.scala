@@ -1204,6 +1204,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(g("AUTO") == ((1L, false)) && g("BLDG") == ((3L, true)))
   }
 
+  test("t_closeness: cells match k-anonymity; hand-computed EMD golden") {
+    val tc = queries.Relational.tCloseness(spark, sf).collect()
+    val ka = queries.Relational.kAnonymity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+        -> r.getAs[Long]("n")).toMap
+    assert(tc.nonEmpty && tc.length == ka.size)
+    tc.foreach { r =>
+      val key = (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      assert(ka(key) == r.getAs[Long]("n"))
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0, s"cell $key emd=$emd outside [0,1]")
+      assert(r.getAs[Boolean]("t_ok") == (emd <= 0.2))
+    }
+    // golden (same fixture as l_diversity): global bands 4/1/1 of 6,
+    // AUTO all in band 0 -> cum micro diffs 333334+166668+2 = 500004,
+    // EMD = 0.250002; BLDG spread 1/1/1 -> 333333+166666+1 = 500000,
+    // EMD = 0.25 — both exceed t=0.2 against the skewed global
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tclose_golden").getAbsolutePath
+    Seq((1L, 5L, "AUTO", 100.0), (2L, 5L, "AUTO", 200.0),
+        (3L, 5L, "AUTO", 300.0),
+        (4L, 5L, "BLDG", 100.0), (5L, 5L, "BLDG", 2700.0),
+        (6L, 5L, "BLDG", 5200.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val g = queries.Relational.tCloseness(spark, dir).collect()
+      .map(r => r.getAs[String]("c_mktsegment")
+        -> (r.getAs[Double]("emd"), r.getAs[Boolean]("t_ok"))).toMap
+    assert(g("AUTO") == ((0.250002, false)), s"got ${g("AUTO")}")
+    assert(g("BLDG") == ((0.25, false)), s"got ${g("BLDG")}")
+  }
+
   test("user_growth_daily: cumulative uniques reconcile with DAU and first-seen") {
     val rows = queries.Temporal.userGrowthDaily(spark, sf).collect()
     assert(rows.nonEmpty)
