@@ -281,6 +281,9 @@ object Dedup {
     paraHashes(spark, sfDir)
       .agg(count(lit(1)).as("n_paras"),
         count_distinct(col("para_hash")).as("n_distinct"))
+      // empty corpus: drop the keyless zero row before dup_mass divides
+      // by n_paras=0 (both engines emit zero rows — the r9 empty sweep)
+      .filter(col("n_paras") > 0)
       .select(col("n_paras"), col("n_distinct"),
         Det.r((col("n_paras") - col("n_distinct")).cast("double") /
           col("n_paras"), 6).as("dup_mass"))
@@ -322,12 +325,14 @@ object Dedup {
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val paraDedupStatsSql: String =
-    s"""WITH $paraHashCtes
-       |SELECT count(*) AS n_paras,
-       |       count(DISTINCT para_hash) AS n_distinct,
+    s"""WITH $paraHashCtes,
+       |a AS (SELECT count(*) AS n_paras,
+       |             count(DISTINCT para_hash) AS n_distinct
+       |      FROM p)
+       |SELECT n_paras, n_distinct,
        |       ${Det.rSql(
-            "CAST(count(*) - count(DISTINCT para_hash) AS DOUBLE) / count(*)", 6)} AS dup_mass
-       |FROM p""".stripMargin
+            "CAST(n_paras - n_distinct AS DOUBLE) / n_paras", 6)} AS dup_mass
+       |FROM a WHERE n_paras > 0""".stripMargin
 
   // --------------------------------------------------------------------
   // Sliding-window exact substring dedup (Lee et al. style)

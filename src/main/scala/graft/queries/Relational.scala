@@ -137,7 +137,12 @@ object Relational {
       |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
       |FROM orders
       |GROUP BY ROLLUP (o_year, o_orderpriority)
+      |HAVING count(*) > 0
       |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  // ^ HAVING: on EMPTY input the SQL standard (and DuckDB) still emit
+  // the () grand-total row with n=0, but Spark's cube/rollup emit zero
+  // rows — the guard pins both engines to the zero-rows contract and is
+  // vacuous on any non-empty input (every grouping-set row counts >= 1)
 
   /** CUBE over (status, priority): all 4 grouping combinations in one
     * Expand+shuffle (completes the grouping family: GROUPING SETS in
@@ -157,7 +162,9 @@ object Relational {
       |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |HAVING count(*) > 0
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  // ^ HAVING: same empty-input grand-total-row alignment as rollup_orders
 
   /** Exact interpolated percentiles (median / p90) over integer cents —
     * integer samples keep the interpolation arithmetic identical across

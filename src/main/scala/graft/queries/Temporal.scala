@@ -1544,12 +1544,17 @@ object Temporal {
     val e = (col("n_c") + col("n_t")).cast("double") / 2
     val chi2 = (col("n_c") - e) * (col("n_c") - e) / e +
       (col("n_t") - e) * (col("n_t") - e) / e
-    g.select(col("n_c"), col("n_t"),
-      Det.r(mC, 4).as("mean_c"), Det.r(mT, 4).as("mean_t"),
-      Det.r((mT - mC) / mC * 100, 4).as("lift_pct"),
-      Det.r(t, 4).as("t_stat"),
-      (abs(t) > 1.96).as("significant"),
-      Det.r(chi2, 4).as("srm_chi2"))
+    // degenerate experiment (an arm with < 2 users — incl. the empty
+    // corpus): the Welch variance divides by n−1 and the lift by the
+    // control mean; drop the keyless row before any ratio runs (both
+    // engines emit zero rows — the r9 empty sweep)
+    g.filter(col("n_c") > 1 && col("n_t") > 1)
+      .select(col("n_c"), col("n_t"),
+        Det.r(mC, 4).as("mean_c"), Det.r(mT, 4).as("mean_t"),
+        Det.r((mT - mC) / mC * 100, 4).as("lift_pct"),
+        Det.r(t, 4).as("t_stat"),
+        (abs(t) > 1.96).as("significant"),
+        Det.r(chi2, 4).as("srm_chi2"))
   }
 
   val eventsAbTestSql: String = {
@@ -1586,7 +1591,7 @@ object Temporal {
        |       ${Det.rSql(t, 4)} AS t_stat,
        |       abs($t) > 1.96 AS significant,
        |       ${Det.rSql(chi2, 4)} AS srm_chi2
-       |FROM g""".stripMargin
+       |FROM g WHERE n_c > 1 AND n_t > 1""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -2501,10 +2501,13 @@ object TextAnalysis {
       ((col("both_keep") + col("gopher_only")) / n) +
       ((col("both_drop") + col("gopher_only")) / n) *
         ((col("both_drop") + col("gate_only")) / n)
-    cells.select(col("n_docs"), col("both_keep"), col("both_drop"),
-      col("gate_only"), col("gopher_only"),
-      Det.r(po, 6).as("po"),
-      Det.r(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+    // empty corpus: drop the degenerate keyless row BEFORE the ratios
+    // divide by n=0 (both engines emit zero rows — the r9 empty sweep)
+    cells.filter(col("n_docs") > 0)
+      .select(col("n_docs"), col("both_keep"), col("both_drop"),
+        col("gate_only"), col("gopher_only"),
+        Det.r(po, 6).as("po"),
+        Det.r(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   val qualityAgreementSql: String = {
@@ -2529,7 +2532,7 @@ object TextAnalysis {
        |       CASE WHEN $pe < 1.0
        |            THEN ${Det.rSql(s"($po - ($pe)) / (1.0 - ($pe))", 6)}
        |       END AS kappa
-       |FROM cells""".stripMargin
+       |FROM cells WHERE n_docs > 0""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -687,6 +687,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.TextAnalysis.readability(spark, dir).count() == 0)
   }
 
+  test("EVERY registered query survives a fully-empty corpus (no throws)") {
+    // a 100 TB pipeline WILL see an empty shard/filter result; a query
+    // that throws there aborts the job. The r9 empty sweep found three
+    // divide-by-zero aborts (events_ab_test, para_dedup_stats,
+    // quality_agreement) — this pins the whole registry, forever.
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_allempty").getAbsolutePath
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${TestSpark.sf}/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on empty corpus:\n${failures.mkString("\n")}")
+  }
+
   test("orders_recon: one-sided (month, nation) keys survive the full outer join") {
     import java.sql.Timestamp
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
