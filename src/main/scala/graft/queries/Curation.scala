@@ -219,16 +219,107 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Leakage-safe holdout split (content-keyed, with straddle audit)
+  // --------------------------------------------------------------------
+
+  /** Leakage-safe train/val/test split: the assignment is keyed on the
+    * CONTENT hash ([[Dedup.exactDedup]]'s md5 over normalized text), not
+    * the row id — so byte-identical duplicates co-assign BY CONSTRUCTION
+    * and no exact-dup cluster can straddle train and eval. This is the
+    * hole in [[Temporal.splitAssign]]-style id-keyed splits: a web
+    * corpus carries the same page under many doc_ids, and an id-keyed
+    * split quietly places copies of a test document into train — the
+    * classic eval-contamination bug. Emits the per-split composition
+    * readout (docs, distinct contents, dup mass, token total, doc
+    * share) plus `leaked_clusters` — content clusters observed in >1
+    * split — COMPUTED from the assignment rather than asserted, so the
+    * readout itself proves the guarantee (CurationSpec additionally
+    * pins a fixture where the id-keyed split DOES straddle a dup pair
+    * and this one does not).
+    *
+    * Scale shape: one scan computes (16-byte content hash, token count)
+    * per doc; the split is a pure function of the hash (no join back to
+    * an assignment table). Both aggregates shuffle on the content hash
+    * — `leaked` directly, the per-split distinct-count via the (split,
+    * ch) expand — carrying 16-byte keys + a long, never the text. The
+    * two scalar frames (corpus total, leak count) are 1-row broadcasts.
+    * Distinct counts are exact by oracle contract; the 100 TB audit
+    * variant swaps HLL exactly as [[Relational.tableProfile]] documents.
+    * Empty corpus: zero rows on both engines (the keyless scalars cross
+    * an empty per-split aggregate). */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))).as("ch"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
+    val a = h
+      .withColumn("b", Temporal.bucketCol(col("ch")))
+      .withColumn("split",
+        when(col("b") < 5, "test")
+          .when(col("b") < 10, "val").otherwise("train"))
+    val tot = a.agg(count(lit(1)).as("n_total"))
+    val leak = a.groupBy("ch")
+      .agg(count_distinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaked"))
+    a.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("ch")).as("n_clusters"),
+        (count(lit(1)) - count_distinct(col("ch"))).as("n_dup_docs"),
+        sum("n_tokens").as("tokens"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_dup_docs"), col("tokens"),
+        graft.queries.Det.r(
+          col("n_docs").cast("double") / col("n_total"), 6).as("pct_docs"),
+        col("leaked").as("leaked_clusters"))
+      .orderBy("split")
+  }
+
+  val leakageSafeSplitSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id, ch, n_tokens,
+       |         CASE WHEN b < 5 THEN 'test'
+       |              WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+       |  FROM (SELECT h.*,
+       |               CAST(CAST('0x' || substr(md5(ch), 1, 15) AS UBIGINT)
+       |                    % 100 AS INTEGER) AS b
+       |        FROM h)),
+       |tot AS (SELECT count(*) AS n_total FROM a),
+       |leak AS (SELECT count(*) AS leaked
+       |         FROM (SELECT ch FROM a GROUP BY ch
+       |               HAVING count(DISTINCT split) > 1)),
+       |s AS (SELECT split, count(*) AS n_docs,
+       |             count(DISTINCT ch) AS n_clusters,
+       |             count(*) - count(DISTINCT ch) AS n_dup_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |      FROM a GROUP BY split)
+       |SELECT s.split, s.n_docs, s.n_clusters, s.n_dup_docs, s.tokens,
+       |       ${Det.rSql("CAST(s.n_docs AS DOUBLE) / tot.n_total", 6)} AS pct_docs,
+       |       leak.leaked AS leaked_clusters
+       |FROM s, tot, leak
+       |ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
-    "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)))
+    "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)),
+    "leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
-    "weighted_sample_pps" -> weightedSamplePpsSql)
+    "weighted_sample_pps" -> weightedSamplePpsSql,
+    "leakage_safe_split" -> leakageSafeSplitSql)
 }

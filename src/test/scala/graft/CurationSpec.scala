@@ -74,4 +74,50 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.filter(_.getAs[Boolean]("keep"))
       .forall(_.getAs[Long]("cum_tokens") == 0L))
   }
+
+  test("leakage_safe_split: identical texts co-assign where the id-keyed split straddles") {
+    import spark.implicits._
+    // find two ids the ID-keyed split separates (one test-band, one train-band)
+    val buckets = (1L to 300L).toDF("id")
+      .select(col("id"), queries.Temporal.bucketCol(col("id")).as("b"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("b")))
+    val testId = buckets.find(_._2 < 5).get._1
+    val trainId = buckets.find(_._2 >= 10).get._1
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_leak_split").getAbsolutePath
+    Seq((testId, text, "en", "web", text.length.toLong),
+        (trainId, text, "en", "web", text.length.toLong),
+        (999999L, other, "en", "web", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the id-keyed split DOES straddle the byte-identical pair …
+    val byId = queries.Temporal.splitAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(byId(testId) != byId(trainId),
+      "fixture ids must land in different id-keyed splits")
+    // … the content-keyed split does not: one cluster of two docs in ONE
+    // split, and the computed straddle audit is zero
+    val rows = queries.Curation.leakageSafeSplit(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("leaked_clusters") == 0L))
+    val dupSplits = rows.filter(_.getAs[Long]("n_dup_docs") > 0)
+    assert(dupSplits.length == 1 &&
+      dupSplits.head.getAs[Long]("n_dup_docs") == 1L)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 3L &&
+      rows.map(_.getAs[Long]("n_clusters")).sum == 2L)
+  }
+
+  test("leakage_safe_split: partitions the corpus; audit zero; shares sum to 1") {
+    val rows = queries.Curation.leakageSafeSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("leaked_clusters") == 0L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("pct_docs")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
 }
