@@ -1163,32 +1163,116 @@ object Relational {
     * key (add a name-prefix band), not an algorithm change. Output is
     * all-integer + strings: engine-exact, no Det rounding. */
   def fuzzyJoinParts(spark: SparkSession, sfDir: String,
-                     maxDist: Int = FuzzyMaxDist): DataFrame = {
+                     maxDist: Int = FuzzyMaxDist): DataFrame =
+    fuzzyPairs(spark, sfDir, maxDist).orderBy("a_key", "b_key")
+
+  /** [[fuzzyJoinParts]] without the presentation sort — the reusable
+    * fuzzy-match edge frame, MATERIALIZED ONCE per (sfDir, maxDist)
+    * via the [[Dedup.materializeOnce]] sink (the knn-edge precedent:
+    * the blocked DP join is the expensive stage and two queries —
+    * fuzzy_join_parts and entity_resolution — consume the identical
+    * frame; edges are pair-density-sized, far smaller than `part`). */
+  private def fuzzyPairs(spark: SparkSession, sfDir: String,
+                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val bandW = maxDist + 1
-    val p = Tables.part(spark, sfDir)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"),
-        length(col("p_name")).as("len"))
-      .withColumn("band", expr(s"len DIV $bandW"))
-    val left = p.select(col("p_brand"), col("p_partkey").as("a_key"),
-        col("p_name").as("a_name"), col("len").as("a_len"),
-        explode(sequence(col("band") - 1, col("band") + 1)).as("band"))
-    val right = p.select(col("p_brand"), col("band"),
-      col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-      col("len").as("b_len"))
-    left.join(right, Seq("p_brand", "band"))
-      .filter(col("a_key") < col("b_key") &&
-        abs(col("a_len") - col("b_len")) <= maxDist)
-      // thresholded levenshtein: banded O(len·k) DP with early exit,
-      // -1 above the bound (bench: 14.9 → ~3 s on the same pair set);
-      // kept rows carry the exact distance, so the oracle's unbounded
-      // levenshtein agrees on every surviving row
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("p_brand"), col("a_key"), col("b_key"),
-        col("a_name"), col("b_name"), col("dist"))
-      .orderBy("a_key", "b_key")
+    Dedup.materializeOnce(spark, s"graft_fuzzy${maxDist}_", sfDir) {
+      val bandW = maxDist + 1
+      val p = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          length(col("p_name")).as("len"))
+        .withColumn("band", expr(s"len DIV $bandW"))
+      val left = p.select(col("p_brand"), col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"), col("len").as("a_len"),
+          explode(sequence(col("band") - 1, col("band") + 1)).as("band"))
+      val right = p.select(col("p_brand"), col("band"),
+        col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("len").as("b_len"))
+      left.join(right, Seq("p_brand", "band"))
+        .filter(col("a_key") < col("b_key") &&
+          abs(col("a_len") - col("b_len")) <= maxDist)
+        // thresholded levenshtein: banded O(len·k) DP with early exit,
+        // -1 above the bound (bench: 14.9 → ~3 s on the same pair set);
+        // kept rows carry the exact distance, so the oracle's unbounded
+        // levenshtein agrees on every surviving row
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
+        .filter(col("dist") >= 0 && col("dist") <= maxDist)
+        .select(col("p_brand"), col("a_key"), col("b_key"),
+          col("a_name"), col("b_name"), col("dist"))
+    }
   }
+
+  /** ENTITY RESOLUTION: the transitive closure of the fuzzy name-match
+    * relation — [[fuzzyJoinParts]] finds the pairwise variants
+    * ("moccasin tan" vs "mocasin tan"), this resolves them into
+    * canonical ENTITIES (A~B and B~C put A,C in one entity even when
+    * dist(A,C) exceeds the threshold — the MDM/master-data step a pair
+    * list alone can't express). Every part appears exactly once:
+    * singletons resolve to themselves; entity_id = min member key and
+    * `canonical_name` is that member's name (the same min-id
+    * canonicality rule the dedup family uses).
+    *
+    * Scale shape: edges come from the memoized blocked-DP substrate
+    * (shared with fuzzy_join_parts — built once per corpus dir); the
+    * closure is [[Dedup.ccLabelsOf]] — single-task union-find under
+    * [[Dedup]]'s edge threshold, large-star/small-star fixpoint with
+    * the star-forest proof above it — so cluster diameter never
+    * serializes anything. Labels join back to `part` on p_partkey and
+    * the canonical-name lookup joins on entity_id: both high-cardinality
+    * equi-joins; n_members is a keyed agg, not a window. The DuckDB twin
+    * computes the closure with a recursive reachability CTE (the
+    * knn_components template), proving the star-forest labels equal true
+    * connected components on every row. */
+  def entityResolution(spark: SparkSession, sfDir: String,
+                       maxDist: Int = FuzzyMaxDist): DataFrame = {
+    val edges = fuzzyPairs(spark, sfDir, maxDist)
+      .select(col("a_key").as("doc_a"), col("b_key").as("doc_b"))
+    val labels = Dedup.ccLabelsOf(spark, edges)
+      .select(col("doc_id").as("p_partkey"), col("comp"))
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"))
+    val lab = p.join(labels, Seq("p_partkey"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("comp"), col("p_partkey")).as("entity_id"))
+    val sizes = lab.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+    val canon = p.select(col("p_partkey").as("entity_id"),
+      col("p_name").as("canonical_name"))
+    lab.join(sizes, "entity_id").join(canon, "entity_id")
+      .select(col("p_partkey"), col("p_name"), col("entity_id"),
+        (col("p_partkey") === col("entity_id")).as("is_canonical"),
+        col("canonical_name"), col("n_members"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle: unblocked within-brand pairs + recursive reachability
+    * (exact CC, no fixed-round unrolling) — affordable at oracle scale;
+    * hash-matching proves blocking losslessness AND the star-forest
+    * labels in one gate. */
+  val entityResolutionSql: String =
+    s"""WITH RECURSIVE
+       |ep AS (SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+       |       FROM part a JOIN part b
+       |         ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |       WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDist
+       |         AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist),
+       |e2 AS (SELECT a_key AS src, b_key AS dst FROM ep
+       |       UNION ALL SELECT b_key, a_key FROM ep),
+       |reach(v, m) AS (
+       |  SELECT DISTINCT src, src FROM e2
+       |  UNION
+       |  SELECT e.src, r.m FROM e2 e JOIN reach r ON e.dst = r.v),
+       |lab AS (SELECT v AS p_partkey, min(m) AS entity_id
+       |        FROM reach GROUP BY v),
+       |allp AS (SELECT p.p_partkey, p.p_name,
+       |                coalesce(l.entity_id, p.p_partkey) AS entity_id
+       |         FROM part p LEFT JOIN lab l USING (p_partkey)),
+       |sizes AS (SELECT entity_id, count(*) AS n_members
+       |          FROM allp GROUP BY entity_id)
+       |SELECT a.p_partkey, a.p_name, a.entity_id,
+       |       a.p_partkey = a.entity_id AS is_canonical,
+       |       c.p_name AS canonical_name, s.n_members
+       |FROM allp a
+       |JOIN part c ON a.entity_id = c.p_partkey
+       |JOIN sizes s ON a.entity_id = s.entity_id
+       |ORDER BY a.p_partkey""".stripMargin
 
   /** Oracle: the unblocked within-brand theta join — affordable at
     * oracle scale; hash-matching proves the band blocking is lossless. */
@@ -2333,6 +2417,7 @@ object Relational {
     "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
     "skyline_parts"       -> ((s, d) => skylineParts(s, d)),
     "fuzzy_join_parts"    -> ((s, d) => fuzzyJoinParts(s, d)),
+    "entity_resolution"   -> ((s, d) => entityResolution(s, d)),
     "pricing_summary"     -> ((s, d) => pricingSummary(s, d)),
     "distinct_agg"        -> ((s, d) => distinctAgg(s, d)),
     "rollup_orders"       -> ((s, d) => rollupOrders(s, d)),
@@ -2378,6 +2463,7 @@ object Relational {
     "bloom_semi_join"      -> bloomSemiJoinSql,
     "skyline_parts"        -> skylinePartsSql,
     "fuzzy_join_parts"     -> fuzzyJoinPartsSql,
+    "entity_resolution"    -> entityResolutionSql,
     "pricing_summary"      -> pricingSummarySql,
     "distinct_agg"         -> distinctAggSql,
     "rollup_orders"        -> rollupOrdersSql,

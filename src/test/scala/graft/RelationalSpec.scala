@@ -385,4 +385,51 @@ class RelationalSpec extends AnyFunSuite {
       "lineitem_orphan_orderkey" -> 1L,
       "orders_orphan_custkey" -> 1L))
   }
+
+  test("entity_resolution: transitive closure merges A~B~C even when dist(A,C) > threshold") {
+    import spark.implicits._
+    // chain: each neighbor 1 edit apart, ends 3 edits apart (> maxDist 2)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_entity_res").getAbsolutePath
+    Seq((1L, "widget alpha", "B#1", "t", 1, 1.0),
+        (2L, "widget alphb", "B#1", "t", 1, 1.0),
+        (3L, "widget alhpb", "B#1", "t", 1, 1.0),
+        (4L, "widget olhpb", "B#1", "t", 1, 1.0),
+        (5L, "completely other", "B#1", "t", 1, 1.0),
+        (6L, "different brand", "B#2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // the pairwise view misses the chain ends …
+    val pairKeys = queries.Relational.fuzzyJoinParts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"))).toSet
+    assert(!pairKeys.contains((1L, 4L)),
+      "fixture must keep the chain ends above the pair threshold")
+    // … the resolved entity holds the whole chain
+    val rows = queries.Relational.entityResolution(spark, dir).collect()
+    assert(rows.length == 6)
+    val ent = rows.map(r =>
+      r.getAs[Long]("p_partkey") -> r.getAs[Long]("entity_id")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(ent).distinct == Seq(1L),
+      "chain must resolve into one entity labeled by its min key")
+    assert(ent(5L) == 5L && ent(6L) == 6L, "singletons resolve to themselves")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_canonical") ==
+        (r.getAs[Long]("p_partkey") == r.getAs[Long]("entity_id")))
+    }
+    assert(rows.filter(_.getAs[Long]("entity_id") == 1L)
+      .forall(r => r.getAs[String]("canonical_name") == "widget alpha" &&
+        r.getAs[Long]("n_members") == 4L))
+  }
+
+  test("entity_resolution: partitions part; entity_id is the min member key") {
+    val rows = queries.Relational.entityResolution(spark, sf).collect()
+    assert(rows.length == Tables.part(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Long]("entity_id")).foreach { case (eid, grp) =>
+      assert(grp.map(_.getAs[Long]("p_partkey")).min == eid,
+        s"entity $eid not labeled by its min member")
+      assert(grp.forall(_.getAs[Long]("n_members") == grp.length))
+      assert(grp.count(_.getAs[Boolean]("is_canonical")) == 1)
+    }
+  }
 }
