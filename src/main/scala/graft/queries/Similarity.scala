@@ -629,6 +629,95 @@ object Similarity {
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lab ORDER BY vec_id""".stripMargin
 
+  /** IVF-PARTITION MODULARITY: how well the coarse quantizer's cells
+    * respect the kNN neighborhood structure — per cell, member count,
+    * internal kNN edges (e_in), degree mass (d_sum), CUT edges
+    * (d_sum − 2·e_in: neighbor pairs the cell boundary severs) and the
+    * Newman modularity contribution e_in/m − (d_sum/2m)². The cut mass
+    * IS the single-probe recall leak made structural: every cut edge is
+    * a true near neighbor that nprobe=1 search cannot see, so this one
+    * readout explains (and lets an operator TUNE, via cells/nprobe)
+    * the candidate-recall ceiling the multiprobe family lifts.
+    *
+    * Scale shape: both substrates are memoized family state (kNN edges:
+    * n·k rows; cell assignment: one broadcast-centroid map pass); the
+    * query itself joins edges to two cell labels on vec_id
+    * (high-cardinality equi-joins carrying 3 longs), then aggregates to
+    * |cells| rows — model-state-sized output. The edge total m is a
+    * 1-row broadcast. Nothing here touches vectors. */
+  def ivfModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnEdgesMaterialized(spark, sfDir, KnnK)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+    val cells = graft.queries.TextAnalysis.maybeCache(
+      ivfAssigned(spark, sfDir))
+    val ej = graft.queries.TextAnalysis.maybeCache(edges
+      .join(cells.select(col("vec_id").as("a"), col("cell").as("ca")), "a")
+      .join(cells.select(col("vec_id").as("b"), col("cell").as("cb")), "b")
+      .select("ca", "cb"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = ej.select(col("ca").as("cell"))
+      .union(ej.select(col("cb").as("cell")))
+      .groupBy("cell").agg(count(lit(1)).as("d_sum"))
+    val ein = ej.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cell")).agg(count(lit(1)).as("e_in"))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val base = sizes
+      .join(deg, Seq("cell"), "left")
+      .join(ein, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"))
+      .crossJoin(broadcast(m))
+    val half = base.col("d_sum").cast("double") / (base.col("m") * lit(2L))
+    base.select(col("cell"), col("n_members"), col("e_in"), col("d_sum"),
+        (col("d_sum") - lit(2L) * col("e_in")).as("cut_edges"),
+        when(col("m") > 0,
+          Det.r(col("e_in").cast("double") / col("m") - half * half, 6))
+          .otherwise(lit(0.0)).as("q_contrib"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB twin — [[knnEdgeCtesSql]] (kNN edges) composed with
+    * [[ivfChainAfterE]] (the Lloyd chain's full-corpus assignment
+    * `fin`, re-materialized since two joins consume it); identical
+    * IEEE expression shape for the contribution. */
+  // lazy: NProbe/IvfIters are declared further down the object; a strict
+  // val here would capture them uninitialized (object-init order)
+  lazy val ivfModularitySql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |kp AS MATERIALIZED (
+       |  SELECT DISTINCT least(vec_id, neighbor) AS a,
+       |         greatest(vec_id, neighbor) AS b
+       |  FROM rk WHERE rank <= $KnnK),
+       |${ivfChainAfterE(NProbe)},
+       |finm AS MATERIALIZED (SELECT vec_id, cell FROM fin),
+       |mm AS (SELECT count(*) AS m FROM kp),
+       |ej AS MATERIALIZED (
+       |  SELECT fa.cell AS ca, fb.cell AS cb
+       |  FROM kp JOIN finm fa ON kp.a = fa.vec_id
+       |          JOIN finm fb ON kp.b = fb.vec_id),
+       |deg AS (SELECT cell, count(*) AS d_sum
+       |        FROM (SELECT ca AS cell FROM ej
+       |              UNION ALL SELECT cb FROM ej) GROUP BY cell),
+       |ein AS (SELECT ca AS cell, count(*) AS e_in FROM ej
+       |        WHERE ca = cb GROUP BY ca),
+       |sz AS (SELECT cell, count(*) AS n_members FROM finm GROUP BY cell)
+       |SELECT sz.cell, sz.n_members,
+       |       COALESCE(ein.e_in, 0) AS e_in,
+       |       COALESCE(deg.d_sum, 0) AS d_sum,
+       |       COALESCE(deg.d_sum, 0) - 2 * COALESCE(ein.e_in, 0) AS cut_edges,
+       |       CASE WHEN mm.m > 0 THEN ${Det.rSql(
+            "CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / mm.m" +
+              " - (CAST(COALESCE(deg.d_sum, 0) AS DOUBLE) / (mm.m * 2))" +
+              " * (CAST(COALESCE(deg.d_sum, 0) AS DOUBLE) / (mm.m * 2))", 6)}
+       |       ELSE 0.0 END AS q_contrib
+       |FROM sz LEFT JOIN deg USING (cell) LEFT JOIN ein USING (cell)
+       |CROSS JOIN mm
+       |ORDER BY sz.cell""".stripMargin
+
   /** Hop bound for [[seedExpansion]] — mirrored by the oracle's three
     * unrolled MATERIALIZED rounds. */
   private val BfsMaxHops = 3
@@ -1555,7 +1644,15 @@ object Similarity {
     * [[annCosineIvfPqSql]] and (at [[NProbeMp]]) the multiprobe twins.
     * Parameterized on nProbe: the only nProbe-dependent CTE is the
     * query-side probe list `pro`, exactly mirroring [[ivfCandidates]]. */
-  private[queries] def ivfChain(nProbe: Int): String = {
+  private[queries] def ivfChain(nProbe: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfChainAfterE(nProbe)}""".stripMargin
+
+  /** [[ivfChain]] minus its leading `e` CTE — for oracles that compose
+    * the IVF chain with [[knnEdgeCtesSql]], whose LSH prefix already
+    * defines the identical `e` (duplicate CTE names are illegal in one
+    * WITH). */
+  private[queries] def ivfChainAfterE(nProbe: Int): String = {
     val rounds = (1 to IvfIters).map { r =>
       s"""asn$r AS (
          |  SELECT vec_id, q, cell
@@ -1578,8 +1675,7 @@ object Similarity {
          |                       ELSE u.m END, c0.c) AS c
          |  FROM cent${r - 1} c0 LEFT JOIN upd$r u USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nv AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    s"""nv AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
        |uv AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM nv),
        |par AS (
        |  SELECT count(*) AS n,
@@ -2932,6 +3028,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> ((s, d) => annCosineLshMultiprobe(s, d)),
     "knn_delta" -> ((s, d) => knnDelta(s, d)),
     "knn_components" -> ((s, d) => knnComponents(s, d)),
+    "ivf_modularity" -> ((s, d) => ivfModularity(s, d)),
     "seed_expansion" -> ((s, d) => seedExpansion(s, d)),
     "embedding_standardize" -> ((s, d) => embeddingStandardize(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
@@ -2966,6 +3063,7 @@ object Similarity {
     "ann_cosine_lsh_mp" -> annCosineLshMultiprobeSql,
     "knn_delta" -> knnDeltaSql,
     "knn_components" -> knnComponentsSql,
+    "ivf_modularity" -> ivfModularitySql,
     "seed_expansion" -> seedExpansionSql,
     "embedding_standardize" -> embeddingStandardizeSql,
     "hard_negatives" -> hardNegativesSql,

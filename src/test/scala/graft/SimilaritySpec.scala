@@ -602,6 +602,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf_modularity: degree/cut identities hold and Q decomposes over cells") {
+    val rows = queries.Similarity.ivfModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = queries.Similarity.knnGraph(spark, sf).collect()
+      .map(r => {
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor")
+        (math.min(a, b), math.max(a, b))
+      }).distinct
+    val m = edges.length.toLong
+    // handshake: Σ d_sum counts every edge endpoint exactly once per side
+    assert(rows.map(_.getAs[Long]("d_sum")).sum == 2 * m)
+    // internal + cut mass partitions the degree sum, per cell and overall
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cut_edges") ==
+        r.getAs[Long]("d_sum") - 2 * r.getAs[Long]("e_in"))
+      assert(r.getAs[Double]("q_contrib") <= 1.0 &&
+        r.getAs[Double]("q_contrib") >= -1.0)
+    }
+    // every vector is in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables.embeddings(spark, sf).count())
+    // Q = Σ contributions stays in Newman's [-0.5, 1] band, and the cut
+    // mass is the single-probe recall leak: strictly positive on the
+    // fixture (cells DO sever kNN edges — the reason multiprobe exists)
+    val q = rows.map(_.getAs[Double]("q_contrib")).sum
+    assert(q >= -0.5 && q <= 1.0)
+    assert(rows.map(_.getAs[Long]("cut_edges")).sum > 0)
+  }
+
   test("kcore_graph: matches an in-memory peel of the same kNN edges") {
     val got = queries.Similarity.kcoreGraph(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
