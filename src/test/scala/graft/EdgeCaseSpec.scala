@@ -711,6 +711,29 @@ class EdgeCaseSpec extends AnyFunSuite {
       s"${failures.size} queries throw on empty corpus:\n${failures.mkString("\n")}")
   }
 
+  test("EVERY registered query survives a single-row corpus (no throws)") {
+    // the other degenerate shard shape: exactly one row per table —
+    // catches divide-by-(n−1), single-band histograms, self-join
+    // emptiness, windows over one row. Complements the all-empty sweep.
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_onerow").getAbsolutePath
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${TestSpark.sf}/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on one-row corpus:\n${failures.mkString("\n")}")
+  }
+
   test("orders_recon: one-sided (month, nation) keys survive the full outer join") {
     import java.sql.Timestamp
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
