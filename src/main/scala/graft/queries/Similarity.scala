@@ -1592,6 +1592,73 @@ object Similarity {
   def annCosineIvfMp(spark: SparkSession, sfDir: String): DataFrame =
     annCosineIvf(spark, sfDir, nProbe = NProbeMp)
 
+  /** The nprobe sweep evaluated by [[ivfNprobeCurve]] — shared verbatim
+    * with the oracle's `nps` CTE; max must stay ≤ [[IvfMinCells]]. */
+  private val NprobeCurvePoints = Seq(1, 2, 4, 8)
+
+  /** IVF NPROBE RECALL CURVE: candidate recall@[[TopK]] vs the exact
+    * brute-force top-k at nprobe ∈ [[NprobeCurvePoints]] — the tuning
+    * table an operator reads before picking `nprobe` for a corpus ("2
+    * probes buy 0.86, 8 buy 0.98 — serve at 4"). This is the measured
+    * companion to [[ivfModularity]]: that readout shows WHERE the cell
+    * boundaries sever neighborhoods, this one prices how many probes
+    * buy the leak back. recall = |candidates ∩ exact top-k| summed over
+    * the query set, over |Q|·k (the matryoshka_recall denominator
+    * convention).
+    *
+    * Scale shape: one exact pass (|Q| queries broadcast — the
+    * [[bruteForceTopK]] plan) plus |curve| candidate enumerations, each
+    * a broadcast of the ≤ |Q|·nprobe probe list against the memoized
+    * cell assignment; the unioned candidate stream joins the k·|Q|
+    * exact winners on (qid, vec_id) and aggregates to |curve| rows.
+    * Corpus-side work is nprobe-independent — exactly the property the
+    * curve exists to demonstrate. */
+  def ivfNprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir).select(col("qid"), col("vec_id"))
+    val cands = NprobeCurvePoints.map { np =>
+      ivfCandidates(spark, sfDir, np)
+        .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    cands.join(exact, Seq("qid", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+      .select(col("nprobe"), col("hits"),
+        Det.r(col("hits").cast("double") / (NumQueries * TopK), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB twin — one probe ranking at the curve max, per-np candidate
+    * sets sliced by rank, the [[bruteForceTopKSql]] exact tail. */
+  lazy val ivfNprobeCurveSql: String =
+    s"""WITH ${ivfChain(1)},
+       |finm AS MATERIALIZED (SELECT vec_id, cell FROM fin),
+       |nps AS (SELECT unnest([${NprobeCurvePoints.mkString(", ")}]) AS np),
+       |prall AS MATERIALIZED (
+       |  SELECT qid, cell, rk
+       |  FROM (SELECT v.vec_id AS qid, c.cell,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY list_dot_product(c.c, v.u) DESC, c.cell ASC) AS rk
+       |        FROM uv v CROSS JOIN cent$IvfIters c WHERE v.vec_id < $NumQueries)
+       |  WHERE rk <= ${NprobeCurvePoints.max}),
+       |candn AS (
+       |  SELECT DISTINCT n.np, p.qid, f.vec_id
+       |  FROM nps n JOIN prall p ON p.rk <= n.np
+       |  JOIN finm f ON f.cell = p.cell
+       |  WHERE f.vec_id <> p.qid),
+       |ex AS (
+       |  SELECT qid, vec_id
+       |  FROM (SELECT q.vec_id AS qid, a.vec_id,
+       |               row_number() OVER (PARTITION BY q.vec_id
+       |                  ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                           a.vec_id ASC) AS rank
+       |        FROM nv a JOIN nv q ON a.vec_id <> q.vec_id
+       |        WHERE q.vec_id < $NumQueries)
+       |  WHERE rank <= $TopK),
+       |ov AS (SELECT c.np, count(*) AS hits
+       |       FROM candn c JOIN ex USING (qid, vec_id) GROUP BY 1)
+       |SELECT np AS nprobe, hits,
+       |       ${Det.rSql(s"CAST(hits AS DOUBLE) / ${NumQueries * TopK}", 6)} AS recall
+       |FROM ov ORDER BY nprobe""".stripMargin
+
   /** DuckDB twin of [[annCosineIvfMp]] — the [[ivfChain]] at
     * [[NProbeMp]], same scoring tail as [[annCosineIvfSql]]. */
   val annCosineIvfMpSql: String =
@@ -3029,6 +3096,7 @@ object Similarity {
     "knn_delta" -> ((s, d) => knnDelta(s, d)),
     "knn_components" -> ((s, d) => knnComponents(s, d)),
     "ivf_modularity" -> ((s, d) => ivfModularity(s, d)),
+    "ivf_nprobe_curve" -> ((s, d) => ivfNprobeCurve(s, d)),
     "seed_expansion" -> ((s, d) => seedExpansion(s, d)),
     "embedding_standardize" -> ((s, d) => embeddingStandardize(s, d)),
     "hard_negatives" -> ((s, d) => hardNegatives(s, d)),
@@ -3064,6 +3132,7 @@ object Similarity {
     "knn_delta" -> knnDeltaSql,
     "knn_components" -> knnComponentsSql,
     "ivf_modularity" -> ivfModularitySql,
+    "ivf_nprobe_curve" -> ivfNprobeCurveSql,
     "seed_expansion" -> seedExpansionSql,
     "embedding_standardize" -> embeddingStandardizeSql,
     "hard_negatives" -> hardNegativesSql,

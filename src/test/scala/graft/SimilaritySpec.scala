@@ -631,6 +631,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("cut_edges")).sum > 0)
   }
 
+  test("ivf_nprobe_curve: monotone in nprobe; multiprobe end ≥ 0.9; bounded") {
+    val rows = queries.Similarity.ivfNprobeCurve(spark, sf).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"recall must be non-decreasing in nprobe: $a -> $b")
+    }
+    assert(recalls.last >= 0.9,
+      "the nprobe=8 end must reach the multiprobe family's pinned band")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") <= 50L &&
+        r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") >= 0.0)
+    }
+  }
+
   test("kcore_graph: matches an in-memory peel of the same kNN edges") {
     val got = queries.Similarity.kcoreGraph(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
