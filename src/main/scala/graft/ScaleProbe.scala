@@ -67,7 +67,8 @@ object ScaleProbe {
     "matryoshka_recall", "seed_expansion",
     "mm_dedup", "mm_near_dedup", "quality_agreement", "knn_components",
     "containment_pairs", "embedding_standardize",
-    "containment_pairs_sketch", "ivf_modularity", "ivf_nprobe_curve")
+    "containment_pairs_sketch", "ivf_modularity", "ivf_nprobe_curve",
+    "quality_calibration")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -2332,8 +2332,11 @@ object TextAnalysis {
   }
 
   /** DuckDB twin of [[nbQualityScore]]. */
-  val nbQualityScoreSql: String =
-    s"""WITH lab AS (${gopherLabeledSql()}),
+  /** The shared NB DuckDB chain (gopher labels → hashed features →
+    * per-bucket weights → per-doc score `g` + prior `pr`) — prefixes
+    * [[nbQualityScoreSql]] and [[qualityCalibrationSql]]. */
+  private val nbChainCtes: String =
+    s"""lab AS (${gopherLabeledSql()}),
        |tk AS (SELECT doc_id, pass, ${tokBucketSql("tok")} AS b
        |       FROM (SELECT doc_id, pass,
        |                    unnest(list_concat(t, [
@@ -2360,10 +2363,85 @@ object TextAnalysis {
        |      FROM h CROSS JOIN tt),
        |g AS (SELECT doc_id, count(*) AS n_feats,
        |             CAST(sum(lw_micros) AS BIGINT) AS ratio_micros
-       |      FROM tk JOIN w USING (b) GROUP BY doc_id)
+       |      FROM tk JOIN w USING (b) GROUP BY doc_id)""".stripMargin
+
+  val nbQualityScoreSql: String =
+    s"""WITH $nbChainCtes
        |SELECT doc_id, n_feats, prior_micros + ratio_micros AS nb_micros,
        |       (prior_micros + ratio_micros) > 0 AS nb_pass
        |FROM g CROSS JOIN pr ORDER BY doc_id""".stripMargin
+
+  /** Calibration band width (per-feature log-odds micros) and the clamp
+    * range — fixed, corpus-independent bands (0.1 nats wide, clamped to
+    * [−1.0, +1.0)), so banding needs NO corpus statistics: no
+    * percent_rank window, no collected quantiles, nothing that
+    * serializes or drifts as the corpus grows. */
+  private val CalibBandMicros = 100000.0
+  private val CalibBandClamp = 10L
+
+  /** QUALITY-SCORER CALIBRATION: the reliability table of the NB
+    * quality score against the Gopher rule labels — per fixed-width
+    * band of per-feature log-odds, how many docs land there and what
+    * fraction the rules actually pass. [[qualityAgreement]] reports ONE
+    * agreement number (κ) for the binary gates; this resolves WHERE the
+    * scorer is trustworthy ("above +0.3 nats/feature the rules agree
+    * 99%; the −0.1..0.1 bands are coin flips — route those to a second
+    * classifier"), which is the artifact an operator actually uses to
+    * pick a production threshold.
+    *
+    * Determinism: the per-doc statistic is integerised FIRST
+    * (pt_micros = ⌊nb_micros/n_feats + 0.5⌉, an exact-input IEEE
+    * division both engines floor identically — negatives included,
+    * since ⌊·⌋ is toward −∞ on both), the band is a second IEEE floor
+    * of pt_micros/1e5 (NOT integer division: Spark `div` truncates
+    * toward zero where DuckDB `//` floors — they diverge on negative
+    * scores, the CLAUDE.md trap), and the band sums are integer. Scale:
+    * rides the NB score's own shuffles plus one doc_id join to the
+    * labels; output is ≤ 2·[[CalibBandClamp]] rows. */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = nbQualityScore(spark, sfDir).select("doc_id", "n_feats", "nb_micros")
+    val lab = gopherLabeled(spark, sfDir, GopherMinWords)
+      .select(col("doc_id"), col("pass"))
+    val bd = nb.join(lab, "doc_id").filter(col("n_feats") > 0)
+      .withColumn("pt_micros",
+        floor(col("nb_micros").cast("double") / col("n_feats") + 0.5).cast("long"))
+      .withColumn("band",
+        greatest(lit(-CalibBandClamp), least(lit(CalibBandClamp - 1),
+          floor(col("pt_micros").cast("double") / CalibBandMicros).cast("long")))
+          .cast("int"))
+    bd.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        sum("pt_micros").as("s"))
+      .select(col("band"), col("n_docs"), col("n_pass"),
+        Det.r(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"),
+        Det.r(col("s").cast("double") / col("n_docs") / 1e6, 4).as("mean_log_odds"))
+      .orderBy("band")
+  }
+
+  /** DuckDB twin — [[nbChainCtes]] + the identical two-floor banding. */
+  val qualityCalibrationSql: String =
+    s"""WITH $nbChainCtes,
+       |sc AS (SELECT g.doc_id, n_feats,
+       |              prior_micros + ratio_micros AS nb_micros
+       |       FROM g CROSS JOIN pr),
+       |bd AS (SELECT s.doc_id, l.pass,
+       |              CAST(floor(CAST(nb_micros AS DOUBLE) / n_feats + 0.5)
+       |                   AS BIGINT) AS pt_micros
+       |       FROM sc s JOIN lab l USING (doc_id)
+       |       WHERE n_feats > 0),
+       |bb AS (SELECT pass, pt_micros,
+       |              CAST(greatest(-$CalibBandClamp, least(${CalibBandClamp - 1},
+       |                CAST(floor(CAST(pt_micros AS DOUBLE) / $CalibBandMicros)
+       |                     AS BIGINT))) AS INT) AS band
+       |       FROM bd)
+       |SELECT band, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       ${Det.rSql(
+            "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS pass_rate,
+       |       ${Det.rSql(
+            "CAST(sum(pt_micros) AS DOUBLE) / count(*) / 1e6", 4)} AS mean_log_odds
+       |FROM bb GROUP BY band ORDER BY band""".stripMargin
 
   /** −ln(0.4), the stupid-backoff discount as a shared DECIMAL LITERAL —
     * both engines parse the same shortest-repr decimal to the same
@@ -2851,6 +2929,7 @@ object TextAnalysis {
     "pii_scrub"        -> ((s, d) => piiScrub(s, d)),
     "dsir_weights"     -> ((s, d) => dsirWeights(s, d)),
     "nb_quality_score" -> ((s, d) => nbQualityScore(s, d)),
+    "quality_calibration" -> ((s, d) => qualityCalibration(s, d)),
     "bigram_lm_score"  -> ((s, d) => bigramLmScore(s, d)),
   )
 
@@ -2890,6 +2969,7 @@ object TextAnalysis {
     "pii_scrub"        -> piiScrubSql,
     "dsir_weights"     -> dsirWeightsSql,
     "nb_quality_score" -> nbQualityScoreSql,
+    "quality_calibration" -> qualityCalibrationSql,
     "bigram_lm_score"  -> bigramLmScoreSql,
   )
 }

@@ -236,6 +236,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"NB agrees with Gopher labels on $agree/${rows.length}")
   }
 
+  test("quality_calibration: bands reconcile with the scorer and labels; ordered") {
+    val rows = queries.TextAnalysis.qualityCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Int]("band"))
+    assert(rows.nonEmpty)
+    // partitions the scored corpus; pass mass reconciles with the labels
+    val nb = queries.TextAnalysis.nbQualityScore(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nb.length)
+    val nPassTotal = queries.TextAnalysis.gopherQuality(spark, sf).collect()
+      .count(_.getAs[Boolean]("pass"))
+    assert(rows.map(_.getAs[Long]("n_pass")).sum == nPassTotal)
+    // band geometry: clamped range, per-band means strictly increasing
+    rows.foreach { r =>
+      assert(r.getAs[Int]("band") >= -10 && r.getAs[Int]("band") <= 9)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+    }
+    val means = rows.map(_.getAs[Double]("mean_log_odds"))
+    means.sliding(2).foreach { case Array(a, b) =>
+      assert(b > a, "per-band mean log-odds must be strictly increasing")
+    }
+    // the readout's reason to exist: a calibrated scorer separates — the
+    // top band passes at a higher rate than the bottom band
+    assert(rows.last.getAs[Double]("pass_rate") >
+      rows.head.getAs[Double]("pass_rate"))
+  }
+
   test("bigram_lm_score: in-domain docs have lower NLL than out-of-domain docs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
