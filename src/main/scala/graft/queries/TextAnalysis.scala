@@ -2311,25 +2311,35 @@ object TextAnalysis {
       * 1e6 + 0.5).cast("long")
   }
 
-  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = nbTok(spark, sfDir)
-    val prior = nbPriorCounts(spark, sfDir)
-      .withColumn("prior_micros",
-        floor((log((col("n_p") + 1).cast("double"))
-             - log((col("n_f") + 1).cast("double"))) * 1e6 + 0.5).cast("long"))
-      .select("prior_micros")
-    val w = nbBucketCounts(spark, sfDir)
-      .withColumn("lw_micros", nbLwMicros)
-      .select("b", "lw_micros")
-    tok.join(broadcast(w), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lw_micros").as("ratio_micros"))
-      .crossJoin(broadcast(prior))
-      .withColumn("nb_micros", col("prior_micros") + col("ratio_micros"))
+  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    nbScored(spark, sfDir)
       .withColumn("nb_pass", col("nb_micros") > 0)
       .select("doc_id", "n_feats", "nb_micros", "nb_pass")
       .orderBy("doc_id")
-  }
+
+  /** The per-doc NB score frame (doc_id, n_feats, nb_micros),
+    * MATERIALIZED ONCE per corpus dir — the feature explode + bucket
+    * weights are the expensive stage and two queries consume the
+    * identical frame (nb_quality_score, quality_calibration); the
+    * fuzzy/knn substrate-sharing discipline. */
+  private def nbScored(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.materializeOnce(spark, "graft_nb_", sfDir) {
+      val tok = nbTok(spark, sfDir)
+      val prior = nbPriorCounts(spark, sfDir)
+        .withColumn("prior_micros",
+          floor((log((col("n_p") + 1).cast("double"))
+               - log((col("n_f") + 1).cast("double"))) * 1e6 + 0.5).cast("long"))
+        .select("prior_micros")
+      val w = nbBucketCounts(spark, sfDir)
+        .withColumn("lw_micros", nbLwMicros)
+        .select("b", "lw_micros")
+      tok.join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("lw_micros").as("ratio_micros"))
+        .crossJoin(broadcast(prior))
+        .withColumn("nb_micros", col("prior_micros") + col("ratio_micros"))
+        .select("doc_id", "n_feats", "nb_micros")
+    }
 
   /** DuckDB twin of [[nbQualityScore]]. */
   /** The shared NB DuckDB chain (gopher labels → hashed features →
@@ -2399,7 +2409,7 @@ object TextAnalysis {
     * rides the NB score's own shuffles plus one doc_id join to the
     * labels; output is ≤ 2·[[CalibBandClamp]] rows. */
   def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val nb = nbQualityScore(spark, sfDir).select("doc_id", "n_feats", "nb_micros")
+    val nb = nbScored(spark, sfDir)
     val lab = gopherLabeled(spark, sfDir, GopherMinWords)
       .select(col("doc_id"), col("pass"))
     val bd = nb.join(lab, "doc_id").filter(col("n_feats") > 0)
