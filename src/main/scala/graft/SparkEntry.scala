@@ -164,6 +164,8 @@ object SparkEntry {
       Relational.basketRules(s, d,
         a.getOrElse("top_n", "50").toInt,
         a.getOrElse("max_basket", "256").toInt)),
+    "entity_resolution" -> ((s, d, a) =>
+      Relational.entityResolution(s, d, a.getOrElse("max_dist", "2").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -40,6 +40,17 @@ class ArgsSpec extends AnyFunSuite {
     assert(run(spark, sf, Map("top_n" -> "7")).count() == 7)
   }
 
+  test("entity_resolution honors max_dist (looser threshold merges more entities)") {
+    val run = SparkEntry.queriesWithArgs("entity_resolution")
+    def nEntities(d: Int) =
+      run(spark, sf, Map("max_dist" -> d.toString))
+        .select("entity_id").distinct().count()
+    val strict = nEntities(1)
+    val loose = nEntities(3)
+    assert(loose < strict, s"max_dist 3 ($loose entities) must merge more " +
+      s"than max_dist 1 ($strict)")
+  }
+
   test("knn_delta honors delta_mod (denser delta => more query rows)") {
     val run = SparkEntry.queriesWithArgs("knn_delta")
     val sparse = run(spark, sf, Map("delta_mod" -> "10")).select("vec_id").distinct().count()
