@@ -1735,6 +1735,78 @@ object Dedup {
        |  SELECT 'near_dup_removable', count(*) FROM lab WHERE doc_id <> cluster_id)
        |ORDER BY metric""".stripMargin
 
+  /** DUPLICATE-CLUSTER SIZE DISTRIBUTION: how duplication mass is
+    * shaped — many small pairs or a few mega-clusters — banded by
+    * cluster size into power-of-two bands (band = bit length of the
+    * size, an INTEGER binary-string length on both engines: Spark
+    * `conv(s,10,2)` ↔ DuckDB `bin(s)`, no libm log2 anywhere near a
+    * band boundary). Band 1 is the singleton mass (docs touching no
+    * near-dup edge — total minus labeled, never materialized per doc);
+    * each band reports cluster count, doc count, the band's smallest
+    * representable size, and its share of the corpus. The [[dedupStats]]
+    * six-pack says HOW MUCH duplication exists; this says how it is
+    * DISTRIBUTED, which decides the removal strategy (pair-wise
+    * canonical-keep vs cluster-cap sampling) a 100 TB dedup run applies.
+    *
+    * Scale: one scan of the materialized label table ([[
+    * dedupClustersMaterialized]] — dup-mass rows), a bounded ≤64-band
+    * agg, two 1-row aggregates for the singleton row. Empty corpus →
+    * zero rows on both engines (the n_clusters > 0 guard). */
+  def dupClusterSizeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClustersMaterialized(spark, sfDir)
+    val total = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_total"))
+    val labeled = clusters.agg(count(lit(1)).as("n_labeled"))
+    val bands = clusters.filter(col("keep"))
+      .groupBy(length(conv(col("n_members").cast("string"), 10, 2))
+        .cast("int").as("band"))
+      .agg(count(lit(1)).as("n_clusters"), sum("n_members").as("n_docs"))
+    val singleton = broadcast(total).crossJoin(broadcast(labeled))
+      .select(lit(1).as("band"),
+        (col("n_total") - col("n_labeled")).as("n_clusters"),
+        (col("n_total") - col("n_labeled")).as("n_docs"))
+    bands.unionByName(singleton)
+      .filter(col("n_clusters") > 0)
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_clusters"), col("n_docs"),
+        expr("shiftleft(CAST(1 AS BIGINT), band - 1)").as("min_size"),
+        Det.r(col("n_docs").cast("double") / col("n_total"), 6).as("doc_share"))
+      .orderBy("band")
+  }
+
+  /** Oracle: the [[dedupClustersSql]] recursive closure, cluster sizes
+    * from the canonical rows, the identical bit-length banding. */
+  val dupClusterSizeDistSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+       |cs AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1),
+       |bands AS (SELECT CAST(length(bin(n_members)) AS INT) AS band,
+       |                 count(*) AS n_clusters,
+       |                 CAST(sum(n_members) AS BIGINT) AS n_docs
+       |          FROM cs GROUP BY 1
+       |          UNION ALL
+       |          SELECT 1,
+       |                 (SELECT count(*) FROM documents)
+       |                   - (SELECT count(*) FROM lab),
+       |                 (SELECT count(*) FROM documents)
+       |                   - (SELECT count(*) FROM lab)),
+       |tot AS (SELECT count(*) AS n_total FROM documents)
+       |SELECT band, n_clusters, n_docs,
+       |       CAST(1 AS BIGINT) << (band - 1) AS min_size,
+       |       ${Det.rSql("CAST(n_docs AS DOUBLE) / n_total", 6)} AS doc_share
+       |FROM bands CROSS JOIN tot
+       |WHERE n_clusters > 0
+       |ORDER BY band""".stripMargin
+
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup
   // --------------------------------------------------------------------
@@ -2040,6 +2112,7 @@ object Dedup {
     "dedup_delta"          -> ((s, d) => dedupDelta(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
+    "dup_cluster_size_dist" -> ((s, d) => dupClusterSizeDist(s, d)),
     "semdedup"             -> ((s, d) => semDedup(s, d)),
   )
 
@@ -2061,6 +2134,7 @@ object Dedup {
     "dedup_delta"          -> dedupDeltaSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,
+    "dup_cluster_size_dist" -> dupClusterSizeDistSql,
     "semdedup"             -> semDedupSql,
   )
 }

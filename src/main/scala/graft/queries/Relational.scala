@@ -2397,6 +2397,176 @@ object Relational {
       |             ELSE 5 END) AS rfm
       |FROM p ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // TPC-H classics (Q3 / Q14 / Q4-shape / Q15) — the canonical decision-
+  // support shapes a reference user would expect any engine to run
+  // --------------------------------------------------------------------
+
+  /** SHIPPING PRIORITY (TPC-H Q3 shape): the 10 highest-revenue orders
+    * in the BUILDING segment that were placed before the cut date but
+    * (partly) shipped after it — the unshipped-backlog report. Shape:
+    * customer (segment filter, broadcastable after the filter at
+    * warehouse scale it shuffles — AQE decides) ⋈ orders (date filter
+    * pushed to the scan) ⋈ lineitem (date filter pushed likewise), agg
+    * to per-order revenue, then TakeOrderedAndProject top-10 — a
+    * per-partition partial top-k merged on the driver, NOT a global
+    * sort. Revenue is exact integer cents·(100−disc) summed as
+    * decimal(38,0), one final division; ties broken on o_orderkey. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .cast("decimal(38,0)").as("rev_e4"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+      .select("o_orderkey", "order_date", "o_orderpriority", "revenue")
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o.o_orderkey,
+      |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o.o_orderpriority,
+      |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+      |            AS DOUBLE) / 10000 AS revenue
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** PROMO REVENUE SHARE (TPC-H Q14 shape), per ship year: what
+    * fraction of shipped charge came from PROMO-type parts. One
+    * broadcast dim join (part carries only a boolean after projection),
+    * exact integer cents·(100−disc) sums split by the promo flag via
+    * conditional aggregation, the single double division at the end on
+    * the |years|-bounded frame. 100 TB: the fact scans once, the dim
+    * broadcast is |parts| — at warehouse scale part is user-scaled, so
+    * the flag join falls back to shuffle and the agg is unchanged. */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val flag = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .cast("decimal(38,0)").as("rev_e4"))
+      .join(broadcast(flag), col("l_partkey") === col("p_partkey"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(lit(0)))
+          .as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .select(col("yr"), col("n_lines"),
+        (col("promo_e4").cast("double") / 10000).as("promo_revenue"),
+        Det.r(col("promo_e4").cast("double") * 100 /
+          col("total_e4").cast("double"), 4).as("promo_pct"))
+      .orderBy("yr")
+  }
+
+  val promoRevenueSql: String =
+    s"""WITH l AS (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+       |                  p.p_type = 'PROMO' AS is_promo,
+       |                  CAST(round(l_extendedprice*100) AS BIGINT)
+       |                  * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4
+       |           FROM lineitem JOIN part p ON l_partkey = p.p_partkey)
+       |SELECT yr, count(*) AS n_lines,
+       |       CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS DOUBLE)
+       |         / 10000 AS promo_revenue,
+       |       ${Det.rSql(
+        "CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS DOUBLE) " +
+          "* 100 / CAST(sum(rev_e4) AS DOUBLE)", 4)} AS promo_pct
+       |FROM l GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** LATE-ORDER PRIORITY COUNT (TPC-H Q4 shape, adapted — the fixtures
+    * carry no commit/receipt dates, so "late" = any line shipped more
+    * than 90 days after the order date): orders placed in 1997 with at
+    * least one late line, counted per priority. The EXISTS is a LEFT
+    * SEMI join on the order key with the ship-lag inequality as the
+    * extra join predicate — one equi-shuffle, the semi short-circuits
+    * per probe row, no fact×fact blowup and no distinct needed. */
+  def lateOrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val lateOrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TOP SUPPLIER (TPC-H Q15 shape): the supplier(s) with maximum
+    * shipped revenue in 1997 — ALL ties kept, the Q15 semantics that
+    * makes this a max-subquery shape rather than a top-1 sort. Revenue
+    * per supplier aggregates to a |suppliers|-bounded frame in exact
+    * integer units; the max is a 1-row broadcast cross join against
+    * that bounded frame (integer compare — no double equality); the
+    * name join is a broadcast dim join. No corpus-wide window, no
+    * global sort funnel. */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+        .cast("decimal(38,0)")).as("rev_e4"))
+    val mx = rev.agg(max("rev_e4").as("max_e4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4").cast("double") / 10000).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |                    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+      |                      AS rev_e4
+      |             FROM lineitem
+      |             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |               AND l_shipdate < TIMESTAMP '1998-01-01'
+      |             GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |       CAST(r.rev_e4 AS DOUBLE) / 10000 AS total_revenue
+      |FROM rev r
+      |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
@@ -2407,6 +2577,10 @@ object Relational {
     "revenue_pareto_share" -> ((s, d) => revenueParetoShare(s, d)),
     "nation_revenue_yoy"  -> ((s, d) => nationRevenueYoy(s, d)),
     "orders_recon"        -> ((s, d) => ordersRecon(s, d)),
+    "shipping_priority"   -> ((s, d) => shippingPriority(s, d)),
+    "promo_revenue"       -> ((s, d) => promoRevenue(s, d)),
+    "late_order_priority" -> ((s, d) => lateOrderPriority(s, d)),
+    "top_supplier"        -> ((s, d) => topSupplier(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2453,6 +2627,10 @@ object Relational {
     "revenue_pareto_share" -> revenueParetoShareSql,
     "nation_revenue_yoy"   -> nationRevenueYoySql,
     "orders_recon"         -> ordersReconSql,
+    "shipping_priority"    -> shippingPrioritySql,
+    "promo_revenue"        -> promoRevenueSql,
+    "late_order_priority"  -> lateOrderPrioritySql,
+    "top_supplier"         -> topSupplierSql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

@@ -2453,6 +2453,79 @@ object TextAnalysis {
             "CAST(sum(pt_micros) AS DOUBLE) / count(*) / 1e6", 4)} AS mean_log_odds
        |FROM bb GROUP BY band ORDER BY band""".stripMargin
 
+  /** TOKEN-BUDGET SURVIVAL CURVE: for every [[qualityCalibration]]
+    * score band, how many docs and tokens land there and — the number
+    * an operator actually reads — how many docs/tokens SURVIVE a
+    * threshold set at that band ("cut at −0.2 nats/feature and 83% of
+    * tokens remain"). [[qualityCalibration]] says where the scorer is
+    * trustworthy; this says what each candidate cutoff costs in
+    * training tokens, which is how production thresholds are actually
+    * chosen (quality targets are negotiated against token budgets).
+    *
+    * Determinism: identical two-floor banding to the calibration table
+    * (integerise the per-feature log-odds, then an IEEE floor — never
+    * integer division, which diverges on negative scores across
+    * engines); token counts are exact integers. Scale: rides the NB
+    * score's shuffles plus one doc_id join; the survival cumsum is a
+    * band≥band self-join of the ≤ 2·[[CalibBandClamp]]-row band frame
+    * (broadcast, integer sums) — the no-corpus-window discipline, same
+    * as the forecast's join-shift move. */
+  def qualitySurvivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = nbScored(spark, sfDir)
+    val lab = gopherLabeled(spark, sfDir, GopherMinWords)
+      .select(col("doc_id"), col("n_words"))
+    val per = nb.join(lab, "doc_id").filter(col("n_feats") > 0)
+      .withColumn("pt_micros",
+        floor(col("nb_micros").cast("double") / col("n_feats") + 0.5).cast("long"))
+      .withColumn("band",
+        greatest(lit(-CalibBandClamp), least(lit(CalibBandClamp - 1),
+          floor(col("pt_micros").cast("double") / CalibBandMicros).cast("long")))
+          .cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"))
+    val tot = per.agg(sum("tokens").as("tot_tokens"))
+    per.join(broadcast(per.select(col("band").as("b2"),
+        col("n_docs").as("d2"), col("tokens").as("t2"))),
+        col("b2") >= col("band"))
+      .groupBy("band", "n_docs", "tokens")
+      .agg(sum("d2").as("surv_docs"), sum("t2").as("surv_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n_docs"), col("tokens"),
+        col("surv_docs"), col("surv_tokens"),
+        Det.r(col("surv_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("surv_token_share"))
+      .orderBy("band")
+  }
+
+  /** DuckDB twin — [[nbChainCtes]], the calibration banding, and the
+    * same band≥band join cumsum. */
+  val qualitySurvivalCurveSql: String =
+    s"""WITH $nbChainCtes,
+       |sc AS (SELECT g.doc_id, n_feats,
+       |              prior_micros + ratio_micros AS nb_micros
+       |       FROM g CROSS JOIN pr),
+       |bd AS (SELECT s.doc_id, l.n_words,
+       |              CAST(floor(CAST(nb_micros AS DOUBLE) / n_feats + 0.5)
+       |                   AS BIGINT) AS pt_micros
+       |       FROM sc s JOIN lab l USING (doc_id)
+       |       WHERE n_feats > 0),
+       |per AS (SELECT CAST(greatest(-$CalibBandClamp, least(${CalibBandClamp - 1},
+       |               CAST(floor(CAST(pt_micros AS DOUBLE) / $CalibBandMicros)
+       |                    AS BIGINT))) AS INT) AS band,
+       |               count(*) AS n_docs,
+       |               CAST(sum(n_words) AS BIGINT) AS tokens
+       |        FROM bd GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens FROM per)
+       |SELECT a.band, a.n_docs, a.tokens,
+       |       CAST(sum(b.n_docs) AS BIGINT) AS surv_docs,
+       |       CAST(sum(b.tokens) AS BIGINT) AS surv_tokens,
+       |       ${Det.rSql(
+        "CAST(sum(b.tokens) AS DOUBLE) / CAST(any_value(tot_tokens) AS DOUBLE)",
+        6)} AS surv_token_share
+       |FROM per a JOIN per b ON b.band >= a.band CROSS JOIN tot
+       |GROUP BY a.band, a.n_docs, a.tokens
+       |ORDER BY a.band""".stripMargin
+
   /** −ln(0.4), the stupid-backoff discount as a shared DECIMAL LITERAL —
     * both engines parse the same shortest-repr decimal to the same
     * double, removing one libm call from the cross-engine surface. */
@@ -2940,6 +3013,7 @@ object TextAnalysis {
     "dsir_weights"     -> ((s, d) => dsirWeights(s, d)),
     "nb_quality_score" -> ((s, d) => nbQualityScore(s, d)),
     "quality_calibration" -> ((s, d) => qualityCalibration(s, d)),
+    "quality_survival_curve" -> ((s, d) => qualitySurvivalCurve(s, d)),
     "bigram_lm_score"  -> ((s, d) => bigramLmScore(s, d)),
   )
 
@@ -2980,6 +3054,7 @@ object TextAnalysis {
     "dsir_weights"     -> dsirWeightsSql,
     "nb_quality_score" -> nbQualityScoreSql,
     "quality_calibration" -> qualityCalibrationSql,
+    "quality_survival_curve" -> qualitySurvivalCurveSql,
     "bigram_lm_score"  -> bigramLmScoreSql,
   )
 }

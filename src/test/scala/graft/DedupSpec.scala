@@ -260,4 +260,34 @@ class DedupSpec extends AnyFunSuite {
       g.head.getAs[Long]("container") == 2L &&
       g.head.getAs[Double]("containment") == 1.0)
   }
+
+  test("dup_cluster_size_dist: bands partition the corpus; reconciles dedup_stats") {
+    val rows = queries.Dedup.dupClusterSizeDist(spark, sf).collect()
+      .sortBy(_.getAs[Int]("band"))
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // band geometry: bit-length bands, min_size = 2^(band-1), and the
+    // singleton band counts clusters == docs
+    rows.foreach { r =>
+      val band = r.getAs[Int]("band")
+      assert(band >= 1)
+      assert(r.getAs[Long]("min_size") == (1L << (band - 1)))
+      assert(r.getAs[Long]("n_clusters") > 0)
+      if (band == 1)
+        assert(r.getAs[Long]("n_clusters") == r.getAs[Long]("n_docs"))
+      else
+        assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters") *
+          r.getAs[Long]("min_size"))
+    }
+    // dup mass reconciles with the dedup_stats six-pack
+    val stats = queries.Dedup.dedupStats(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    val dupDocs = rows.filter(_.getAs[Int]("band") >= 2)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(dupDocs == stats("near_dup_docs"))
+    val dupClusters = rows.filter(_.getAs[Int]("band") >= 2)
+      .map(_.getAs[Long]("n_clusters")).sum
+    assert(dupClusters == stats("near_dup_clusters"))
+  }
 }

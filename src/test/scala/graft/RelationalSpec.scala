@@ -432,4 +432,77 @@ class RelationalSpec extends AnyFunSuite {
       assert(grp.count(_.getAs[Boolean]("is_canonical")) == 1)
     }
   }
+
+  test("shipping_priority: <=10 rows sorted by revenue, BUILDING pre-cut orders only") {
+    val rows = queries.Relational.shippingPriority(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("order_date") < "1998-01-01"))
+    val keys = rows.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.distinct.length == keys.length)
+    val segs = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isin(keys: _*))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment").distinct().as[String].collect()
+    assert(segs.toSet == Set("BUILDING"))
+  }
+
+  test("promo_revenue: pct in [0,100] and reconciles against a raw recompute") {
+    val rows = queries.Relational.promoRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("promo_pct")
+      assert(p >= 0.0 && p <= 100.0)
+      assert(r.getAs[Double]("promo_revenue") >= 0.0)
+    }
+    // raw recompute of one year's promo share in the same integer units
+    val yr = rows.head.getAs[Int]("yr")
+    val raw = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === yr)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long"))).as("u"),
+        (col("p_type") === "PROMO").as("promo"))
+      .agg(sum(when(col("promo"), col("u")).otherwise(0L)).as("p"),
+        sum("u").as("t")).head()
+    val expect = math.floor(
+      raw.getAs[Long]("p").toDouble * 100 / raw.getAs[Long]("t") * 1e4 + 0.5) / 1e4
+    assert(rows.head.getAs[Double]("promo_pct") == expect)
+  }
+
+  test("late_order_priority: counts equal a join+distinct recompute per priority") {
+    val rows = queries.Relational.lateOrderPriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prios = Set("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    assert(rows.forall(r => prios(r.getAs[String]("o_orderpriority"))))
+    val recompute = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late_orders") ==
+        recompute(r.getAs[String]("o_orderpriority")))
+    }
+  }
+
+  test("top_supplier: every row carries the global max revenue") {
+    val rows = queries.Relational.topSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1)
+    val mx = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))).as("u"))
+      .agg(max("u")).as[Long].head()
+    assert(revs.head == mx.toDouble / 10000)
+  }
 }

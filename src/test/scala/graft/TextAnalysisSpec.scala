@@ -261,6 +261,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       rows.head.getAs[Double]("pass_rate"))
   }
 
+  test("quality_survival_curve: survival is a proper reverse cumsum of the bands") {
+    val rows = queries.TextAnalysis.qualitySurvivalCurve(spark, sf).collect()
+      .sortBy(_.getAs[Int]("band"))
+    assert(rows.nonEmpty)
+    // same banding as the calibration table: identical band set + doc counts
+    val calib = queries.TextAnalysis.qualityCalibration(spark, sf).collect()
+      .map(r => r.getAs[Int]("band") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.map(r => r.getAs[Int]("band") -> r.getAs[Long]("n_docs")).toMap
+      == calib)
+    // reverse-cumsum law: surv(b) = Σ_{b' >= b} tokens(b'); lowest band = 100%
+    val totTokens = rows.map(_.getAs[Long]("tokens")).sum
+    var expect = totTokens
+    rows.foreach { r =>
+      assert(r.getAs[Long]("surv_tokens") == expect)
+      expect -= r.getAs[Long]("tokens")
+    }
+    assert(rows.head.getAs[Double]("surv_token_share") == 1.0)
+    val shares = rows.map(_.getAs[Double]("surv_token_share"))
+    shares.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
   test("bigram_lm_score: in-domain docs have lower NLL than out-of-domain docs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
