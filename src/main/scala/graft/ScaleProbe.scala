@@ -110,7 +110,7 @@ object ScaleProbe {
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
-    "top_supplier")
+    "top_supplier", "waiting_supplier")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -2567,6 +2567,60 @@ object Relational {
       |WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
       |ORDER BY s.s_suppkey""".stripMargin
 
+  /** WAITING SUPPLIER (TPC-H Q21 shape): on orders served by at least
+    * two suppliers, the suppliers who were the SOLE late shipper —
+    * per-supplier counts of orders they alone held up. The classic
+    * formulation is a double-correlated EXISTS / NOT EXISTS; here it
+    * decomposes declaratively into two bounded aggregations — per
+    * (order, supplier) late flags, then per-order supplier/late counts —
+    * and a narrow qualifying join, which is both the idiomatic Spark
+    * plan and engine-equal SQL (no correlated-subquery execution
+    * differences to paper over). "Late" = shipped more than 90 days
+    * after the order date, the [[lateOrderPriority]] convention (the
+    * fixtures carry no commit/receipt dates).
+    *
+    * Scale: one orders⋈lineitem equi join (bucketable on the order
+    * key), partial-agg-friendly groupBys on (order, supplier) then
+    * order, narrow int rows through every shuffle, broadcast supplier
+    * dim at the end; output ≤ |suppliers|. */
+  def waitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val os = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        1L).otherwise(0L)).as("late"))
+    val perOrder = os.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("late").as("n_late"))
+    os.filter(col("late") === 1)
+      .join(perOrder.filter(col("n_suppliers") >= 2 && col("n_late") === 1)
+        .select("l_orderkey"), "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+  }
+
+  val waitingSupplierSql: String =
+    """WITH os AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
+      |                   max(CASE WHEN l_shipdate >
+      |                              o_orderdate + INTERVAL 90 DAY
+      |                            THEN 1 ELSE 0 END) AS late
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |            GROUP BY 1, 2),
+      |po AS (SELECT okey, count(*) AS n_suppliers, sum(late) AS n_late
+      |       FROM os GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+      |FROM os JOIN po USING (okey)
+      |JOIN supplier s ON s.s_suppkey = os.skey
+      |WHERE os.late = 1 AND po.n_suppliers >= 2 AND po.n_late = 1
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_suppkey ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
@@ -2581,6 +2635,7 @@ object Relational {
     "promo_revenue"       -> ((s, d) => promoRevenue(s, d)),
     "late_order_priority" -> ((s, d) => lateOrderPriority(s, d)),
     "top_supplier"        -> ((s, d) => topSupplier(s, d)),
+    "waiting_supplier"    -> ((s, d) => waitingSupplier(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2631,6 +2686,7 @@ object Relational {
     "promo_revenue"        -> promoRevenueSql,
     "late_order_priority"  -> lateOrderPrioritySql,
     "top_supplier"         -> topSupplierSql,
+    "waiting_supplier"     -> waitingSupplierSql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

@@ -491,6 +491,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("waiting_supplier: counts match an in-memory sole-late recompute") {
+    val rows = queries.Relational.waitingSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // in-memory recompute on the small fixture: per (order, supplier)
+    // late flag, qualifying = late on a >=2-supplier order with exactly
+    // one late supplier
+    val odate = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("us")).toMap
+    val ninetyDaysUs = 90L * 24 * 3600 * 1000000L
+    val flags = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us")).collect()
+      .groupBy(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey")))
+      .map { case ((o, s), ls) =>
+        (o, s) -> ls.exists(_.getAs[Long]("us") > odate(o) + ninetyDaysUs)
+      }
+    val byOrder = flags.groupBy(_._1._1)
+    val expect = flags.toSeq
+      .filter { case ((o, _), late) =>
+        late && byOrder(o).size >= 2 && byOrder(o).count(_._2) == 1 }
+      .groupBy(_._1._2).map { case (s, qs) => s -> qs.size.toLong }
+    assert(rows.map(r =>
+      r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap == expect)
+    // sorted by numwait desc with suppkey tie-break
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("numwait"), r.getAs[Long]("s_suppkey")))
+    pairs.sliding(2).foreach { case Array((na, sa), (nb, sb)) =>
+      assert(na > nb || (na == nb && sa < sb))
+    }
+  }
+
   test("top_supplier: every row carries the global max revenue") {
     val rows = queries.Relational.topSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
