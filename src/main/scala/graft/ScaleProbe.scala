@@ -68,7 +68,8 @@ object ScaleProbe {
     "mm_dedup", "mm_near_dedup", "quality_agreement", "knn_components",
     "containment_pairs", "embedding_standardize",
     "containment_pairs_sketch", "ivf_modularity", "ivf_nprobe_curve",
-    "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist")
+    "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
+    "dedup_method_agreement")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -110,7 +111,7 @@ object ScaleProbe {
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
-    "top_supplier", "waiting_supplier")
+    "top_supplier", "waiting_supplier", "grouping_sets_orders")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -1807,6 +1807,92 @@ object Dedup {
        |WHERE n_clusters > 0
        |ORDER BY band""".stripMargin
 
+  /** DEDUP-METHOD AGREEMENT: the 2×2 confusion between the two
+    * probabilistic near-dup layers — is a doc flagged by the MinHash
+    * path (Jaccard ≥ 0.8, [[minhashLshDedup]]) and/or the SimHash path
+    * (Hamming ≤ 3, [[simhashDedup]]) — plus observed agreement and
+    * Cohen's κ, the [[graft.queries.TextAnalysis.qualityAgreement]]
+    * readout applied to dedup. A pipeline paying for two dedup passes
+    * at 100 TB needs exactly this: κ→1 says they're redundant (drop
+    * one), low κ with mass in both off-cells says they catch DIFFERENT
+    * duplicate geometries (keep both).
+    *
+    * Scale: both substrates are the banded-LSH pipelines (cost tracks
+    * dup density, not n²); per-doc flags are distinct-projected narrow
+    * id rows, two left joins on doc_id, one single-row agg. Empty
+    * corpus → zero rows (the n_docs > 0 guard, both engines). */
+  def dedupMethodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    def flagged(pairs: DataFrame, name: String): DataFrame =
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn(name, lit(true))
+    val mh = flagged(minhashLshDedup(spark, sfDir), "mh")
+    val sh = flagged(simhashPairs(spark, sfDir), "sh")
+    val j = Tables.documents(spark, sfDir).select("doc_id")
+      .join(mh.select("doc_id", "mh"), Seq("doc_id"), "left")
+      .join(sh.select("doc_id", "sh"), Seq("doc_id"), "left")
+      .select(coalesce(col("mh"), lit(false)).as("mh"),
+        coalesce(col("sh"), lit(false)).as("sh"))
+    val cells = j.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("mh") && col("sh"), 1)).as("both_dup"),
+      count(when(col("mh") && !col("sh"), 1)).as("minhash_only"),
+      count(when(!col("mh") && col("sh"), 1)).as("simhash_only"),
+      count(when(!col("mh") && !col("sh"), 1)).as("neither"))
+    val n = col("n_docs").cast("double")
+    val po = (col("both_dup") + col("neither")) / n
+    val pe = ((col("both_dup") + col("minhash_only")) / n) *
+      ((col("both_dup") + col("simhash_only")) / n) +
+      ((col("neither") + col("simhash_only")) / n) *
+        ((col("neither") + col("minhash_only")) / n)
+    cells.filter(col("n_docs") > 0)
+      .select(col("n_docs"), col("both_dup"), col("minhash_only"),
+        col("simhash_only"), col("neither"),
+        Det.r(po, 6).as("po"),
+        Det.r(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  /** Oracle: both layers by their EXACT definitions (the per-query hash
+    * gates already prove the LSH implementations equal these) — exact
+    * Jaccard ≥ 0.8 over the shingle-hash sets, Hamming ≤ 3 over the
+    * identically-constructed simhash — then the identical κ arithmetic. */
+  val dedupMethodAgreementSql: String = {
+    val n = "CAST(n_docs AS DOUBLE)"
+    val po = s"(both_dup + neither) / $n"
+    val pe = s"((both_dup + minhash_only) / $n) * ((both_dup + simhash_only) / $n)" +
+      s" + ((neither + simhash_only) / $n) * ((neither + minhash_only) / $n)"
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |$simhashSigCtes,
+       |mhp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+       |        WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |              >= 0.8),
+       |shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |mhd AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT doc_a AS doc_id FROM mhp
+       |         UNION ALL SELECT doc_b FROM mhp)),
+       |shd AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT doc_a AS doc_id FROM shp
+       |         UNION ALL SELECT doc_b FROM shp)),
+       |fl AS (SELECT m.doc_id IS NOT NULL AS mh, s.doc_id IS NOT NULL AS sh2
+       |       FROM documents d
+       |       LEFT JOIN mhd m ON m.doc_id = d.doc_id
+       |       LEFT JOIN shd s ON s.doc_id = d.doc_id),
+       |cells AS (SELECT count(*) AS n_docs,
+       |                 count(CASE WHEN mh AND sh2 THEN 1 END) AS both_dup,
+       |                 count(CASE WHEN mh AND NOT sh2 THEN 1 END) AS minhash_only,
+       |                 count(CASE WHEN NOT mh AND sh2 THEN 1 END) AS simhash_only,
+       |                 count(CASE WHEN NOT mh AND NOT sh2 THEN 1 END) AS neither
+       |          FROM fl)
+       |SELECT n_docs, both_dup, minhash_only, simhash_only, neither,
+       |       ${Det.rSql(po, 6)} AS po,
+       |       ${Det.rSql(s"CASE WHEN ($pe) < 1.0 THEN (($po) - ($pe)) / (1.0 - ($pe)) END", 6)} AS kappa
+       |FROM cells WHERE n_docs > 0""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup
   // --------------------------------------------------------------------
@@ -2113,6 +2199,7 @@ object Dedup {
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
     "dup_cluster_size_dist" -> ((s, d) => dupClusterSizeDist(s, d)),
+    "dedup_method_agreement" -> ((s, d) => dedupMethodAgreement(s, d)),
     "semdedup"             -> ((s, d) => semDedup(s, d)),
   )
 
@@ -2135,6 +2222,7 @@ object Dedup {
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,
     "dup_cluster_size_dist" -> dupClusterSizeDistSql,
+    "dedup_method_agreement" -> dedupMethodAgreementSql,
     "semdedup"             -> semDedupSql,
   )
 }

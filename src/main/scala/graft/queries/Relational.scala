@@ -166,6 +166,46 @@ object Relational {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   // ^ HAVING: same empty-input grand-total-row alignment as rollup_orders
 
+  /** GROUPING SETS proper — the arbitrary-sets aggregation rollup and
+    * cube can't express: ((status, priority), (priority), ()) is not a
+    * rollup prefix chain (no (status) set) and not the full cube
+    * lattice. `grouping()` flags disambiguate aggregation NULLs from
+    * (hypothetical) data NULLs on both engines. Same single-shuffle
+    * Expand-based plan as rollup/cube; the empty-input grand-total row
+    * is aligned the same HAVING way. */
+  def groupingSetsOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        (sum("price_c").cast("double") / 100).as("revenue"))
+      .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n_orders", "revenue")
+      .orderBy(col("g_status").asc, col("g_priority").asc,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val groupingSetsOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |HAVING count(*) > 0
+      |ORDER BY g_status ASC, g_priority ASC,
+      |         o_orderstatus ASC NULLS FIRST,
+      |         o_orderpriority ASC NULLS FIRST""".stripMargin
+  // ^ HAVING: same empty-input grand-total-row alignment as rollup_orders
+
   /** Exact interpolated percentiles (median / p90) over integer cents —
     * integer samples keep the interpolation arithmetic identical across
     * engines (Spark `percentile` and DuckDB `quantile_cont` share the
@@ -2636,6 +2676,7 @@ object Relational {
     "late_order_priority" -> ((s, d) => lateOrderPriority(s, d)),
     "top_supplier"        -> ((s, d) => topSupplier(s, d)),
     "waiting_supplier"    -> ((s, d) => waitingSupplier(s, d)),
+    "grouping_sets_orders" -> ((s, d) => groupingSetsOrders(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2687,6 +2728,7 @@ object Relational {
     "late_order_priority"  -> lateOrderPrioritySql,
     "top_supplier"         -> topSupplierSql,
     "waiting_supplier"     -> waitingSupplierSql,
+    "grouping_sets_orders" -> groupingSetsOrdersSql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

@@ -261,6 +261,24 @@ class DedupSpec extends AnyFunSuite {
       g.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("dedup_method_agreement: cells partition the corpus and match the pair frames") {
+    val r = queries.Dedup.dedupMethodAgreement(spark, sf).head()
+    val total = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_docs") == total)
+    assert(r.getAs[Long]("both_dup") + r.getAs[Long]("minhash_only") +
+      r.getAs[Long]("simhash_only") + r.getAs[Long]("neither") == total)
+    // flagged-doc masses reconcile with the two pair queries directly
+    val mhDocs = queries.Dedup.minhashLshDedup(spark, sf).collect()
+      .flatMap(p => Seq(p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
+    val shDocs = queries.Dedup.simhashDedup(spark, sf).collect()
+      .flatMap(p => Seq(p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet
+    assert(r.getAs[Long]("both_dup") == (mhDocs & shDocs).size)
+    assert(r.getAs[Long]("minhash_only") == (mhDocs -- shDocs).size)
+    assert(r.getAs[Long]("simhash_only") == (shDocs -- mhDocs).size)
+    val k = r.getAs[Double]("kappa")
+    assert(k >= -1.0 && k <= 1.0)
+  }
+
   test("dup_cluster_size_dist: bands partition the corpus; reconciles dedup_stats") {
     val rows = queries.Dedup.dupClusterSizeDist(spark, sf).collect()
       .sortBy(_.getAs[Int]("band"))

@@ -491,6 +491,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping_sets_orders: exactly the three declared sets, subtotals telescope") {
+    val rows = queries.Relational.groupingSetsOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def g(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("g_status"), r.getAs[Int]("g_priority"))
+    // only the declared sets appear: (0,0) leaves, (1,0) per-priority, (1,1) total
+    assert(rows.map(g).toSet == Set((0, 0), (1, 0), (1, 1)))
+    // no (status)-only set was requested -> no (0,1) rows (rollup would add it)
+    val leaves = rows.filter(g(_) == ((0, 0)))
+    val byPrio = rows.filter(g(_) == ((1, 0)))
+    val total = rows.filter(g(_) == ((1, 1)))
+    assert(total.length == 1)
+    assert(total.head.getAs[Long]("n_orders") ==
+      leaves.map(_.getAs[Long]("n_orders")).sum)
+    byPrio.foreach { sub =>
+      val p = sub.getAs[String]("o_orderpriority")
+      assert(sub.getAs[Long]("n_orders") ==
+        leaves.filter(_.getAs[String]("o_orderpriority") == p)
+          .map(_.getAs[Long]("n_orders")).sum)
+    }
+    // aggregation NULLs carry the grouping flag, data NULLs don't exist here
+    assert(byPrio.forall(r => r.isNullAt(r.fieldIndex("o_orderstatus"))))
+    assert(leaves.forall(r => !r.isNullAt(r.fieldIndex("o_orderstatus"))))
+  }
+
   test("waiting_supplier: counts match an in-memory sole-late recompute") {
     val rows = queries.Relational.waitingSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
