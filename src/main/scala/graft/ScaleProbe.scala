@@ -111,7 +111,8 @@ object ScaleProbe {
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
-    "top_supplier", "waiting_supplier", "grouping_sets_orders")
+    "top_supplier", "waiting_supplier", "grouping_sets_orders",
+    "order_backlog_monthly")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

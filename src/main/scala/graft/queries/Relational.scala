@@ -2661,6 +2661,81 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY numwait DESC, s_suppkey ASC""".stripMargin
 
+  /** MONTHLY ORDER BACKLOG — the interval-accounting ledger (how many
+    * orders are open at each month end, and how much value they hold):
+    * cumulative placements minus cumulative completions, where an
+    * order completes at greatest(last ship date, placement date) (the
+    * fixture ships some lines before the order date — the greatest()
+    * clamp keeps an order open from placement, never negative-age;
+    * orders with no lines never complete and honestly sit in the
+    * backlog forever). Shape: one per-order completion agg (orderkey
+    * shuffle), two |months|-bounded monthly aggs full-outer-merged,
+    * cumulative sums via the month≤month broadcast self-join on the
+    * bounded frame — the no-corpus-window discipline — and exact cents
+    * throughout. */
+  def orderBacklogMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+    val placed = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_placed"), sum("price_c").as("placed_c"))
+    val completed = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(greatest(col("last_ship"), col("o_orderdate")),
+        "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_completed"), sum("price_c").as("completed_c"))
+    val monthly = placed.join(completed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+        coalesce(col("placed_c"), lit(0L)).as("placed_c"),
+        coalesce(col("n_completed"), lit(0L)).as("n_completed"),
+        coalesce(col("completed_c"), lit(0L)).as("completed_c"))
+    monthly.join(broadcast(monthly.select(col("month").as("m2"),
+        col("n_placed").as("p2"), col("placed_c").as("pc2"),
+        col("n_completed").as("c2"), col("completed_c").as("cc2"))),
+        col("m2") <= col("month"))
+      .groupBy("month", "n_placed", "n_completed")
+      .agg((sum("p2") - sum("c2")).as("backlog_orders"),
+        ((sum("pc2") - sum("cc2")).cast("double") / 100).as("backlog_value"))
+      .select("month", "n_placed", "n_completed",
+        "backlog_orders", "backlog_value")
+      .orderBy("month")
+  }
+
+  val orderBacklogMonthlySql: String =
+    """WITH ord AS (SELECT o_orderkey, o_orderdate,
+      |                    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |             FROM orders),
+      |placed AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |                  count(*) AS n_placed,
+      |                  CAST(sum(price_c) AS BIGINT) AS placed_c
+      |           FROM ord GROUP BY 1),
+      |done AS (SELECT strftime(greatest(ls.last_ship, o.o_orderdate),
+      |                         '%Y-%m') AS month,
+      |                count(*) AS n_completed,
+      |                CAST(sum(o.price_c) AS BIGINT) AS completed_c
+      |         FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+      |               FROM lineitem GROUP BY 1) ls
+      |         JOIN ord o ON o.o_orderkey = ls.l_orderkey
+      |         GROUP BY 1),
+      |monthly AS (SELECT coalesce(p.month, d.month) AS month,
+      |                   coalesce(p.n_placed, 0) AS n_placed,
+      |                   coalesce(p.placed_c, 0) AS placed_c,
+      |                   coalesce(d.n_completed, 0) AS n_completed,
+      |                   coalesce(d.completed_c, 0) AS completed_c
+      |            FROM placed p FULL OUTER JOIN done d ON p.month = d.month)
+      |SELECT a.month, a.n_placed, a.n_completed,
+      |       CAST(sum(b.n_placed) - sum(b.n_completed) AS BIGINT)
+      |         AS backlog_orders,
+      |       CAST(sum(b.placed_c) - sum(b.completed_c) AS DOUBLE) / 100
+      |         AS backlog_value
+      |FROM monthly a JOIN monthly b ON b.month <= a.month
+      |GROUP BY a.month, a.n_placed, a.n_completed
+      |ORDER BY a.month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
@@ -2677,6 +2752,7 @@ object Relational {
     "top_supplier"        -> ((s, d) => topSupplier(s, d)),
     "waiting_supplier"    -> ((s, d) => waitingSupplier(s, d)),
     "grouping_sets_orders" -> ((s, d) => groupingSetsOrders(s, d)),
+    "order_backlog_monthly" -> ((s, d) => orderBacklogMonthly(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2729,6 +2805,7 @@ object Relational {
     "top_supplier"         -> topSupplierSql,
     "waiting_supplier"     -> waitingSupplierSql,
     "grouping_sets_orders" -> groupingSetsOrdersSql,
+    "order_backlog_monthly" -> orderBacklogMonthlySql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

@@ -491,6 +491,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("order_backlog_monthly: nonnegative ledger that drains to the lineless orders") {
+    val rows = queries.Relational.orderBacklogMonthly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // months sorted, backlog never negative (completion is clamped to
+    // greatest(last ship, placement) so cum_completed <= cum_placed)
+    val months = rows.map(_.getAs[String]("month"))
+    assert(months.sorted.toSeq == months.toSeq)
+    assert(rows.forall(_.getAs[Long]("backlog_orders") >= 0))
+    // totals: placements = all orders; completions = orders with lines;
+    // final backlog = orders that never ship (no lineitems)
+    val nOrders = Tables.orders(spark, sf).count()
+    val nLined = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf).select("l_orderkey").distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_.getAs[Long]("n_placed")).sum == nOrders)
+    assert(rows.map(_.getAs[Long]("n_completed")).sum == nLined)
+    assert(rows.last.getAs[Long]("backlog_orders") == nOrders - nLined)
+  }
+
   test("grouping_sets_orders: exactly the three declared sets, subtotals telescope") {
     val rows = queries.Relational.groupingSetsOrders(spark, sf).collect()
     assert(rows.nonEmpty)
