@@ -1175,6 +1175,81 @@ object Temporal {
        |WHERE kind = 1
        |ORDER BY event_id""".stripMargin
 
+  /** MULTI-TOUCH (LINEAR) ATTRIBUTION: every click of the user inside
+    * the 7-day window before (or at) a purchase shares that purchase's
+    * credit equally — the companion readout to [[purchaseAttribution]]
+    * (last-touch gives the closer all credit; linear pays the whole
+    * path, and marketing teams run both). Output is the full click
+    * ledger: touched-purchase count and summed fractional credit per
+    * click (zero-credit clicks included — the denominator of any
+    * conversion-rate readout).
+    *
+    * Shape: the [[rangeJoinBursts]] bin decomposition on (user, 7-day
+    * time bin) — each purchase probes its ≤ 2 bins, the exact interval
+    * filter runs after the equi-join, so the theta join never leaves
+    * hash-join land. Credit is rational with varying denominators, so
+    * each 1/n term is micro-integerised BEFORE the per-click sum (the
+    * bm25 per-term discipline); n itself rides alongside for exactness
+    * audits. Skew note: per-user pair cardinality (clicks × purchases
+    * inside the window) is INTRINSIC to multi-touch semantics — a bot
+    * user is quadratic in its event share, and the production
+    * mitigations are a shorter window or a clicks-per-purchase cap
+    * (both one-line filters here); the last-touch twin is the O(n)
+    * alternative when paths don't matter. */
+  def multiTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = AttributionWindowUs
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("ts_us").as("c_ts"), expr(s"ts_us DIV $W").as("bin"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"),
+        explode(sequence(expr(s"(ts_us - $W) DIV $W"), expr(s"ts_us DIV $W")))
+          .as("bin"))
+    val pairs = purch.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_ts") >= col("p_ts") - W && col("c_ts") <= col("p_ts"))
+      .select("p_id", "click_event_id")
+    val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("n"))
+    val credit = pairs.join(nPer, "p_id")
+      .groupBy("click_event_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(lit(1e6) / col("n") + 0.5).cast("long")).as("credit_micros"))
+    clicks.select("click_event_id", "user_id")
+      .join(credit, Seq("click_event_id"), "left")
+      .select(col("click_event_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        (coalesce(col("credit_micros"), lit(0L)).cast("double") / 1e6)
+          .as("credit"))
+      .orderBy("click_event_id")
+  }
+
+  /** Oracle: the plain theta join (DuckDB IEJoin affords it at oracle
+    * scale) + identical per-term micro-integerised credit — equality
+    * proves the bin decomposition loses/duplicates no pair. */
+  val multiTouchAttributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+       |           FROM events WHERE event_type IN ('click', 'purchase')),
+       |c AS (SELECT user_id, event_id AS click_event_id, ts_us AS c_ts
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts
+       |      FROM e WHERE event_type = 'purchase'),
+       |pairs AS (SELECT p.p_id, c.click_event_id
+       |          FROM p JOIN c ON c.user_id = p.user_id
+       |           AND c.c_ts >= p.p_ts - $AttributionWindowUs
+       |           AND c.c_ts <= p.p_ts),
+       |np AS (SELECT p_id, count(*) AS n FROM pairs GROUP BY 1),
+       |cr AS (SELECT click_event_id, count(*) AS n_purchases,
+       |              CAST(sum(CAST(floor(1e6 / n + 0.5) AS BIGINT)) AS BIGINT)
+       |                AS credit_micros
+       |       FROM pairs JOIN np USING (p_id) GROUP BY 1)
+       |SELECT c.click_event_id, c.user_id,
+       |       coalesce(cr.n_purchases, 0) AS n_purchases,
+       |       CAST(coalesce(cr.credit_micros, 0) AS DOUBLE) / 1e6 AS credit
+       |FROM c LEFT JOIN cr USING (click_event_id)
+       |ORDER BY click_event_id""".stripMargin
+
   // --------------------------------------------------------------------
   // Robust outliers (median absolute deviation)
   // --------------------------------------------------------------------
@@ -1937,6 +2012,7 @@ object Temporal {
     "interval_union"    -> ((s, d) => intervalUnion(s, d)),
     "events_mad_outliers" -> ((s, d) => eventsMadOutliers(s, d)),
     "purchase_attribution" -> ((s, d) => purchaseAttribution(s, d)),
+    "multi_touch_attribution" -> ((s, d) => multiTouchAttribution(s, d)),
     "cohort_ltv"          -> ((s, d) => cohortLtv(s, d)),
   )
 
@@ -1976,6 +2052,7 @@ object Temporal {
     "interval_union"    -> intervalUnionSql,
     "events_mad_outliers" -> eventsMadOutliersSql,
     "purchase_attribution" -> purchaseAttributionSql,
+    "multi_touch_attribution" -> multiTouchAttributionSql,
     "cohort_ltv"          -> cohortLtvSql,
   )
 }

@@ -845,6 +845,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("multi_touch_attribution: credits match an in-memory linear recompute") {
+    val got = queries.Temporal.multiTouchAttribution(spark, sf).collect()
+    val ev = Tables.eventsTs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .filter(e => e._3 == "click" || e._3 == "purchase")
+    val winUs = 7L * 24 * 3600 * 1000000
+    val byUser = ev.groupBy(_._2)
+    // pairs per the window rule, then per-term micro credits per click
+    val pairs = byUser.values.flatten.filter(_._3 == "purchase").flatMap { p =>
+      byUser(p._2).filter(c => c._3 == "click" &&
+        c._4 >= p._4 - winUs && c._4 <= p._4).map(c => (p._1, c._1))
+    }.toSeq
+    val nPer = pairs.groupBy(_._1).map { case (pid, ps) => pid -> ps.size }
+    val expect = pairs.groupBy(_._2).map { case (cid, ps) =>
+      cid -> (ps.size.toLong,
+        ps.map(pr => math.floor(1e6 / nPer(pr._1) + 0.5).toLong).sum)
+    }
+    // one output row per click; credits and counts match; zero rows zero
+    val clicks = ev.filter(_._3 == "click").map(_._1).toSet
+    assert(got.length == clicks.size)
+    got.foreach { r =>
+      val cid = r.getAs[Long]("click_event_id")
+      val (n, micros) = expect.getOrElse(cid, (0L, 0L))
+      assert(r.getAs[Long]("n_purchases") == n, s"click $cid n")
+      assert(r.getAs[Double]("credit") == micros.toDouble / 1e6, s"click $cid credit")
+    }
+    // total credit ≈ one unit per attributed purchase (micro-rounding only)
+    val totalMicros = expect.values.map(_._2).sum
+    assert(math.abs(totalMicros - nPer.size * 1000000L) <= nPer.size)
+    assert(got.exists(_.getAs[Long]("n_purchases") > 0) &&
+      got.exists(_.getAs[Long]("n_purchases") == 0))
+  }
+
   test("events_mad_outliers: medians are member values, rule matches recompute") {
     val rows = queries.Temporal.eventsMadOutliers(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
