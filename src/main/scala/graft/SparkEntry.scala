@@ -166,6 +166,19 @@ object SparkEntry {
         a.getOrElse("max_basket", "256").toInt)),
     "entity_resolution" -> ((s, d, a) =>
       Relational.entityResolution(s, d, a.getOrElse("max_dist", "2").toInt)),
+    "shipping_priority" -> ((s, d, a) =>
+      Relational.shippingPriority(s, d, a.getOrElse("segment", "BUILDING"))),
+    "late_order_priority" -> ((s, d, a) =>
+      Relational.lateOrderPriority(s, d, a.getOrElse("lag_days", "90").toInt)),
+    "waiting_supplier" -> ((s, d, a) =>
+      Relational.waitingSupplier(s, d, a.getOrElse("lag_days", "90").toInt)),
+    "multi_touch_attribution" -> ((s, d, a) =>
+      Temporal.multiTouchAttribution(s, d,
+        a.getOrElse("window_days", "7").toInt)),
+    "containment_pairs_sketch" -> ((s, d, a) =>
+      Dedup.containmentPairsSketch(s, d,
+        a.getOrElse("t", "0.8").toDouble,
+        a.getOrElse("k", "128").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

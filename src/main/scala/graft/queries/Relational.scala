@@ -2452,10 +2452,11 @@ object Relational {
     * per-partition partial top-k merged on the driver, NOT a global
     * sort. Revenue is exact integer cents·(100−disc) summed as
     * decimal(38,0), one final division; ties broken on o_orderkey. */
-  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING"): DataFrame = {
     val cut = lit("1998-01-01").cast("timestamp")
     val cust = Tables.customer(spark, sfDir)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") < cut)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
@@ -2540,7 +2541,9 @@ object Relational {
     * SEMI join on the order key with the ship-lag inequality as the
     * extra join predicate — one equi-shuffle, the semi short-circuits
     * per probe row, no fact×fact blowup and no distinct needed. */
-  def lateOrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+  def lateOrderPriority(spark: SparkSession, sfDir: String,
+                        lagDays: Int = 90): DataFrame = {
+    require(lagDays >= 0, s"lagDays must be nonnegative, got $lagDays")
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -2548,7 +2551,8 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
     ord.join(li,
         col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lagDays DAYS"),
         "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_late_orders"))
@@ -2623,14 +2627,17 @@ object Relational {
     * key), partial-agg-friendly groupBys on (order, supplier) then
     * order, narrow int rows through every shuffle, broadcast supplier
     * dim at the end; output ≤ |suppliers|. */
-  def waitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+  def waitingSupplier(spark: SparkSession, sfDir: String,
+                      lagDays: Int = 90): DataFrame = {
+    require(lagDays >= 0, s"lagDays must be nonnegative, got $lagDays")
     val os = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $lagDays DAYS"),
         1L).otherwise(0L)).as("late"))
     val perOrder = os.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_suppliers"), sum("late").as("n_late"))

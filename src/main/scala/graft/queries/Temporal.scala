@@ -1196,8 +1196,10 @@ object Temporal {
     * mitigations are a shorter window or a clicks-per-purchase cap
     * (both one-line filters here); the last-touch twin is the O(n)
     * alternative when paths don't matter. */
-  def multiTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = AttributionWindowUs
+  def multiTouchAttribution(spark: SparkSession, sfDir: String,
+                            windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val W = windowDays.toLong * 24 * 3600 * 1000000
     val ev = Tables.eventsTs(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))

@@ -220,6 +220,27 @@ class ArgsSpec extends AnyFunSuite {
     assert(aff(spark, sf, Map("top_n" -> "10")).count() == 10)
   }
 
+  test("late-shipment lag and attribution window honor their args monotonically") {
+    val late = SparkEntry.queriesWithArgs("late_order_priority")
+    def lateTotal(lag: String) =
+      late(spark, sf, Map("lag_days" -> lag)).collect()
+        .map(_.getAs[Long]("n_late_orders")).sum
+    // a stricter lateness bar (longer lag) can only shrink the late set
+    assert(lateTotal("30") >= lateTotal("90"))
+    assert(lateTotal("90") >= lateTotal("365"))
+    val mta = SparkEntry.queriesWithArgs("multi_touch_attribution")
+    def touched(days: String) =
+      mta(spark, sf, Map("window_days" -> days)).collect()
+        .map(_.getAs[Long]("n_purchases")).sum
+    // a wider window can only add (purchase, click) pairs
+    assert(touched("1") <= touched("7"))
+    assert(touched("7") <= touched("30"))
+    // defaults equal the fixed registry
+    assert(mta(spark, sf, Map.empty).collect().map(_.toString).toSeq ==
+      SparkEntry.queries("multi_touch_attribution")(spark, sf)
+        .collect().map(_.toString).toSeq)
+  }
+
   test("every args entry has a fixed-registry twin") {
     SparkEntry.queriesWithArgs.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
