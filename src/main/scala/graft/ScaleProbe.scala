@@ -69,7 +69,7 @@ object ScaleProbe {
     "containment_pairs", "embedding_standardize",
     "containment_pairs_sketch", "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
-    "dedup_method_agreement")
+    "dedup_method_agreement", "lang_source_chi2")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -112,7 +112,7 @@ object ScaleProbe {
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
-    "order_backlog_monthly")
+    "order_backlog_monthly", "supplier_hhi")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -2743,6 +2743,54 @@ object Relational {
       |GROUP BY a.month, a.n_placed, a.n_completed
       |ORDER BY a.month""".stripMargin
 
+  /** SUPPLIER CONCENTRATION (HHI) per ship year — the
+    * market-concentration readout (Herfindahl–Hirschman index:
+    * Σ share², 1/|suppliers| = perfectly even, 1 = monopoly) a
+    * procurement warehouse watches for vendor risk. Per-supplier-year
+    * revenue aggregates in exact cents; each share is micro-integerised
+    * to ppm FIRST (one fixed-parenthesization IEEE product/division +
+    * floor, the two-floor-banding discipline), so the quadratic sum is
+    * exact integer arithmetic — never a float Σx² whose magnitude
+    * outruns the 2⁵³ mantissa. Frames: |suppliers·years| then |years|,
+    * both bounded; the only fact-sized work is the first scan+agg. */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(year(col("l_shipdate")).as("yr"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("c"))
+    val tot = rev.groupBy("yr").agg(sum("c").as("tot"),
+      count(lit(1)).as("n_suppliers"))
+    rev.join(broadcast(tot), "yr")
+      .withColumn("share_ppm",
+        floor(col("c").cast("double") * 1e6 / col("tot").cast("double") + 0.5)
+          .cast("long"))
+      .groupBy("yr", "n_suppliers", "tot")
+      .agg(sum(col("share_ppm") * col("share_ppm")).as("hhi_p12"))
+      .select(col("yr"), col("n_suppliers"),
+        (col("tot").cast("double") / 100).as("total_revenue"),
+        Det.r(col("hhi_p12").cast("double") / 1e12, 6).as("hhi"))
+      .orderBy("yr")
+  }
+
+  val supplierHhiSql: String =
+    s"""WITH rev AS (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_suppkey,
+       |                    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+       |                         AS BIGINT) AS c
+       |             FROM lineitem GROUP BY 1, 2),
+       |tot AS (SELECT yr, CAST(sum(c) AS BIGINT) AS tot,
+       |               count(*) AS n_suppliers
+       |        FROM rev GROUP BY 1),
+       |sh AS (SELECT r.yr, t.n_suppliers, t.tot,
+       |              CAST(floor(CAST(r.c AS DOUBLE) * 1e6
+       |                         / CAST(t.tot AS DOUBLE) + 0.5) AS BIGINT)
+       |                AS share_ppm
+       |       FROM rev r JOIN tot t USING (yr))
+       |SELECT yr, n_suppliers,
+       |       CAST(tot AS DOUBLE) / 100 AS total_revenue,
+       |       ${Det.rSql(
+        "CAST(sum(share_ppm * share_ppm) AS DOUBLE) / 1e12", 6)} AS hhi
+       |FROM sh GROUP BY yr, n_suppliers, tot
+       |ORDER BY yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
@@ -2760,6 +2808,7 @@ object Relational {
     "waiting_supplier"    -> ((s, d) => waitingSupplier(s, d)),
     "grouping_sets_orders" -> ((s, d) => groupingSetsOrders(s, d)),
     "order_backlog_monthly" -> ((s, d) => orderBacklogMonthly(s, d)),
+    "supplier_hhi"        -> ((s, d) => supplierHhi(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2813,6 +2862,7 @@ object Relational {
     "waiting_supplier"     -> waitingSupplierSql,
     "grouping_sets_orders" -> groupingSetsOrdersSql,
     "order_backlog_monthly" -> orderBacklogMonthlySql,
+    "supplier_hhi"         -> supplierHhiSql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

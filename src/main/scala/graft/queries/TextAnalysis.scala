@@ -2526,6 +2526,87 @@ object TextAnalysis {
        |GROUP BY a.band, a.n_docs, a.tokens
        |ORDER BY a.band""".stripMargin
 
+  /** LANG×SOURCE INDEPENDENCE (χ²): is the language mix the same
+    * across sources, or does some source skew? — the contingency-table
+    * independence test run before trusting per-source quality deltas
+    * (a source whose lang mix differs confounds every per-source
+    * metric downstream). Emits the full bounded |langs×sources| cell
+    * table (observed, expected, each cell's χ² contribution) plus the
+    * corpus χ² and degrees of freedom as constant columns — the cell
+    * contributions ARE the diagnosis (which (lang, source) pair drives
+    * the dependence).
+    *
+    * Determinism: observed counts are integers; expected and each
+    * contribution are one fixed-parenthesization IEEE chain
+    * ((row·col)/n; ((d·d)/exp)·1e6) micro-floored PER CELL before the
+    * integer total — the two-floor discipline, no big float sums.
+    * Scale: one scan to the |langs×sources| frame; everything after is
+    * model-state-sized. */
+  def langSourceChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val rowT = obs.groupBy("lang").agg(sum("obs").as("row_t"))
+    val colT = obs.groupBy("source").agg(sum("obs").as("col_t"))
+    val nTot = obs.agg(sum("obs").as("n_tot"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"))
+    // FULL grid, zero-observation cells included — χ² charges an absent
+    // combination its whole expectation ((0−exp)²/exp = exp); building
+    // cells from non-empty observations alone would underestimate the
+    // statistic and break the marginal identities
+    val cells = rowT.crossJoin(broadcast(colT))
+      .join(broadcast(obs), Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("exp",
+        col("row_t").cast("double") * col("col_t") / col("n_tot"))
+      .withColumn("d", col("obs").cast("double") - col("exp"))
+      .withColumn("contrib_micros",
+        floor(col("d") * col("d") / col("exp") * 1e6 + 0.5).cast("long"))
+    val tot = cells.agg(sum("contrib_micros").as("chi2_micros"),
+      max((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("obs"),
+        Det.r(col("exp"), 4).as("expected"),
+        (col("contrib_micros").cast("double") / 1e6).as("contrib"),
+        (col("chi2_micros").cast("double") / 1e6).as("chi2"),
+        col("dof"))
+      .orderBy("lang", "source")
+  }
+
+  /** DuckDB twin — identical fixed-parenthesization per-cell chains. */
+  val langSourceChi2Sql: String =
+    s"""WITH obs AS (SELECT lang, source, count(*) AS obs
+       |             FROM documents GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_t
+       |       FROM obs GROUP BY 1),
+       |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_t
+       |       FROM obs GROUP BY 1),
+       |nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot,
+       |              count(DISTINCT lang) AS n_langs,
+       |              count(DISTINCT source) AS n_sources FROM obs),
+       |cells AS (SELECT r.lang, c.source,
+       |                 CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+       |                 CAST(r.row_t AS DOUBLE) * c.col_t / n.n_tot AS exp,
+       |                 CAST(coalesce(o.obs, 0) AS DOUBLE)
+       |                   - CAST(r.row_t AS DOUBLE) * c.col_t / n.n_tot AS d
+       |          FROM rt r CROSS JOIN ct c
+       |               LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+       |               CROSS JOIN nt n),
+       |cm AS (SELECT lang, source, obs, exp,
+       |              CAST(floor(d * d / exp * 1e6 + 0.5) AS BIGINT)
+       |                AS contrib_micros
+       |       FROM cells),
+       |tt AS (SELECT CAST(sum(contrib_micros) AS BIGINT) AS chi2_micros,
+       |              max((n_langs - 1) * (n_sources - 1)) AS dof
+       |       FROM cm CROSS JOIN nt)
+       |SELECT lang, source, obs,
+       |       ${Det.rSql("exp", 4)} AS expected,
+       |       CAST(contrib_micros AS DOUBLE) / 1e6 AS contrib,
+       |       CAST(chi2_micros AS DOUBLE) / 1e6 AS chi2, dof
+       |FROM cm CROSS JOIN tt
+       |ORDER BY lang, source""".stripMargin
+
   /** −ln(0.4), the stupid-backoff discount as a shared DECIMAL LITERAL —
     * both engines parse the same shortest-repr decimal to the same
     * double, removing one libm call from the cross-engine surface. */
@@ -3014,6 +3095,7 @@ object TextAnalysis {
     "nb_quality_score" -> ((s, d) => nbQualityScore(s, d)),
     "quality_calibration" -> ((s, d) => qualityCalibration(s, d)),
     "quality_survival_curve" -> ((s, d) => qualitySurvivalCurve(s, d)),
+    "lang_source_chi2" -> ((s, d) => langSourceChi2(s, d)),
     "bigram_lm_score"  -> ((s, d) => bigramLmScore(s, d)),
   )
 
@@ -3055,6 +3137,7 @@ object TextAnalysis {
     "nb_quality_score" -> nbQualityScoreSql,
     "quality_calibration" -> qualityCalibrationSql,
     "quality_survival_curve" -> qualitySurvivalCurveSql,
+    "lang_source_chi2" -> langSourceChi2Sql,
     "bigram_lm_score"  -> bigramLmScoreSql,
   )
 }

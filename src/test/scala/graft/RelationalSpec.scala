@@ -491,6 +491,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("supplier_hhi: bounded by evenness and monopoly; matches a share recompute") {
+    val rows = queries.Relational.supplierHhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      // Σ share² is minimized at 1/n (even split) and maxed at 1 (monopoly);
+      // ppm rounding can dip a hair below the floor
+      assert(hhi >= 1.0 / n - 1e-4 && hhi <= 1.0 + 1e-9, s"yr ${r.get(0)}: $hhi")
+    }
+    // recompute one year from raw cents with the same ppm integerisation
+    val yr = rows.head.getAs[Int]("yr")
+    val cents = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === yr)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val tot = cents.sum.toDouble
+    val hhiExpect = cents.map(c =>
+      math.floor(c.toDouble * 1e6 / tot + 0.5).toLong).map(p => p * p).sum
+    assert(rows.head.getAs[Double]("hhi") ==
+      math.floor(hhiExpect / 1e12 * 1e6 + 0.5) / 1e6)
+  }
+
   test("order_backlog_monthly: nonnegative ledger that drains to the lineless orders") {
     val rows = queries.Relational.orderBacklogMonthly(spark, sf).collect()
     assert(rows.nonEmpty)

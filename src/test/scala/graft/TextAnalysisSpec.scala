@@ -282,6 +282,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     shares.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
 
+  test("lang_source_chi2: cells partition the corpus; chi2 telescopes from contribs") {
+    val rows = queries.TextAnalysis.langSourceChi2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == total)
+    // marginals: expected sums back to the row totals (within cell rounding)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cells) =>
+      val obsRow = cells.map(_.getAs[Long]("obs")).sum.toDouble
+      val expRow = cells.map(_.getAs[Double]("expected")).sum
+      assert(math.abs(expRow - obsRow) < 0.01 * cells.length + 1e-6)
+    }
+    // the constant chi2 column telescopes from the per-cell contributions
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(rows.forall(_.getAs[Double]("chi2") == chi2))
+    val sumContrib = rows.map(r =>
+      math.round(r.getAs[Double]("contrib") * 1e6)).sum
+    assert(math.round(chi2 * 1e6) == sumContrib)
+    val dof = rows.head.getAs[Long]("dof")
+    val nl = rows.map(_.getAs[String]("lang")).distinct.length
+    val ns = rows.map(_.getAs[String]("source")).distinct.length
+    assert(dof == (nl - 1).toLong * (ns - 1))
+    assert(chi2 >= 0)
+  }
+
   test("bigram_lm_score: in-domain docs have lower NLL than out-of-domain docs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
