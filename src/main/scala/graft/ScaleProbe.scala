@@ -112,7 +112,7 @@ object ScaleProbe {
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
-    "order_backlog_monthly", "supplier_hhi")
+    "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

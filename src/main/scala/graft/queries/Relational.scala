@@ -2791,6 +2791,69 @@ object Relational {
        |FROM sh GROUP BY yr, n_suppliers, tot
        |ORDER BY yr""".stripMargin
 
+  /** ROBUST REVENUE TREND (Theil–Sen): the median of all pairwise
+    * day-to-day slopes of daily order revenue, plus the matching
+    * median intercept — the trend estimator a few corrupted days
+    * cannot drag (OLS moves with every outlier; the pairwise-slope
+    * median has a 29% breakdown point). The daily frame is
+    * CALENDAR-BOUNDED (|days|, not corpus-sized), so the all-pairs
+    * slope set (|days|²/2) is model-state-sized no matter how many
+    * orders exist — the one place an O(n²) construction is free at
+    * 100 TB. Each slope is micro-integerised per pair (exact integer
+    * inputs, one fixed-parenthesization IEEE division), medians are
+    * the exact interpolated percentile both engines share
+    * ([[percentilePrices]] precedent), and the intercept reuses the
+    * 1-row slope as broadcast model state. Empty corpus → zero rows. */
+  def revenueTrendTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+    val pairs = daily.select(col("d").as("d1"), col("c").as("c1"))
+      .join(daily.select(col("d").as("d2"), col("c").as("c2")),
+        col("d1") < col("d2"))
+      .select(floor((col("c2") - col("c1")).cast("double") * 1e6 /
+        (col("d2") - col("d1")) + 0.5).cast("long").as("slope_u"))
+    val slope = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(slope_u, 0.5D)").as("slope_u_med"))
+    val inter = daily.crossJoin(broadcast(slope))
+      .select((col("c").cast("double") * 1e6 -
+        col("slope_u_med") * col("d")).as("i_u"),
+        col("n_pairs"), col("slope_u_med"))
+      .groupBy("n_pairs", "slope_u_med")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(i_u, 0.5D)").as("i_u_med"))
+    inter.filter(col("n_days") > 0)
+      .select(col("n_days"), col("n_pairs"),
+        Det.r(col("slope_u_med") / 1e8, 6).as("slope_dollars_per_day"),
+        Det.r(col("i_u_med") / 1e8, 4).as("intercept_dollars"))
+  }
+
+  /** DuckDB twin — quantile_cont shares Spark percentile's p·(n−1)
+    * interpolation on the identical integer micro samples. */
+  val revenueTrendTheilSenSql: String =
+    s"""WITH daily AS (SELECT date_diff('day', DATE '1995-01-01',
+       |                                CAST(o_orderdate AS DATE)) AS d,
+       |                      CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+       |                           AS BIGINT) AS c
+       |               FROM orders GROUP BY 1),
+       |pairs AS (SELECT CAST(floor(CAST(b.c - a.c AS DOUBLE) * 1e6
+       |                            / (b.d - a.d) + 0.5) AS BIGINT) AS slope_u
+       |          FROM daily a JOIN daily b ON a.d < b.d),
+       |sl AS (SELECT count(*) AS n_pairs,
+       |              quantile_cont(slope_u, 0.5) AS slope_u_med
+       |       FROM pairs),
+       |iv AS (SELECT n_pairs, slope_u_med, count(*) AS n_days,
+       |              quantile_cont(CAST(c AS DOUBLE) * 1e6
+       |                            - slope_u_med * d, 0.5) AS i_u_med
+       |       FROM daily CROSS JOIN sl
+       |       GROUP BY 1, 2)
+       |SELECT n_days, n_pairs,
+       |       ${Det.rSql("slope_u_med / 1e8", 6)} AS slope_dollars_per_day,
+       |       ${Det.rSql("i_u_med / 1e8", 4)} AS intercept_dollars
+       |FROM iv WHERE n_days > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
@@ -2809,6 +2872,7 @@ object Relational {
     "grouping_sets_orders" -> ((s, d) => groupingSetsOrders(s, d)),
     "order_backlog_monthly" -> ((s, d) => orderBacklogMonthly(s, d)),
     "supplier_hhi"        -> ((s, d) => supplierHhi(s, d)),
+    "revenue_trend_theilsen" -> ((s, d) => revenueTrendTheilSen(s, d)),
     "l_diversity"         -> ((s, d) => lDiversity(s, d)),
     "t_closeness"         -> ((s, d) => tCloseness(s, d)),
     "basket_rules"        -> ((s, d) => basketRules(s, d)),
@@ -2863,6 +2927,7 @@ object Relational {
     "grouping_sets_orders" -> groupingSetsOrdersSql,
     "order_backlog_monthly" -> orderBacklogMonthlySql,
     "supplier_hhi"         -> supplierHhiSql,
+    "revenue_trend_theilsen" -> revenueTrendTheilSenSql,
     "l_diversity"          -> lDiversitySql,
     "t_closeness"          -> tClosenessSql,
     "basket_rules"         -> basketRulesSql,

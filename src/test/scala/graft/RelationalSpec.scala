@@ -491,6 +491,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue_trend_theilsen: matches an in-memory pairwise-median recompute") {
+    val r = queries.Relational.revenueTrendTheilSen(spark, sf).head()
+    val daily = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(x => (x.getAs[Int]("d"), x.getAs[Long]("c")))
+    assert(r.getAs[Long]("n_days") == daily.length)
+    val slopes = (for {
+      (d1, c1) <- daily; (d2, c2) <- daily if d1 < d2
+    } yield math.floor((c2 - c1).toDouble * 1e6 / (d2 - d1) + 0.5).toLong)
+      .sorted
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    // exact interpolated median (percentile/quantile_cont definition)
+    def medCont(xs: Seq[Double]): Double = {
+      val p = 0.5 * (xs.length - 1)
+      val lo = p.toInt
+      if (lo + 1 >= xs.length) xs(lo)
+      else xs(lo) + (p - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val slopeMed = medCont(slopes.map(_.toDouble))
+    assert(r.getAs[Double]("slope_dollars_per_day") ==
+      math.floor(slopeMed / 1e8 * 1e6 + 0.5) / 1e6)
+    val interMed = medCont(daily.map { case (d, c) =>
+      c.toDouble * 1e6 - slopeMed * d }.sorted.toIndexedSeq)
+    assert(r.getAs[Double]("intercept_dollars") ==
+      math.floor(interMed / 1e8 * 1e4 + 0.5) / 1e4)
+    // a robust trend over a growing synthetic ledger should be finite
+    assert(!r.getAs[Double]("slope_dollars_per_day").isNaN)
+  }
+
   test("supplier_hhi: bounded by evenness and monopoly; matches a share recompute") {
     val rows = queries.Relational.supplierHhi(spark, sf).collect()
     assert(rows.nonEmpty)
