@@ -2804,43 +2804,6 @@ object Relational {
     * the exact interpolated percentile both engines share
     * ([[percentilePrices]] precedent), and the intercept reuses the
     * 1-row slope as broadcast model state. Empty corpus → zero rows. */
-  /** Exact interpolated median of a long column WITHOUT the built-in
-    * `percentile` aggregate, whose object-boxed count map prices an
-    * all-distinct multi-million-sample input at ~10 s. Strategy:
-    * approx quantiles pick a PRUNING band around the median (their
-    * error only affects how much is pruned, never the answer — the
-    * rank arithmetic below is exact), exact counts locate the global
-    * ranks, and a TakeOrdered of the band materializes just the values
-    * up to rank ⌈p(n−1)⌉ past the band floor (~3% of the input). Any
-    * band miss falls back to the slow-but-sure aggregate. Returns the
-    * same p·(n−1) linear interpolation `percentile`/`quantile_cont`
-    * compute, on the identical values. */
-  private def exactMedianLong(df: DataFrame, c: String,
-                              n: Long): Option[Double] = {
-    if (n == 0) return None
-    val pos = 0.5 * (n - 1)
-    val r0 = pos.toLong
-    val frac = pos - r0
-    val band = df.stat.approxQuantile(c, Array(0.45, 0.55), 0.01)
-    lazy val fallback =
-      Some(df.agg(expr(s"percentile($c, 0.5D)")).head().getDouble(0))
-    if (band.length < 2) return fallback
-    val (lo, hi) = (band(0), band(1))
-    val nBelow = df.filter(col(c) < lo).count()
-    val inBand = df.filter(col(c) >= lo && col(c) <= hi)
-    val nBand = inBand.count()
-    // need values at indices r0 and r0+1 (when frac > 0); both must
-    // land inside [nBelow, nBelow + nBand)
-    val lastIdx = if (frac > 0) r0 + 1 else r0
-    if (nBelow > r0 || nBelow + nBand <= lastIdx) return fallback
-    val local = inBand.orderBy(col(c).asc)
-      .limit((lastIdx - nBelow + 1).toInt)
-      .collect().map(_.getLong(0))
-    val v0 = local((r0 - nBelow).toInt).toDouble
-    val v1 = local((lastIdx - nBelow).toInt).toDouble
-    Some(v0 + frac * (v1 - v0))
-  }
-
   def revenueTrendTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
@@ -2856,7 +2819,8 @@ object Relational {
       // model state, not a corpus-sized frame
       .cache()
     val nPairs = pairs.count()
-    val slopeMed = exactMedianLong(pairs, "slope_u", nPairs)
+    val slopeMed =
+      graft.operators.Selection.quantileCont(pairs, "slope_u", 0.5, nPairs)
     pairs.unpersist()
     val slopeCol = slopeMed.map(lit).getOrElse(lit(null).cast("double"))
     val inter = daily
