@@ -8,53 +8,133 @@ import org.apache.spark.sql.functions._
   * prices an all-distinct multi-million-sample input at ~10 s — the
   * measured `revenue_trend_theilsen` incident, PERF.md).
   *
-  * Strategy: `approxQuantile` picks a PRUNING band around the target —
-  * its error only affects how much survives pruning, never the answer,
-  * because the rank arithmetic below is exact — then one exact count
-  * locates the band's global offset and a TakeOrdered of the band
-  * materializes just the values up to the target rank (a few percent of
-  * the input for a median). A band that misses the ranks falls back to
-  * the slow-but-sure aggregate, so the result is ALWAYS the same
-  * p·(n−1) linear interpolation `percentile` (Spark) and
-  * `quantile_cont` (DuckDB) compute on the identical values.
+  * Strategy: iterative approx-pruned selection. Each round,
+  * `approxQuantile` picks a PRUNING band around the target rank — its
+  * error only affects how much survives pruning, never the answer,
+  * because the rank arithmetic below is exact — then ONE aggregate pass
+  * counts rows below the band and inside it, re-anchoring the target
+  * rank inside the shrunken band. Rounds repeat until the band holds at
+  * most [[Selection.CollectCap]] values (each round shrinks the
+  * candidate set by ~(2·margin + 2·relErr), i.e. ~8× per round), and
+  * only THEN does the driver collect — so driver memory is O(cap),
+  * independent of n. A degenerate constant band (lo == hi) short-
+  * circuits: every in-band value equals lo, so the answer is lo with no
+  * collect at all (this is also what makes heavy-duplicate inputs
+  * converge — a band that stops shrinking because one value carries the
+  * target rank's mass resolves immediately). A band that misses the
+  * target ranks, or a pathological input that fails to shrink within
+  * [[Selection.MaxRounds]], falls back to the slow-but-sure built-in
+  * aggregate, so the result is ALWAYS the identical
+  * `(1−frac)·lower + frac·higher` linear interpolation `percentile`
+  * (Spark) and `quantile_cont` (DuckDB) compute — same parenthesization
+  * as Spark's Percentile.getPercentile, so the fast and fallback paths
+  * agree to the last ulp.
   *
-  * 100 TB story: three scan-shaped passes (approx sketch, filter-count,
-  * TakeOrdered) over the input — each fully distributed, partial-agg /
-  * bounded-heap shaped — plus a driver collect of the sub-rank band
-  * slice (model state, ~p·err·n values). No SinglePartition sort of
-  * the data ever happens on the fast path. */
+  * 100 TB story: O(log n) scan-shaped passes (approx sketch + one
+  * two-way conditional-count aggregate per round) over the input — each
+  * fully distributed and partial-agg shaped — plus a driver collect
+  * hard-capped at [[Selection.CollectCap]] values (asserted). No
+  * SinglePartition sort of the data ever happens on the fast path, and
+  * the collect no longer scales with n (the r9 verdict's O(err·n)
+  * band-prefix collect is gone). */
 object Selection {
 
-  /** Exact interpolated quantile of a long column. `n` is the exact
-    * row count (callers usually already have it; pass `df.count()`
-    * otherwise). Returns None iff n == 0. */
+  /** Hard cap on driver-collected band values — the fast path asserts
+    * the collected slice is within it. 64k longs ≈ 512 KB. */
+  val CollectCap = 65536
+
+  /** Pruning rounds before giving up on the fast path. Each round
+    * shrinks the band ~8×, so 12 rounds cover n up to ~8^12·cap ≈ 10^15
+    * rows — comfortably past 100 TB of 8-byte keys. */
+  val MaxRounds = 12
+
+  /** Test instrumentation: size of the last fast-path band collect and
+    * pruning rounds taken (-1 = last call resolved without collecting:
+    * fallback aggregate or constant-band short-circuit). */
+  @volatile private[graft] var lastCollected: Int = -1
+  @volatile private[graft] var lastRounds: Int = -1
+
+  /** Exact interpolated quantile of a long column. `n` MUST be the
+    * exact NON-NULL row count of `c` (percentile/quantile_cont ignore
+    * nulls; passing `df.count()` on a column with nulls yields a wrong
+    * rank anchor — callers with nullable columns must pass
+    * `df.filter(col(c).isNotNull).count()`). Returns None iff n == 0. */
   def quantileCont(df: DataFrame, c: String, p: Double,
                    n: Long): Option[Double] = {
     require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    lastCollected = -1
+    lastRounds = -1
     if (n == 0) return None
     val pos = p * (n - 1)
     val r0 = pos.toLong
     val frac = pos - r0
-    val margin = 0.05
-    val band = df.stat.approxQuantile(c,
-      Array(math.max(0, p - margin), math.min(1, p + margin)), 0.01)
-    lazy val fallback =
-      Some(df.agg(expr(s"percentile($c, CAST($p AS DOUBLE))"))
-        .head().getDouble(0))
-    if (band.length < 2) return fallback
-    val (lo, hi) = (band(0), band(1))
-    val nBelow = df.filter(col(c) < lo).count()
-    val inBand = df.filter(col(c) >= lo && col(c) <= hi)
-    val nBand = inBand.count()
-    // values needed at indices r0 and (when interpolating) r0+1; both
-    // must land inside [nBelow, nBelow + nBand)
+    // values needed at global ranks r0 and (when interpolating) r0+1
     val lastIdx = if (frac > 0) r0 + 1 else r0
-    if (nBelow > r0 || nBelow + nBand <= lastIdx) return fallback
-    val local = inBand.orderBy(col(c).asc)
-      .limit((lastIdx - nBelow + 1).toInt)
+    val base = df.filter(col(c).isNotNull)
+    lazy val fallback =
+      Some(base.agg(expr(s"percentile($c, CAST($p AS DOUBLE))"))
+        .head().getDouble(0))
+    val margin = 0.05
+
+    // Iteratively shrink the candidate band until it fits CollectCap.
+    var cur = base          // rows that can still hold ranks r0..lastIdx
+    var curBelow = 0L       // exact count of rows below `cur`'s range
+    var curN = n            // exact count of rows in `cur`
+    var rounds = 0
+    while (curN > CollectCap) {
+      if (rounds >= MaxRounds) return fallback
+      rounds += 1
+      // target rank relative to the current band, as a quantile of it
+      val pRel =
+        if (curN == 1) 0.5
+        else (r0 - curBelow).toDouble / (curN - 1)
+      val band = cur.stat.approxQuantile(c,
+        Array(math.max(0, pRel - margin), math.min(1, pRel + margin)),
+        0.01)
+      if (band.length < 2) return fallback
+      val (lo, hi) = (band(0), band(1))
+      // one constant dominates the band: every in-band value IS lo
+      if (lo == hi) {
+        val counts = cur.agg(
+          sum(when(col(c) < lo, 1L)).as("nb"),
+          sum(when(col(c) === lo, 1L)).as("ni")).head()
+        val nb = curBelow +
+          (if (counts.isNullAt(0)) 0L else counts.getLong(0))
+        val ni = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        if (nb <= r0 && r0 < nb + ni) {
+          // rank r0 value is lo; if lastIdx also inside, answer is lo
+          if (lastIdx < nb + ni) return Some(lo)
+          // v1 is the smallest value above lo — a bounded-heap pass
+          val v1 = cur.filter(col(c) > lo).agg(min(col(c))).head()
+          if (v1.isNullAt(0)) return fallback
+          return Some((1 - frac) * lo + frac * v1.getLong(0).toDouble)
+        }
+        return fallback
+      }
+      // one pass: rows strictly below the band, rows inside it
+      val counts = cur.agg(
+        sum(when(col(c) < lo, 1L)).as("nb"),
+        sum(when(col(c) >= lo && col(c) <= hi, 1L)).as("ni")).head()
+      val nBelow = curBelow +
+        (if (counts.isNullAt(0)) 0L else counts.getLong(0))
+      val nBand = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      // both target ranks must land inside [nBelow, nBelow + nBand)
+      if (nBelow > r0 || nBelow + nBand <= lastIdx) return fallback
+      if (nBand >= curN) return fallback // not shrinking: give up
+      cur = cur.filter(col(c) >= lo && col(c) <= hi)
+      curBelow = nBelow
+      curN = nBand
+    }
+    // band fits the cap: collect it whole, sorted — O(cap) driver memory
+    val local = cur.orderBy(col(c).asc)
+      .limit(CollectCap)
       .collect().map(_.getLong(0))
-    val v0 = local((r0 - nBelow).toInt).toDouble
-    val v1 = local((lastIdx - nBelow).toInt).toDouble
-    Some(v0 + frac * (v1 - v0))
+    assert(local.length <= CollectCap && local.length == curN,
+      s"selection band collect ${local.length} != tracked $curN")
+    lastCollected = local.length
+    lastRounds = rounds
+    val v0 = local((r0 - curBelow).toInt).toDouble
+    val v1 = local((lastIdx - curBelow).toInt).toDouble
+    Some((1 - frac) * v0 + frac * v1)
   }
 }

@@ -43,6 +43,43 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial all-distinct 4M rows: exact answer, collect bounded by cap") {
+    // 4M distinct longs — the shape that priced the built-in percentile
+    // at ~10 s (object-boxed count map) and that the r9 band-prefix
+    // collect would have pulled ~5-10% of to the driver. The iterative
+    // kernel must (a) still be exact, (b) collect at most CollectCap
+    // values, (c) actually take >=1 pruning round (fast path, not
+    // fallback).
+    val n = 4000000L
+    val df = spark.range(n).select((col("id") * 1000003L).as("x"))
+    for (p <- Seq(0.37, 0.5)) {
+      val pos = p * (n - 1)
+      val r0 = pos.toLong
+      val frac = pos - r0
+      val expected = (1 - frac) * (r0 * 1000003L).toDouble +
+        frac * ((r0 + 1) * 1000003L).toDouble
+      val got = operators.Selection.quantileCont(df, "x", p, n)
+      assert(got.contains(expected), s"p=$p")
+      assert(operators.Selection.lastCollected > 0 &&
+        operators.Selection.lastCollected <= operators.Selection.CollectCap,
+        s"collected ${operators.Selection.lastCollected}")
+      assert(operators.Selection.lastRounds >= 1,
+        s"rounds ${operators.Selection.lastRounds}")
+    }
+  }
+
+  test("heavy-duplicate band that cannot shrink resolves via constant-band path") {
+    // one value carries 99% of the mass around the median: the band
+    // stops shrinking at that value, and the kernel must short-circuit
+    // (lo == hi) rather than loop to MaxRounds or collect the mass.
+    val n = 200000
+    val xs = Seq.fill(n - 2)(42L) ++ Seq(1L, 99L)
+    val df = xs.toDF("x").repartition(8)
+    val got = operators.Selection.quantileCont(df, "x", 0.5, n.toLong)
+    assert(got.contains(42.0))
+    assert(operators.Selection.lastCollected == -1) // no collect happened
+  }
+
   test("quantileCont: empty input is None; result matches Spark's percentile") {
     assert(operators.Selection.quantileCont(
       Seq.empty[Long].toDF("x"), "x", 0.5, 0).isEmpty)
