@@ -2541,8 +2541,16 @@ object Relational {
     * SEMI join on the order key with the ship-lag inequality as the
     * extra join predicate — one equi-shuffle, the semi short-circuits
     * per probe row, no fact×fact blowup and no distinct needed. */
+  /** Shared "late" ship-lag default (days) — the Scala default AND the
+    * value interpolated into both oracle strings, so changing it cannot
+    * desynchronize engine and oracle (the $AttributionWindowUs
+    * pattern). Declared ABOVE the SQL vals that interpolate it: a
+    * strict val referencing a constant declared lower in the same
+    * object captures it uninitialized (CLAUDE.md trap). */
+  private[graft] val LateLagDays = 90
+
   def lateOrderPriority(spark: SparkSession, sfDir: String,
-                        lagDays: Int = 90): DataFrame = {
+                        lagDays: Int = LateLagDays): DataFrame = {
     require(lagDays >= 0, s"lagDays must be nonnegative, got $lagDays")
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -2560,15 +2568,15 @@ object Relational {
   }
 
   val lateOrderPrioritySql: String =
-    """SELECT o_orderpriority, count(*) AS n_late_orders
-      |FROM orders o
-      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      |  AND o_orderdate < TIMESTAMP '1998-01-01'
-      |  AND EXISTS (SELECT 1 FROM lineitem l
-      |              WHERE l.l_orderkey = o.o_orderkey
-      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+    s"""SELECT o_orderpriority, count(*) AS n_late_orders
+       |FROM orders o
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL $LateLagDays DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
 
   /** TOP SUPPLIER (TPC-H Q15 shape): the supplier(s) with maximum
     * shipped revenue in 1997 — ALL ties kept, the Q15 semantics that
@@ -2628,7 +2636,7 @@ object Relational {
     * order, narrow int rows through every shuffle, broadcast supplier
     * dim at the end; output ≤ |suppliers|. */
   def waitingSupplier(spark: SparkSession, sfDir: String,
-                      lagDays: Int = 90): DataFrame = {
+                      lagDays: Int = LateLagDays): DataFrame = {
     require(lagDays >= 0, s"lagDays must be nonnegative, got $lagDays")
     val os = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -2653,10 +2661,10 @@ object Relational {
   }
 
   val waitingSupplierSql: String =
-    """WITH os AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
-      |                   max(CASE WHEN l_shipdate >
-      |                              o_orderdate + INTERVAL 90 DAY
-      |                            THEN 1 ELSE 0 END) AS late
+    s"""WITH os AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
+       |                   max(CASE WHEN l_shipdate >
+       |                              o_orderdate + INTERVAL $LateLagDays DAY
+       |                            THEN 1 ELSE 0 END) AS late
       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |            GROUP BY 1, 2),
       |po AS (SELECT okey, count(*) AS n_suppliers, sum(late) AS n_late
