@@ -105,6 +105,7 @@ object ScaleProbe {
     "part_pagerank", "triangle_count", "fuzzy_join_parts",
     "entity_resolution",
     "bloom_semi_join", "skyline_parts", "table_profile",
+    "table_profile_approx",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
     "orders_forecast_snaive", "revenue_cusum", "k_anonymity",

@@ -1347,15 +1347,31 @@ object Relational {
     * digits, money as cents, timestamps via one fixed format) so the
     * strings are engine-portable.
     */
-  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
+  /** The profiled `orders` columns with their canonical min/max
+    * renderings — shared by the exact and approx profile legs so the
+    * two can never drift. */
+  private val ProfileCols: Seq[(String, Column => Column)] = {
     val asStr   = (c: Column) => c.cast("string")
     val asCents = (c: Column) => round(c * 100).cast("long").cast("string")
     val asTs    = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
-    val cols: Seq[(String, Column => Column)] = Seq(
+    Seq(
       "o_orderkey" -> asStr, "o_custkey" -> asStr, "o_orderstatus" -> asStr,
       "o_totalprice" -> asCents, "o_orderdate" -> asTs,
       "o_orderpriority" -> asStr)
+  }
+
+  /** The matching DuckDB min/max renderings, keyed like [[ProfileCols]]. */
+  private val ProfileColsSql: Seq[(String, String)] = Seq(
+    ("o_orderkey", "CAST(%s AS VARCHAR)"),
+    ("o_custkey", "CAST(%s AS VARCHAR)"),
+    ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST(round((%s) * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+    ("o_orderpriority", "CAST(%s AS VARCHAR)"))
+
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cols = ProfileCols
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, render) =>
       Seq((count(lit(1)) - count(col(n))).as(s"${n}__nn"),
         countDistinct(col(n)).as(s"${n}__nd"),
@@ -1377,14 +1393,7 @@ object Relational {
     * renderings (min-then-render == render-then-min: every rendering is
     * monotone on its type). */
   val tableProfileSql: String = {
-    val branches = Seq(
-      ("o_orderkey", "CAST(%s AS VARCHAR)"),
-      ("o_custkey", "CAST(%s AS VARCHAR)"),
-      ("o_orderstatus", "CAST(%s AS VARCHAR)"),
-      ("o_totalprice", "CAST(CAST(round((%s) * 100) AS BIGINT) AS VARCHAR)"),
-      ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
-      ("o_orderpriority", "CAST(%s AS VARCHAR)")
-    ).map { case (n, fmt) =>
+    val branches = ProfileColsSql.map { case (n, fmt) =>
       s"""SELECT '$n' AS col_name, count(*) AS n_rows,
          |       count(*) - count($n) AS n_nulls,
          |       count(DISTINCT $n) AS n_distinct,
@@ -1393,6 +1402,80 @@ object Relational {
          |FROM orders""".stripMargin
     }
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** TABLE PROFILE, APPROX-CHECKED — the 100 TB audit path
+    * [[tableProfile]]'s scaladoc promises. Same profile surface, but
+    * the per-column distinct is HLL `approx_count_distinct` carried
+    * through the driver's hash gate with the [[approxDistinctParts]]
+    * bound-check discipline: the query emits the exact distinct plus a
+    * `within_rsd` boolean asserting |approx − exact| ≤ 3·rsd·exact, and
+    * the DuckDB twin computes the exact columns and pins the boolean
+    * TRUE. Shape: one branch per column, each with a SINGLE exact
+    * distinct — so no branch ever plans the multi-distinct Expand that
+    * prices [[tableProfile]] at expand×6 (PlanShapeSpec pins the plan
+    * Expand-free). The exact leg exists only to power the bound check;
+    * the production shape is [[tableProfileApproxRaw]] — ONE approx-
+    * only pass, no exact distincts at all — which is what a 100 TB
+    * profile actually runs (spec-checked in RelationalSpec). */
+  def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val frames = ProfileCols.map { case (n, render) =>
+      o.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(n))).as("n_nulls"),
+          count_distinct(col(n)).as("n_distinct"),
+          approx_count_distinct(col(n), ApproxDistinctRsd).as("approx"),
+          render(min(col(n))).as("min_s"),
+          render(max(col(n))).as("max_s"))
+        .select(lit(n).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")) <=
+            lit(3 * ApproxDistinctRsd) * col("n_distinct")).as("within_rsd"),
+          col("min_s"), col("max_s"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("col_name")
+  }
+
+  val tableProfileApproxSql: String = {
+    val branches = ProfileColsSql.map { case (n, fmt) =>
+      s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($n) AS n_nulls,
+         |       count(DISTINCT $n) AS n_distinct,
+         |       TRUE AS within_rsd,
+         |       ${fmt.format(s"min($n)")} AS min_s,
+         |       ${fmt.format(s"max($n)")} AS max_s
+         |FROM orders""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** The production approx profile: ONE scan, every column's distinct
+    * estimated by HLL in the same wide aggregate (HLL aggregates are
+    * ordinary declarative aggs — no Expand, full partial/map-side
+    * combine), unpivoted to the profile shape. This is the pass a user
+    * points at 100 TB; [[tableProfileApprox]] is its bound-checked
+    * verification twin. Estimates are engine-specific, so this leg is
+    * spec-checked (RelationalSpec: values within 3·rsd of the exact
+    * profile; plan single-scan and Expand-free) rather than oracled. */
+  def tableProfileApproxRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cols = ProfileCols
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, render) =>
+      Seq((count(lit(1)) - count(col(n))).as(s"${n}__nn"),
+        approx_count_distinct(col(n), ApproxDistinctRsd).as(s"${n}__nd"),
+        render(min(col(n))).as(s"${n}__mn"),
+        render(max(col(n))).as(s"${n}__mx"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', `${n}__nn`, `${n}__nd`, `${n}__mn`, `${n}__mx`"
+    }.mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, approx_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
   }
 
   /** DATA-QUALITY CONSTRAINT CHECKS: one row per named invariant with its
@@ -2890,6 +2973,7 @@ object Relational {
     "corr_matrix"         -> ((s, d) => corrMatrix(s, d)),
     "mv_refresh_incremental" -> ((s, d) => mvRefreshIncremental(s, d)),
     "table_profile"       -> ((s, d) => tableProfile(s, d)),
+    "table_profile_approx" -> ((s, d) => tableProfileApprox(s, d)),
     "dq_violations"       -> ((s, d) => dqViolations(s, d)),
     "bloom_semi_join"     -> ((s, d) => bloomSemiJoin(s, d)),
     "skyline_parts"       -> ((s, d) => skylineParts(s, d)),
@@ -2945,6 +3029,7 @@ object Relational {
     "corr_matrix"          -> corrMatrixSql,
     "mv_refresh_incremental" -> mvRefreshIncrementalSql,
     "table_profile"        -> tableProfileSql,
+    "table_profile_approx" -> tableProfileApproxSql,
     "dq_violations"        -> dqViolationsSql,
     "bloom_semi_join"      -> bloomSemiJoinSql,
     "skyline_parts"        -> skylinePartsSql,

@@ -53,6 +53,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Expand".r.findAllIn(p).length == 1)
   }
 
+  test("approx table profile plans with no Expand (exact profile pays expand x6)") {
+    // the registered bound-checked leg: one single-distinct branch per
+    // column — no branch may plan the multi-distinct Expand
+    assert(!plan("table_profile_approx").contains("Expand"))
+    // the production raw leg: one scan, no Expand, all-approx
+    val raw = queries.Relational.tableProfileApproxRaw(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!raw.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(raw).length == 1, s"single scan:\n$raw")
+    // the exact profile DOES expand — that price is what the approx leg removes
+    assert(plan("table_profile").contains("Expand"))
+  }
+
   test("mm queries range-partition on (modality, doc_id), not hash on modality") {
     // hash-partitioning on modality alone collapses a 2-modality corpus to
     // 2 tasks; range partitioning spreads the same contiguity guarantee

@@ -98,6 +98,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx table profile: raw leg within rsd of exact, checked leg bound holds") {
+    val exact = queries.Relational.tableProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val raw = queries.Relational.tableProfileApproxRaw(spark, sf).collect()
+    assert(raw.length == exact.size)
+    raw.foreach { r =>
+      val e = exact(r.getString(0))
+      val ed = e.getAs[Long]("n_distinct").toDouble
+      val ad = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(ad - ed) <= 3 * 0.015 * ed,
+        s"${r.getString(0)}: approx $ad vs exact $ed")
+      // nulls and rendered min/max are exact in both legs
+      assert(r.getAs[Long]("n_nulls") == e.getAs[Long]("n_nulls"))
+      assert(r.getAs[String]("min_s") == e.getAs[String]("min_s"))
+      assert(r.getAs[String]("max_s") == e.getAs[String]("max_s"))
+    }
+    queries.Relational.tableProfileApprox(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("within_rsd"), r.getString(0))
+    }
+  }
+
   test("regional revenue joins produce only fixture regions and positive revenue") {
     val rows = queries.Relational.regionalRevenue(spark, sf).collect()
     assert(rows.nonEmpty)
