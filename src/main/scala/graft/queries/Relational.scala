@@ -1839,8 +1839,10 @@ object Relational {
       .groupBy("o_custkey")
       .agg(sum(cents(col("o_totalprice"))).as("cents"))
       .select(col("cents"), expr("cents div 10000").as("m_b"))
-    val hist = perCust.groupBy("m_b").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getAs[Long]("m_b"), r.getAs[Long]("cnt")))
+    val hist = Hist.bounded(
+        perCust.groupBy("m_b").agg(count(lit(1)).as("cnt")),
+        "revenue_pareto_share")
+      .map(r => (r.getAs[Long]("m_b"), r.getAs[Long]("cnt")))
       .sortBy(v => -v._1) // top spenders first
     if (hist.isEmpty)
       return Seq.empty[(Double, Long, Long, Double, Double)]
@@ -2452,8 +2454,10 @@ object Relational {
     // bounded value histogram → driver prefix-sum → (value, score) map;
     // asc=false ranks descending values (recency: newest first)
     def scoreMap(valCol: String, asc: Boolean, outCol: String): DataFrame = {
-      val hist = base.groupBy(valCol).agg(count(lit(1)).as("n_at"))
-        .collect().map(r => (r.getAs[Long](valCol), r.getAs[Long]("n_at")))
+      val hist = Hist.bounded(
+          base.groupBy(valCol).agg(count(lit(1)).as("n_at")),
+          s"rfm_segments/$valCol")
+        .map(r => (r.getAs[Long](valCol), r.getAs[Long]("n_at")))
       val sorted = if (asc) hist.sortBy(_._1) else hist.sortBy(v => -v._1)
       val n = sorted.map(_._2).sum
       var below = 0L

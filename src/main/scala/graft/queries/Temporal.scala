@@ -805,10 +805,11 @@ object Temporal {
       if (mx == mn) lit(0)
       else least(lit((QBins - 1).toDouble),
         floor((col("value") - mn) / (mx - mn) * QBins)).cast("int")
-    // ≤ QBins rows of model state — the whole sketch
-    val hist = ev.select(binExpr.as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getAs[Int]("bin"), r.getAs[Long]("cnt")))
+    // ≤ QBins rows of model state — the whole sketch (guard is belt-and-
+    // suspenders here: the bin id is already capped by construction)
+    val hist = Hist.bounded(ev.select(binExpr.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt")), "events_value_quantiles")
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("cnt")))
       .sortBy(_._1)
     val cums = hist.scanLeft(0L)(_ + _._2)  // cum_before per hist index
     val width = (mx - mn) / QBins
@@ -1501,8 +1502,9 @@ object Temporal {
       .filter(col("value").isNotNull && !isnan(col("value")) &&
         abs(col("value")) < lit(Double.PositiveInfinity))
       .select(round(col("value") * 100).cast("long").as("c"))
-    val hist = ev.groupBy("c").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getAs[Long]("c"), r.getAs[Long]("cnt")))
+    val hist = Hist.bounded(ev.groupBy("c").agg(count(lit(1)).as("cnt")),
+        "events_winsorized_stats")
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("cnt")))
       .sortBy(_._1)
     if (hist.isEmpty)
       return Seq.empty[(Long, Double, Double, Double, Double, Double, Double)]
@@ -1744,13 +1746,13 @@ object Temporal {
     * selected values are exact cents. */
   def eventsQuantilesByType(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hist = Tables.eventsTs(spark, sfDir)
-      .filter(col("value").isNotNull && !isnan(col("value")) &&
-        abs(col("value")) < lit(Double.PositiveInfinity))
-      .select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
-      .collect()
+    val hist = Hist.bounded(Tables.eventsTs(spark, sfDir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(Double.PositiveInfinity))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt")),
+        "events_quantiles_by_type")
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("c"),
         r.getAs[Long]("cnt")))
     val rows = hist.groupBy(_._1).toSeq.flatMap { case (t, cells) =>

@@ -36,6 +36,28 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ids == Set("7", "8"))
   }
 
+  test("Hist.bounded: wide-range key fails the occupancy guard, bounded key passes") {
+    // adversarial fixture: an unquantised key with more distinct values
+    // than the cap — the shape a raw nanosecond/float column produces.
+    // The guard must fail fast (and ship at most cap+1 rows doing it),
+    // not OOM the driver.
+    val wide = spark.range(10000).groupBy("id").agg(count(lit(1)).as("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      queries.Hist.bounded(wide, "spec_adversarial", maxCells = 1000)
+    }
+    assert(e.getMessage.contains("spec_adversarial") &&
+      e.getMessage.contains("sketch"), e.getMessage)
+    // a genuinely value-range-bounded histogram passes under the same cap
+    val narrow = spark.range(10000).select((col("id") % 97).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    assert(queries.Hist.bounded(narrow, "spec_bounded", maxCells = 1000)
+      .length == 97)
+    // and the four production sites' fixture histograms clear the real cap
+    // (they run inside their queries — smoke one directly)
+    assert(queries.Relational.revenueParetoShare(spark, TestSpark.sf)
+      .collect().nonEmpty)
+  }
+
   test("stratified sample is stable under repartitioning (hash-gated, not rand)") {
     val a = queries.Temporal.stratifiedSample(spark, TestSpark.sf)
       .collect().map(_.getLong(0)).toSeq
