@@ -67,7 +67,8 @@ object ScaleProbe {
     "matryoshka_recall", "seed_expansion",
     "mm_dedup", "mm_near_dedup", "quality_agreement", "knn_components",
     "containment_pairs", "embedding_standardize",
-    "containment_pairs_sketch", "ivf_modularity", "ivf_nprobe_curve",
+    "containment_pairs_sketch", "containment_sketch_coverage",
+    "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
     "dedup_method_agreement", "lang_source_chi2")
 
@@ -351,6 +352,19 @@ object ScaleProbe {
           """{"query":"dedup_delta_warm","delta_mod":%d,"sec":%.2f}""",
           Long.box(m), Double.box(dt)))
       }
+    }
+
+    // -- coverage self-announcement at probe scale: the 1-row readout
+    //    must actually flag the closed-vocabulary regime the 600k probe
+    //    drives the sketch into (this is the observable for the r9
+    //    "recall cliff is silent" verdict item)
+    if (run.contains("containment_sketch_coverage")) {
+      val r = SparkEntry.queries("containment_sketch_coverage")(spark, dir)
+        .head()
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"containment_sketch_coverage","n_docs":%d,"n_covered":%d,"coverage":%.6f,"regime":"%s"}""",
+        Long.box(r.getAs[Long]("n_docs")), Long.box(r.getAs[Long]("n_covered")),
+        Double.box(r.getAs[Double]("coverage")), r.getAs[String]("regime")))
     }
 
     // -- containment recall of the INJECTED near-dups: every 100th doc

@@ -848,6 +848,86 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / n_contained >= $ContainT
        |ORDER BY contained, container""".stripMargin
 
+  /** Coverage below this ⇒ the sketch is in its documented blind
+    * regime (most docs retain no rare shingle to be found by). */
+  private val CoverageOkT = 0.9
+
+  /** CONTAINMENT-SKETCH COVERAGE — the self-announcement for
+    * [[containmentPairsSketch]]'s documented recall boundary. The
+    * sketch can only find a contained doc through its rare (df ≤
+    * [[ContainMaxDf]]) sketch shingles; on a vocabulary-EXHAUSTED shard
+    * (600k closed-vocab probe: avg shingle df ~4× the cap) most docs
+    * retain NO rare sketch shingle and recall silently fell 1.000 →
+    * 0.749 (PERF.md's measured boundary). This one-row readout makes
+    * that regime visible BEFORE trusting the sketch's output: the
+    * fraction of docs with ≥1 rare sketch shingle (`coverage`), the
+    * mean rare-sketch size among covered docs, and a `regime` verdict
+    * (`ok` / `df_saturated` / `empty`). A pipeline runs it next to the
+    * sketch and routes df-saturated shards to the Jaccard-geometry
+    * paths (minhash/simhash), whose banding does not depend on df
+    * rarity. The cap itself stays FIXED rather than corpus-derived:
+    * Σ sketchdf·df ≤ maxDf·k·N is the linear cost bound that makes the
+    * sketch the scale path, and raising maxDf with N on a closed-vocab
+    * corpus re-creates the exact query's pair-density runaway — the
+    * honest split is bounded-cost + self-reported blind spot.
+    *
+    * Scale: same postings frames as the sketch (shared shingle cache),
+    * two scalar aggregates — nothing pair-shaped anywhere. */
+  def containmentSketchCoverage(spark: SparkSession, sfDir: String,
+                                k: Int = SketchK,
+                                maxDf: Int = ContainMaxDf): DataFrame = {
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rareH = post.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val skRare = hv.select(col("doc_id"), explode(slice(col("hs"), 1, k)).as("h"))
+      .join(rareH, "h")
+    val kRare = skRare.groupBy("doc_id").agg(count(lit(1)).as("k_rare"))
+    val tot = hv.agg(count(lit(1)).as("n_docs"))
+    val cov = kRare.agg(count(lit(1)).as("n_covered"),
+      coalesce(sum("k_rare"), lit(0L)).as("sum_k_rare"))
+    val covRaw = col("n_covered").cast("double") / col("n_docs")
+    tot.crossJoin(cov).select(
+      col("n_docs"), col("n_covered"),
+      lit(maxDf.toLong).as("max_df"), lit(k.toLong).as("sketch_k"),
+      Det.r(when(col("n_docs") > 0, covRaw).otherwise(lit(0.0)), 6)
+        .as("coverage"),
+      Det.r(when(col("n_covered") > 0,
+          col("sum_k_rare").cast("double") / col("n_covered"))
+        .otherwise(lit(0.0)), 4).as("avg_k_rare"),
+      when(col("n_docs") === 0, "empty")
+        .when(covRaw >= CoverageOkT, "ok")
+        .otherwise("df_saturated").as("regime"))
+  }
+
+  val containmentSketchCoverageSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |post AS (SELECT doc_id, unnest(hs) AS h FROM hv),
+       |rare AS (SELECT h FROM post GROUP BY h
+       |         HAVING count(*) <= $ContainMaxDf),
+       |skr AS (SELECT s.doc_id, s.h
+       |        FROM (SELECT doc_id, unnest(hs[1:$SketchK]) AS h FROM hv) s
+       |        JOIN rare USING (h)),
+       |kr AS (SELECT doc_id, count(*) AS k_rare FROM skr GROUP BY doc_id),
+       |tot AS (SELECT count(*) AS n_docs FROM hv),
+       |cov AS (SELECT count(*) AS n_covered,
+       |               coalesce(sum(k_rare), 0) AS sum_k_rare FROM kr)
+       |SELECT n_docs, n_covered,
+       |       CAST($ContainMaxDf AS BIGINT) AS max_df,
+       |       CAST($SketchK AS BIGINT) AS sketch_k,
+       |       ${Det.rSql(
+      "CASE WHEN n_docs > 0 THEN CAST(n_covered AS DOUBLE) / n_docs " +
+        "ELSE 0.0 END", 6)} AS coverage,
+       |       ${Det.rSql(
+      "CASE WHEN n_covered > 0 THEN CAST(sum_k_rare AS DOUBLE) / n_covered " +
+        "ELSE 0.0 END", 4)} AS avg_k_rare,
+       |       CASE WHEN n_docs = 0 THEN 'empty'
+       |            WHEN CAST(n_covered AS DOUBLE) / n_docs >= $CoverageOkT
+       |              THEN 'ok'
+       |            ELSE 'df_saturated' END AS regime
+       |FROM tot CROSS JOIN cov""".stripMargin
+
   // --------------------------------------------------------------------
   // MinHash + LSH
   // --------------------------------------------------------------------
@@ -2189,6 +2269,7 @@ object Dedup {
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
     "containment_pairs"    -> ((s, d) => containmentPairs(s, d)),
     "containment_pairs_sketch" -> ((s, d) => containmentPairsSketch(s, d)),
+    "containment_sketch_coverage" -> ((s, d) => containmentSketchCoverage(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
@@ -2212,6 +2293,7 @@ object Dedup {
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
     "containment_pairs"    -> containmentPairsSql,
     "containment_pairs_sketch" -> containmentPairsSketchSql,
+    "containment_sketch_coverage" -> containmentSketchCoverageSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
     "simhash_dedup"        -> simhashDedupSql,
     "dup_pair_sources"     -> dupPairSourcesSql,

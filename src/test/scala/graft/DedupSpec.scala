@@ -261,6 +261,22 @@ class DedupSpec extends AnyFunSuite {
       g.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("containment_sketch_coverage: fixture is 'ok'; saturated df cap flags the regime") {
+    val r = queries.Dedup.containmentSketchCoverage(spark, sf).head()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_covered") <= nDocs)
+    assert(r.getAs[String]("regime") == "ok", r.toString)
+    assert(r.getAs[Double]("coverage") >= 0.9)
+    assert(r.getAs[Double]("avg_k_rare") <= r.getAs[Long]("sketch_k").toDouble)
+    // force df saturation: cap below the fixture's common shingle dfs —
+    // the readout must announce the blind regime, not report ok
+    val sat = queries.Dedup.containmentSketchCoverage(spark, sf, maxDf = 0)
+      .head()
+    assert(sat.getAs[String]("regime") == "df_saturated", sat.toString)
+    assert(sat.getAs[Long]("n_covered") == 0L)
+  }
+
   test("dedup_method_agreement: cells partition the corpus and match the pair frames") {
     val r = queries.Dedup.dedupMethodAgreement(spark, sf).head()
     val total = Tables.documents(spark, sf).count()
