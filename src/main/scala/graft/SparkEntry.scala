@@ -36,10 +36,12 @@ object SparkEntry {
     *
     * ORACLE VALIDITY: [[oracleSql]] twins hard-code the DEFAULT argument
     * values (they mirror the zero-arg [[queries]] entries — the only
-    * surface Verify/the driver runs). Running one of these with a
-    * non-default arg and hash-comparing against its oracle WILL mismatch
-    * by construction; compare rows/shape only, or edit the twin to match
-    * the arg. */
+    * surface the driver runs). For a NON-default-arg run, use
+    * [[oracleSqlWithArgs]] — the SQL twin templated on the same argument
+    * map — via `graft.Verify <sf> <out> name@arg=value` + tools/check.py;
+    * families absent there carry result-affecting args whose SQL is not
+    * arg-expressible (model-state iterations etc.) and fall back to
+    * rows/shape checks. */
   def queriesWithArgs: Map[String, (SparkSession, String, Map[String, String]) => DataFrame] = Map(
     "grep" -> ((s, d, a) =>
       TextJobs.grep(s, d, a.getOrElse("pattern", "error"))),
@@ -174,11 +176,56 @@ object SparkEntry {
       Relational.waitingSupplier(s, d, a.getOrElse("lag_days", "90").toInt)),
     "multi_touch_attribution" -> ((s, d, a) =>
       Temporal.multiTouchAttribution(s, d,
-        a.getOrElse("window_days", "7").toInt)),
+        a.getOrElse("window_days", "7").toInt,
+        a.getOrElse("salt_bins", "8").toInt)),
     "containment_pairs_sketch" -> ((s, d, a) =>
       Dedup.containmentPairsSketch(s, d,
         a.getOrElse("t", "0.8").toDouble,
         a.getOrElse("k", "128").toInt)),
+  )
+
+  /** Arg-TEMPLATED oracle twins for the SQL-expressible
+    * [[queriesWithArgs]] families: each function renders the same DuckDB
+    * SQL the fixed registry uses, with the user argument interpolated —
+    * so a NON-default-arg run stays hash-checkable instead of silently
+    * escaping the oracle gate (the r9 verdict's #4). Contract, pinned by
+    * ArgsSpec: calling an entry with `Map.empty` must reproduce
+    * [[oracleSql]]'s registered string byte-for-byte (the defaults here
+    * mirror [[queriesWithArgs]]' defaults; grep's fixed-registry twin
+    * pins the non-default "(error|scan)" pattern instead, because its
+    * no-args default is reference parity with GREP_PATTERN's "error").
+    * Args that cannot change the RESULT (pure execution knobs: salt
+    * counts, shard counts) are deliberately absent — the registered
+    * string is already valid for any value of those. Verified
+    * end-to-end by `graft.Verify name@arg=value` specs + tools/check.py
+    * (see Verify's scaladoc). */
+  def oracleSqlWithArgs: Map[String, Map[String, String] => String] = Map(
+    "grep" -> (a => TextJobs.grepSqlFor(a.getOrElse("pattern", "error"))),
+    "results_limit" -> (a =>
+      TextJobs.resultsLimitSqlFor(a.getOrElse("limit", "20").toInt)),
+    "bigrams" -> (a =>
+      TextJobs.bigramsSqlFor(a.getOrElse("top_n", "100").toInt)),
+    "events_rolling_24h" -> (a =>
+      Temporal.eventsRolling24hSqlFor(a.getOrElse("window_hours", "24").toInt)),
+    "events_heavy_hitters" -> (a =>
+      Temporal.eventsHeavyHittersSqlFor(a.getOrElse("k", "150").toInt)),
+    "group_sample" -> (a =>
+      Temporal.groupSampleSqlFor(a.getOrElse("k", "3").toInt)),
+    "multi_touch_attribution" -> (a =>
+      Temporal.multiTouchAttributionSqlFor(a.getOrElse("window_days", "7").toInt)),
+    "basket_rules" -> (a =>
+      Relational.basketRulesSqlFor(a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
+    "late_order_priority" -> (a =>
+      Relational.lateOrderPrioritySqlFor(a.getOrElse("lag_days", "90").toInt)),
+    "waiting_supplier" -> (a =>
+      Relational.waitingSupplierSqlFor(a.getOrElse("lag_days", "90").toInt)),
+    "kcore_graph" -> (a =>
+      Similarity.kcoreGraphSqlFor(a.getOrElse("k", "3").toInt,
+        a.getOrElse("core_k", "3").toInt,
+        a.getOrElse("peels", "8").toInt)),
+    "token_histogram" -> (a =>
+      TextAnalysis.tokenHistogramSqlFor(a.getOrElse("bin_tokens", "64").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4,11 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. Optional args
   * past (sfDir, outDir) restrict the dump to named queries — local
-  * iteration only; the driver always runs the full set. */
+  * iteration only; the driver always runs the full set.
+  *
+  * NON-DEFAULT-ARG specs (local iteration; closes the r9 verdict's #4):
+  * an arg of the form `name@key=val,key2=val2` runs
+  * SparkEntry.queriesWithArgs(name) with that argument map, writes the
+  * result under the full spec string, and emits the ARG-TEMPLATED oracle
+  * from SparkEntry.oracleSqlWithArgs under the same key — so
+  * `tools/check.py SF OUT 'name@key=val'` hash-checks a non-default-arg
+  * run cross-engine exactly like a registered query. A spec naming a
+  * family with no templated oracle fails fast (use the registered entry
+  * or a rows-only check for those). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
-    val subset = args.drop(2).toSet
+    val (argSpecs, plain) = args.drop(2).partition(_.contains("@"))
+    val subset = plain.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -16,6 +27,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .filter { case _ => argSpecs.isEmpty || subset.nonEmpty }
       .foreach { case (name, fn) =>
       spark.catalog.clearCache()  // drop the previous query's caches
       Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))  // stale marker
@@ -30,6 +42,26 @@ object Verify {
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
+    // name@key=val,... specs: parameterized run + templated oracle
+    val argOracles = argSpecs.map { spec =>
+      val Array(name, argStr) = spec.split("@", 2)
+      val argMap = argStr.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val oracle = SparkEntry.oracleSqlWithArgs.getOrElse(name,
+        sys.error(s"no templated oracle for '$name' — " +
+          "add it to SparkEntry.oracleSqlWithArgs"))(argMap)
+      spark.catalog.clearCache()
+      Files.deleteIfExists(Paths.get(s"$outDir/$spec._FAILED"))
+      try SparkEntry.queriesWithArgs(name)(spark, sfDir, argMap)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$spec")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $spec failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$spec._FAILED"),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      spec -> oracle
+    }.toMap
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,7 +74,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ argOracles)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

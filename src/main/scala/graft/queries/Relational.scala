@@ -720,7 +720,7 @@ object Relational {
       .limit(topN)
   }
 
-  val basketRulesSql: String =
+  def basketRulesSqlFor(topN: Int, maxBasket: Int): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |            FROM lineitem),
        |rr AS (SELECT ok, pk,
@@ -728,7 +728,7 @@ object Relational {
        |       FROM op),
        |pp AS (SELECT a.pk AS a, b.pk AS b, count(*) AS supp_ab
        |       FROM rr a JOIN rr b ON a.ok = b.ok AND a.pk < b.pk
-       |       WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket
+       |       WHERE a.rk <= $maxBasket AND b.rk <= $maxBasket
        |       GROUP BY 1, 2
        |       HAVING count(*) >= $RulesMinSupport),
        |si AS (SELECT pk, count(*) AS supp FROM op GROUP BY 1),
@@ -744,7 +744,9 @@ object Relational {
        |        JOIN si sc ON sc.pk = dd.cons
        |        CROSS JOIN nn
        |ORDER BY lift DESC, conf DESC, ant, cons
-       |LIMIT $RulesTopN""".stripMargin
+       |LIMIT $topN""".stripMargin
+
+  val basketRulesSql: String = basketRulesSqlFor(RulesTopN, AffinityMaxBasket)
 
   private val PrIters = 5
   private val PrTopN = 50
@@ -2654,16 +2656,18 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  val lateOrderPrioritySql: String =
+  def lateOrderPrioritySqlFor(lagDays: Int): String =
     s"""SELECT o_orderpriority, count(*) AS n_late_orders
        |FROM orders o
        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
        |  AND o_orderdate < TIMESTAMP '1998-01-01'
        |  AND EXISTS (SELECT 1 FROM lineitem l
        |              WHERE l.l_orderkey = o.o_orderkey
-       |                AND l.l_shipdate > o.o_orderdate + INTERVAL $LateLagDays DAY)
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL $lagDays DAY)
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
+
+  val lateOrderPrioritySql: String = lateOrderPrioritySqlFor(LateLagDays)
 
   /** TOP SUPPLIER (TPC-H Q15 shape): the supplier(s) with maximum
     * shipped revenue in 1997 — ALL ties kept, the Q15 semantics that
@@ -2747,10 +2751,10 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_suppkey").asc)
   }
 
-  val waitingSupplierSql: String =
+  def waitingSupplierSqlFor(lagDays: Int): String =
     s"""WITH os AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
        |                   max(CASE WHEN l_shipdate >
-       |                              o_orderdate + INTERVAL $LateLagDays DAY
+       |                              o_orderdate + INTERVAL $lagDays DAY
        |                            THEN 1 ELSE 0 END) AS late
       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |            GROUP BY 1, 2),
@@ -2762,6 +2766,8 @@ object Relational {
       |WHERE os.late = 1 AND po.n_suppliers >= 2 AND po.n_late = 1
       |GROUP BY 1, 2
       |ORDER BY numwait DESC, s_suppkey ASC""".stripMargin
+
+  val waitingSupplierSql: String = waitingSupplierSqlFor(LateLagDays)
 
   /** MONTHLY ORDER BACKLOG — the interval-accounting ledger (how many
     * orders are open at each month end, and how much value they hold):

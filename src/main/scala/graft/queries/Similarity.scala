@@ -1003,16 +1003,16 @@ object Similarity {
   /** DuckDB twin of [[kcoreGraph]] — the [[knnEdgeCtesSql]] chain, the
     * symmetrized distinct edge set, then [[KcorePeels]] peel rounds
     * unrolled as CTE pairs (degree filter + edge restriction). */
-  val kcoreGraphSql: String = {
+  def kcoreGraphSqlFor(knnK: Int, coreK: Int, nPeels: Int): String = {
     // MATERIALIZED throughout (the labelPropagationSql lesson): each
     // round references the previous edge set twice and the node set
     // twice — inlined CTEs would double the plan per round (2^peels
     // scans of the parquet + LSH chain; observed as DuckDB running out
     // of file handles)
-    val peels = (1 to KcorePeels).map { i =>
+    val peels = (1 to nPeels).map { i =>
       val p = i - 1
       s"""kn$i AS MATERIALIZED (
-         |  SELECT a FROM ke$p GROUP BY a HAVING count(*) >= $KcoreK),
+         |  SELECT a FROM ke$p GROUP BY a HAVING count(*) >= $coreK),
          |ke$i AS MATERIALIZED (
          |  SELECT e.a, e.b FROM ke$p e JOIN kn$i x ON e.a = x.a
          |  JOIN kn$i y ON e.b = y.a)""".stripMargin
@@ -1020,13 +1020,15 @@ object Similarity {
     s"""WITH RECURSIVE
        |$knnEdgeCtesSql,
        |ke0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-       |          SELECT vec_id AS a, neighbor AS b FROM rk WHERE rank <= $KnnK
+       |          SELECT vec_id AS a, neighbor AS b FROM rk WHERE rank <= $knnK
        |          UNION ALL
-       |          SELECT neighbor, vec_id FROM rk WHERE rank <= $KnnK) t),
+       |          SELECT neighbor, vec_id FROM rk WHERE rank <= $knnK) t),
        |$peels
        |SELECT a AS vec_id, count(*) AS degree
-       |FROM ke$KcorePeels GROUP BY a ORDER BY vec_id""".stripMargin
+       |FROM ke$nPeels GROUP BY a ORDER BY vec_id""".stripMargin
   }
+
+  val kcoreGraphSql: String = kcoreGraphSqlFor(KnnK, KcoreK, KcorePeels)
 
   // --------------------------------------------------------------------
   // Hard-negative mining (contrastive training pairs)

@@ -329,7 +329,7 @@ object Temporal {
       .orderBy("lang", "source", "rk")
   }
 
-  val groupSampleSql: String =
+  def groupSampleSqlFor(k: Int): String =
     s"""SELECT lang, source, rk, doc_id, hkey
        |FROM (SELECT lang, source, doc_id, hkey,
        |             row_number() OVER (PARTITION BY lang, source
@@ -338,8 +338,10 @@ object Temporal {
        |                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
        |                        AS UBIGINT) AS BIGINT) AS hkey
        |            FROM documents))
-       |WHERE rk <= $SampleK
+       |WHERE rk <= $k
        |ORDER BY lang, source, rk""".stripMargin
+
+  val groupSampleSql: String = groupSampleSqlFor(SampleK)
 
   /** Ordered conversion funnel over `events` with a 24 h conversion
     * window: how many users did view → click → purchase IN ORDER, each
@@ -529,14 +531,16 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val eventsRolling24hSql: String =
-    """SELECT event_id, user_id, ts,
-      |       count(*) OVER w AS n_24h,
-      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS val_24h
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-      |             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
-      |ORDER BY event_id""".stripMargin
+  def eventsRolling24hSqlFor(windowHours: Int): String =
+    s"""SELECT event_id, user_id, ts,
+       |       count(*) OVER w AS n_24h,
+       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS val_24h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+       |             RANGE BETWEEN INTERVAL $windowHours HOURS PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  val eventsRolling24hSql: String = eventsRolling24hSqlFor(24)
 
   /** Daily event-type pivot: one row per day, one column per event type
     * — the wide-format report table (`pivot` is the reshaping operator
@@ -1185,31 +1189,44 @@ object Temporal {
     * click (zero-credit clicks included — the denominator of any
     * conversion-rate readout).
     *
-    * Shape: the [[rangeJoinBursts]] bin decomposition on (user, 7-day
-    * time bin) — each purchase probes its ≤ 2 bins, the exact interval
-    * filter runs after the equi-join, so the theta join never leaves
-    * hash-join land. Credit is rational with varying denominators, so
-    * each 1/n term is micro-integerised BEFORE the per-click sum (the
-    * bm25 per-term discipline); n itself rides alongside for exactness
-    * audits. Skew note: per-user pair cardinality (clicks × purchases
-    * inside the window) is INTRINSIC to multi-touch semantics — a bot
-    * user is quadratic in its event share, and the production
-    * mitigations are a shorter window or a clicks-per-purchase cap
-    * (both one-line filters here); the last-touch twin is the O(n)
-    * alternative when paths don't matter. */
+    * Shape: the [[rangeJoinBursts]] bin decomposition on (user, time
+    * bin) — bins are W/S wide (S = `saltBins`, the
+    * [[asofJoinOrdersSalted]] range-split applied to an interval join):
+    * each purchase probes its ≤ S+1 covering bins, each click lives in
+    * exactly ONE bin, so every qualifying pair is found exactly once
+    * and the exact interval filter runs after the equi-join — the theta
+    * join never leaves hash-join land. The split is the skew bound: a
+    * bot user's clicks spread over S join keys, so the worst TASK holds
+    * 1/S of the hot user's clicks (r9 verdict #7 — measured in the
+    * ScaleProbe skew row) at the price of S/2× more purchase-side probe
+    * rows (narrow: 4 longs). Credit is rational with varying
+    * denominators, so each 1/n term is micro-integerised BEFORE the
+    * per-click sum (the bm25 per-term discipline); n itself rides
+    * alongside for exactness audits. Skew note: per-user pair OUTPUT
+    * cardinality (clicks × purchases inside the window) is INTRINSIC to
+    * multi-touch semantics — a bot user is quadratic in its event
+    * share, and the production mitigations are a shorter window or a
+    * clicks-per-purchase cap (both one-line filters here); the
+    * last-touch twin is the O(n) alternative when paths don't matter.
+    * The salt only bounds where that intrinsic work lands. */
   def multiTouchAttribution(spark: SparkSession, sfDir: String,
-                            windowDays: Int = 7): DataFrame = {
+                            windowDays: Int = 7, saltBins: Int = 8): DataFrame = {
     require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    require(saltBins > 0, s"saltBins must be positive, got $saltBins")
     val W = windowDays.toLong * 24 * 3600 * 1000000
+    // bin width W/S: coverage of [p_ts-W, p_ts] by (p_ts-W) DIV wb ..
+    // p_ts DIV wb holds for ANY wb, so the salt count never affects the
+    // result — only how many join keys a hot user's window spans
+    val wb = math.max(1L, W / saltBins)
     val ev = Tables.eventsTs(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_event_id"),
-        col("ts_us").as("c_ts"), expr(s"ts_us DIV $W").as("bin"))
+        col("ts_us").as("c_ts"), expr(s"ts_us DIV $wb").as("bin"))
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"),
-        explode(sequence(expr(s"(ts_us - $W) DIV $W"), expr(s"ts_us DIV $W")))
+        explode(sequence(expr(s"(ts_us - $W) DIV $wb"), expr(s"ts_us DIV $wb")))
           .as("bin"))
     val pairs = purch.join(clicks, Seq("user_id", "bin"))
       .filter(col("c_ts") >= col("p_ts") - W && col("c_ts") <= col("p_ts"))
@@ -1230,8 +1247,10 @@ object Temporal {
 
   /** Oracle: the plain theta join (DuckDB IEJoin affords it at oracle
     * scale) + identical per-term micro-integerised credit — equality
-    * proves the bin decomposition loses/duplicates no pair. */
-  val multiTouchAttributionSql: String =
+    * proves the bin decomposition (at ANY salt count) loses/duplicates
+    * no pair. */
+  def multiTouchAttributionSqlFor(windowDays: Int): String = {
+    val windowUs = windowDays.toLong * 24 * 3600 * 1000000
     s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
        |           FROM events WHERE event_type IN ('click', 'purchase')),
        |c AS (SELECT user_id, event_id AS click_event_id, ts_us AS c_ts
@@ -1240,7 +1259,7 @@ object Temporal {
        |      FROM e WHERE event_type = 'purchase'),
        |pairs AS (SELECT p.p_id, c.click_event_id
        |          FROM p JOIN c ON c.user_id = p.user_id
-       |           AND c.c_ts >= p.p_ts - $AttributionWindowUs
+       |           AND c.c_ts >= p.p_ts - $windowUs
        |           AND c.c_ts <= p.p_ts),
        |np AS (SELECT p_id, count(*) AS n FROM pairs GROUP BY 1),
        |cr AS (SELECT click_event_id, count(*) AS n_purchases,
@@ -1252,6 +1271,9 @@ object Temporal {
        |       CAST(coalesce(cr.credit_micros, 0) AS DOUBLE) / 1e6 AS credit
        |FROM c LEFT JOIN cr USING (click_event_id)
        |ORDER BY click_event_id""".stripMargin
+  }
+
+  val multiTouchAttributionSql: String = multiTouchAttributionSqlFor(7)
 
   // --------------------------------------------------------------------
   // Robust outliers (median absolute deviation)
@@ -1849,13 +1871,15 @@ object Temporal {
   }
 
   /** Oracle: the unbounded-state answer. */
-  val eventsHeavyHittersSql: String =
+  def eventsHeavyHittersSqlFor(k: Int): String =
     s"""SELECT user_id, count(*) AS cnt
        |FROM events WHERE user_id IS NOT NULL
        |GROUP BY user_id
-       |HAVING count(*) * ${HhK + 1} > (SELECT count(*) FROM events
+       |HAVING count(*) * ${k + 1} > (SELECT count(*) FROM events
        |                                WHERE user_id IS NOT NULL)
        |ORDER BY cnt DESC, user_id""".stripMargin
+
+  val eventsHeavyHittersSql: String = eventsHeavyHittersSqlFor(HhK)
 
   // --------------------------------------------------------------------
   // Seasonal decomposition (hour-of-day profile + seasonality index)

@@ -923,13 +923,13 @@ object TextAnalysis {
       .orderBy("source", "bin")
   }
 
-  val tokenHistogramSql: String =
+  def tokenHistogramSqlFor(binTokens: Int): String =
     s"""WITH d AS (SELECT source,
        |                  len(list_filter(string_split_regex(lower(text), '\\W+'),
        |                                  x -> length(x) > 0)) AS n_tokens
        |           FROM documents),
        |b AS (SELECT source, n_tokens,
-       |             CAST(floor(CAST(n_tokens AS DOUBLE) / $HistBinTokens) AS BIGINT) AS bin
+       |             CAST(floor(CAST(n_tokens AS DOUBLE) / $binTokens) AS BIGINT) AS bin
        |      FROM d),
        |per AS (SELECT source, bin, count(*) AS n_docs,
        |               CAST(min(n_tokens) AS INTEGER) AS min_tokens,
@@ -937,12 +937,14 @@ object TextAnalysis {
        |        FROM b GROUP BY 1, 2),
        |tot AS (SELECT source, count(*) AS source_docs FROM b GROUP BY 1)
        |SELECT source, bin,
-       |       bin * $HistBinTokens AS lo_tokens,
-       |       bin * $HistBinTokens + ${HistBinTokens - 1} AS hi_tokens,
+       |       bin * $binTokens AS lo_tokens,
+       |       bin * $binTokens + ${binTokens - 1} AS hi_tokens,
        |       n_docs, min_tokens, max_tokens,
        |       ${Det.rSql("CAST(n_docs AS DOUBLE) / source_docs", 6)} AS share
        |FROM per JOIN tot USING (source)
        |ORDER BY source, bin""".stripMargin
+
+  val tokenHistogramSql: String = tokenHistogramSqlFor(HistBinTokens)
 
   // --------------------------------------------------------------------
   // Per-source vocabulary divergence (mixture diagnostics)

@@ -277,6 +277,45 @@ object TextJobs {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------------
+  // Arg-templated oracle twins (SparkEntry.oracleSqlWithArgs): the exact
+  // SQL the fixed registry interpolates, with the user argument spliced
+  // in — so a non-default-arg queriesWithArgs run stays hash-checkable
+  // instead of silently escaping the oracle gate (r9 verdict #4). The
+  // fixed-registry entries below CALL these at the registered defaults,
+  // so template and registry cannot desynchronize (ArgsSpec pins it).
+  // --------------------------------------------------------------------
+
+  /** SQL string-literal escape for user-supplied patterns (standard ''
+    * doubling; DuckDB treats backslashes in '…' literally, matching the
+    * regex engine's expectations). */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  def grepSqlFor(pattern: String): String =
+    s"""SELECT text, count(*) AS cnt FROM documents
+       |WHERE regexp_matches(text, '(?i)${sqlLit(pattern)}')
+       |GROUP BY text ORDER BY text""".stripMargin
+
+  def resultsLimitSqlFor(limit: Int): String =
+    s"""SELECT word, cnt FROM (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word)
+       |ORDER BY word LIMIT $limit""".stripMargin
+
+  def bigramsSqlFor(topN: Int): String =
+    s"""SELECT bigram, count(*) AS cnt
+       |FROM (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |                               i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM (SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+       |               x -> length(x) > 0) AS t
+       |        FROM documents)
+       |)
+       |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT $topN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount"          -> ((s, d) => wordcount(s, d)),
     "wordcount_tsv"      -> ((s, d) => wordcountTsv(s, d)),
@@ -332,14 +371,7 @@ object TextJobs {
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // results read-back is lossless → wordcount oracle, keyed-order LIMIT
-    "results_limit" ->
-      """SELECT word, cnt FROM (
-        |  SELECT word, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
-        |        FROM documents)
-        |  WHERE length(word) > 0
-        |  GROUP BY word)
-        |ORDER BY word LIMIT 20""".stripMargin,
+    "results_limit" -> resultsLimitSqlFor(20),
     // TSV round-trip is lossless → same oracle as wordcount
     "wordcount_tsv" ->
       """SELECT word, count(*) AS cnt
@@ -347,10 +379,7 @@ object TextJobs {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin,
-    "grep" ->
-      """SELECT text, count(*) AS cnt FROM documents
-        |WHERE regexp_matches(text, '(?i)(error|scan)')
-        |GROUP BY text ORDER BY text""".stripMargin,
+    "grep" -> grepSqlFor("(error|scan)"),
     "inverted_index" ->
       """SELECT word,
         |       list_aggregate(list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))), 'string_agg', ',') AS doc_ids,
@@ -375,15 +404,6 @@ object TextJobs {
         |      FROM events)
         |GROUP BY GROUPING SETS ((event_type), (k_bucket), (event_type, k_bucket))
         |ORDER BY event_type ASC NULLS FIRST, k_bucket ASC NULLS FIRST""".stripMargin,
-    "bigrams" ->
-      """SELECT bigram, count(*) AS cnt
-        |FROM (
-        |  SELECT unnest(list_transform(range(1, len(t)),
-        |                               i -> t[i] || ' ' || t[i+1])) AS bigram
-        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'),
-        |               x -> length(x) > 0) AS t
-        |        FROM documents)
-        |)
-        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 100""".stripMargin,
+    "bigrams" -> bigramsSqlFor(100),
   )
 }

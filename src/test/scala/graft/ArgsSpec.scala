@@ -246,4 +246,39 @@ class ArgsSpec extends AnyFunSuite {
       assert(SparkEntry.queries.contains(k), s"$k missing from fixed registry")
     }
   }
+
+  test("templated oracles: registered defaults reproduce oracleSql byte-for-byte") {
+    // grep's fixed-registry twin pins "(error|scan)" (non-vacuous on this
+    // corpus) while its no-args default stays reference-parity "error"
+    val registeredArgs = Map("grep" -> Map("pattern" -> "(error|scan)"))
+    SparkEntry.oracleSqlWithArgs.foreach { case (name, fn) =>
+      assert(SparkEntry.queriesWithArgs.contains(name),
+        s"$name templated but not parameterized")
+      assert(SparkEntry.oracleSql.contains(name),
+        s"$name templated but has no registered oracle")
+      val args = registeredArgs.getOrElse(name, Map.empty[String, String])
+      assert(fn(args) == SparkEntry.oracleSql(name),
+        s"$name: template at the registered argument values no longer " +
+          "matches the registered oracle — the two desynchronized")
+    }
+  }
+
+  test("templated oracles interpolate the argument (and escape quotes)") {
+    val o = SparkEntry.oracleSqlWithArgs
+    assert(o("grep")(Map("pattern" -> "zxqj")).contains("zxqj"))
+    assert(o("grep")(Map("pattern" -> "it's")).contains("it''s"))
+    assert(o("events_rolling_24h")(Map("window_hours" -> "6"))
+      .contains("INTERVAL 6 HOURS"))
+    assert(o("late_order_priority")(Map("lag_days" -> "30"))
+      .contains("INTERVAL 30 DAY"))
+    assert(o("kcore_graph")(Map("peels" -> "3")).contains("ke3 AS MATERIALIZED"))
+    assert(!o("kcore_graph")(Map("peels" -> "3")).contains("ke4"))
+  }
+
+  test("multi_touch_attribution is salt-invariant (range-split changes tasks, not results)") {
+    val mta = SparkEntry.queriesWithArgs("multi_touch_attribution")
+    val s1 = mta(spark, sf, Map("salt_bins" -> "1")).collect().map(_.toString).toSeq
+    val s16 = mta(spark, sf, Map("salt_bins" -> "16")).collect().map(_.toString).toSeq
+    assert(s1 == s16, "salt count must not affect the attribution ledger")
+  }
 }

@@ -40,7 +40,9 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = norm(con.sql(f"SELECT * FROM read_parquet({files!r})").df())
+            # hive_partitioning=0: an arg-spec output dir ('name@key=val')
+            # would otherwise be inferred as a hive partition column
+            got = norm(con.sql(f"SELECT * FROM read_parquet({files!r}, hive_partitioning=0)").df())
             want = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
