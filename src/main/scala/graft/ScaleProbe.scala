@@ -89,7 +89,7 @@ object ScaleProbe {
     "events_seasonal", "events_heavy_hitters", "multi_touch_attribution",
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
-    "user_growth_daily")
+    "user_growth_daily", "events_late_audit")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -182,6 +182,10 @@ object SparkEntry {
       Dedup.containmentPairsSketch(s, d,
         a.getOrElse("t", "0.8").toDouble,
         a.getOrElse("k", "128").toInt)),
+    "events_late_audit" -> ((s, d, a) =>
+      graft.streaming.StreamingJobs.eventsLateAudit(s, d,
+        a.getOrElse("delay_minutes", "60").toInt,
+        a.getOrElse("jitter_minutes", "180").toInt)),
   )
 
   /** Arg-TEMPLATED oracle twins for the SQL-expressible
@@ -226,6 +230,10 @@ object SparkEntry {
         a.getOrElse("peels", "8").toInt)),
     "token_histogram" -> (a =>
       TextAnalysis.tokenHistogramSqlFor(a.getOrElse("bin_tokens", "64").toInt)),
+    "events_late_audit" -> (a =>
+      graft.streaming.StreamingJobs.eventsLateAuditSqlFor(
+        a.getOrElse("delay_minutes", "60").toInt,
+        a.getOrElse("jitter_minutes", "180").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -115,6 +116,133 @@ object StreamingJobs {
         col("n_events"), col("total_value"))
 
   // --------------------------------------------------------------------
+  // Watermark late-data accounting
+  // --------------------------------------------------------------------
+
+  /** Bin count for the arrival-order prefix decomposition: the per-bin
+    * max frame is ≤ this many rows — bounded model state at any corpus
+    * size (collected through [[graft.queries.Hist.bounded]]). */
+  private val LateAuditBins = 65536L
+
+  /** WATERMARK LATE-DATA ACCOUNTING — the one readout every production
+    * stream exports (r9 verdict #3/#8): per 1-hour tumbling window, how
+    * many rows arrived so late that a watermarked streaming aggregation
+    * (delay = `delayUs`) would have already closed their window and
+    * dropped them. `evIn` carries an explicit arrival clock `arr_us`
+    * (total arrival order = (arr_us, event_id)); the per-event
+    * high-watermark before row i is max(ts) over all rows that arrived
+    * strictly before i, and row i is LATE iff its window's end ≤ that
+    * high-watermark − delay, in exact integer µs — Spark's own boundary
+    * (a window closes once watermark ≥ window end; StreamingSpec pins
+    * the == case against `numRowsDroppedByWatermark`). This is the
+    * TIGHTEST (per-event-advance) watermark — a real micro-batched run
+    * advances the watermark only between batches, so its drop counter
+    * is ≤ this audit's count, equal on a one-row-per-batch replay
+    * (StreamingSpec proves exactly that).
+    *
+    * Scale shape — a distributed prefix-max, NOT a global window: rows
+    * bin by arrival time, bin width derived from the arrival span so
+    * there are ≤ [[LateAuditBins]] bins (arrivals are time-uniform for
+    * a steady stream; a pathologically bursty clock concentrates bins
+    * the same way it concentrates any time-keyed partition); the
+    * per-bin max-ts frame is bounded model state (one grouped agg,
+    * collected via the occupancy-guarded [[graft.queries.Hist.bounded]]);
+    * the cross-bin carry-in prefix is a driver fold over that bounded
+    * frame, broadcast back; the within-bin prefix is a window
+    * PARTITIONED BY bin — every corpus-sized structure stays
+    * distributed, and each task sorts one bin, never the stream. Final
+    * shape is one grouped agg on the hour. All-integer µs end to end. */
+  private[graft] def lateAuditCore(spark: SparkSession, evIn: DataFrame,
+                                   delayUs: Long): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = evIn.select(col("event_id"), col("ts"), col("arr_us"),
+      unix_micros(col("ts")).as("ts_us"))
+    // arrival span: 2 longs of model state (the asofJoinOrdersSalted move)
+    val span = ev.agg(min("arr_us"), max("arr_us")).head()
+    val (lo, binW) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0),
+        math.max(1L, (span.getLong(1) - span.getLong(0)) / LateAuditBins + 1))
+    val binned = ev.withColumn("bin", expr(s"(arr_us - $lo) DIV $binW"))
+    // bounded carry frame: per-bin max ts, prefix-folded on the driver
+    val binMax = graft.queries.Hist.bounded(
+      binned.groupBy("bin").agg(max("ts_us").as("m")), "events_late_audit")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val carries = Seq.newBuilder[(Long, Long)]
+    var run = Long.MinValue
+    binMax.foreach { case (b, m) =>
+      if (run != Long.MinValue) carries += ((b, run))
+      run = math.max(run, m)
+    }
+    import spark.implicits._
+    val carryDf = carries.result().toDF("bin", "carry")
+    val wBin = Window.partitionBy("bin").orderBy("arr_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .withColumn("lmax", max("ts_us").over(wBin))
+      .join(broadcast(carryDf), Seq("bin"), "left")
+      .withColumn("hw", greatest(col("lmax"), col("carry")))
+      .withColumn("late",
+        col("hw").isNotNull &&
+          (expr(s"ts_us DIV $hourUs") + 1) * hourUs <= col("hw") - delayUs)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .orderBy("window_start")
+  }
+
+  /** The registered audit replays the batch corpus through a SIMULATED
+    * transport: arrival = event time + a deterministic per-event delay,
+    * `md5(event_id) % jitter` (the fixture's event_ids are time-ordered,
+    * so replaying them as the arrival clock would make every row
+    * on-time and the audit vacuous; real streams are late because of
+    * transport jitter, which this models with the repo's portable md5
+    * idiom — same value on both engines). With the 3 h default jitter
+    * and the 1 h watermark delay, ~1/3 of fixture rows land late: the
+    * audit output is the (windows × lateness) table a capacity planner
+    * reads to size the watermark delay. */
+  def eventsLateAudit(spark: SparkSession, sfDir: String,
+                      delayMinutes: Int = 60,
+                      jitterMinutes: Int = 180): DataFrame = {
+    require(delayMinutes >= 0,
+      s"delayMinutes must be nonnegative, got $delayMinutes")
+    require(jitterMinutes > 0,
+      s"jitterMinutes must be positive, got $jitterMinutes")
+    val jUs = jitterMinutes.toLong * 60 * 1000000
+    val hkey = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("ts"),
+        (unix_micros(col("ts")) + hkey % jUs).as("arr_us"))
+    lateAuditCore(spark, ev, delayMinutes.toLong * 60 * 1000000)
+  }
+
+  /** Oracle: the plain global running max over arrival order (DuckDB
+    * affords the corpus-wide window at oracle scale) — equality proves
+    * the bin decomposition computes the identical prefix. */
+  def eventsLateAuditSqlFor(delayMinutes: Int, jitterMinutes: Int = 180): String = {
+    val dUs = delayMinutes.toLong * 60 * 1000000
+    val jUs = jitterMinutes.toLong * 60 * 1000000
+    s"""WITH e AS (SELECT event_id, ts, epoch_us(ts) AS ts_us,
+       |                  epoch_us(ts) + CAST(
+       |                    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+       |                         AS UBIGINT) % $jUs AS BIGINT) AS arr_us
+       |           FROM events),
+       |r AS (SELECT ts, ts_us,
+       |             max(ts_us) OVER (ORDER BY arr_us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+       |      FROM e)
+       |SELECT date_trunc('hour', ts) AS window_start,
+       |       count(*) AS n_events,
+       |       CAST(coalesce(sum(CASE WHEN hw IS NOT NULL
+       |              AND (ts_us // 3600000000 + 1) * 3600000000 <= hw - $dUs
+       |            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val eventsLateAuditSql: String = eventsLateAuditSqlFor(60)
+
+  // --------------------------------------------------------------------
   // Custom state: flatMapGroupsWithState sessionizer
   // --------------------------------------------------------------------
 
@@ -216,6 +344,7 @@ object StreamingJobs {
     "events_by_segment" -> ((s, d) =>
       segmentActivity(batchEvents(s, d), Tables.customer(s, d))
         .orderBy("window_start", "segment")),
+    "events_late_audit" -> ((s, d) => eventsLateAudit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +399,6 @@ object StreamingJobs {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
+    "events_late_audit" -> eventsLateAuditSql,
   )
 }

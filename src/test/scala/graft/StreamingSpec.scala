@@ -362,4 +362,45 @@ class StreamingSpec extends AnyFunSuite {
       .agg(sum("n_events")).as[Long].head()
     assert(total == 2 * n)
   }
+
+  test("watermark late-data accounting: streamed drop counter == batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    // one row per micro-batch => the stream's watermark advances per
+    // event, exactly the audit's per-event high-watermark contract
+    def t(s: String) = Timestamp.valueOf(s"2024-03-01 $s:00")
+    val arrivals = Seq(               // (arrival order = event_id)
+      (0L, t("00:30"), "view", 1L, 1.0),   // first row: no watermark yet
+      (1L, t("06:10"), "view", 1L, 1.0),   // advances wm to 05:10
+      (2L, t("01:30"), "view", 1L, 1.0),   // window end 02:00 < 05:10 -> DROP
+      (3L, t("03:40"), "view", 1L, 1.0),   // end 04:00 < 05:10 -> DROP
+      (4L, t("04:30"), "view", 1L, 1.0),   // end 05:00 < 05:10 -> DROP
+      (5L, t("05:30"), "view", 1L, 1.0),   // end 06:00 > 05:10 -> kept
+      (6L, t("07:00"), "view", 1L, 1.0),   // advances wm to 06:00
+      (7L, t("05:15"), "view", 1L, 1.0))   // end 06:00 == wm -> DROP (wm >= end)
+    val mem = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "user_id", "value")
+    val q = StreamingJobs.tumbling1h(df).writeStream
+      .format("memory").queryName("late_audit_test")
+      .outputMode(OutputMode.Append).start()
+    val dropped =
+      try {
+        arrivals.foreach { r => mem.addData(r); q.processAllAvailable() }
+        q.recentProgress
+          .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      } finally q.stop()
+    val audit = StreamingJobs.lateAuditCore(spark,
+      arrivals.toDF("event_id", "ts", "event_type", "user_id", "value")
+        .withColumn("arr_us", col("event_id")),  // arrival clock = injection order
+      3600L * 1000000)
+    val byWindow = audit.collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.agg(sum("n_late")).head().getLong(0) == 4)
+    assert(dropped == 4,
+      s"stream dropped $dropped rows, audit says 4")
+    assert(byWindow("2024-03-01 01:00:00.0") == ((1L, 1L)))
+    assert(byWindow("2024-03-01 03:00:00.0") == ((1L, 1L)))
+    assert(byWindow("2024-03-01 04:00:00.0") == ((1L, 1L)))
+    assert(byWindow("2024-03-01 05:00:00.0") == ((2L, 1L)))  // 05:30 kept, 05:15 dropped
+    assert(byWindow("2024-03-01 00:00:00.0") == ((1L, 0L)))
+  }
 }
