@@ -57,7 +57,7 @@ object ScaleProbe {
     "corpus_shuffle", "token_budget_sample", "embedding_pq",
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
-    "ann_cosine_ivfpq_res",
+    "ann_cosine_ivfpq_res", "ann_cosine_ivfpq_batch",
     "knn_graph", "semdedup", "gopher_quality", "pii_scrub",
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
@@ -89,7 +89,7 @@ object ScaleProbe {
     "events_seasonal", "events_heavy_hitters", "multi_touch_attribution",
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
-    "user_growth_daily", "events_late_audit")
+    "user_growth_daily", "events_late_audit", "watermark_delay_curve")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -351,6 +351,46 @@ object ScaleProbe {
         println(String.format(java.util.Locale.ROOT,
           """{"query":"dedup_delta_warm","delta_mod":%d,"sec":%.2f}""",
           Long.box(m), Double.box(dt)))
+      }
+    }
+
+    // -- batch-retrieval ANN: the executor-built-LUT path must (a) equal
+    //    the driver-LUT path at the |Q| both afford, and (b) complete a
+    //    |Q| = 100k retrieval — a workload whose 8×256 LUTs alone would
+    //    be ~200 MB of driver state on the collected-qvecs path (the r9
+    //    verdict #5 observable). Driver state here stays O(codebook).
+    if (run.contains("ann_cosine_ivfpq_batch")) {
+      val eqRes = SparkEntry.queries("ann_cosine_ivfpq_res")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val eqBatch = SparkEntry.queries("ann_cosine_ivfpq_batch")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val nQ = math.min(100000L, nVecs.toLong / 2)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val nRows = queries.Similarity
+        .annCosineIvfPqBatch(spark, dir, nQueries = nQ).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"ann_batch_bulk","n_queries":%d,"rows":%d,"equal_to_res_path":%b,"sec":%.2f}""",
+        Long.box(nQ), Long.box(nRows), Boolean.box(eqRes == eqBatch),
+        Double.box(dt)))
+    }
+
+    // -- multi-touch salt A/B under user skew: same result either way
+    //    (ArgsSpec pins salt-invariance), but with one bot user owning
+    //    ~skewPct% of events, salts=1 concentrates that user's whole
+    //    7-day window of clicks×purchase-probes on single (user, bin)
+    //    tasks; salts=8 must spread it ~8× (r9 verdict #7 observable).
+    if (run.contains("multi_touch_attribution") && skewPct > 0) {
+      Seq(1, 8).foreach { s =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        queries.Temporal.multiTouchAttribution(spark, dir, 7, s)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"multi_touch_salt","salt_bins":%d,"skew_pct":%d,"sec":%.2f}""",
+          Int.box(s), Int.box(skewPct), Double.box(dt)))
       }
     }
 

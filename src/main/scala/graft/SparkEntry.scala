@@ -186,6 +186,13 @@ object SparkEntry {
       graft.streaming.StreamingJobs.eventsLateAudit(s, d,
         a.getOrElse("delay_minutes", "60").toInt,
         a.getOrElse("jitter_minutes", "180").toInt)),
+    "ann_cosine_ivfpq_batch" -> ((s, d, a) =>
+      Similarity.annCosineIvfPqBatch(s, d,
+        a.getOrElse("n_probe", "8").toInt,
+        a.getOrElse("n_queries", "10").toLong)),
+    "watermark_delay_curve" -> ((s, d, a) =>
+      graft.streaming.StreamingJobs.watermarkDelayCurve(s, d,
+        a.getOrElse("jitter_minutes", "180").toInt)),
   )
 
   /** Arg-TEMPLATED oracle twins for the SQL-expressible
@@ -233,6 +240,9 @@ object SparkEntry {
     "events_late_audit" -> (a =>
       graft.streaming.StreamingJobs.eventsLateAuditSqlFor(
         a.getOrElse("delay_minutes", "60").toInt,
+        a.getOrElse("jitter_minutes", "180").toInt)),
+    "watermark_delay_curve" -> (a =>
+      graft.streaming.StreamingJobs.watermarkDelayCurveSqlFor(
         a.getOrElse("jitter_minutes", "180").toInt)),
   )
 

@@ -2567,7 +2567,11 @@ object Similarity {
     * stream would come from an IVF coarse filter (IVF-PQ) rather than
     * the full scan, but the ADC arithmetic is exactly this. Exact
     * cosine is joined back for the k·|Q| result rows only — the
-    * approximation-quality readout.
+    * approximation-quality readout. The per-query LUTs here are built
+    * driver-side from the collected qvecs — correct for the bounded
+    * fixture |Q|; a batch-retrieval workload (|Q| ≫ 10) must use
+    * [[annCosineIvfPqBatch]], whose LUTs are executor-built and never
+    * collected.
     *
     * Determinism: LUT entries integerise to micros (⌊·1e6+0.5⌋) before
     * the 8-term long sum — fold-order-free — and ranking ties break
@@ -2779,7 +2783,9 @@ object Similarity {
     * scoring is [[annCosinePq]]'s micros-integerised LUT sums, ties
     * vec_id ASC — every stage already proven hash-exact, composed. */
   /** The candidate-restricted ADC-scored stream (qid, vec_id, score_u)
-    * shared by [[annCosineIvfPq]] and [[annCosineIvfPqRerank]]. */
+    * shared by [[annCosineIvfPq]] and [[annCosineIvfPqRerank]].
+    * Driver-LUT plumbing (fine at fixture |Q|) — batch retrieval goes
+    * through [[annCosineIvfPqBatch]]. */
   private def ivfPqScored(spark: SparkSession, sfDir: String,
                           nProbe: Int): DataFrame = {
     import spark.implicits._
@@ -2948,7 +2954,10 @@ object Similarity {
     * table riding the broadcast beside the |Q|·8·256 LUT (both model
     * state; at 65536 cells and 10 queries that is 5 MB): candidates
     * from the multiprobe coarse quantizer, ADC from 8-byte codes + two
-    * table lookups, floats fetched for the |Q|·8k shortlist only.
+    * table lookups, floats fetched for the |Q|·8k shortlist only. Both
+    * tables are driver-built from collected qvecs — bounded at fixture
+    * |Q|; batch retrieval (|Q| ≫ 10) uses [[annCosineIvfPqBatch]]'s
+    * executor-built, never-collected equivalents (same hash).
     * Determinism: off/LUT entries integerise to micros before the
     * order-free long sum; the encode replays the oracle's `r_enc` CTE
     * (same ‖c‖²−2c·x fold, ties k-ASC); residuals are exact IEEE
@@ -3000,6 +3009,117 @@ object Similarity {
         while (m < nSub) { s += tab(m)(cs(m)); m += 1 }
         (qid, vid, s)
       }.toDF("qid", "vec_id", "score_u")
+    val shortlist = topKScored(spark, scored, TopK * RerankFactor).drop("rank")
+    val all = vecs(spark, sfDir)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("adc_cos"),
+        Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** BATCH-RETRIEVAL IVF-PQ — [[annCosineIvfPqRes]]'s exact semantics
+    * (same candidates, same micros-integerised ADC arithmetic, same
+    * re-rank: the SAME oracle hash-checks both), re-plumbed so that NO
+    * |Q|-scaled structure ever touches the driver (r9 verdict #5 — the
+    * three fixture-|Q| paths above build per-query LUTs driver-side
+    * over collected query vectors, which serializes a batch-retrieval
+    * workload at |Q| ≫ 10):
+    *
+    *  - per-query 8×256 LUTs are built IN EXECUTORS (one map over the
+    *    query frame with the codebook in a broadcast) and live as a
+    *    DataFrame column — 2 KB per query, shuffled once on qid, never
+    *    collected;
+    *  - per-(query, probed-cell) coarse offsets ride the probe rows —
+    *    they are the SAME dots the probe selection already computes, so
+    *    the |Q|·cells off table the `_res` path broadcasts disappears;
+    *  - ADC scoring is the codes⋈(qid-keyed LUT) join projected
+    *    IMMEDIATELY to narrow (qid, vec_id, score_u) rows — the wide
+    *    LUT array crosses exactly one exchange (its own |Q|-row frame;
+    *    the r8 array-through-pair-shuffle trap), and the 8 table
+    *    lookups are codegen `element_at`s, not a typed map.
+    *
+    * Driver state is O(codebook + centroids) — independent of |Q| and
+    * n. The one |Q|-proportional transfer left is the (qid, cell,
+    * off_u) probe broadcast, 24 B/query·nprobe (at |Q|=100k ≈ 20 MB;
+    * past broadcast range it becomes a shuffle join on cell — the
+    * documented switch). ScaleProbe's `ann_batch` point runs |Q|=100k
+    * queries through this path and pins equality to the driver-LUT
+    * path at a |Q| both can afford. */
+  def annCosineIvfPqBatch(spark: SparkSession, sfDir: String,
+                          nProbe: Int = NProbeMp,
+                          nQueries: Long = NumQueries): DataFrame = {
+    require(nProbe > 0 && nProbe <= IvfMinCells,
+      s"nProbe must be in 1..$IvfMinCells, got $nProbe")
+    require(nQueries > 0, s"nQueries must be positive, got $nQueries")
+    import spark.implicits._
+    val nSub = PqSub; val subDim = PqSubDim; val nK = PqK; val nQ = nQueries
+    val kernel = PqKernel
+    val bcCent = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+    val bcCb = spark.sparkContext.broadcast(pqResCodebook(spark, sfDir))
+    val qframe = unitVecs(spark, sfDir).as[(Long, Array[Double])]
+      .filter(_._1 < nQ)
+    // executor-built LUTs: flat (m, k) -> floor(dot(c_mk, q_m)·1e6 + .5),
+    // stride 256 (entries past a short codebook stay 0, never referenced)
+    val luts = qframe.map { case (qid, qu) =>
+      val flat = new Array[Long](nSub * nK)
+      var m = 0
+      while (m < nSub) {
+        val cs = bcCb.value(m); var k = 0
+        while (k < cs.length) {
+          val w = cs(k); var d = 0.0; var i = 0
+          while (i < w.length) { d += w(i) * qu(m * subDim + i); i += 1 }
+          flat(m * nK + k) = math.floor(d * 1e6 + 0.5).toLong
+          k += 1
+        }
+        m += 1
+      }
+      (qid, flat)
+    }.toDF("qid", "lut")
+    // probe rows carry the coarse offset: the identical centroid dot
+    // (same ascending-i fold) the probe ranking itself computes —
+    // ties cell ASC, exactly ivfCandidates' order
+    val probes = qframe.flatMap { case (qid, u) =>
+      val cs = bcCent.value
+      val scored = cs.zipWithIndex.map { case (w, c) =>
+        var s = 0.0; var i = 0
+        while (i < w.length) { s += w(i) * u(i); i += 1 }
+        (c, s)
+      }
+      scored.sortBy { case (c, s) => (-s, c) }.take(nProbe)
+        .map { case (c, s) => (qid, c, math.floor(s * 1e6 + 0.5).toLong) }
+    }.toDF("qid", "cell", "off_u")
+    // residual codes: the _res path's encode map, verbatim
+    val codes = unitResiduals(spark, sfDir).as[(Long, Int, Array[Double])]
+      .map { case (id, _, r) =>
+        val csArr = new Array[Int](nSub); var m = 0
+        while (m < nSub) {
+          csArr(m) = kernel.nearest(bcCb.value(m), r, m * subDim)._1; m += 1
+        }
+        (id, csArr)
+      }.toDF("vec_id", "codes")
+    val cands = ivfAssigned(spark, sfDir)
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id", "off_u")
+    // ADC: 8 codegen element_at lookups; project to narrow rows in the
+    // join output itself — the lut array never leaves this operator
+    val adc = (0 until nSub).foldLeft(col("off_u")) { (acc, m) =>
+      acc + element_at(col("lut"),
+        lit(m * nK) + element_at(col("codes"), m + 1) + 1)
+    }
+    val scored = cands
+      .join(codes, "vec_id")
+      .join(luts, "qid")
+      .select(col("qid"), col("vec_id"), adc.as("score_u"))
     val shortlist = topKScored(spark, scored, TopK * RerankFactor).drop("rank")
     val all = vecs(spark, sfDir)
     val w = Window.partitionBy("qid")
@@ -3089,6 +3209,7 @@ object Similarity {
     "ann_cosine_pq_rerank" -> ((s, d) => annCosinePqRerank(s, d)),
     "ann_cosine_ivfpq_rerank" -> ((s, d) => annCosineIvfPqRerank(s, d)),
     "ann_cosine_ivfpq_res" -> ((s, d) => annCosineIvfPqRes(s, d)),
+    "ann_cosine_ivfpq_batch" -> ((s, d) => annCosineIvfPqBatch(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
@@ -3125,6 +3246,9 @@ object Similarity {
     "ann_cosine_pq_rerank" -> annCosinePqRerankSql,
     "ann_cosine_ivfpq_rerank" -> annCosineIvfPqRerankSql,
     "ann_cosine_ivfpq_res" -> annCosineIvfPqResSql,
+    // the batch path computes the IDENTICAL result by construction —
+    // one oracle string hash-checks both plumbing strategies
+    "ann_cosine_ivfpq_batch" -> annCosineIvfPqResSql,
     "knn_graph" -> knnGraphSql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,

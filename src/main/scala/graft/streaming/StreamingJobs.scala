@@ -152,9 +152,13 @@ object StreamingJobs {
     * PARTITIONED BY bin — every corpus-sized structure stays
     * distributed, and each task sorts one bin, never the stream. Final
     * shape is one grouped agg on the hour. All-integer µs end to end. */
-  private[graft] def lateAuditCore(spark: SparkSession, evIn: DataFrame,
-                                   delayUs: Long): DataFrame = {
-    val hourUs = 3600L * 1000000
+  /** The distributed prefix-max substrate shared by [[lateAuditCore]]
+    * and [[watermarkDelayCurve]]: per row of `evIn` (event_id, ts,
+    * arr_us), the high-watermark `hw` = max(ts) over all strictly
+    * earlier arrivals (null for the first), plus `ts_us`. Scale shape
+    * as documented on [[lateAuditCore]]. */
+  private def highWatermarkFrame(spark: SparkSession,
+                                 evIn: DataFrame): DataFrame = {
     val ev = evIn.select(col("event_id"), col("ts"), col("arr_us"),
       unix_micros(col("ts")).as("ts_us"))
     // arrival span: 2 longs of model state (the asofJoinOrdersSalted move)
@@ -182,14 +186,20 @@ object StreamingJobs {
       .withColumn("lmax", max("ts_us").over(wBin))
       .join(broadcast(carryDf), Seq("bin"), "left")
       .withColumn("hw", greatest(col("lmax"), col("carry")))
+  }
+
+  private val HourUs = 3600L * 1000000
+
+  private[graft] def lateAuditCore(spark: SparkSession, evIn: DataFrame,
+                                   delayUs: Long): DataFrame =
+    highWatermarkFrame(spark, evIn)
       .withColumn("late",
         col("hw").isNotNull &&
-          (expr(s"ts_us DIV $hourUs") + 1) * hourUs <= col("hw") - delayUs)
+          (expr(s"ts_us DIV $HourUs") + 1) * HourUs <= col("hw") - delayUs)
       .groupBy(date_trunc("hour", col("ts")).as("window_start"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
       .orderBy("window_start")
-  }
 
   /** The registered audit replays the batch corpus through a SIMULATED
     * transport: arrival = event time + a deterministic per-event delay,
@@ -201,21 +211,88 @@ object StreamingJobs {
     * and the 1 h watermark delay, ~1/3 of fixture rows land late: the
     * audit output is the (windows × lateness) table a capacity planner
     * reads to size the watermark delay. */
-  def eventsLateAudit(spark: SparkSession, sfDir: String,
-                      delayMinutes: Int = 60,
-                      jitterMinutes: Int = 180): DataFrame = {
-    require(delayMinutes >= 0,
-      s"delayMinutes must be nonnegative, got $delayMinutes")
+  /** The simulated-transport arrival frame shared by [[eventsLateAudit]]
+    * and [[watermarkDelayCurve]]. */
+  private def jitteredArrivals(spark: SparkSession, sfDir: String,
+                               jitterMinutes: Int): DataFrame = {
     require(jitterMinutes > 0,
       s"jitterMinutes must be positive, got $jitterMinutes")
     val jUs = jitterMinutes.toLong * 60 * 1000000
     val hkey = conv(substring(md5(col("event_id").cast("string")), 1, 15),
       16, 10).cast("long")
-    val ev = Tables.eventsTs(spark, sfDir)
+    Tables.eventsTs(spark, sfDir)
       .select(col("event_id"), col("ts"),
         (unix_micros(col("ts")) + hkey % jUs).as("arr_us"))
-    lateAuditCore(spark, ev, delayMinutes.toLong * 60 * 1000000)
   }
+
+  def eventsLateAudit(spark: SparkSession, sfDir: String,
+                      delayMinutes: Int = 60,
+                      jitterMinutes: Int = 180): DataFrame = {
+    require(delayMinutes >= 0,
+      s"delayMinutes must be nonnegative, got $delayMinutes")
+    lateAuditCore(spark, jitteredArrivals(spark, sfDir, jitterMinutes),
+      delayMinutes.toLong * 60 * 1000000)
+  }
+
+  /** Delay grid evaluated by [[watermarkDelayCurve]] — mirrored verbatim
+    * in the oracle's `d` list (the NprobeCurvePoints discipline). */
+  private val DelayCurvePoints = Seq(5, 15, 60, 240)
+
+  /** WATERMARK DELAY TUNING CURVE — the table an operator reads to SIZE
+    * the watermark delay ([[eventsLateAudit]] audits one chosen delay;
+    * this prices the choices): for each candidate delay, how many rows
+    * of the jitter-replayed stream would drop, and the drop share.
+    * "5 min loses 31% of rows, 4 h loses none — serve at 1 h and accept
+    * 3%" is exactly the ivf_nprobe_curve read, applied to streaming
+    * completeness-vs-latency.
+    *
+    * One [[highWatermarkFrame]] pass (the prefix-max is
+    * delay-independent, computed ONCE) cross-joined against the
+    * broadcast 4-row delay grid, one grouped agg — corpus work is
+    * |grid|× one narrow scan, state is the grid. */
+  def watermarkDelayCurve(spark: SparkSession, sfDir: String,
+                          jitterMinutes: Int = 180): DataFrame = {
+    import spark.implicits._
+    val delays = DelayCurvePoints.toDF("delay_minutes")
+    highWatermarkFrame(spark, jitteredArrivals(spark, sfDir, jitterMinutes))
+      .crossJoin(broadcast(delays))
+      .withColumn("late",
+        col("hw").isNotNull &&
+          (expr(s"ts_us DIV $HourUs") + 1) * HourUs <=
+            col("hw") - col("delay_minutes").cast("long") * 60000000L)
+      .groupBy("delay_minutes")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .select(col("delay_minutes"), col("n_events"), col("n_late"),
+        graft.queries.Det.r(
+          col("n_late").cast("double") / col("n_events"), 6).as("late_share"))
+      .orderBy("delay_minutes")
+  }
+
+  def watermarkDelayCurveSqlFor(jitterMinutes: Int): String = {
+    val jUs = jitterMinutes.toLong * 60 * 1000000
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+       |                  epoch_us(ts) + CAST(
+       |                    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+       |                         AS UBIGINT) % $jUs AS BIGINT) AS arr_us
+       |           FROM events),
+       |r AS (SELECT ts_us,
+       |             max(ts_us) OVER (ORDER BY arr_us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+       |      FROM e),
+       |g AS (SELECT d.delay_minutes, count(*) AS n_events,
+       |             CAST(coalesce(sum(CASE WHEN hw IS NOT NULL
+       |                    AND (ts_us // 3600000000 + 1) * 3600000000
+       |                        <= hw - CAST(d.delay_minutes AS BIGINT) * 60000000
+       |                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+       |      FROM r CROSS JOIN (SELECT unnest([5, 15, 60, 240]) AS delay_minutes) d
+       |      GROUP BY 1)
+       |SELECT delay_minutes, n_events, n_late,
+       |       ${graft.queries.Det.rSql("CAST(n_late AS DOUBLE) / n_events", 6)} AS late_share
+       |FROM g ORDER BY delay_minutes""".stripMargin
+  }
+
+  val watermarkDelayCurveSql: String = watermarkDelayCurveSqlFor(180)
 
   /** Oracle: the plain global running max over arrival order (DuckDB
     * affords the corpus-wide window at oracle scale) — equality proves
@@ -345,6 +422,7 @@ object StreamingJobs {
       segmentActivity(batchEvents(s, d), Tables.customer(s, d))
         .orderBy("window_start", "segment")),
     "events_late_audit" -> ((s, d) => eventsLateAudit(s, d)),
+    "watermark_delay_curve" -> ((s, d) => watermarkDelayCurve(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +478,6 @@ object StreamingJobs {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
     "events_late_audit" -> eventsLateAuditSql,
+    "watermark_delay_curve" -> watermarkDelayCurveSql,
   )
 }

@@ -712,4 +712,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until 10L).forall(s => got.get(s).contains(0)))
     assert(got.values.forall(h => h >= 0 && h <= 3))
   }
+
+  test("ann_cosine_ivfpq_batch == ann_cosine_ivfpq_res (plumbing differs, result identical)") {
+    // the batch path builds LUTs/offsets in executors and joins them in;
+    // the _res path builds them driver-side — same candidates, same
+    // integerised arithmetic, so the frames must match row for row
+    val res = queries.Similarity.annCosineIvfPqRes(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = queries.Similarity.annCosineIvfPqBatch(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(res.nonEmpty && res == batch)
+  }
 }

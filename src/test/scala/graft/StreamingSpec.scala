@@ -403,4 +403,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(byWindow("2024-03-01 05:00:00.0") == ((2L, 1L)))  // 05:30 kept, 05:15 dropped
     assert(byWindow("2024-03-01 00:00:00.0") == ((1L, 0L)))
   }
+
+  test("watermark_delay_curve: 60-minute point == late audit; drops monotone in delay") {
+    val curve = StreamingJobs.watermarkDelayCurve(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val auditTotal = StreamingJobs.eventsLateAudit(spark, sf)
+      .agg(sum("n_late")).head().getLong(0)
+    assert(curve(60) == auditTotal,
+      "the curve's 60-minute point must equal the audit at its default delay")
+    assert(curve(240) <= curve(60) && curve(60) <= curve(15) &&
+      curve(15) <= curve(5), s"late counts must fall as delay grows: $curve")
+    // jitter bounded by delay => nothing can be late
+    assert(curve(240) == 0, "4h delay covers the 3h jitter entirely")
+    assert(curve(5) > 0, "5m delay under 3h jitter must drop rows")
+  }
 }
