@@ -70,7 +70,7 @@ object ScaleProbe {
     "containment_pairs_sketch", "containment_sketch_coverage",
     "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
-    "dedup_method_agreement", "lang_source_chi2")
+    "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -576,6 +576,19 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.8
     val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val cands = exactJaccardCandidates(hv, t)
+    verifyJaccard(spark, cands, hv, t)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The AllPairs+PPJoin EXACT candidate generator extracted from
+    * [[ngramJaccardPairs]] (same filters, parameterized threshold) so
+    * [[dedupThresholdCurve]] can enumerate at its loosest grid point:
+    * every pair with jaccard ≥ t survives (both filters are proven
+    * necessary conditions), so downstream per-threshold counts are
+    * exact, not recall-limited. */
+  private def exactJaccardCandidates(hv: DataFrame, t: Double): DataFrame = {
     val ex = hv.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
     // global rarity order (freq asc, hash asc as tiebreak), then keep
@@ -611,7 +624,7 @@ object Dedup {
     // On the adversarial uniform-frequency corpus this is the only
     // filter with discriminating power left after the length filter.
     val tScaled = math.floor(t * 10000).toLong
-    val cands = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 10000L >=
             greatest(col("a.n"), col("b.n")) * tScaled &&
@@ -619,9 +632,6 @@ object Dedup {
             lit(10000L + tScaled) >= lit(tScaled) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, cands, hv, t)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardPairsSql: String =
@@ -637,6 +647,96 @@ object Dedup {
        |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
        |WHERE raw_j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Dedup threshold tuning curve
+  // --------------------------------------------------------------------
+
+  /** τ grid in tenths — mirrored verbatim in the oracle's unnest (the
+    * NprobeCurvePoints discipline). */
+  private val ThresholdCurveTenths = Seq(5, 6, 7, 8, 9)
+
+  /** DEDUP THRESHOLD TUNING CURVE — "how aggressive should near-dedup
+    * be": for each candidate jaccard threshold τ ∈ {0.5 … 0.9}, the
+    * number of qualifying near-dup pairs, the number of documents
+    * touched by at least one such pair, and the corpus fraction that
+    * is. The companion table to [[ngramJaccardDedup]] the way
+    * ivf_nprobe_curve companions ann_cosine_ivf: the fixed queries
+    * apply ONE threshold; this prices the choices before you pick it
+    * ("0.9 touches 3% of docs, 0.5 touches 19% — dedup at 0.7 and
+    * re-run the quality gate on survivors").
+    *
+    * Exactness: pairs enumerate ONCE at the grid's loosest point via
+    * [[exactJaccardCandidates]] (AllPairs length + PPJoin prefix
+    * filters — necessary conditions, so nothing at any grid τ is
+    * recall-limited), verified by the shared two-pointer intersection;
+    * per-τ membership is the INTEGER cross-multiplied comparison
+    * I·10 ≥ tt·(|A|+|B|−I) (τ in exact tenths — no IEEE division
+    * anywhere near the gate). Scale: the τ=0.5 prefix is ~half of each
+    * doc's shingles, the documented exact-enumeration price — this is
+    * the tuning readout you run on a sampled shard to SET the
+    * production threshold, and its per-τ regrouping is over the
+    * |pairs@0.5|-bounded list × a broadcast 5-row grid, never the
+    * corpus. */
+  def dedupThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tMin = ThresholdCurveTenths.min / 10.0
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val pairs = verifyJaccard(spark, exactJaccardCandidates(hv, tMin), hv, tMin)
+    val sizes = hv.select(col("doc_id"), size(col("hs")).cast("long").as("nsz"))
+    val p = pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsz").as("nb")), "doc_b")
+    val grid = ThresholdCurveTenths.toDF("tt")
+    val q = p.crossJoin(broadcast(grid))
+      .filter(col("n_common") * 10L >=
+        col("tt") * (col("na") + col("nb") - col("n_common")))
+    val perTau = q.groupBy("tt").agg(count(lit(1)).as("n_pairs"))
+    val docsPerTau = q
+      .select(col("tt"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy("tt").agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(spark, sfDir).count()
+    val fracCol =
+      if (total == 0) lit(0.0)
+      else Det.r(coalesce(col("n_docs"), lit(0L)).cast("double") / total, 6)
+    grid.join(perTau, Seq("tt"), "left").join(docsPerTau, Seq("tt"), "left")
+      .select((col("tt").cast("double") / 10).as("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs_affected"),
+        fracCol.as("frac_affected"))
+      .orderBy("tau")
+  }
+
+  /** Oracle: brute-force all-pairs intersections × the same integer
+    * per-τ gate — equality proves the AllPairs enumeration at τ_min
+    * misses nothing at ANY grid point. */
+  val dedupThresholdCurveSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              len(list_intersect(a.hs, b.hs)) AS i,
+       |              len(a.hs) AS na, len(b.hs) AS nb
+       |       FROM hv a JOIN hv b ON a.doc_id < b.doc_id),
+       |q AS (SELECT t.tt, doc_a, doc_b
+       |      FROM pr CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9]) AS tt) t
+       |      WHERE i * 10 >= tt * (na + nb - i)),
+       |np AS (SELECT tt, count(*) AS n_pairs FROM q GROUP BY 1),
+       |nd AS (SELECT tt, count(*) AS n_docs FROM (
+       |         SELECT DISTINCT tt, doc FROM (
+       |           SELECT tt, unnest([doc_a, doc_b]) AS doc FROM q))
+       |       GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM documents)
+       |SELECT CAST(t.tt AS DOUBLE) / 10 AS tau,
+       |       coalesce(np.n_pairs, 0) AS n_pairs,
+       |       coalesce(nd.n_docs, 0) AS n_docs_affected,
+       |       CASE WHEN tot.n = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${Det.rSql(
+                      "CAST(coalesce(nd.n_docs, 0) AS DOUBLE) / tot.n", 6)}
+       |       END AS frac_affected
+       |FROM (SELECT unnest([5, 6, 7, 8, 9]) AS tt) t
+       |LEFT JOIN np USING (tt) LEFT JOIN nd USING (tt) CROSS JOIN tot
+       |ORDER BY tau""".stripMargin
 
   private val ContainT = 0.8
   private val ContainMaxDf = 1000
@@ -2267,6 +2367,7 @@ object Dedup {
     "substring_dedup"      -> ((s, d) => substringDedup(s, d)),
     "pipeline_funnel"      -> ((s, d) => pipelineFunnel(s, d)),
     "ngram_jaccard_dedup"  -> ((s, d) => ngramJaccardPairs(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => dedupThresholdCurve(s, d)),
     "containment_pairs"    -> ((s, d) => containmentPairs(s, d)),
     "containment_pairs_sketch" -> ((s, d) => containmentPairsSketch(s, d)),
     "containment_sketch_coverage" -> ((s, d) => containmentSketchCoverage(s, d)),
@@ -2291,6 +2392,7 @@ object Dedup {
     "substring_dedup"      -> substringDedupSql,
     "pipeline_funnel"      -> pipelineFunnelSql,
     "ngram_jaccard_dedup"  -> ngramJaccardPairsSql,
+    "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "containment_pairs"    -> containmentPairsSql,
     "containment_pairs_sketch" -> containmentPairsSketchSql,
     "containment_sketch_coverage" -> containmentSketchCoverageSql,

@@ -324,4 +324,33 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_clusters")).sum
     assert(dupClusters == stats("near_dup_clusters"))
   }
+
+  test("dedup_threshold_curve discriminates engineered overlap levels") {
+    import spark.implicits._
+    // three pairs with controlled trigram jaccard: shared prefix of 200
+    // tokens + distinct suffixes of length s per side gives
+    // j = 198 / (198 + 2s + 2): s=80 -> 0.553, s=40 -> 0.712, s=5 -> 0.952
+    // (the sf fixture is bimodal — every near-dup sits >= 0.9 — so the
+    // curve's per-tau discrimination needs this constructed corpus)
+    def doc(pair: Int, side: Char, suffix: Int): String =
+      ((1 to 200).map(i => s"p${pair}t$i") ++
+        (1 to suffix).map(i => s"s$pair$side$i")).mkString(" ")
+    val docs = Seq(
+      (10L, doc(1, 'a', 80)), (11L, doc(1, 'b', 80)),   // j ~ 0.553
+      (20L, doc(2, 'a', 40)), (21L, doc(2, 'b', 40)),   // j ~ 0.712
+      (30L, doc(3, 'a', 5)), (31L, doc(3, 'b', 5)))     // j ~ 0.952
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_thresh_curve").getAbsolutePath
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val curve = queries.Dedup.dedupThresholdCurve(spark, dir).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(curve(0.5) == ((3L, 6L, 1.0)))
+    assert(curve(0.6) == ((2L, 4L, 0.666667)))
+    assert(curve(0.7) == ((2L, 4L, 0.666667)))
+    assert(curve(0.8) == ((1L, 2L, 0.333333)))
+    assert(curve(0.9) == ((1L, 2L, 0.333333)))
+  }
 }
