@@ -376,6 +376,30 @@ object ScaleProbe {
         Double.box(dt)))
     }
 
+    // -- table-profile path A/B at probe scale: the registered
+    //    `table_profile_approx` is the bound-check VERIFICATION twin
+    //    (exact + approx per column, by design); the production 100 TB
+    //    audit pass is tableProfileApproxRaw — ONE scan, HLL only, no
+    //    Expand. This block prices all three so the twin's bench line
+    //    is never mistaken for the production cost.
+    if (run.contains("table_profile_approx") && relScale > 0) {
+      Seq("exact" -> ((s: SparkSession, d: String) =>
+            queries.Relational.tableProfile(s, d)),
+          "approx_twin" -> ((s: SparkSession, d: String) =>
+            queries.Relational.tableProfileApprox(s, d)),
+          "approx_raw" -> ((s: SparkSession, d: String) =>
+            queries.Relational.tableProfileApproxRaw(s, d)))
+        .foreach { case (label, fn) =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(String.format(java.util.Locale.ROOT,
+            """{"query":"table_profile_paths","path":"%s","sec":%.2f}""",
+            label, Double.box(dt)))
+        }
+    }
+
     // -- multi-touch salt A/B under user skew: same result either way
     //    (ArgsSpec pins salt-invariance), but with one bot user owning
     //    ~skewPct% of events, salts=1 concentrates that user's whole

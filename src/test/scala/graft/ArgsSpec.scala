@@ -275,6 +275,13 @@ class ArgsSpec extends AnyFunSuite {
     assert(!o("kcore_graph")(Map("peels" -> "3")).contains("ke4"))
   }
 
+  test("ann_cosine_ivfpq_batch honors n_queries (each query gets its top-5)") {
+    val run = SparkEntry.queriesWithArgs("ann_cosine_ivfpq_batch")
+    val r = run(spark, sf, Map("n_queries" -> "20"))
+    assert(r.count() == 100)  // 20 queries x top-5
+    assert(r.select("qid").distinct().count() == 20)
+  }
+
   test("multi_touch_attribution is salt-invariant (range-split changes tasks, not results)") {
     val mta = SparkEntry.queriesWithArgs("multi_touch_attribution")
     val s1 = mta(spark, sf, Map("salt_bins" -> "1")).collect().map(_.toString).toSeq

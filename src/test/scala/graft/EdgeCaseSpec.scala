@@ -711,6 +711,22 @@ class EdgeCaseSpec extends AnyFunSuite {
       s"${failures.size} queries throw on empty corpus:\n${failures.mkString("\n")}")
   }
 
+  test("dedup_threshold_curve on an empty corpus emits the full zeroed grid") {
+    // the grid LEFT JOIN contract: a tuning curve must keep its shape on
+    // an empty shard (5 rows, all zeros), not vanish — downstream
+    // threshold pickers index it by tau
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_edge_curve_empty").getAbsolutePath
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.Dedup.dedupThresholdCurve(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getDouble(3) == 0.0)
+    }
+  }
+
   test("EVERY registered query survives a single-row corpus (no throws)") {
     // the other degenerate shard shape: exactly one row per table —
     // catches divide-by-(n−1), single-band histograms, self-join
