@@ -255,4 +255,48 @@ class PropertiesSpec extends AnyFunSuite {
         ln04.add(BdLn.ln(BdLn.ofDouble(q)), BdLn.mc).negate(), dp)
     }
   }
+
+  test("lateAuditCore bin decomposition == single-threaded reference fold") {
+    // the distributed prefix-max (span bins + carry fold + within-bin
+    // windows) must equal a literal left-to-right fold over arrival
+    // order, on arrival clocks with heavy ties, inversions and bursts
+    val hourUs = 3600L * 1000000
+    val delayUs = 3600L * 1000000
+    for (seed <- Seq(11L, 23L, 47L)) {
+      def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+      val base = 1700000000000000L
+      val rows = (0 until 4000).map { i =>
+        val s1 = lcg(seed * 1000003 + i)
+        // ms-aligned event time: java.sql.Timestamp(ms) round-trips it
+        // exactly under the pinned-UTC session and JVM
+        val ts = base +
+          java.lang.Math.floorMod(s1 >>> 11, 30L * 86400 * 1000L) * 1000L
+        val s2 = lcg(s1)
+        // bursty arrival: 1/4 of rows share one of 16 arrival instants
+        val arr =
+          if (java.lang.Math.floorMod(s2 >>> 7, 4L) == 0)
+            base + java.lang.Math.floorMod(s2 >>> 13, 16L) * 86400000000L
+          else ts + java.lang.Math.floorMod(s2 >>> 17, 6L * 3600 * 1000000L)
+        (i.toLong, new java.sql.Timestamp(ts / 1000), arr, ts)
+      }
+      // reference: literal fold over (arr, id) order
+      var hw = Long.MinValue
+      val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      rows.sortBy(r => (r._3, r._1)).foreach { case (_, _, _, ts) =>
+        val win = ts / hourUs * hourUs
+        val late = hw != Long.MinValue && win + hourUs <= hw - delayUs
+        val (n, l) = expect.getOrElse(win, (0L, 0L))
+        expect(win) = (n + 1, if (late) l + 1 else l)
+        hw = math.max(hw, ts)
+      }
+      val df = rows.map { case (id, tsj, arr, _) => (id, tsj, arr) }
+        .toDF("event_id", "ts", "arr_us")
+      val got = graft.streaming.StreamingJobs.lateAuditCore(spark, df, delayUs)
+        .collect()
+        .map(r => r.getTimestamp(0).getTime * 1000L ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect.toMap, s"seed $seed: bin decomposition diverged")
+      assert(expect.values.map(_._2).sum > 0, s"seed $seed: vacuous (no late rows)")
+    }
+  }
 }
