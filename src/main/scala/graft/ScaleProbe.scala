@@ -109,7 +109,8 @@ object ScaleProbe {
     "table_profile_approx",
     "scd2_order_status", "mv_refresh_incremental", "rfm_segments",
     "window_battery", "corr_matrix", "zorder_orders",
-    "orders_forecast_snaive", "revenue_cusum", "k_anonymity",
+    "orders_forecast_snaive", "revenue_cusum", "revenue_changepoint",
+    "k_anonymity",
     "basket_rules", "revenue_pareto_share", "nation_revenue_yoy",
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",

@@ -2168,6 +2168,106 @@ object Relational {
        |         AS alarm
        |FROM ss ORDER BY day""".stripMargin
 
+  /** CHANGEPOINT DETECTION (binary segmentation, one split) on the
+    * daily revenue ledger — [[revenueCusum]] raises the "something
+    * shifted" alarm; this names WHEN: the split day k maximizing the
+    * between-segment contrast G_k = (n·S_k − k·T)² / (k·(n−k)), the
+    * single-changepoint CUSUM statistic (equivalently the SSE drop of
+    * a two-mean fit; Page 1954 / binary segmentation's first cut).
+    * Output is one row: the last day of the left segment, both segment
+    * means and their difference — the artifact an on-call reads
+    * ("revenue stepped +X $/day after day D").
+    *
+    * Exactness discipline: the argmax runs over EXACT integers —
+    * a_k = n·S_k − k·T (cents·days, BigInt on the driver), compared by
+    * cross-multiplication a_k²·(j(n−j)) vs a_j²·(k(n−k)) with ties to
+    * the earlier day, so no float ever orders the argmax; the oracle
+    * replays the identical comparison as a HUGEINT anti-join over the
+    * bounded daily frame (a²·b ≤ ~4e35 at sf0.1 — inside int128; the
+    * engine side's BigInt never overflows at any scale). Segment
+    * means/delta divide exact sub-2⁵³ integers in IEEE and round via
+    * the shared [[Det]] floor.
+    *
+    * Scale shape: one corpus scan into the |days|-bounded daily agg
+    * (the [[revenueCusum]] contract), collected through the
+    * occupancy-guarded [[graft.queries.Hist.bounded]]; the O(|days|)
+    * fold and O(|days|) argmax are driver-side model-state work —
+    * calendar-bounded at any corpus size. */
+  def revenueChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epochDay = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date"))
+    val daily = Hist.bounded(
+      Tables.orders(spark, sfDir)
+        .groupBy(epochDay.as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("c")), "revenue_changepoint")
+      .map(r => (r.getAs[Int]("day"), r.getAs[Long]("c"))).sortBy(_._1)
+    val n = daily.length
+    val empty = Seq.empty[(Int, Long, Long, Double, Double, Double)]
+      .toDF("change_day", "n_days", "left_days",
+        "left_mean", "right_mean", "delta")
+    if (n < 2) return empty
+    val t = daily.map(d => BigInt(d._2)).sum
+    var sk = BigInt(0)
+    var best: (BigInt, BigInt, Int) = null // (a², k(n−k), split day)
+    var bestK = 0
+    var bestSk = BigInt(0)
+    for (k <- 1 until n) {
+      sk += daily(k - 1)._2
+      val a = BigInt(n) * sk - BigInt(k) * t
+      val a2 = a * a
+      val den = BigInt(k) * (n - k)
+      // strictly-better only: ascending k keeps the EARLIEST argmax,
+      // exactly the oracle's (equal AND y.day < x.day) tie rule
+      val better = best == null || a2 * best._2 > best._1 * den
+      if (better) { best = (a2, den, daily(k - 1)._1); bestK = k; bestSk = sk }
+    }
+    val k = bestK
+    def r2(num: BigInt, den: BigInt): Double =
+      math.floor(num.toDouble / den.toDouble * 100 + 0.5) / 100
+    val leftMean = r2(bestSk, BigInt(k) * 100)
+    val rightMean = r2(t - bestSk, BigInt(n - k) * 100)
+    val deltaNum = (t - bestSk) * k - bestSk * (n - k)
+    val delta = r2(deltaNum, BigInt(k) * (n - k) * 100)
+    Seq((best._3, n.toLong, k.toLong, leftMean, rightMean, delta))
+      .toDF("change_day", "n_days", "left_days",
+        "left_mean", "right_mean", "delta")
+  }
+
+  /** Oracle: the identical exact-integer argmax as a DECIMAL(38)
+    * cross-multiplied anti-join over the bounded daily frame. */
+  val revenueChangepointSql: String =
+    s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |                  CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+       |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+       |           FROM orders GROUP BY 1),
+       |m AS (SELECT count(*) AS n, sum(c) AS t FROM d),
+       |cc AS (SELECT day,
+       |              row_number() OVER (ORDER BY day) AS k,
+       |              sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk
+       |       FROM d),
+       |cand AS (SELECT day, k, sk,
+       |                CAST(m.n AS HUGEINT) * CAST(sk AS HUGEINT)
+       |                  - CAST(k AS HUGEINT) * CAST(m.t AS HUGEINT) AS a,
+       |                CAST(k AS HUGEINT) * (m.n - k) AS b
+       |         FROM cc, m WHERE k < m.n),
+       |best AS (SELECT * FROM cand x
+       |         WHERE NOT EXISTS (
+       |           SELECT 1 FROM cand y
+       |           WHERE y.a * y.a * x.b > x.a * x.a * y.b
+       |              OR (y.a * y.a * x.b = x.a * x.a * y.b
+       |                  AND y.day < x.day)))
+       |SELECT x.day AS change_day,
+       |       m.n AS n_days,
+       |       x.k AS left_days,
+       |       ${Det.rSql("CAST(x.sk AS DOUBLE) / (x.k * 100.0)", 2)} AS left_mean,
+       |       ${Det.rSql(
+          "CAST(m.t - x.sk AS DOUBLE) / ((m.n - x.k) * 100.0)", 2)} AS right_mean,
+       |       ${Det.rSql(
+          "CAST((m.t - x.sk) * x.k - x.sk * (m.n - x.k) AS DOUBLE)" +
+            " / (x.k * (m.n - x.k) * 100.0)", 2)} AS delta
+       |FROM best x, m""".stripMargin
+
   // --------------------------------------------------------------------
   // Z-order layout (Morton-curve multi-dimensional clustering)
   // --------------------------------------------------------------------
@@ -2964,6 +3064,7 @@ object Relational {
     "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
     "orders_forecast_snaive" -> ((s, d) => ordersForecastSnaive(s, d)),
     "revenue_cusum"       -> ((s, d) => revenueCusum(s, d)),
+    "revenue_changepoint" -> ((s, d) => revenueChangepoint(s, d)),
     "k_anonymity"         -> ((s, d) => kAnonymity(s, d)),
     "revenue_pareto_share" -> ((s, d) => revenueParetoShare(s, d)),
     "nation_revenue_yoy"  -> ((s, d) => nationRevenueYoy(s, d)),
@@ -3020,6 +3121,7 @@ object Relational {
     "zorder_orders"        -> zorderOrdersSql,
     "orders_forecast_snaive" -> ordersForecastSnaiveSql,
     "revenue_cusum"        -> revenueCusumSql,
+    "revenue_changepoint"  -> revenueChangepointSql,
     "k_anonymity"          -> kAnonymitySql,
     "revenue_pareto_share" -> revenueParetoShareSql,
     "nation_revenue_yoy"   -> nationRevenueYoySql,

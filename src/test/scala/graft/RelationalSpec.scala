@@ -658,4 +658,29 @@ class RelationalSpec extends AnyFunSuite {
       .agg(max("u")).as[Long].head()
     assert(revs.head == mx.toDouble / 10000)
   }
+
+  test("revenue_changepoint finds an engineered step exactly") {
+    // 10 days at $100/day then 10 at $200/day: the single-changepoint
+    // CUSUM statistic peaks at the boundary (split after day index 10,
+    // i.e. change_day = the 10th day), means exactly 100 and 200
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_changepoint").getAbsolutePath
+    val rows = (0 until 20).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+        if (i < 10) 100.0 else 200.0)
+    }
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = queries.Relational.revenueChangepoint(spark, dir).head()
+    val day0 = (java.time.LocalDate.of(2024, 1, 10).toEpochDay).toInt
+    assert(r.getAs[Int]("change_day") == day0)   // last $100 day
+    assert(r.getAs[Long]("n_days") == 20 && r.getAs[Long]("left_days") == 10)
+    assert(r.getAs[Double]("left_mean") == 100.0)
+    assert(r.getAs[Double]("right_mean") == 200.0)
+    assert(r.getAs[Double]("delta") == 100.0)
+    // degenerate guards: one day -> no split emitted
+    rows.take(1).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(queries.Relational.revenueChangepoint(spark, dir).count() == 0)
+  }
 }

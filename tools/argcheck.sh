@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Non-default-argument oracle gate (r9 verdict #4): run every templated
+# arg family at >=2 non-default argument points through graft.Verify's
+# name@key=val channel and hash-compare against the arg-templated
+# DuckDB oracle. Usage: tools/argcheck.sh [SF_DIR] [OUT_DIR]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+OUT="${2:-/tmp/graft_argcheck}"
+SPECS=(
+  'grep@pattern=data' 'grep@pattern=proc'
+  'results_limit@limit=7' 'results_limit@limit=50'
+  'bigrams@top_n=25' 'bigrams@top_n=7'
+  'events_rolling_24h@window_hours=6' 'events_rolling_24h@window_hours=48'
+  'events_heavy_hitters@k=50' 'events_heavy_hitters@k=300'
+  'group_sample@k=1' 'group_sample@k=5'
+  'multi_touch_attribution@window_days=2'
+  'multi_touch_attribution@window_days=14,salt_bins=4'
+  'basket_rules@top_n=20' 'basket_rules@top_n=80,max_basket=128'
+  'late_order_priority@lag_days=30' 'late_order_priority@lag_days=180'
+  'waiting_supplier@lag_days=60' 'waiting_supplier@lag_days=365'
+  'kcore_graph@core_k=2' 'kcore_graph@core_k=4,peels=6'
+  'token_histogram@bin_tokens=32' 'token_histogram@bin_tokens=128'
+  'events_late_audit@delay_minutes=5'
+  'events_late_audit@delay_minutes=240,jitter_minutes=30'
+  'watermark_delay_curve@jitter_minutes=30'
+  'watermark_delay_curve@jitter_minutes=600'
+)
+tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
+  | grep -E '\[verify\].*failed' || true
+exec python3 tools/check.py "$SF" "$OUT" "${SPECS[@]}"
