@@ -48,7 +48,7 @@ object ScaleProbe {
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "embedding_dedup_lsh",
-    "mm_features", "mm_frame_sample", "mm_fusion",
+    "mm_features", "mm_frame_sample", "mm_fusion", "mm_integrity",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
     "bpe_train", "bpe_apply", "bpe_vocab",
     "mm_resize", "dedup_stats", "grep", "inverted_index",

@@ -402,7 +402,73 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** PAYLOAD INTEGRITY GATE — the audit a media lake runs BEFORE paying
+    * for decode: per modality, how many assets violate their declared
+    * metadata contract. Checks (data-dependent on this corpus — the
+    * fixture genuinely splits, MultimodalSpec pins 0 < violations < n):
+    *  - `n_empty`: zero-byte payload (nothing to decode);
+    *  - `n_undersized` (image): payload bytes · 256 < width · height —
+    *    the payload cannot hold the declared raster even at maximum
+    *    256:1 compression (a real lake compares against the codec's
+    *    floor; the constant is the contract, shared with the oracle);
+    *  - `n_misaligned` (audio): odd byte length — PCM16 frames cannot
+    *    align (the classic truncated-write symptom).
+    * `n_ok` / `ok_share` summarize the decodable fraction — the number
+    * that decides whether a shard ships to the decode fleet or goes
+    * back to ingestion.
+    *
+    * Scale: one scan of the asset table (checks are pure per-row byte
+    * arithmetic — length only, the payload is never copied), one
+    * |modalities|-bounded agg. Oracle replays the length math on the
+    * text column (ASCII corpus: bytes == chars, the module contract). */
+  def mmIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = assets(spark, sfDir).toDF()
+      .withColumn("nb", length(col("payload")))
+      .withColumn("empty", col("nb") === 0)
+      // hierarchical: an empty payload reports ONLY as empty, so the
+      // four counters always partition n_assets exactly
+      .withColumn("undersized",
+        !col("empty") && col("modality") === "image" &&
+          col("nb") * 256 < col("width") * col("height"))
+      .withColumn("misaligned",
+        col("modality") === "audio" && col("nb") % 2 === 1)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    a.groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        cnt(col("empty")).as("n_empty"),
+        cnt(col("undersized")).as("n_undersized"),
+        cnt(col("misaligned")).as("n_misaligned"),
+        cnt(!col("empty") && !col("undersized") && !col("misaligned")).as("n_ok"))
+      .withColumn("ok_share",
+        Det.r(col("n_ok").cast("double") / col("n_assets"), 6))
+      .orderBy("modality")
+  }
+
+  val mmIntegritySql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |                  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       |                  length(text) AS nb,
+       |                  64 + (doc_id % 8) * 16 AS w,
+       |                  64 + (doc_id % 4) * 32 AS h
+       |           FROM documents),
+       |f AS (SELECT modality,
+       |             nb = 0 AS empty,
+       |             nb > 0 AND modality = 'image' AND nb * 256 < w * h AS undersized,
+       |             modality = 'audio' AND nb % 2 = 1 AS misaligned
+       |      FROM a)
+       |SELECT modality, count(*) AS n_assets,
+       |       CAST(coalesce(sum(CASE WHEN empty THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
+       |       CAST(coalesce(sum(CASE WHEN undersized THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_undersized,
+       |       CAST(coalesce(sum(CASE WHEN misaligned THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_misaligned,
+       |       CAST(coalesce(sum(CASE WHEN NOT empty AND NOT undersized AND NOT misaligned
+       |                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ok,
+       |       ${Det.rSql(
+          "CAST(sum(CASE WHEN NOT empty AND NOT undersized AND NOT misaligned" +
+            " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS ok_share
+       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_integrity" -> ((s, d) => mmIntegrity(s, d)),
     "mm_dedup"     -> ((s, d) => mmDedup(s, d)),
     "mm_near_dedup" -> ((s, d) => mmNearDedup(s, d)),
     "mm_features"     -> ((s, d) => mmFeatures(s, d)),
@@ -412,6 +478,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_integrity" -> mmIntegritySql,
     "mm_dedup"     -> mmDedupSql,
     "mm_near_dedup" -> mmNearDedupSql,
     "mm_features"     -> mmFeaturesSql,

@@ -133,4 +133,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.contains((1L, 2L)) && !got.contains((1L, 4L)),
       "modality boundary crossed")
   }
+
+  test("mm_integrity: checks are data-dependent, counts reconcile") {
+    val rows = queries.Multimodal.mmIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val img = rows("image"); val aud = rows("audio")
+    // the fixture genuinely splits on both rules — neither vacuous-pass
+    // nor vacuous-fail (a rule that fires on 0% or 100% checks nothing)
+    val imgBad = img.getAs[Long]("n_undersized")
+    val audBad = aud.getAs[Long]("n_misaligned")
+    assert(imgBad > 0 && imgBad < img.getAs[Long]("n_assets"))
+    assert(audBad > 0 && audBad < aud.getAs[Long]("n_assets"))
+    // cross-modality rules never fire; per-modality counts reconcile
+    assert(img.getAs[Long]("n_misaligned") == 0)
+    assert(aud.getAs[Long]("n_undersized") == 0)
+    Seq(img, aud).foreach { r =>
+      assert(r.getAs[Long]("n_ok") + r.getAs[Long]("n_empty") +
+        r.getAs[Long]("n_undersized") + r.getAs[Long]("n_misaligned") ==
+        r.getAs[Long]("n_assets"))
+    }
+  }
 }
