@@ -247,16 +247,22 @@ object Curation {
     * variant swaps HLL exactly as [[Relational.tableProfile]] documents.
     * Empty corpus: zero rows on both engines (the keyless scalars cross
     * an empty per-split aggregate). */
-  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
+  /** Content-hash split assignment shared by [[leakageSafeSplit]] and
+    * [[splitBalanceAudit]]: (doc_id, lang, source, ch, n_tokens, split)
+    * with the 5/5/90 test/val/train buckets keyed on the NORMALIZED
+    * content hash — one definition, two consumers, no drift. */
+  private def splitAssigned(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
         md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))).as("ch"),
         size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
-    val a = h
       .withColumn("b", Temporal.bucketCol(col("ch")))
       .withColumn("split",
         when(col("b") < 5, "test")
           .when(col("b") < 10, "val").otherwise("train"))
+
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = splitAssigned(spark, sfDir)
     val tot = a.agg(count(lit(1)).as("n_total"))
     val leak = a.groupBy("ch")
       .agg(count_distinct(col("split")).as("ns"))
@@ -307,6 +313,84 @@ object Curation {
        |FROM s, tot, leak
        |ORDER BY split""".stripMargin
 
+  /** SPLIT BALANCE AUDIT — the other half of the release gate:
+    * [[leakageSafeSplit]] proves no content crosses the eval boundary;
+    * this proves each split is compositionally REPRESENTATIVE. A
+    * hash-keyed split is unbiased in expectation but any finite corpus
+    * deviates — per (split, lang): doc and token counts, the language's
+    * share WITHIN the split vs its corpus-wide share, and the deviation.
+    * An eval set that under-samples a language mis-measures it; this
+    * table is what you read before trusting per-language eval deltas
+    * (and the full grid emits even zero-count (split, lang) cells — an
+    * ABSENT language in val is exactly the finding).
+    *
+    * Shapes: one scan into a (split, lang) grouped agg (≤ 3·|langs|
+    * rows), cross-joined against the 3×|langs| dense grid built from
+    * two bounded distinct frames; shares divide exact longs in IEEE and
+    * round via [[Det]]; the deviation subtracts the two exact-division
+    * doubles (two fixed operands — fold-order-free, identical on both
+    * engines), never a long×long product that could outgrow 2⁶³ at
+    * corpus scale. */
+  def splitBalanceAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = splitAssigned(spark, sfDir)
+    val sl = a.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val s = a.groupBy("split").agg(count(lit(1)).as("n_split"))
+    val l = a.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = a.agg(count(lit(1)).as("n_total"))
+    // dense grid: a language missing from a split must REPORT, not vanish
+    val grid = s.select("split").crossJoin(l.select("lang"))
+    grid
+      .join(sl, Seq("split", "lang"), "left")
+      .join(s, "split").join(broadcast(l), "lang").crossJoin(broadcast(tot))
+      .select(col("split"), col("lang"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        Det.r(coalesce(col("n_docs"), lit(0L)).cast("double") /
+          col("n_split"), 6).as("split_share"),
+        Det.r(col("n_lang").cast("double") / col("n_total"), 6)
+          .as("corpus_share"),
+        Det.r(coalesce(col("n_docs"), lit(0L)).cast("double") / col("n_split")
+          - col("n_lang").cast("double") / col("n_total"), 6).as("dev"))
+      .orderBy("split", "lang")
+  }
+
+  val splitBalanceAuditSql: String =
+    s"""WITH a AS (
+       |  SELECT lang,
+       |         CASE WHEN b < 5 THEN 'test'
+       |              WHEN b < 10 THEN 'val' ELSE 'train' END AS split,
+       |         n_tokens
+       |  FROM (SELECT lang,
+       |               CAST(CAST('0x' || substr(md5(
+       |                 md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
+       |               ), 1, 15) AS UBIGINT) % 100 AS INTEGER) AS b,
+       |               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |        FROM documents)),
+       |sl AS (SELECT split, lang, count(*) AS n_docs,
+       |              CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |       FROM a GROUP BY 1, 2),
+       |s AS (SELECT split, count(*) AS n_split FROM a GROUP BY 1),
+       |l AS (SELECT lang, count(*) AS n_lang FROM a GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM a),
+       |grid AS (SELECT s.split, l.lang FROM s CROSS JOIN l)
+       |SELECT g.split, g.lang,
+       |       coalesce(sl.n_docs, 0) AS n_docs,
+       |       coalesce(sl.tokens, 0) AS tokens,
+       |       ${Det.rSql(
+          "CAST(coalesce(sl.n_docs, 0) AS DOUBLE) / s.n_split", 6)} AS split_share,
+       |       ${Det.rSql("CAST(l.n_lang AS DOUBLE) / tot.n_total", 6)} AS corpus_share,
+       |       ${Det.rSql(
+          "CAST(coalesce(sl.n_docs, 0) AS DOUBLE) / s.n_split" +
+            " - CAST(l.n_lang AS DOUBLE) / tot.n_total", 6)} AS dev
+       |FROM grid g
+       |LEFT JOIN sl ON sl.split = g.split AND sl.lang = g.lang
+       |JOIN s ON s.split = g.split
+       |JOIN l ON l.lang = g.lang
+       |CROSS JOIN tot
+       |ORDER BY g.split, g.lang""".stripMargin
+
   // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
@@ -315,11 +399,13 @@ object Curation {
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
     "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)),
-    "leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)))
+    "leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
+    "split_balance_audit" -> ((s, d) => splitBalanceAudit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "weighted_sample_pps" -> weightedSamplePpsSql,
-    "leakage_safe_split" -> leakageSafeSplitSql)
+    "leakage_safe_split" -> leakageSafeSplitSql,
+    "split_balance_audit" -> splitBalanceAuditSql)
 }

@@ -120,4 +120,26 @@ class CurationSpec extends AnyFunSuite {
         r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
     }
   }
+
+  test("split_balance_audit reconciles with leakage_safe_split and itself") {
+    val audit = queries.Curation.splitBalanceAudit(spark, sf).collect()
+    val splits = queries.Curation.leakageSafeSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    // same split assignment: per-split doc totals agree across queries
+    audit.groupBy(_.getString(0)).foreach { case (split, rows) =>
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == splits(split),
+        s"$split doc totals diverge between the two split queries")
+      // within-split shares partition 1 (up to the 1e-6 Det grid)
+      val shareSum = rows.map(_.getAs[Double]("split_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$split shares sum $shareSum")
+      // deviations cancel per split (both share columns sum to ~1)
+      val devSum = rows.map(_.getAs[Double]("dev")).sum
+      assert(math.abs(devSum) < 1e-4, s"$split devs sum $devSum")
+    }
+    // full dense grid: every (split, lang) cell present
+    assert(audit.length == splits.size *
+      audit.map(_.getString(1)).distinct.length)
+    // the audit is non-vacuous: the small eval splits genuinely deviate
+    assert(audit.exists(r => math.abs(r.getAs[Double]("dev")) > 0.01))
+  }
 }
