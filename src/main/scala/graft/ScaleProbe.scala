@@ -86,7 +86,7 @@ object ScaleProbe {
     "events_cms_topk", "events_value_quantiles",
     "events_gap_fill", "range_join_bursts", "interval_union",
     "events_mad_outliers", "purchase_attribution", "cohort_ltv",
-    "events_seasonal", "events_heavy_hitters", "multi_touch_attribution",
+    "events_seasonal", "events_seasonal_anomaly", "events_heavy_hitters", "multi_touch_attribution",
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
     "user_growth_daily", "events_late_audit", "watermark_delay_curve")

@@ -1934,6 +1934,77 @@ object Temporal {
             "CAST(n * 24 AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)", 4)} AS idx
        |FROM h ORDER BY event_type, hr""".stripMargin
 
+  /** DESEASONALIZED ANOMALY ALARMS — the consumer of
+    * [[eventsSeasonal]]'s baseline: per (event_type, day, hour) cell,
+    * expected = that day's type volume × the hour's seasonality share,
+    * and a cell alarms when its Poisson residual exceeds 3σ
+    * (resid² > 9·expected — |n−λ| > 3√λ in square form, no sqrt in the
+    * gate). Evaluated over the DENSE (type, day)×24 grid, so an hour
+    * with ZERO events against a large expectation — the outage shape —
+    * alarms rather than silently missing from a sparse group-by. Output
+    * is the alarm list only (the on-call artifact; the full baseline is
+    * [[eventsSeasonal]]'s).
+    *
+    * Determinism: expected multiplies an exact integer day-volume by
+    * the Det-rounded (exact-decimal) idx and divides by 24 — a fixed
+    * IEEE op sequence both engines replay identically; the square-form
+    * gate compares products of those same doubles, so engine==oracle
+    * needs no rounding at the decision boundary. Scale: two grouped
+    * aggs over the corpus (cell and day-volume), a ≤24·|types|-row idx
+    * broadcast, the grid explode is |types|·|days|·24 — calendar-
+    * bounded; no corpus-wide window. */
+  def eventsSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsTs(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+    val cell = ev.groupBy("event_type", "day", "hr").agg(count(lit(1)).as("n"))
+    val dayTot = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n_day"))
+    val idx = seasonalFinish(seasonalBase(Tables.eventsTs(spark, sfDir)))
+      .select(col("event_type"), col("hr"), col("idx"))
+    dayTot
+      .withColumn("hr", explode(sequence(lit(0), lit(23))))
+      .join(cell, Seq("event_type", "day", "hr"), "left")
+      .join(broadcast(idx), Seq("event_type", "hr"))
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+      .withColumn("expected", col("n_day") * col("idx") / 24)
+      .withColumn("resid", col("n0").cast("double") - col("expected"))
+      .filter(col("resid") * col("resid") > lit(9.0) * col("expected"))
+      .select(col("event_type"), col("day"), col("hr"), col("n0").as("n"),
+        Det.r(col("expected"), 4).as("expected"),
+        Det.r(col("resid"), 4).as("resid"))
+      .orderBy("event_type", "day", "hr")
+  }
+
+  val eventsSeasonalAnomalySql: String =
+    s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |                  CAST(extract(hour FROM ts) AS INTEGER) AS hr
+       |           FROM events),
+       |h AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+       |ix AS (SELECT event_type, hr,
+       |              ${Det.rSql(
+            "CAST(n * 24 AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)",
+            4)} AS idx
+       |       FROM h),
+       |dt AS (SELECT event_type, day, count(*) AS n_day FROM e GROUP BY 1, 2),
+       |cell AS (SELECT event_type, day, hr, count(*) AS n
+       |         FROM e GROUP BY 1, 2, 3),
+       |x AS (SELECT dt.event_type, dt.day, g.hr,
+       |             coalesce(cell.n, 0) AS n,
+       |             dt.n_day * ix.idx / 24 AS expected,
+       |             CAST(coalesce(cell.n, 0) AS DOUBLE)
+       |               - dt.n_day * ix.idx / 24 AS resid
+       |      FROM dt
+       |      CROSS JOIN (SELECT CAST(unnest(generate_series(0, 23)) AS INTEGER) AS hr) g
+       |      LEFT JOIN cell ON cell.event_type = dt.event_type
+       |                    AND cell.day = dt.day AND cell.hr = g.hr
+       |      JOIN ix ON ix.event_type = dt.event_type AND ix.hr = g.hr)
+       |SELECT event_type, day, hr, n,
+       |       ${Det.rSql("expected", 4)} AS expected,
+       |       ${Det.rSql("resid", 4)} AS resid
+       |FROM x
+       |WHERE resid * resid > 9.0 * expected
+       |ORDER BY event_type, day, hr""".stripMargin
+
   // --------------------------------------------------------------------
   // SCD2 (type-2 slowly-changing-dimension interval build)
   // --------------------------------------------------------------------
@@ -2019,6 +2090,7 @@ object Temporal {
     "events_winsorized_stats" -> ((s, d) => eventsWinsorizedStats(s, d)),
     "user_diversity_simpson" -> ((s, d) => userDiversitySimpson(s, d)),
     "events_seasonal"   -> ((s, d) => eventsSeasonal(s, d)),
+    "events_seasonal_anomaly" -> ((s, d) => eventsSeasonalAnomaly(s, d)),
     "scd2_order_status" -> ((s, d) => scd2OrderStatus(s, d)),
     "events_funnel"     -> ((s, d) => eventsFunnel(s, d)),
     "asof_join_orders"  -> ((s, d) => asofJoinOrders(s, d)),
@@ -2057,6 +2129,7 @@ object Temporal {
     "events_winsorized_stats" -> eventsWinsorizedStatsSql,
     "user_diversity_simpson" -> userDiversitySimpsonSql,
     "events_seasonal"   -> eventsSeasonalSql,
+    "events_seasonal_anomaly" -> eventsSeasonalAnomalySql,
     "scd2_order_status" -> scd2OrderStatusSql,
     "events_funnel"     -> eventsFunnelSql,
     "asof_join_orders"  -> asofJoinOrdersSql,

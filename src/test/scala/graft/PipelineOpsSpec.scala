@@ -941,6 +941,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_seasonal_anomaly: every alarm satisfies the 3-sigma gate; rate is a tail, not a flood") {
+    val alarms = queries.Temporal.eventsSeasonalAnomaly(spark, sf).collect()
+    assert(alarms.nonEmpty, "uniform fixture still has chance 3-sigma cells")
+    alarms.foreach { r =>
+      val e = r.getAs[Double]("expected"); val d = r.getAs[Double]("resid")
+      // rounded outputs of the unrounded gate: allow the 1e-4 Det grid
+      assert(d * d > 9.0 * e - 1e-2, s"alarm below the gate: $r")
+      assert(r.getAs[Long]("n") >= 0 && e > 0)
+    }
+    // ~0.3-0.4% false-positive rate expected on uniform data; a flood
+    // (>2% of the dense grid) would mean the baseline is wrong
+    val grid = queries.Temporal.eventsSeasonal(spark, sf)
+      .select("event_type").distinct().count() *
+      Tables.eventsTs(spark, sf).select(org.apache.spark.sql.functions
+        .to_date(org.apache.spark.sql.functions.col("ts"))).distinct().count() * 24
+    assert(alarms.length.toDouble / grid < 0.02,
+      s"${alarms.length} alarms over $grid cells")
+  }
+
   test("scd2_order_status: partitions each customer's history into maximal runs") {
     val rows = queries.Temporal.scd2OrderStatus(spark, sf).collect()
     val perCust = Tables.orders(spark, sf).groupBy("o_custkey").count()
