@@ -450,6 +450,63 @@ object Similarity {
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame =
     knnEdgesMaterialized(spark, sfDir, k).orderBy("vec_id", "rank")
 
+  /** kNN-GRAPH RECIPROCITY — per rank, what fraction of directed kNN
+    * edges are MUTUAL (b also lists a in ITS top-k). The classic
+    * embedding-hubness diagnostic: hub points enter everyone's
+    * neighbor list while their own list holds only other hubs, so low
+    * reciprocity (especially at deep ranks) predicts exactly the ANN
+    * recall asymmetries [[ivfModularity]] explains spatially — and
+    * mutual-kNN is the standard graph sparsifier ([[knnComponents]]'
+    * clusters get cleaner edges by dropping one-way links, priced by
+    * this table).
+    *
+    * Shape: the memoized n·k edge frame self-joined on the REVERSED
+    * (vec_id, neighbor) key — a left-semi hash join of two n·k-row
+    * narrow frames, both shuffled on the same key pair, then a
+    * k-row grouped agg. No corpus arrays move. Counts are exact
+    * integers; the share is one exact division [[Det]]-floored. */
+  def knnReciprocity(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val g = knnEdgesMaterialized(spark, sfDir, k)
+      .select(col("vec_id"), col("rank"), col("neighbor"))
+    val reversed = g.select(col("neighbor").as("vec_id"),
+      col("vec_id").as("neighbor"))
+    val perRank = g.groupBy("rank").agg(count(lit(1)).as("n_edges"))
+    val mutualPerRank = g.join(reversed, Seq("vec_id", "neighbor"), "left_semi")
+      .groupBy("rank").agg(count(lit(1)).as("n_mutual"))
+    perRank.join(mutualPerRank, Seq("rank"), "left")
+      .select(col("rank"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        Det.r(coalesce(col("n_mutual"), lit(0L)).cast("double") /
+          col("n_edges"), 6).as("mutual_share"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: [[knnEdgeCtesSql]]'s ranked edges self-joined on the
+    * reversed key — (vec_id, neighbor) is unique within the top-k
+    * lists, so the inner join counts each mutual edge exactly once,
+    * matching the engine's left-semi. LAZY: it interpolates
+    * [[knnEdgeCtesSql]], declared further down this object — a strict
+    * val here would capture it uninitialized (the CLAUDE.md
+    * object-init-order trap, hit live while adding this query). */
+  lazy val knnReciprocitySql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |rcp_g AS (SELECT vec_id, CAST(rank AS INT) AS rank, neighbor
+       |          FROM rk WHERE rank <= $KnnK),
+       |rcp_e AS (SELECT rank, count(*) AS n_edges FROM rcp_g GROUP BY 1),
+       |rcp_m AS (SELECT g.rank, count(*) AS n_mutual
+       |          FROM rcp_g g JOIN rcp_g g2 ON g2.vec_id = g.neighbor
+       |                                    AND g2.neighbor = g.vec_id
+       |          GROUP BY 1)
+       |SELECT rcp_e.rank, rcp_e.n_edges,
+       |       coalesce(rcp_m.n_mutual, 0) AS n_mutual,
+       |       ${Det.rSql(
+          "CAST(coalesce(rcp_m.n_mutual, 0) AS DOUBLE) / rcp_e.n_edges",
+          6)} AS mutual_share
+       |FROM rcp_e LEFT JOIN rcp_m ON rcp_m.rank = rcp_e.rank
+       |ORDER BY rcp_e.rank""".stripMargin
+
   /** [[knnEdges]] behind the write-once session sink
     * ([[Dedup.materializeOnce]], the dedupClustersMaterialized engine):
     * the edge build is the expensive stage of the family (probe: ~100 s
@@ -3211,6 +3268,7 @@ object Similarity {
     "ann_cosine_ivfpq_res" -> ((s, d) => annCosineIvfPqRes(s, d)),
     "ann_cosine_ivfpq_batch" -> ((s, d) => annCosineIvfPqBatch(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "knn_reciprocity" -> ((s, d) => knnReciprocity(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
     "kcore_graph" -> ((s, d) => kcoreGraph(s, d)),
@@ -3250,6 +3308,7 @@ object Similarity {
     // one oracle string hash-checks both plumbing strategies
     "ann_cosine_ivfpq_batch" -> annCosineIvfPqResSql,
     "knn_graph" -> knnGraphSql,
+    "knn_reciprocity" -> knnReciprocitySql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,
     "kcore_graph" -> kcoreGraphSql,

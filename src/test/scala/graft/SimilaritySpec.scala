@@ -723,4 +723,20 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(res.nonEmpty && res == batch)
   }
+
+  test("knn_reciprocity: mutual edges pair up; shares bounded and non-vacuous") {
+    val rows = queries.Similarity.knnReciprocity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mutual") <= r.getAs[Long]("n_edges"))
+      val s = r.getAs[Double]("mutual_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // every mutual DIRECTED edge has its reverse also counted (possibly
+    // at a different rank), so the total across ranks is even
+    val totalMutual = rows.map(_.getAs[Long]("n_mutual")).sum
+    assert(totalMutual % 2 == 0, s"unpaired mutual edge: $totalMutual")
+    // the diagnostic discriminates on this corpus: neither 0 nor 1
+    assert(totalMutual > 0 && totalMutual < rows.map(_.getAs[Long]("n_edges")).sum)
+  }
 }
