@@ -360,7 +360,10 @@ object ScaleProbe {
     //    |Q| = 100k retrieval — a workload whose 8×256 LUTs alone would
     //    be ~200 MB of driver state on the collected-qvecs path (the r9
     //    verdict #5 observable). Driver state here stays O(codebook).
-    if (run.contains("ann_cosine_ivfpq_batch")) {
+    // nVecs >= 2 guard: nQ = nVecs/2 is 0 on a degenerate config, and
+    // annCosineIvfPqBatch's require(nQueries > 0) would kill the whole
+    // probe run instead of skipping the bulk point (ADVICE r10).
+    if (run.contains("ann_cosine_ivfpq_batch") && nVecs >= 2) {
       val eqRes = SparkEntry.queries("ann_cosine_ivfpq_res")(spark, dir)
         .collect().map(_.toString).sorted.toSeq
       val eqBatch = SparkEntry.queries("ann_cosine_ivfpq_batch")(spark, dir)

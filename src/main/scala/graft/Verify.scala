@@ -42,6 +42,25 @@ object Verify {
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
+    // Validate every arg spec UP FRONT (fail fast, before any query runs):
+    // a malformed spec ('name@k' with no '=') would otherwise throw
+    // MatchError outside the per-spec try/catch AFTER some queries already
+    // dumped, aborting before oracle_sql.json is written and leaving the
+    // earlier results uncheckable with no _FAILED marker (ADVICE r10).
+    argSpecs.foreach { spec =>
+      val parts = spec.split("@", 2)
+      require(parts.length == 2 && parts(0).nonEmpty,
+        s"malformed arg spec '$spec' — expected name@key=val[,key2=val2]")
+      parts(1).split(",").filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"malformed arg spec '$spec' — '$kv' has no '='")
+      }
+      require(SparkEntry.oracleSqlWithArgs.contains(parts(0)),
+        s"no templated oracle for '${parts(0)}' — " +
+          "add it to SparkEntry.oracleSqlWithArgs")
+      require(SparkEntry.queriesWithArgs.contains(parts(0)),
+        s"no parameterized query '${parts(0)}' in SparkEntry.queriesWithArgs")
+    }
     // name@key=val,... specs: parameterized run + templated oracle
     val argOracles = argSpecs.map { spec =>
       val Array(name, argStr) = spec.split("@", 2)

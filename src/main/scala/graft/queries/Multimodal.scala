@@ -444,10 +444,14 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Oracle byte semantics: the engine measures the BINARY payload's
+    * byte length, so the twin uses octet_length(encode(text)) — UTF-8
+    * BYTES, not characters — and the counts agree on any corpus, not
+    * just while the ASCII fixture keeps bytes == chars (ADVICE r10). */
   val mmIntegritySql: String =
     s"""WITH a AS (SELECT doc_id,
        |                  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
-       |                  length(text) AS nb,
+       |                  octet_length(encode(text)) AS nb,
        |                  64 + (doc_id % 8) * 16 AS w,
        |                  64 + (doc_id % 4) * 32 AS h
        |           FROM documents),

@@ -2184,7 +2184,10 @@ object Relational {
     * the earlier day, so no float ever orders the argmax; the oracle
     * replays the identical comparison as a HUGEINT anti-join over the
     * bounded daily frame (a²·b ≤ ~4e35 at sf0.1 — inside int128; the
-    * engine side's BigInt never overflows at any scale). Segment
+    * engine side's BigInt never overflows at any scale, and the
+    * oracle's `chk` CTE error()s loudly if a future bigger fixture
+    * would push max(a)²·max(b) past int128 instead of silently
+    * overflow-wrapping the argmax). Segment
     * means/delta divide exact sub-2⁵³ integers in IEEE and round via
     * the shared [[Det]] floor.
     *
@@ -2257,6 +2260,11 @@ object Relational {
        |           WHERE y.a * y.a * x.b > x.a * x.a * y.b
        |              OR (y.a * y.a * x.b = x.a * x.a * y.b
        |                  AND y.day < x.day)))
+       |, chk AS (SELECT CASE WHEN 2 * log2(CAST(max(abs(a)) AS DOUBLE) + 1)
+       |                         + log2(CAST(max(b) AS DOUBLE) + 1) >= 126
+       |                      THEN error('revenue_changepoint oracle: max(a)^2*max(b) would overflow int128 (the engine BigInt path cannot) — shrink the oracle corpus')
+       |                      ELSE 1 END AS ok
+       |          FROM cand)
        |SELECT x.day AS change_day,
        |       m.n AS n_days,
        |       x.k AS left_days,
@@ -2266,7 +2274,7 @@ object Relational {
        |       ${Det.rSql(
           "CAST((m.t - x.sk) * x.k - x.sk * (m.n - x.k) AS DOUBLE)" +
             " / (x.k * (m.n - x.k) * 100.0)", 2)} AS delta
-       |FROM best x, m""".stripMargin
+       |FROM best x, m, chk""".stripMargin
 
   // --------------------------------------------------------------------
   // Z-order layout (Morton-curve multi-dimensional clustering)

@@ -247,25 +247,37 @@ object StreamingJobs {
     * completeness-vs-latency.
     *
     * One [[highWatermarkFrame]] pass (the prefix-max is
-    * delay-independent, computed ONCE) cross-joined against the
-    * broadcast 4-row delay grid, one grouped agg — corpus work is
-    * |grid|× one narrow scan, state is the grid. */
+    * delay-independent, computed ONCE), then ONE conditional aggregation
+    * computes all |grid| late counters in the same scan — one sum per
+    * delay point over the un-inflated frame — and the 1-row result
+    * explodes to the grid rows. (The previous shape cross-joined the
+    * broadcast grid BEFORE the agg, pushing |grid|× rows through the
+    * aggregation — measured 78.4 s vs the single-delay audit's 38.4 s
+    * at 30M events; the fused pass removes the inflation, r10 verdict
+    * #5.) Corpus work is exactly one narrow scan; state is |grid|
+    * counters. */
   def watermarkDelayCurve(spark: SparkSession, sfDir: String,
                           jitterMinutes: Int = 180): DataFrame = {
-    import spark.implicits._
-    val delays = DelayCurvePoints.toDF("delay_minutes")
-    highWatermarkFrame(spark, jitteredArrivals(spark, sfDir, jitterMinutes))
-      .crossJoin(broadcast(delays))
-      .withColumn("late",
-        col("hw").isNotNull &&
-          (expr(s"ts_us DIV $HourUs") + 1) * HourUs <=
-            col("hw") - col("delay_minutes").cast("long") * 60000000L)
-      .groupBy("delay_minutes")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
-      .select(col("delay_minutes"), col("n_events"), col("n_late"),
+    val hwf = highWatermarkFrame(
+      spark, jitteredArrivals(spark, sfDir, jitterMinutes))
+      .withColumn("wend", (expr(s"ts_us DIV $HourUs") + 1) * HourUs)
+    val lateCnt = DelayCurvePoints.map { d =>
+      sum(when(col("hw").isNotNull &&
+        col("wend") <= col("hw") - d.toLong * 60000000L, 1L)
+        .otherwise(0L)).as(s"late_$d")
+    }
+    val one = hwf.agg(count(lit(1)).as("n_events"), lateCnt: _*)
+    // n_events > 0 gate: the global agg yields 1 row even on an empty
+    // corpus, where the grouped oracle yields none — drop the vacuous
+    // grid so engine and oracle agree on the degenerate sweep
+    one.filter(col("n_events") > 0)
+      .select(explode(array(DelayCurvePoints.map(d =>
+        struct(lit(d).as("delay_minutes"), col(s"late_$d").as("n_late"))): _*))
+        .as("g"), col("n_events"))
+      .select(col("g.delay_minutes").as("delay_minutes"), col("n_events"),
+        col("g.n_late").as("n_late"),
         graft.queries.Det.r(
-          col("n_late").cast("double") / col("n_events"), 6).as("late_share"))
+          col("g.n_late").cast("double") / col("n_events"), 6).as("late_share"))
       .orderBy("delay_minutes")
   }
 
