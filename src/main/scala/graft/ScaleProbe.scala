@@ -410,15 +410,19 @@ object ScaleProbe {
     //    7-day window of clicks×purchase-probes on single (user, bin)
     //    tasks; salts=8 must spread it ~8× (r9 verdict #7 observable).
     if (run.contains("multi_touch_attribution") && skewPct > 0) {
-      Seq(1, 8).foreach { s =>
+      // (salt, cap) grid: salts bound WHERE the hot user's pair work
+      // lands; the clicks_cap bounds the intrinsic clicks×purchases
+      // OUTPUT volume itself (r10 verdict #1 — the capped row is the
+      // shipped bounded mode a 100 TB run reaches for at high bot share)
+      Seq((1, 0), (8, 0), (8, 8)).foreach { case (s, cap) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        queries.Temporal.multiTouchAttribution(spark, dir, 7, s)
+        queries.Temporal.multiTouchAttribution(spark, dir, 7, s, cap)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         println(String.format(java.util.Locale.ROOT,
-          """{"query":"multi_touch_salt","salt_bins":%d,"skew_pct":%d,"sec":%.2f}""",
-          Int.box(s), Int.box(skewPct), Double.box(dt)))
+          """{"query":"multi_touch_salt","salt_bins":%d,"clicks_cap":%d,"skew_pct":%d,"sec":%.2f}""",
+          Int.box(s), Int.box(cap), Int.box(skewPct), Double.box(dt)))
       }
     }
 

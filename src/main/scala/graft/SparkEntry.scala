@@ -177,7 +177,8 @@ object SparkEntry {
     "multi_touch_attribution" -> ((s, d, a) =>
       Temporal.multiTouchAttribution(s, d,
         a.getOrElse("window_days", "7").toInt,
-        a.getOrElse("salt_bins", "8").toInt)),
+        a.getOrElse("salt_bins", "8").toInt,
+        a.getOrElse("clicks_cap", "0").toInt)),
     "containment_pairs_sketch" -> ((s, d, a) =>
       Dedup.containmentPairsSketch(s, d,
         a.getOrElse("t", "0.8").toDouble,
@@ -223,7 +224,8 @@ object SparkEntry {
     "group_sample" -> (a =>
       Temporal.groupSampleSqlFor(a.getOrElse("k", "3").toInt)),
     "multi_touch_attribution" -> (a =>
-      Temporal.multiTouchAttributionSqlFor(a.getOrElse("window_days", "7").toInt)),
+      Temporal.multiTouchAttributionSqlFor(a.getOrElse("window_days", "7").toInt,
+        a.getOrElse("clicks_cap", "0").toInt)),
     "basket_rules" -> (a =>
       Relational.basketRulesSqlFor(a.getOrElse("top_n", "50").toInt,
         a.getOrElse("max_basket", "256").toInt)),

@@ -1205,14 +1205,30 @@ object Temporal {
     * alongside for exactness audits. Skew note: per-user pair OUTPUT
     * cardinality (clicks × purchases inside the window) is INTRINSIC to
     * multi-touch semantics — a bot user is quadratic in its event
-    * share, and the production mitigations are a shorter window or a
-    * clicks-per-purchase cap (both one-line filters here); the
-    * last-touch twin is the O(n) alternative when paths don't matter.
-    * The salt only bounds where that intrinsic work lands. */
+    * share, and the salt only bounds where that intrinsic work lands.
+    *
+    * `clicksCap` (the SHIPPED bounded mode, r10 verdict #1): cap > 0
+    * keeps only the cap MOST RECENT clicks per purchase window (order
+    * c_ts DESC, click_event_id DESC — a total order, so both engines
+    * keep the identical set; the oracle templates the same rule as a
+    * QUALIFY row_number filter). The cap is applied to the pair stream
+    * BEFORE any downstream aggregation, so every stage past the bin
+    * join is ≤ purchases·cap rows — the hot user's intrinsic
+    * clicks×purchases output volume (measured: 123.6 s at 2M events /
+    * 25% bot share, salt-neutral) becomes linear in purchases. The
+    * row_number window partitions by p_id (purchase id — high
+    * cardinality even for a bot user, so the cap window itself never
+    * concentrates), and at cap = 0 (the registered default) the plan is
+    * byte-identical to the uncapped one. Credit semantics under the
+    * cap: n is the CAPPED per-purchase click count — credit still sums
+    * to ~1e6 micros per purchase, paid to the cap most recent touches
+    * (the standard "last-N-touch linear" attribution model). */
   def multiTouchAttribution(spark: SparkSession, sfDir: String,
-                            windowDays: Int = 7, saltBins: Int = 8): DataFrame = {
+                            windowDays: Int = 7, saltBins: Int = 8,
+                            clicksCap: Int = 0): DataFrame = {
     require(windowDays > 0, s"windowDays must be positive, got $windowDays")
     require(saltBins > 0, s"saltBins must be positive, got $saltBins")
+    require(clicksCap >= 0, s"clicksCap must be nonnegative, got $clicksCap")
     val W = windowDays.toLong * 24 * 3600 * 1000000
     // bin width W/S: coverage of [p_ts-W, p_ts] by (p_ts-W) DIV wb ..
     // p_ts DIV wb holds for ANY wb, so the salt count never affects the
@@ -1228,9 +1244,17 @@ object Temporal {
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"),
         explode(sequence(expr(s"(ts_us - $W) DIV $wb"), expr(s"ts_us DIV $wb")))
           .as("bin"))
-    val pairs = purch.join(clicks, Seq("user_id", "bin"))
+    val pairsRaw = purch.join(clicks, Seq("user_id", "bin"))
       .filter(col("c_ts") >= col("p_ts") - W && col("c_ts") <= col("p_ts"))
-      .select("p_id", "click_event_id")
+    val pairs =
+      if (clicksCap > 0) {
+        val wCap = Window.partitionBy("p_id")
+          .orderBy(col("c_ts").desc, col("click_event_id").desc)
+        pairsRaw.select("p_id", "click_event_id", "c_ts")
+          .withColumn("rn", row_number().over(wCap))
+          .filter(col("rn") <= clicksCap)
+          .select("p_id", "click_event_id")
+      } else pairsRaw.select("p_id", "click_event_id")
     val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("n"))
     val credit = pairs.join(nPer, "p_id")
       .groupBy("click_event_id")
@@ -1248,9 +1272,18 @@ object Temporal {
   /** Oracle: the plain theta join (DuckDB IEJoin affords it at oracle
     * scale) + identical per-term micro-integerised credit — equality
     * proves the bin decomposition (at ANY salt count) loses/duplicates
-    * no pair. */
-  def multiTouchAttributionSqlFor(windowDays: Int): String = {
+    * no pair. clicksCap > 0 templates the same most-recent-cap rule as
+    * a QUALIFY row_number filter on the pair CTE; at cap = 0 the
+    * rendered string is byte-identical to the registered oracle
+    * (ArgsSpec's template(defaults) pin). */
+  def multiTouchAttributionSqlFor(windowDays: Int, clicksCap: Int = 0): String = {
     val windowUs = windowDays.toLong * 24 * 3600 * 1000000
+    val qualify =
+      if (clicksCap > 0)
+        s"""
+           |          QUALIFY row_number() OVER (PARTITION BY p.p_id
+           |            ORDER BY c.c_ts DESC, c.click_event_id DESC) <= $clicksCap""".stripMargin
+      else ""
     s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
        |           FROM events WHERE event_type IN ('click', 'purchase')),
        |c AS (SELECT user_id, event_id AS click_event_id, ts_us AS c_ts
@@ -1260,7 +1293,7 @@ object Temporal {
        |pairs AS (SELECT p.p_id, c.click_event_id
        |          FROM p JOIN c ON c.user_id = p.user_id
        |           AND c.c_ts >= p.p_ts - $windowUs
-       |           AND c.c_ts <= p.p_ts),
+       |           AND c.c_ts <= p.p_ts$qualify),
        |np AS (SELECT p_id, count(*) AS n FROM pairs GROUP BY 1),
        |cr AS (SELECT click_event_id, count(*) AS n_purchases,
        |              CAST(sum(CAST(floor(1e6 / n + 0.5) AS BIGINT)) AS BIGINT)

@@ -288,4 +288,27 @@ class ArgsSpec extends AnyFunSuite {
     val s16 = mta(spark, sf, Map("salt_bins" -> "16")).collect().map(_.toString).toSeq
     assert(s1 == s16, "salt count must not affect the attribution ledger")
   }
+
+  test("multi_touch_attribution clicks_cap: bounded mode semantics") {
+    val mta = SparkEntry.queriesWithArgs("multi_touch_attribution")
+    // a cap no purchase reaches is the identity (uncapped ledger)
+    val unc = mta(spark, sf, Map.empty).collect().map(_.toString).toSeq
+    val big = mta(spark, sf, Map("clicks_cap" -> "1000000"))
+      .collect().map(_.toString).toSeq
+    assert(big == unc, "an unreached cap must be the identity")
+    // touches are monotone in the cap (each purchase keeps a prefix of
+    // its most-recent-click list)
+    def touches(cap: String) =
+      mta(spark, sf, Map("clicks_cap" -> cap)).collect()
+        .map(_.getAs[Long]("n_purchases")).sum
+    assert(touches("1") <= touches("3"))
+    assert(touches("3") <= touches("1000000"))
+    // cap=1: every attributed purchase pays its single most recent click
+    // exactly 1.0 credit, so total credit == total touches
+    val c1 = mta(spark, sf, Map("clicks_cap" -> "1")).collect()
+    val totTouch = c1.map(_.getAs[Long]("n_purchases")).sum
+    val totCredit = c1.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totCredit - totTouch.toDouble) < 1e-6,
+      s"cap=1 credit $totCredit != touches $totTouch")
+  }
 }

@@ -16,6 +16,8 @@ SPECS=(
   'group_sample@k=1' 'group_sample@k=5'
   'multi_touch_attribution@window_days=2'
   'multi_touch_attribution@window_days=14,salt_bins=4'
+  'multi_touch_attribution@clicks_cap=3'
+  'multi_touch_attribution@window_days=14,clicks_cap=1,salt_bins=4'
   'basket_rules@top_n=20' 'basket_rules@top_n=80,max_basket=128'
   'late_order_priority@lag_days=30' 'late_order_priority@lag_days=180'
   'waiting_supplier@lag_days=60' 'waiting_supplier@lag_days=365'
