@@ -426,6 +426,28 @@ object ScaleProbe {
       }
     }
 
+    // -- stride-k substring dedup: the per-token window frame shrinks to
+    //    ~1/stride (the r10 verdict #4 escape hatch); removable-mass
+    //    recall vs stride 1 stays ~1 on the injected whole-doc dups
+    //    (alignments agree at offset 0). One scalar agg per point.
+    if (run.contains("substring_dedup")) {
+      def massAt(stride: Int): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val m = queries.Dedup.substringDedup(spark, dir, stride)
+          .agg(sum("removable_tokens")).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      val (sec1, m1) = massAt(1)
+      Seq(1 -> (sec1, m1), 4 -> massAt(4), 16 -> massAt(16)).foreach {
+        case (st, (sec, m)) =>
+          println(String.format(java.util.Locale.ROOT,
+            """{"query":"substring_dedup_stride","stride":%d,"sec":%.2f,"removable_tokens":%d,"mass_recall_vs_stride1":%.4f}""",
+            Int.box(st), Double.box(sec), Long.box(m),
+            Double.box(if (m1 == 0) 0.0 else m.toDouble / m1)))
+      }
+    }
+
     // -- coverage self-announcement at probe scale: the 1-row readout
     //    must actually flag the closed-vocabulary regime the 600k probe
     //    drives the sketch into (this is the observable for the r9

@@ -183,6 +183,8 @@ object SparkEntry {
       Dedup.containmentPairsSketch(s, d,
         a.getOrElse("t", "0.8").toDouble,
         a.getOrElse("k", "128").toInt)),
+    "substring_dedup" -> ((s, d, a) =>
+      Dedup.substringDedup(s, d, a.getOrElse("stride", "1").toInt)),
     "events_late_audit" -> ((s, d, a) =>
       graft.streaming.StreamingJobs.eventsLateAudit(s, d,
         a.getOrElse("delay_minutes", "60").toInt,
@@ -246,6 +248,8 @@ object SparkEntry {
     "watermark_delay_curve" -> (a =>
       graft.streaming.StreamingJobs.watermarkDelayCurveSqlFor(
         a.getOrElse("jitter_minutes", "180").toInt)),
+    "substring_dedup" -> (a =>
+      Dedup.substringDedupSqlFor(a.getOrElse("stride", "1").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -359,15 +359,26 @@ object Dedup {
     *
     * Scale shape: the window frame is one row PER TOKEN (vs per-16 for
     * para) carrying only (md5, doc_id, offset) — ~28 bytes/token, the
-    * price of exactness without a distributed suffix array; stride-k
-    * sampling is the escape hatch if that frame ever dominates (catches
-    * runs ≥ SubTokens+k−1). Two shuffles — one on the md5 key (uniform
-    * by construction, unskewable) for first-occurrence, one on doc_id
-    * for run merging — then a doc_id-aligned join back to per-doc token
-    * counts. Run merging is lag + a GROWING sum frame (incremental; the
-    * events_rolling_24h lesson — no RANGE frame, no retraction). No
-    * corpus-sized state, nothing broadcast. */
-  def substringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    * price of exactness without a distributed suffix array. `stride` is
+    * the SHIPPED escape hatch (r10 verdict #4) when that frame
+    * dominates: windows enumerate at every stride-th offset on both
+    * sides, shrinking the frame (and every downstream shuffle) to
+    * ~1/stride at the exactness price that a duplicated run is caught
+    * only when its alignments agree mod stride and it spans
+    * ≥ SubTokens+stride−1 tokens (whole-doc dups — the injected-dup
+    * probe shape — always align at 0, so their recall stays ~1 while
+    * shifted boilerplate degrades gracefully; the probe measures both
+    * the frame-cost drop and the mass recall vs stride 1). Two
+    * shuffles — one on the md5 key (uniform by construction,
+    * unskewable) for first-occurrence, one on doc_id for run merging —
+    * then a doc_id-aligned join back to per-doc token counts. Run
+    * merging is lag + a GROWING sum frame (incremental; the
+    * events_rolling_24h lesson — no RANGE frame, no retraction); the
+    * merge rule (break when s > prev_s + SubTokens) is stride-
+    * independent. No corpus-sized state, nothing broadcast. */
+  def substringDedup(spark: SparkSession, sfDir: String,
+                     stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
@@ -375,7 +386,7 @@ object Dedup {
       .filter(col("n") > 0)
     val wins = docs.filter(col("n") >= SubTokens)
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), col("n") - SubTokens)).as("s"))
+        explode(sequence(lit(0), col("n") - SubTokens, lit(stride))).as("s"))
       .select(col("doc_id"), col("s"),
         md5(concat_ws(" ", slice(col("t"), col("s") + 1, lit(SubTokens))))
           .as("h"))
@@ -399,8 +410,11 @@ object Dedup {
       .agg(sum("run_len").as("removable_tokens"),
         sum("nw").as("n_dup_windows"))
     docs.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-        greatest(col("n") - (SubTokens - 1), lit(0)).cast("long")
-          .as("n_windows"))
+        // sampled window count: ((n - SubTokens) div stride) + 1 when a
+        // window fits; equals greatest(n - SubTokens + 1, 0) at stride 1
+        when(col("n") >= SubTokens,
+          expr(s"(n - $SubTokens) DIV $stride") + 1L)
+          .otherwise(lit(0L)).cast("long").as("n_windows"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -410,7 +424,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val substringDedupSql: String =
+  /** Arg-templated twin — `stride` mirrors [[substringDedup]]'s window
+    * sampling (range step + the sampled n_windows count); stride 1 is
+    * the registered oracle. */
+  def substringDedupSqlFor(stride: Int): String =
     s"""WITH d AS (SELECT doc_id,
        |             list_filter(string_split_regex(lower(text), '\\W+'),
        |                         x -> length(x) > 0) AS t
@@ -419,7 +436,7 @@ object Dedup {
        |w AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
        |             md5(array_to_string(list_slice(t, CAST(s + 1 AS INT),
        |                                            CAST(s + $SubTokens AS INT)), ' ')) AS h
-       |      FROM (SELECT doc_id, t, unnest(range(0, n - ${SubTokens - 1})) AS s
+       |      FROM (SELECT doc_id, t, unnest(range(0, n - ${SubTokens - 1}, $stride)) AS s
        |            FROM dn WHERE n >= $SubTokens)),
        |dup AS (SELECT doc_id, s FROM (
        |          SELECT doc_id, s,
@@ -442,12 +459,16 @@ object Dedup {
        |              CAST(sum(nw) AS BIGINT) AS n_dup_windows
        |       FROM runs GROUP BY doc_id)
        |SELECT dn.doc_id AS doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |       CAST(greatest(n - ${SubTokens - 1}, 0) AS BIGINT) AS n_windows,
+       |       CAST(CASE WHEN n >= $SubTokens
+       |                 THEN (n - $SubTokens) // $stride + 1
+       |                 ELSE 0 END AS BIGINT) AS n_windows,
        |       COALESCE(n_dup_windows, 0) AS n_dup_windows,
        |       COALESCE(removable_tokens, 0) AS removable_tokens,
        |       ${Det.rSql("CAST(COALESCE(removable_tokens, 0) AS DOUBLE) / n", 6)} AS removable_frac
        |FROM dn LEFT JOIN pd ON dn.doc_id = pd.pd_doc_id
        |ORDER BY dn.doc_id""".stripMargin
+
+  val substringDedupSql: String = substringDedupSqlFor(1)
 
   // --------------------------------------------------------------------
   // Pipeline funnel (the composed keep-mass readout)

@@ -315,6 +315,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(queries.Dedup.substringDedup(spark, empty).collect().isEmpty)
   }
 
+  test("substring_dedup stride: 1/stride frame, aligned dups kept, misaligned priced") {
+    val q = (0 until 20).map(i => s"q$i").mkString(" ")
+    val z = (0 until 40).map(i => s"z$i").mkString(" ")
+    val dir = fixture("substride",
+      docs = Seq(
+        (4L, q, "en", "web", 0L),            // 20-token original
+        (5L, s"r1 r2 $q", "en", "web", 0L),  // copy at offset 2 (misaligned mod 4)
+        (6L, z, "en", "web", 0L),            // 40-token original
+        (7L, z, "en", "web", 0L)),           // whole-doc dup (aligned at 0)
+      embs = Seq((1L, Seq.fill(64)(0.5f), 0)))
+    val s4 = queries.Dedup.substringDedup(spark, dir, stride = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // sampled window count: ((n-16) div 4) + 1
+    assert(s4(4L).getAs[Long]("n_windows") == 2L)   // 20 toks: s in {0,4}
+    assert(s4(7L).getAs[Long]("n_windows") == 7L)   // 40 toks: s in {0..24 by 4}
+    // whole-doc dup aligned at offset 0: all sampled windows dup, the run
+    // merge recovers the FULL 40-token mass — stride costs no recall here
+    assert(s4(7L).getAs[Long]("n_dup_windows") == 7L)
+    assert(s4(7L).getAs[Long]("removable_tokens") == 40L)
+    // offset-2 copy: run-relative offsets hit s=2 mod 4 — off the sampled
+    // grid on both sides, so stride 4 misses it (the documented exactness
+    // price; stride 1 catches it at full 20-token mass)
+    assert(s4(5L).getAs[Long]("n_dup_windows") == 0L)
+    val s1 = queries.Dedup.substringDedup(spark, dir, stride = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(s1(5L).getAs[Long]("removable_tokens") == 20L)
+    assert(s1(7L).getAs[Long]("removable_tokens") == 40L)
+    assert(queries.Dedup.substringDedup(spark, empty, 16).collect().isEmpty)
+  }
+
   test("bpe_apply: bounds hold; merges only ever shrink the symbol stream") {
     assert(queries.TextAnalysis.bpeApply(spark, empty).collect().isEmpty)
     val rows = queries.TextAnalysis.bpeApply(spark, edge, nMerges = 3).collect()

@@ -27,6 +27,7 @@ SPECS=(
   'events_late_audit@delay_minutes=240,jitter_minutes=30'
   'watermark_delay_curve@jitter_minutes=30'
   'watermark_delay_curve@jitter_minutes=600'
+  'substring_dedup@stride=4' 'substring_dedup@stride=16'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
