@@ -58,7 +58,7 @@ object ScaleProbe {
     "ann_cosine_pq", "embedding_outliers", "ann_cosine_ivfpq",
     "ann_cosine_pq_rerank", "ann_cosine_ivfpq_rerank",
     "ann_cosine_ivfpq_res", "ann_cosine_ivfpq_batch",
-    "knn_graph", "knn_reciprocity", "semdedup", "gopher_quality", "pii_scrub",
+    "knn_graph", "knn_mutual", "knn_reciprocity", "semdedup", "gopher_quality", "pii_scrub",
     "dsir_weights", "nb_quality_score", "bigram_lm_score", "embedding_rp",
     "label_propagation",
     "hard_negatives", "knn_coherence", "mmr_diversify", "weighted_sample_pps",

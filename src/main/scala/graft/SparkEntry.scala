@@ -122,6 +122,8 @@ object SparkEntry {
       Similarity.annCosineIvfPqRerank(s, d, a.getOrElse("n_probe", "4").toInt)),
     "knn_graph" -> ((s, d, a) =>
       Similarity.knnGraph(s, d, a.getOrElse("k", "3").toInt)),
+    "knn_mutual" -> ((s, d, a) =>
+      Similarity.knnMutual(s, d, a.getOrElse("k", "3").toInt)),
     "semdedup" -> ((s, d, a) =>
       Dedup.semDedup(s, d, a.getOrElse("tau", "0.47").toDouble)),
     "gopher_quality" -> ((s, d, a) =>

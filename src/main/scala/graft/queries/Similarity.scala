@@ -507,6 +507,50 @@ object Similarity {
        |FROM rcp_e LEFT JOIN rcp_m ON rcp_m.rank = rcp_e.rank
        |ORDER BY rcp_e.rank""".stripMargin
 
+  /** MUTUAL-kNN SPARSIFICATION — the consumer [[knnReciprocity]]
+    * motivates (r10 verdict #3): keep a directed edge (a, b) iff b is
+    * in a's top-k AND a is in b's top-k. Dropping one-way links is the
+    * standard hubness-robust graph cleanup (a hub enters everyone's
+    * list while its own list holds only other hubs — its one-way edges
+    * are exactly what glues unrelated clusters together), and the
+    * emitted frame keeps the ORIGINAL rank and cosine so per-rank
+    * retention reads off it directly (group by rank ÷
+    * [[knnReciprocity]]'s n_edges) and every kNN consumer
+    * (label_propagation, knn_components, kcore) can run on the
+    * sparsified edges unchanged — SimilaritySpec A/Bs both consumers
+    * on a hub fixture.
+    *
+    * Shape: the memoized n·k edge frame left-semi-joined to itself on
+    * the REVERSED key — the [[knnReciprocity]] join, emitting edges
+    * instead of counting them. Both sides shuffle on (vec_id, neighbor)
+    * narrow rows; output ≤ n·k. Symmetric by construction: (a,b)
+    * survives iff (b,a) does. */
+  def knnMutual(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val g = knnEdgesMaterialized(spark, sfDir, k)
+    val reversed = g.select(col("neighbor").as("vec_id"),
+      col("vec_id").as("neighbor"))
+    g.join(reversed, Seq("vec_id", "neighbor"), "left_semi")
+      .select(col("vec_id"), col("rank"), col("neighbor"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Oracle: [[knnEdgeCtesSql]]'s ranked edges inner-joined on the
+    * reversed key ((vec_id, neighbor) is unique within top-k lists, so
+    * inner ≡ the engine's left-semi). LAZY — interpolates
+    * [[knnEdgeCtesSql]], declared further down (the object-init-order
+    * trap, see [[knnReciprocitySql]]). */
+  lazy val knnMutualSql: String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |mu_g AS (SELECT vec_id, CAST(rank AS INT) AS rank, neighbor, score_u
+       |         FROM rk WHERE rank <= $KnnK)
+       |SELECT g.vec_id, g.rank, g.neighbor,
+       |       CAST(g.score_u AS DOUBLE) / 1e6 AS cosine
+       |FROM mu_g g JOIN mu_g g2 ON g2.vec_id = g.neighbor
+       |                        AND g2.neighbor = g.vec_id
+       |ORDER BY g.vec_id, g.rank""".stripMargin
+
   /** [[knnEdges]] behind the write-once session sink
     * ([[Dedup.materializeOnce]], the dedupClustersMaterialized engine):
     * the edge build is the expensive stage of the family (probe: ~100 s
@@ -655,8 +699,16 @@ object Similarity {
     * semantics. Oracle: recursive min-reachability closure over the
     * shared kNN edge CTE chain. */
   def knnComponents(spark: SparkSession, sfDir: String,
-                    k: Int = KnnK): DataFrame = {
-    val pairs = knnEdgesMaterialized(spark, sfDir, k)
+                    k: Int = KnnK): DataFrame =
+    componentsOver(spark, knnEdgesMaterialized(spark, sfDir, k))
+
+  /** [[knnComponents]] over an EXPLICIT directed edge frame (vec_id,
+    * neighbor, ...) — the seam that lets the mutual-sparsified graph
+    * ([[knnMutual]]) feed the same component machinery (SimilaritySpec's
+    * hub A/B). */
+  private[graft] def componentsOver(spark: SparkSession,
+                                    edges: DataFrame): DataFrame = {
+    val pairs = edges
       .select(least(col("vec_id"), col("neighbor")).as("doc_a"),
         greatest(col("vec_id"), col("neighbor")).as("doc_b"))
       .distinct()
@@ -940,13 +992,26 @@ object Similarity {
     * clamped seeds. */
   def labelPropagation(spark: SparkSession, sfDir: String,
                        iters: Int = LpIters, k: Int = KnnK,
-                       maskMod: Int = LpMaskMod): DataFrame = {
+                       maskMod: Int = LpMaskMod): DataFrame =
+    labelPropagationOver(spark,
+      knnEdgesMaterialized(spark, sfDir, k).select("vec_id", "neighbor"),
+      Tables.embeddings(spark, sfDir), iters, maskMod)
+
+  /** [[labelPropagation]] over an EXPLICIT directed edge frame (vec_id,
+    * neighbor) and node frame (vec_id, label) — the seam for running
+    * the identical clamped-majority rounds on the mutual-sparsified
+    * graph (SimilaritySpec's hub A/B). */
+  private[graft] def labelPropagationOver(spark: SparkSession,
+                                          edgesIn: DataFrame,
+                                          nodesIn: DataFrame,
+                                          iters: Int = LpIters,
+                                          maskMod: Int = LpMaskMod): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     require(maskMod > 1, s"maskMod must be > 1, got $maskMod")
     val edges = graft.queries.TextAnalysis.maybeCache(
-      knnEdgesMaterialized(spark, sfDir, k).select("vec_id", "neighbor"))
+      edgesIn.select("vec_id", "neighbor"))
     val nodes = graft.queries.TextAnalysis.maybeCache(
-      Tables.embeddings(spark, sfDir)
+      nodesIn
         .select(col("vec_id"), col("label"),
           (col("vec_id") % maskMod =!= 0).as("observed")))
     var cur = nodes.withColumn("cur",
@@ -3268,6 +3333,7 @@ object Similarity {
     "ann_cosine_ivfpq_res" -> ((s, d) => annCosineIvfPqRes(s, d)),
     "ann_cosine_ivfpq_batch" -> ((s, d) => annCosineIvfPqBatch(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "knn_mutual" -> ((s, d) => knnMutual(s, d)),
     "knn_reciprocity" -> ((s, d) => knnReciprocity(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
@@ -3308,6 +3374,7 @@ object Similarity {
     // one oracle string hash-checks both plumbing strategies
     "ann_cosine_ivfpq_batch" -> annCosineIvfPqResSql,
     "knn_graph" -> knnGraphSql,
+    "knn_mutual" -> knnMutualSql,
     "knn_reciprocity" -> knnReciprocitySql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,

@@ -425,6 +425,82 @@ class SimilaritySpec extends AnyFunSuite {
     assert(masked.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("knn_mutual: hub edges dropped; components and label-prop A/B on mutual vs raw") {
+    import spark.implicits._
+    // two tight orthogonal 4-clusters + one HUB exactly between them (the
+    // all-ones direction: cos ~0.707 to every member, so the hub enters
+    // no member's top-3 — their 3 same-cluster mates sit at ~1.0 — while
+    // the hub's own top-3 is all members: the textbook one-way hub).
+    // Cluster size k+1 makes every within-cluster edge RECIPROCAL (each
+    // member's top-3 is exactly the other 3), so the mutual graph keeps
+    // both cliques intact while dropping only the hub links.
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mutual_hub").getAbsolutePath
+    def vec(id: Long, hi: Range) = (0 until 64).map { d =>
+      val base = if (hi.contains(d)) 1f else 0f
+      base + 0.01f * ((id * 31 + d) % 7 - 3)
+    }
+    val embs = (0L until 4L).map(i => (i, vec(i, 0 until 32), 0)) ++
+      (4L until 8L).map(i => (i, vec(i, 32 until 64), 1)) ++
+      Seq((8L, (0 until 64).map(_ => 1f), 0))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val raw = queries.Similarity.knnGraph(spark, dir).collect()
+    val mut = queries.Similarity.knnMutual(spark, dir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor"))
+    val rawKeys = raw.map(key).toSet
+    val mutKeys = mut.map(key).toSet
+    // sparsification: mutual is a strict subset, symmetric, rank/cosine kept
+    assert(mutKeys.subsetOf(rawKeys) && mutKeys.size < rawKeys.size)
+    assert(mutKeys.forall { case (a, b) => mutKeys.contains((b, a)) })
+    assert(mut.map(_.toString).toSet.subsetOf(raw.map(_.toString).toSet))
+    // the hub emits raw edges but survives in NO mutual edge, either side
+    assert(raw.exists(_.getAs[Long]("vec_id") == 8L))
+    assert(!mutKeys.exists { case (a, b) => a == 8L || b == 8L })
+    // components A/B: raw edges glue the hub to a cluster; mutual edges
+    // drop the one-way links, so the hub vanishes (sparse-output
+    // semantics) and the two clusters stay separate
+    val compRaw = queries.Similarity.componentsOver(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(raw.toSeq), raw.head.schema))
+    val compMut = queries.Similarity.componentsOver(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(mut.toSeq), mut.head.schema))
+    val rawComp = compRaw.collect()
+    val mutComp = compMut.collect()
+    assert(rawComp.exists(_.getAs[Long]("vec_id") == 8L))
+    assert(!mutComp.exists(_.getAs[Long]("vec_id") == 8L))
+    val mutClusters = mutComp.map(_.getAs[Long]("cluster_id")).distinct.length
+    val rawClusters = rawComp.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(mutClusters >= rawClusters,
+      s"mutual can only split components: $mutClusters vs $rawClusters")
+    assert(mutClusters == 2, s"two tight clusters expected, got $mutClusters")
+    // cross-cluster PURITY: no mutual component mixes the two clusters
+    val byComp = mutComp.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byComp.values.forall { ms =>
+      ms.forall(_.getAs[Long]("vec_id") < 4L) ||
+        ms.forall(m => m.getAs[Long]("vec_id") >= 4L && m.getAs[Long]("vec_id") < 8L)
+    }, "a mutual component spans both clusters")
+    // label-prop A/B: cluster holdouts recover perfectly on BOTH edge
+    // sets; the hub (masked, 8 % 4 == 0) gets a label hallucinated
+    // through its one-way links on raw edges but stays NULL on mutual —
+    // the hubness-robust behavior the sparsifier exists for
+    val nodes = Tables.embeddings(spark, dir)
+    def lp(edges: Array[org.apache.spark.sql.Row]) =
+      queries.Similarity.labelPropagationOver(spark,
+        spark.createDataFrame(spark.sparkContext.parallelize(edges.toSeq),
+          edges.head.schema).select("vec_id", "neighbor"), nodes)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val lpRaw = lp(raw)
+    val lpMut = lp(mut)
+    assert(!lpRaw(8L).isNullAt(lpRaw(8L).fieldIndex("pred_label")))
+    assert(lpMut(8L).isNullAt(lpMut(8L).fieldIndex("pred_label")))
+    val clusterMasked = (0L until 8L).filter(_ % 4 == 0)
+    clusterMasked.foreach { id =>
+      assert(lpRaw(id).getAs[Boolean]("correct"), s"raw LP wrong on $id")
+      assert(lpMut(id).getAs[Boolean]("correct"), s"mutual LP wrong on $id")
+    }
+  }
+
   test("derivedSigBits: ceil-log2 occupancy targeting, floor 6, SQL-boundary-safe") {
     import queries.Similarity.derivedSigBits
     assert(derivedSigBits(0) == 6)
