@@ -42,6 +42,7 @@ object ScaleProbe {
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
     "mixture_weights", "ann_cosine_topk_q8", "group_sample",
+    "cluster_balanced_sample",
     "token_histogram", "source_divergence", "embedding_centroids",
     "quality_percentile_gate", "centroid_assign", "dup_pair_sources",
     "embedding_dim_stats",

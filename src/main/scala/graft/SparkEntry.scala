@@ -124,6 +124,9 @@ object SparkEntry {
       Similarity.knnGraph(s, d, a.getOrElse("k", "3").toInt)),
     "knn_mutual" -> ((s, d, a) =>
       Similarity.knnMutual(s, d, a.getOrElse("k", "3").toInt)),
+    "cluster_balanced_sample" -> ((s, d, a) =>
+      Similarity.clusterBalancedSample(s, d,
+        a.getOrElse("alpha", "0.5").toDouble)),
     "semdedup" -> ((s, d, a) =>
       Dedup.semDedup(s, d, a.getOrElse("tau", "0.47").toDouble)),
     "gopher_quality" -> ((s, d, a) =>
@@ -252,6 +255,9 @@ object SparkEntry {
         a.getOrElse("jitter_minutes", "180").toInt)),
     "substring_dedup" -> (a =>
       Dedup.substringDedupSqlFor(a.getOrElse("stride", "1").toInt)),
+    "cluster_balanced_sample" -> (a =>
+      Similarity.clusterBalancedSampleSqlFor(
+        a.getOrElse("alpha", "0.5").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

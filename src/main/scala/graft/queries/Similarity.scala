@@ -1783,6 +1783,92 @@ object Similarity {
        |       ${Det.rSql(s"CAST(hits AS DOUBLE) / ${NumQueries * TopK}", 6)} AS recall
        |FROM ov ORDER BY nprobe""".stripMargin
 
+  private val ClusterSampleAlpha = 0.5
+  private val ClusterSampleBudget = 200L
+
+  /** CLUSTER-BALANCED SAMPLE — the data-mixing draw the IVF substrate
+    * makes free (r10 verdict #6): a deterministic per-cell quota sample
+    * over the memoized coarse-quantizer cells, quota ∝ cell_mass^α.
+    * α = 1 reproduces proportional sampling; α → 0 flattens toward
+    * equal-per-cell — the [[graft.queries.TextAnalysis.mixtureWeights]]
+    * temperature move applied to SEMANTIC cells instead of source tags,
+    * which is how a curation pipeline upsamples rare topical regions
+    * (the cells [[ivfModularity]] shows are real neighborhoods) without
+    * an explicit taxonomy.
+    *
+    * Mechanics, all exact-integer cross-engine: per-cell mass share is
+    * a BIGINT ratio; share^α is micro-integerised before the
+    * normalizing sum (the mixture_weights discipline — pow_total ≥ 1
+    * whenever the corpus is nonempty since share ≥ 1/total and cells ≤
+    * 2¹⁶ keep share^α·10⁶ ≥ 1); quota = min(mass, max(1,
+    * (budget·pow_micros) div pow_total)) — positive operands, so Spark
+    * DIV ≡ DuckDB //. Within a cell, members rank by the md5-derived
+    * hash of vec_id (vec_id tie-break) and the quota prefix is kept —
+    * the bottom-k-sketch uniform-sample idiom, re-ingestion-stable.
+    *
+    * Scale shape: the assignment is the memoized one-broadcast-pass
+    * frame shared with [[annCosineIvf]]/semdedup; mass/quota are
+    * |cells| ≤ 2¹⁶ rows (broadcast); the only corpus-sized work is one
+    * row_number window PARTITIONED BY cell (per-task sort bounded by
+    * cell occupancy ~√n — the semdedup family's within-cell cost), and
+    * the output is ~budget rows. Nothing pair-shaped anywhere. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String,
+                            alpha: Double = ClusterSampleAlpha): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val assigned = ivfAssigned(spark, sfDir)
+    val mass = assigned.groupBy("cell").agg(count(lit(1)).as("cell_mass"))
+    val tot = mass.agg(sum("cell_mass").as("total"))
+    val shared = mass.crossJoin(broadcast(tot))
+      .withColumn("pow_micros",
+        floor(pow(col("cell_mass").cast("double") / col("total"), alpha)
+          * 1e6 + 0.5).cast("long"))
+    val powTot = shared.agg(sum("pow_micros").as("pow_total"))
+    val quota = shared.crossJoin(broadcast(powTot))
+      .select(col("cell"), col("cell_mass"),
+        least(col("cell_mass"),
+          greatest(lit(1L),
+            expr(s"($ClusterSampleBudget * pow_micros) DIV pow_total")))
+          .as("quota"))
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("cell").orderBy(col("h").asc, col("vec_id").asc)
+    assigned.withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quota), "cell")
+      .filter(col("rk") <= col("quota"))
+      .select(col("vec_id"), col("cell"), col("cell_mass"), col("quota"))
+      .orderBy("vec_id")
+  }
+
+  /** Arg-templated twin — [[ivfChainSql]]'s exact assignment (`fin`) +
+    * the identical integerised quota arithmetic and md5-prefix draw. */
+  def clusterBalancedSampleSqlFor(alpha: Double): String =
+    s"""WITH $ivfChainSql,
+       |cbs_mass AS (SELECT cell, count(*) AS cell_mass FROM fin GROUP BY 1),
+       |cbs_tot AS (SELECT CAST(sum(cell_mass) AS BIGINT) AS total FROM cbs_mass),
+       |cbs_sh AS (SELECT cell, cell_mass,
+       |                  CAST(floor(pow(CAST(cell_mass AS DOUBLE) / total, $alpha)
+       |                             * 1e6 + 0.5) AS BIGINT) AS pow_micros
+       |           FROM cbs_mass CROSS JOIN cbs_tot),
+       |cbs_pt AS (SELECT CAST(sum(pow_micros) AS BIGINT) AS pow_total FROM cbs_sh),
+       |cbs_qt AS (SELECT cell, cell_mass,
+       |                  least(cell_mass,
+       |                        greatest(1, ($ClusterSampleBudget * pow_micros) // pow_total)) AS quota
+       |           FROM cbs_sh CROSS JOIN cbs_pt),
+       |cbs_rk AS (SELECT vec_id, cell,
+       |                  row_number() OVER (PARTITION BY cell
+       |                    ORDER BY CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                                       AS UBIGINT) AS BIGINT) ASC,
+       |                             vec_id ASC) AS rk
+       |           FROM fin)
+       |SELECT r.vec_id, r.cell, q.cell_mass, q.quota
+       |FROM cbs_rk r JOIN cbs_qt q ON q.cell = r.cell
+       |WHERE r.rk <= q.quota
+       |ORDER BY r.vec_id""".stripMargin
+
+  lazy val clusterBalancedSampleSql: String =
+    clusterBalancedSampleSqlFor(ClusterSampleAlpha)
+
   /** DuckDB twin of [[annCosineIvfMp]] — the [[ivfChain]] at
     * [[NProbeMp]], same scoring tail as [[annCosineIvfSql]]. */
   val annCosineIvfMpSql: String =
@@ -3334,6 +3420,7 @@ object Similarity {
     "ann_cosine_ivfpq_batch" -> ((s, d) => annCosineIvfPqBatch(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "knn_mutual" -> ((s, d) => knnMutual(s, d)),
+    "cluster_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d)),
     "knn_reciprocity" -> ((s, d) => knnReciprocity(s, d)),
     "embedding_rp" -> ((s, d) => embeddingRp(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
@@ -3375,6 +3462,7 @@ object Similarity {
     "ann_cosine_ivfpq_batch" -> annCosineIvfPqResSql,
     "knn_graph" -> knnGraphSql,
     "knn_mutual" -> knnMutualSql,
+    "cluster_balanced_sample" -> clusterBalancedSampleSql,
     "knn_reciprocity" -> knnReciprocitySql,
     "embedding_rp" -> embeddingRpSql,
     "label_propagation" -> labelPropagationSql,

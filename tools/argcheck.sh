@@ -28,6 +28,7 @@ SPECS=(
   'watermark_delay_curve@jitter_minutes=30'
   'watermark_delay_curve@jitter_minutes=600'
   'substring_dedup@stride=4' 'substring_dedup@stride=16'
+  'cluster_balanced_sample@alpha=0.25' 'cluster_balanced_sample@alpha=1.0'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
