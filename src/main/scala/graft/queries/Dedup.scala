@@ -854,6 +854,13 @@ object Dedup {
        |ORDER BY contained, container""".stripMargin
 
   private val SketchK = 128
+  /** Coverage below this ⇒ the sketch is in its documented blind
+    * regime (most docs retain no rare shingle to be found by). Shared
+    * by [[containmentSketchCoverage]] and the regime column
+    * [[containmentPairsSketch]] stamps on every output row. Declared
+    * ABOVE the sketch SQL val that interpolates it (object-init-order:
+    * a strict val capturing a lower constant reads 0). */
+  private val CoverageOkT = 0.9
   /** Estimator admission threshold, scaled ×10⁴: admit a directed pair
     * to exact verification when the SKETCH-estimated rare-containment is
     * ≥ 0.5 — [[ContainT]] minus a generous noise margin (binomial sd at
@@ -888,6 +895,11 @@ object Dedup {
     *  4. EXACT verify of survivors only: full set intersection
     *     (common shingles included — identical semantics to the exact
     *     query's verify), emit ≥ t with the same Det rounding.
+    *  5. Every output row carries the coverage `regime` verdict
+    *     ([[containmentSketchCoverage]]'s `ok`/`df_saturated`/`empty`,
+    *     stamped from a 1-row broadcast) — a df-saturated shard's pairs
+    *     cannot be consumed without seeing the flag; the standalone
+    *     coverage readout remains the signal when there are NO pairs.
     *
     * Precision is 1 by construction (every emitted row passes the exact
     * test and shares ≥ 1 rare shingle, so it appears in
@@ -923,6 +935,18 @@ object Dedup {
       .join(kRare.select(col("doc_id").as("contained"), col("k_rare")), "contained")
       .filter(col("hits") * lit(10000L) >= lit(SketchTEstScaled) * col("k_rare"))
       .select("contained", "container")
+    // regime self-announcement STAMPED ON EVERY ROW (r10 verdict #8): a
+    // df-saturated shard's pairs cannot be consumed without seeing the
+    // flag — the same coverage verdict containmentSketchCoverage emits
+    // standalone (which remains the readout when there are NO pairs),
+    // computed from frames this query already built (1-row broadcast)
+    val tot = hv.agg(count(lit(1)).as("n_docs"))
+    val cov = kRare.agg(count(lit(1)).as("n_covered"))
+    val covRaw = col("n_covered").cast("double") / col("n_docs")
+    val regime = tot.crossJoin(cov).select(
+      when(col("n_docs") === 0, "empty")
+        .when(covRaw >= CoverageOkT, "ok")
+        .otherwise("df_saturated").as("regime"))
     surv
       .join(hv.select(col("doc_id").as("contained"), col("hs").as("ha")), "contained")
       .join(hv.select(col("doc_id").as("container"), col("hs").as("hb")), "container")
@@ -931,8 +955,9 @@ object Dedup {
         size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
       .withColumn("raw", col("n_common").cast("double") / col("n_contained"))
       .filter(col("raw") >= t)
+      .crossJoin(broadcast(regime))
       .select(col("contained"), col("container"), col("n_common"),
-        Det.r(col("raw"), 6).as("containment"))
+        Det.r(col("raw"), 6).as("containment"), col("regime"))
       .orderBy("contained", "container")
   }
 
@@ -961,17 +986,18 @@ object Dedup {
        |iv AS (SELECT s.contained, s.container, len(a.hs) AS n_contained,
        |              len(list_intersect(a.hs, b.hs)) AS n_common
        |       FROM surv s JOIN hv a ON a.doc_id = s.contained
-       |                   JOIN hv b ON b.doc_id = s.container)
+       |                   JOIN hv b ON b.doc_id = s.container),
+       |reg AS (SELECT CASE WHEN (SELECT count(*) FROM hv) = 0 THEN 'empty'
+       |                    WHEN CAST((SELECT count(*) FROM krare) AS DOUBLE)
+       |                         / (SELECT count(*) FROM hv) >= $CoverageOkT
+       |                      THEN 'ok'
+       |                    ELSE 'df_saturated' END AS regime)
        |SELECT contained, container, n_common,
        |       ${Det.rSql("CAST(n_common AS DOUBLE) / n_contained", 6)}
-       |         AS containment
-       |FROM iv
+       |         AS containment, regime
+       |FROM iv CROSS JOIN reg
        |WHERE CAST(n_common AS DOUBLE) / n_contained >= $ContainT
        |ORDER BY contained, container""".stripMargin
-
-  /** Coverage below this ⇒ the sketch is in its documented blind
-    * regime (most docs retain no rare shingle to be found by). */
-  private val CoverageOkT = 0.9
 
   /** CONTAINMENT-SKETCH COVERAGE — the self-announcement for
     * [[containmentPairsSketch]]'s documented recall boundary. The
@@ -983,10 +1009,12 @@ object Dedup {
     * that regime visible BEFORE trusting the sketch's output: the
     * fraction of docs with ≥1 rare sketch shingle (`coverage`), the
     * mean rare-sketch size among covered docs, and a `regime` verdict
-    * (`ok` / `df_saturated` / `empty`). A pipeline runs it next to the
-    * sketch and routes df-saturated shards to the Jaccard-geometry
-    * paths (minhash/simhash), whose banding does not depend on df
-    * rarity. The cap itself stays FIXED rather than corpus-derived:
+    * (`ok` / `df_saturated` / `empty`). The same verdict now RIDES
+    * every [[containmentPairsSketch]] output row (r10 verdict #8), so
+    * routing df-saturated shards to the Jaccard-geometry paths
+    * (minhash/simhash, whose banding does not depend on df rarity) no
+    * longer relies on running this readout by hand; this standalone
+    * query stays the signal for shards that emit zero pairs. The cap itself stays FIXED rather than corpus-derived:
     * Σ sketchdf·df ≤ maxDf·k·N is the linear cost bound that makes the
     * sketch the scale path, and raising maxDf with N on a closed-vocab
     * corpus re-creates the exact query's pair-density runaway — the

@@ -261,6 +261,38 @@ class DedupSpec extends AnyFunSuite {
       g.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("containment_pairs_sketch: regime rides every output row (df_saturated visible)") {
+    import spark.implicits._
+    // on the fixture the sketch is in its healthy regime — every pair
+    // row says so
+    val sk = queries.Dedup.containmentPairsSketch(spark, sf).collect()
+    assert(sk.nonEmpty && sk.forall(_.getAs[String]("regime") == "ok"))
+    // a vocabulary-exhausted shard: 20 identical filler docs whose
+    // shingles all exceed the df cap + the golden quote pair with rare
+    // content — pairs still emit, but every row now carries the
+    // df_saturated flag, so the blind regime cannot be consumed unseen
+    val quote = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val long = quote + " " + (100 to 400).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en", "web", quote.length.toLong),
+      (2L, long, "en", "web", long.length.toLong)) ++
+      (10L until 30L).map(i => (i, filler, "en", "web", filler.length.toLong))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_containment_regime").getAbsolutePath
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = queries.Dedup.containmentPairsSketch(spark, dir, maxDf = 5).collect()
+    assert(g.nonEmpty, "the rare-content pair must still be found")
+    assert(g.forall(_.getAs[String]("regime") == "df_saturated"),
+      g.map(_.toString).mkString(", "))
+    assert(g.exists(r => r.getAs[Long]("contained") == 1L &&
+      r.getAs[Long]("container") == 2L))
+    // the standalone coverage readout agrees on the verdict
+    val cov = queries.Dedup.containmentSketchCoverage(spark, dir, maxDf = 5).head()
+    assert(cov.getAs[String]("regime") == "df_saturated")
+  }
+
   test("containment_sketch_coverage: fixture is 'ok'; saturated df cap flags the regime") {
     val r = queries.Dedup.containmentSketchCoverage(spark, sf).head()
     val nDocs = Tables.documents(spark, sf).count()
