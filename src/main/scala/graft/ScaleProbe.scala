@@ -405,6 +405,18 @@ object ScaleProbe {
         }
     }
 
+    // -- theilsen iterative-prune cost tracking (r10 verdict #7): after
+    //    the main loop ran revenue_trend_theilsen, report Selection's
+    //    last-call instrumentation (prune rounds + driver-collected band
+    //    size) so the MaxRounds-bound fallback to the boxed percentile
+    //    is tracked, not rediscovered. relScale=1 replays sf0.1 exactly.
+    if (run.contains("revenue_trend_theilsen") && relScale > 0) {
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"theilsen_selection_state","rounds":%d,"collected":%d}""",
+        Int.box(operators.Selection.lastRounds),
+        Int.box(operators.Selection.lastCollected)))
+    }
+
     // -- multi-touch salt A/B under user skew: same result either way
     //    (ArgsSpec pins salt-invariance), but with one bot user owning
     //    ~skewPct% of events, salts=1 concentrates that user's whole
@@ -425,6 +437,48 @@ object ScaleProbe {
           """{"query":"multi_touch_salt","salt_bins":%d,"clicks_cap":%d,"skew_pct":%d,"sec":%.2f}""",
           Int.box(s), Int.box(cap), Int.box(skewPct), Double.box(dt)))
       }
+    }
+
+    // -- kNN edge-substrate decomposition (r10 verdict #2): the shared
+    //    memoized edge build dominates every graph-family consumer, so
+    //    record (a) the occupancy law — Σ occ² over the (table, sig)
+    //    buckets at the derived width, vs the uniform-law prediction
+    //    32·n²/2^bits — and (b) edge-build stage time (first knn_graph
+    //    call builds the write-once sink) vs per-consumer time on the
+    //    warm sink. Run with only=knn_graph,knn_components,... at
+    //    several nVecs for the cost-law fit.
+    if (run.contains("knn_graph")) {
+      val (bits, nV, sumSq, p99, mx) = queries.Similarity.knnBucketStats(spark, dir)
+      val uniform =
+        if (bits >= 63) 0.0
+        else 32.0 * nV.toDouble * nV.toDouble / (1L << bits).toDouble
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"knn_edge_occupancy","n_vecs":%d,"sig_bits":%d,"sum_occ_sq":%d,"uniform_occ_sq":%.0f,"occ_p99":%d,"occ_max":%d}""",
+        Long.box(nV), Int.box(bits), Long.box(sumSq), Double.box(uniform),
+        Long.box(p99), Long.box(mx)))
+      // the main timing loop's knn_graph line is the COLD build (first
+      // call writes the once-per-session edge sink); this re-run prices
+      // the WARM path — the parquet rescan every later consumer pays —
+      // so build-stage time = cold line − this line
+      spark.catalog.clearCache()
+      val tb = System.nanoTime()
+      SparkEntry.queries("knn_graph")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val warmSec = (System.nanoTime() - tb) / 1e9
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"knn_edge_warm_rescan","n_vecs":%d,"sec":%.2f}""",
+        Long.box(nV), Double.box(warmSec)))
+      Seq("knn_mutual", "knn_components", "label_propagation")
+        .filter(run.contains).foreach { name =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(String.format(java.util.Locale.ROOT,
+            """{"query":"knn_edge_consumer","consumer":"%s","n_vecs":%d,"sec":%.2f}""",
+            name, Long.box(nV), Double.box(dt)))
+        }
     }
 
     // -- stride-k substring dedup: the per-token window frame shrinks to

@@ -551,6 +551,30 @@ object Similarity {
        |                        AND g2.neighbor = g.vec_id
        |ORDER BY g.vec_id, g.rank""".stripMargin
 
+  /** Probe-facing occupancy decomposition of the GRAPH-family bucket
+    * self-join (r10 verdict #2): the edge build's candidate-pair cost
+    * is Σ_buckets occ·(occ−1)/2 over the (table, sig) buckets at the
+    * derived width — this returns (sigBits, n, Σ occ², p99 occ, max
+    * occ) so ScaleProbe can record the measured cost law against the
+    * uniform-law prediction NumTables·n²/2^bits and the
+    * [[SigTargetOcc]] target. Bucket-count-bounded aggregation (≤
+    * NumTables·2^bits rows); nothing corpus-sized collects. */
+  private[graft] def knnBucketStats(spark: SparkSession,
+                                    sfDir: String): (Int, Long, Long, Long, Long) = {
+    val n = corpusVecCount(spark, sfDir)
+    val bits = derivedSigBits(n)
+    val occ = signaturesFor(spark, vecs(spark, sfDir), NumTables, bits)
+      .groupBy("t", "sig").agg(count(lit(1)).as("c"))
+    val r = occ.agg(
+      sum(col("c") * col("c")).as("sumsq"),
+      percentile_approx(col("c"), lit(0.99), lit(10000)).as("p99"),
+      max("c").as("mx")).head()
+    (bits, n,
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   /** [[knnEdges]] behind the write-once session sink
     * ([[Dedup.materializeOnce]], the dedupClustersMaterialized engine):
     * the edge build is the expensive stage of the family (probe: ~100 s

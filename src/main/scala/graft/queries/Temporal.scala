@@ -1211,18 +1211,18 @@ object Temporal {
     * keeps only the cap MOST RECENT clicks per purchase window (order
     * c_ts DESC, click_event_id DESC — a total order, so both engines
     * keep the identical set; the oracle templates the same rule as a
-    * QUALIFY row_number filter). The cap is applied to the pair stream
-    * BEFORE any downstream aggregation, so every stage past the bin
-    * join is ≤ purchases·cap rows — the hot user's intrinsic
-    * clicks×purchases output volume (measured: 123.6 s at 2M events /
-    * 25% bot share, salt-neutral) becomes linear in purchases. The
-    * row_number window partitions by p_id (purchase id — high
-    * cardinality even for a bot user, so the cap window itself never
-    * concentrates), and at cap = 0 (the registered default) the plan is
-    * byte-identical to the uncapped one. Credit semantics under the
-    * cap: n is the CAPPED per-purchase click count — credit still sums
-    * to ~1e6 micros per purchase, paid to the cap most recent touches
-    * (the standard "last-N-touch linear" attribution model). */
+    * QUALIFY row_number filter). The capped plan REPLACES the bin join
+    * entirely (saltBins is moot there): the cap most recent clicks
+    * before a purchase are a contiguous run of per-user click sequence
+    * numbers, so the [[purchaseAttribution]] merge-window pass assigns
+    * them and a purchases·cap sequence-probe equi-join recovers exactly
+    * the kept set — O(events + purchases·cap) with NO clicks×purchases
+    * stage anywhere (the in-code comment records the two slower shapes
+    * this replaced, both probed). At cap = 0 (the registered default)
+    * the plan is byte-identical to the uncapped one. Credit semantics
+    * under the cap: n is the CAPPED per-purchase click count — credit
+    * still sums to ~1e6 micros per purchase, paid to the cap most
+    * recent touches (the standard "last-N-touch linear" model). */
   def multiTouchAttribution(spark: SparkSession, sfDir: String,
                             windowDays: Int = 7, saltBins: Int = 8,
                             clicksCap: Int = 0): DataFrame = {
@@ -1244,17 +1244,50 @@ object Temporal {
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"),
         explode(sequence(expr(s"(ts_us - $W) DIV $wb"), expr(s"ts_us DIV $wb")))
           .as("bin"))
-    val pairsRaw = purch.join(clicks, Seq("user_id", "bin"))
-      .filter(col("c_ts") >= col("p_ts") - W && col("c_ts") <= col("p_ts"))
     val pairs =
       if (clicksCap > 0) {
-        val wCap = Window.partitionBy("p_id")
-          .orderBy(col("c_ts").desc, col("click_event_id").desc)
-        pairsRaw.select("p_id", "click_event_id", "c_ts")
-          .withColumn("rn", row_number().over(wCap))
-          .filter(col("rn") <= clicksCap)
+        // CAPPED MODE NEVER ENUMERATES PAIRS. Two discarded shapes, both
+        // probed at 2M events / 25% bot share: a row_number window on
+        // the pair stream (359 s — sorts all clicks×purchases rows
+        // before discarding past the cap) and a partial-merge-bounded
+        // typed Aggregator (288 s — O(cap) state, but still streams the
+        // full pair volume through object ser/de). The shape that wins
+        // is the [[purchaseAttribution]] MERGE pattern generalized to
+        // last-N: the cap most recent clicks before a purchase are a
+        // CONTIGUOUS run of per-user click sequence numbers, so one
+        // union window pass assigns each click its csn (running count;
+        // clicks sort before purchases at equal ts, matching c_ts ≤
+        // p_ts) and carries each purchase the latest csn; each purchase
+        // explodes into ≤ cap (user_id, csn) probes and an equi-join
+        // recovers exactly the kept clicks, window-filtered after. Work:
+        // one keyed window over events + a purchases·cap equi-join —
+        // O(events + purchases·cap), no pair-cardinality stage anywhere.
+        // Keep-set = top-cap by (c_ts, click_event_id), identical to the
+        // oracle's QUALIFY total order because csn order IS that order.
+        val union = ev.filter(col("event_type").isin("click", "purchase"))
+          .withColumn("kind",
+            when(col("event_type") === "click", 0).otherwise(1))
+        val wRun = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").asc, col("kind").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withCsn = union.withColumn("csn",
+          sum(when(col("kind") === 0, 1L).otherwise(0L)).over(wRun))
+        val clickSeq = withCsn.filter(col("kind") === 0)
+          .select(col("user_id"), col("csn"),
+            col("event_id").as("click_event_id"), col("ts_us").as("c_ts"))
+        val probes = withCsn.filter(col("kind") === 1 && col("csn") >= 1)
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("ts_us").as("p_ts"),
+            explode(sequence(
+              greatest(col("csn") - (clicksCap - 1), lit(1L)), col("csn")))
+              .as("csn"))
+        probes.join(clickSeq, Seq("user_id", "csn"))
+          .filter(col("c_ts") >= col("p_ts") - W)
           .select("p_id", "click_event_id")
-      } else pairsRaw.select("p_id", "click_event_id")
+      } else
+        purch.join(clicks, Seq("user_id", "bin"))
+          .filter(col("c_ts") >= col("p_ts") - W && col("c_ts") <= col("p_ts"))
+          .select("p_id", "click_event_id")
     val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("n"))
     val credit = pairs.join(nPer, "p_id")
       .groupBy("click_event_id")
