@@ -143,7 +143,12 @@ object SparkEntry {
       Similarity.labelPropagation(s, d,
         a.getOrElse("iters", "3").toInt,
         a.getOrElse("k", "3").toInt,
-        a.getOrElse("mask_mod", "4").toInt)),
+        a.getOrElse("mask_mod", "4").toInt,
+        a.getOrElse("edges", "raw"))),
+    "knn_components" -> ((s, d, a) =>
+      Similarity.knnComponents(s, d,
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("edges", "raw"))),
     "fuzzy_join_parts" -> ((s, d, a) =>
       Relational.fuzzyJoinParts(s, d, a.getOrElse("max_dist", "2").toInt)),
     "weighted_sample_pps" -> ((s, d, a) =>
@@ -258,6 +263,16 @@ object SparkEntry {
     "cluster_balanced_sample" -> (a =>
       Similarity.clusterBalancedSampleSqlFor(
         a.getOrElse("alpha", "0.5").toDouble)),
+    "label_propagation" -> (a =>
+      Similarity.labelPropagationSqlFor(
+        a.getOrElse("iters", "3").toInt,
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("mask_mod", "4").toInt,
+        a.getOrElse("edges", "raw"))),
+    "knn_components" -> (a =>
+      Similarity.knnComponentsSqlFor(
+        a.getOrElse("k", "3").toInt,
+        a.getOrElse("edges", "raw"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

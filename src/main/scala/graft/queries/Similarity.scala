@@ -525,14 +525,31 @@ object Similarity {
     * instead of counting them. Both sides shuffle on (vec_id, neighbor)
     * narrow rows; output ≤ n·k. Symmetric by construction: (a,b)
     * survives iff (b,a) does. */
-  def knnMutual(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
+  def knnMutual(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame =
+    knnMutualEdges(spark, sfDir, k).orderBy("vec_id", "rank")
+
+  /** [[knnMutual]] without the presentation sort — the edge frame the
+    * `edges=mutual` consumer knob feeds straight into the component /
+    * label-prop machinery (they re-shuffle on their own keys). */
+  private def knnMutualEdges(spark: SparkSession, sfDir: String,
+                             k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val g = knnEdgesMaterialized(spark, sfDir, k)
     val reversed = g.select(col("neighbor").as("vec_id"),
       col("vec_id").as("neighbor"))
     g.join(reversed, Seq("vec_id", "neighbor"), "left_semi")
       .select(col("vec_id"), col("rank"), col("neighbor"), col("cosine"))
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Edge-source selector for the consumers that accept the
+    * `edges = raw | mutual` knob — the production switch
+    * [[knnReciprocity]] prices and [[knnMutual]] implements. */
+  private def edgeFrameFor(spark: SparkSession, sfDir: String, k: Int,
+                           edges: String): DataFrame = {
+    require(edges == "raw" || edges == "mutual",
+      s"edges must be 'raw' or 'mutual', got '$edges'")
+    if (edges == "mutual") knnMutualEdges(spark, sfDir, k)
+    else knnEdgesMaterialized(spark, sfDir, k)
   }
 
   /** Oracle: [[knnEdgeCtesSql]]'s ranked edges inner-joined on the
@@ -723,8 +740,8 @@ object Similarity {
     * semantics. Oracle: recursive min-reachability closure over the
     * shared kNN edge CTE chain. */
   def knnComponents(spark: SparkSession, sfDir: String,
-                    k: Int = KnnK): DataFrame =
-    componentsOver(spark, knnEdgesMaterialized(spark, sfDir, k))
+                    k: Int = KnnK, edges: String = "raw"): DataFrame =
+    componentsOver(spark, edgeFrameFor(spark, sfDir, k, edges))
 
   /** [[knnComponents]] over an EXPLICIT directed edge frame (vec_id,
     * neighbor, ...) — the seam that lets the mutual-sparsified graph
@@ -744,12 +761,24 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val knnComponentsSql: String =
+  /** Arg-templated twin — `edges=mutual` restricts the pair source to
+    * reciprocated top-k links via a MATERIALIZED self-join (one rk
+    * evaluation, referenced twice). */
+  def knnComponentsSqlFor(k: Int, edges: String): String = {
+    val kp =
+      if (edges == "mutual")
+        s"""kmm AS MATERIALIZED (SELECT vec_id, neighbor FROM rk WHERE rank <= $k),
+           |kp AS (SELECT DISTINCT least(g.vec_id, g.neighbor) AS doc_a,
+           |              greatest(g.vec_id, g.neighbor) AS doc_b
+           |       FROM kmm g JOIN kmm g2 ON g2.vec_id = g.neighbor
+           |                              AND g2.neighbor = g.vec_id)""".stripMargin
+      else
+        s"""kp AS (SELECT DISTINCT least(vec_id, neighbor) AS doc_a,
+           |              greatest(vec_id, neighbor) AS doc_b
+           |       FROM rk WHERE rank <= $k)""".stripMargin
     s"""WITH RECURSIVE
        |$knnEdgeCtesSql,
-       |kp AS (SELECT DISTINCT least(vec_id, neighbor) AS doc_a,
-       |              greatest(vec_id, neighbor) AS doc_b
-       |       FROM rk WHERE rank <= $KnnK),
+       |$kp,
        |ke2 AS (SELECT doc_a AS src, doc_b AS dst FROM kp
        |        UNION ALL SELECT doc_b, doc_a FROM kp),
        |reach(v, m) AS (
@@ -761,6 +790,9 @@ object Similarity {
        |SELECT vec_id, cluster_id,
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
+  val knnComponentsSql: String = knnComponentsSqlFor(KnnK, "raw")
 
   /** IVF-PARTITION MODULARITY: how well the coarse quantizer's cells
     * respect the kNN neighborhood structure — per cell, member count,
@@ -1016,9 +1048,10 @@ object Similarity {
     * clamped seeds. */
   def labelPropagation(spark: SparkSession, sfDir: String,
                        iters: Int = LpIters, k: Int = KnnK,
-                       maskMod: Int = LpMaskMod): DataFrame =
+                       maskMod: Int = LpMaskMod,
+                       edges: String = "raw"): DataFrame =
     labelPropagationOver(spark,
-      knnEdgesMaterialized(spark, sfDir, k).select("vec_id", "neighbor"),
+      edgeFrameFor(spark, sfDir, k, edges).select("vec_id", "neighbor"),
       Tables.embeddings(spark, sfDir), iters, maskMod)
 
   /** [[labelPropagation]] over an EXPLICIT directed edge frame (vec_id,
@@ -1062,9 +1095,14 @@ object Similarity {
   }
 
   /** DuckDB twin of [[labelPropagation]] — the [[knnEdgeCtesSql]] chain,
-    * then the [[LpIters]] clamped majority rounds unrolled as CTEs. */
-  val labelPropagationSql: String = {
-    val rounds = (1 to LpIters).map { r =>
+    * then the clamped majority rounds unrolled as CTEs. Templated on
+    * every result-affecting argument (iters/k/mask_mod/edges) so the
+    * non-default-arg gate covers the whole surface; `edges=mutual`
+    * swaps the edge CTE for the reciprocated self-join (MATERIALIZED —
+    * one rk evaluation). */
+  def labelPropagationSqlFor(iters: Int, k: Int, maskMod: Int,
+                             edges: String): String = {
+    val rounds = (1 to iters).map { r =>
       s"""lpt$r AS (SELECT e.vec_id, l.cur AS nl, count(*) AS cnt
          |        FROM lpe e JOIN lpl${r - 1} l ON l.vec_id = e.neighbor
          |        WHERE l.cur IS NOT NULL
@@ -1080,17 +1118,27 @@ object Similarity {
          |         CASE WHEN n.observed THEN n.label ELSE b.maj END AS cur
          |  FROM lpl0 n LEFT JOIN lpb$r b USING (vec_id))""".stripMargin
     }.mkString(",\n")
+    val lpe =
+      if (edges == "mutual")
+        s"""lpm AS MATERIALIZED (SELECT vec_id, neighbor FROM rk WHERE rank <= $k),
+           |lpe AS (SELECT g.vec_id, g.neighbor FROM lpm g
+           |        JOIN lpm g2 ON g2.vec_id = g.neighbor
+           |                   AND g2.neighbor = g.vec_id)""".stripMargin
+      else s"lpe AS (SELECT vec_id, neighbor FROM rk WHERE rank <= $k)"
     s"""WITH RECURSIVE
        |$knnEdgeCtesSql,
-       |lpe AS (SELECT vec_id, neighbor FROM rk WHERE rank <= $KnnK),
-       |lpl0 AS (SELECT vec_id, label, (vec_id % $LpMaskMod <> 0) AS observed,
-       |              CASE WHEN vec_id % $LpMaskMod <> 0 THEN label END AS cur
+       |$lpe,
+       |lpl0 AS (SELECT vec_id, label, (vec_id % $maskMod <> 0) AS observed,
+       |              CASE WHEN vec_id % $maskMod <> 0 THEN label END AS cur
        |       FROM embeddings),
        |$rounds
        |SELECT vec_id, label AS true_label, observed, cur AS pred_label,
        |       CASE WHEN NOT observed THEN cur = label END AS correct
-       |FROM lpl$LpIters ORDER BY vec_id""".stripMargin
+       |FROM lpl$iters ORDER BY vec_id""".stripMargin
   }
+
+  val labelPropagationSql: String =
+    labelPropagationSqlFor(LpIters, KnnK, LpMaskMod, "raw")
 
   // --------------------------------------------------------------------
   // k-core decomposition of the kNN graph

@@ -29,6 +29,8 @@ SPECS=(
   'watermark_delay_curve@jitter_minutes=600'
   'substring_dedup@stride=4' 'substring_dedup@stride=16'
   'cluster_balanced_sample@alpha=0.25' 'cluster_balanced_sample@alpha=1.0'
+  'label_propagation@edges=mutual' 'label_propagation@iters=1,mask_mod=2'
+  'knn_components@edges=mutual' 'knn_components@k=5'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
