@@ -422,12 +422,25 @@ object ScaleProbe {
     //    ~skewPct% of events, salts=1 concentrates that user's whole
     //    7-day window of clicks×purchase-probes on single (user, bin)
     //    tasks; salts=8 must spread it ~8× (r9 verdict #7 observable).
-    if (run.contains("multi_touch_attribution") && skewPct > 0) {
+    // the pseudo-name "multi_touch_salt" in `only` runs JUST this grid —
+    // the main loop's uncapped registered run is not survivable at the
+    // event volumes the capped rows exist to measure
+    if ((run.contains("multi_touch_attribution") ||
+         only.contains("multi_touch_salt")) && skewPct > 0) {
       // (salt, cap) grid: salts bound WHERE the hot user's pair work
       // lands; the clicks_cap bounds the intrinsic clicks×purchases
       // OUTPUT volume itself (r10 verdict #1 — the capped row is the
-      // shipped bounded mode a 100 TB run reaches for at high bot share)
-      Seq((1, 0), (8, 0), (8, 8)).foreach { case (s, cap) =>
+      // shipped bounded mode a 100 TB run reaches for at high bot share).
+      // SPARK_GRAFT_MT_GRID="salt:cap,salt:cap" overrides — at event
+      // volumes where the UNCAPPED pair stream no longer fits the box
+      // (10M events / 25% bot ≈ 32G pairs), only the capped rows are
+      // runnable, which is itself the measurement.
+      val grid = sys.env.get("SPARK_GRAFT_MT_GRID")
+        .map(_.split(",").toSeq.map { p =>
+          val Array(s, c) = p.split(":", 2); (s.trim.toInt, c.trim.toInt)
+        })
+        .getOrElse(Seq((1, 0), (8, 0), (8, 8)))
+      grid.foreach { case (s, cap) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         queries.Temporal.multiTouchAttribution(spark, dir, 7, s, cap)
