@@ -560,8 +560,9 @@ object Similarity {
   lazy val knnMutualSql: String =
     s"""WITH RECURSIVE
        |$knnEdgeCtesSql,
-       |mu_g AS (SELECT vec_id, CAST(rank AS INT) AS rank, neighbor, score_u
-       |         FROM rk WHERE rank <= $KnnK)
+       |mu_g AS MATERIALIZED (
+       |  SELECT vec_id, CAST(rank AS INT) AS rank, neighbor, score_u
+       |  FROM rk WHERE rank <= $KnnK)
        |SELECT g.vec_id, g.rank, g.neighbor,
        |       CAST(g.score_u AS DOUBLE) / 1e6 AS cosine
        |FROM mu_g g JOIN mu_g g2 ON g2.vec_id = g.neighbor
