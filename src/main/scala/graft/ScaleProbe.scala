@@ -71,7 +71,8 @@ object ScaleProbe {
     "containment_pairs_sketch", "containment_sketch_coverage",
     "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
-    "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve")
+    "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve",
+    "pack_boundary_curve")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -116,7 +117,8 @@ object ScaleProbe {
     "orders_recon", "l_diversity", "t_closeness",
     "shipping_priority", "promo_revenue", "late_order_priority",
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
-    "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen")
+    "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen",
+    "benford_audit", "revenue_bridge")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -3066,7 +3066,151 @@ object Relational {
        |       ${Det.rSql("i_u_med / 1e8", 4)} AS intercept_dollars
        |FROM iv WHERE n_days > 0""".stripMargin
 
+  /** Benford first-digit probabilities in exact ppb (⌊log₁₀(1+1/d)·10⁹+0.5⌋)
+    * — literal constants shared by the Spark expression and the oracle so
+    * neither engine evaluates log10 at query time (libm last-ulp trap). */
+  private val BenfordPpb: Seq[(Int, Long)] = Seq(
+    1 -> 301029996L, 2 -> 176091259L, 3 -> 124938737L, 4 -> 96910013L,
+    5 -> 79181246L, 6 -> 66946790L, 7 -> 57991947L, 8 -> 51152522L,
+    9 -> 45757491L)
+
+  /** BENFORD FIRST-DIGIT AUDIT over order totals — the fraud/data-quality
+    * forensic every finance warehouse runs: naturally-occurring amounts
+    * follow log₁₀(1+1/d) leading-digit frequencies; fabricated or
+    * unit-mangled loads don't. The first digit is extracted from the
+    * EXACT integer cents via string head (no log10 at query time — the
+    * Benford expectations are shared literal ppb constants), so both
+    * engines bin identically. One corpus scan partial-aggregates to 9
+    * rows; everything downstream (dense digit grid left-joined so a
+    * missing digit reads obs=0 rather than vanishing, per-digit χ²
+    * terms) is model-state-sized. The χ² term is one fixed
+    * parenthesization over exact integer inputs, micro-rounded (Det.r);
+    * the grid is gated on n>0 so an empty corpus emits zero rows, not a
+    * phantom grid. At 100 TB: scan + 9-row shuffle — nothing else grows. */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .groupBy(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").cast("long").as("n"))
+    val grid = spark.range(1, 10).select(col("id").cast("int").as("digit"),
+      element_at(
+        array(BenfordPpb.map { case (_, p) => lit(p) }: _*),
+        col("id").cast("int")).as("p_ppb"))
+    val e = col("n").cast("double") * col("p_ppb") / 1e9
+    val diff = col("n_obs").cast("double") - e
+    grid.crossJoin(broadcast(tot)).filter(col("n") > 0)
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .select(col("digit"), col("n"), col("n_obs"), col("p_ppb"),
+        floor(col("n_obs").cast("double") * 1e9 / col("n") + 0.5)
+          .cast("long").as("obs_ppb"),
+        Det.r(e, 4).as("exp_count"),
+        Det.r(diff * diff / e, 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = {
+    val vals = BenfordPpb.map { case (d, p) => s"($d, ${p}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+       |                      AS digit,
+       |                    count(*) AS n_obs
+       |             FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+       |                   FROM orders) WHERE c > 0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+       |bp AS (SELECT * FROM (VALUES $vals) AS t(digit, p_ppb)),
+       |g AS (SELECT bp.digit, bp.p_ppb, t.n,
+       |             coalesce(o.n_obs, 0) AS n_obs,
+       |             CAST(t.n AS DOUBLE) * bp.p_ppb / 1e9 AS e
+       |      FROM bp CROSS JOIN tot t
+       |      LEFT JOIN obs o ON o.digit = bp.digit
+       |      WHERE t.n > 0)
+       |SELECT digit, n, n_obs, p_ppb,
+       |       CAST(floor(CAST(n_obs AS DOUBLE) * 1e9 / n + 0.5) AS BIGINT)
+       |         AS obs_ppb,
+       |       ${Det.rSql("e", 4)} AS exp_count,
+       |       ${Det.rSql("(CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e", 6)}
+       |         AS chi2_term
+       |FROM g ORDER BY digit""".stripMargin
+  }
+
+  /** REVENUE BRIDGE (price/volume decomposition) per nation,
+    * year-over-year — the FP&A "why did revenue move" waterfall:
+    * ΔR = volume effect (Q₁−Q₀)·p₀ + price effect Q₁·(p₁−p₀), with
+    * p_i = R_i/Q_i the realized average price. The two effects sum to
+    * ΔR exactly by construction (telescoping identity), which the spec
+    * pins. Revenue aggregates in exact cents and quantity in exact
+    * centi-units, so the only float work is the two average-price
+    * divisions — fixed-parenthesization IEEE ops on exact integer
+    * inputs, micro-rounded (Det.r) per effect. The fact-sized work is
+    * one lineitem⋈orders⋈customer scan-join (shuffles on the join
+    * keys, nation broadcast); the bridge self-join runs on the
+    * |nations·years| frame — model state. At 100 TB the plan is the
+    * same three-table star join every revenue query pays; nothing
+    * downstream grows with rows. */
+  def revenueBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    val yearly = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"),
+        sum(cents(col("l_quantity"))).as("q"))
+    val cur = yearly.select(col("n_name"), col("yr"),
+      col("r").as("r1"), col("q").as("q1"))
+    val prev = yearly.select(col("n_name"), (col("yr") + 1).as("yr"),
+      col("r").as("r0"), col("q").as("q0"))
+    val p0 = col("r0").cast("double") / col("q0")
+    val p1 = col("r1").cast("double") / col("q1")
+    cur.join(prev, Seq("n_name", "yr"))
+      .select(col("n_name"), col("yr"),
+        (col("r1").cast("double") / 100).as("rev_cur"),
+        (col("r0").cast("double") / 100).as("rev_prev"),
+        col("q1").as("qty_cur_c"), col("q0").as("qty_prev_c"),
+        ((col("r1") - col("r0")).cast("double") / 100).as("delta_rev"),
+        Det.r((col("q1") - col("q0")).cast("double") * p0 / 100, 4)
+          .as("volume_effect"),
+        Det.r(col("q1").cast("double") * (p1 - p0) / 100, 4)
+          .as("price_effect"))
+      .orderBy("n_name", "yr")
+  }
+
+  val revenueBridgeSql: String =
+    s"""WITH yearly AS (
+       |  SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+       |         CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+       |              AS BIGINT) AS r,
+       |         CAST(sum(CAST(round(l.l_quantity*100) AS BIGINT))
+       |              AS BIGINT) AS q
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT a.n_name, a.yr,
+       |       CAST(a.r AS DOUBLE) / 100 AS rev_cur,
+       |       CAST(b.r AS DOUBLE) / 100 AS rev_prev,
+       |       a.q AS qty_cur_c, b.q AS qty_prev_c,
+       |       CAST(a.r - b.r AS DOUBLE) / 100 AS delta_rev,
+       |       ${Det.rSql(
+        "CAST(a.q - b.q AS DOUBLE) * (CAST(b.r AS DOUBLE) / b.q) / 100", 4)}
+       |         AS volume_effect,
+       |       ${Det.rSql(
+        "CAST(a.q AS DOUBLE) * (CAST(a.r AS DOUBLE) / a.q - CAST(b.r AS DOUBLE) / b.q) / 100", 4)}
+       |         AS price_effect
+       |FROM yearly a JOIN yearly b
+       |  ON a.n_name = b.n_name AND a.yr = b.yr + 1
+       |ORDER BY a.n_name, a.yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_bridge"      -> ((s, d) => revenueBridge(s, d)),
+    "benford_audit"       -> ((s, d) => benfordAudit(s, d)),
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
     "window_battery"      -> ((s, d) => windowBattery(s, d)),
     "zorder_orders"       -> ((s, d) => zorderOrders(s, d)),
@@ -3124,6 +3268,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "benford_audit"        -> benfordAuditSql,
+    "revenue_bridge"       -> revenueBridgeSql,
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,

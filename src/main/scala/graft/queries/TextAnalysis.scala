@@ -3059,7 +3059,133 @@ object TextAnalysis {
        |FROM m GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
 
+  /** Context lengths priced by [[packBoundaryCurve]] — shared with the
+    * oracle template so both engines walk the identical grid. */
+  private[queries] val PackCtxGrid: Seq[Int] = Seq(128, 256, 512, 1024)
+
+  /** Bin count for the doc-order prefix-sum decomposition (the
+    * [[graft.streaming.StreamingJobs]] highWatermarkFrame discipline):
+    * per-bin token-sum frame ≤ 64k rows — bounded model state. */
+  private val PackCurveBins = 65536L
+
+  /** PACKING BOUNDARY CURVE — the context-length tuning table for
+    * GPT-style concat-then-chunk packing: lay every document's tokens
+    * end to end in doc_id order, cut the stream every `ctx` tokens, and
+    * price each candidate ctx in one pass: how many documents straddle
+    * a chunk boundary (each straddled doc loses coherence at train
+    * time), what fraction of the final chunk is padding. Unlike
+    * [[sequencePack]] (greedy whole-doc bins, the no-truncation
+    * packer), this is the truncation packer's tuning readout — the two
+    * are the standard production alternatives.
+    *
+    * Scale shape: the document start offsets are a prefix sum over a
+    * corpus-sized total order, computed WITHOUT a SinglePartition
+    * window — docs bin by doc_id span (≤ [[PackCurveBins]] bins), the
+    * per-bin token sums are a bounded frame ([[Hist.bounded]]) folded
+    * into carry-ins on the driver and broadcast back, and the within-bin
+    * cumsum partitions by bin (the highWatermarkFrame discipline). The
+    * ctx grid is ONE conditional agg + explode — never a crossJoin(grid)
+    * against the corpus (the watermark_delay_curve lesson). The final
+    * frame is |grid| rows, gated on n_docs > 0 so an empty corpus emits
+    * zero rows. All-integer end to end (token counts, `div` boundaries,
+    * ppm via ⌊x+0.5⌋). */
+  def packBoundaryCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("nt"))
+    // doc_id span: 2 longs of model state
+    val span = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, binW) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0),
+        math.max(1L, (span.getLong(1) - span.getLong(0)) / PackCurveBins + 1))
+    val binned = docs.withColumn("bin", expr(s"(doc_id - $lo) DIV $binW"))
+    val binSum = Hist.bounded(
+      binned.groupBy("bin").agg(sum("nt").as("s")), "pack_boundary_curve")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val carries = Seq.newBuilder[(Long, Long)]
+    var run = 0L
+    binSum.foreach { case (b, s) => carries += ((b, run)); run += s }
+    import spark.implicits._
+    val carryDf = carries.result().toDF("bin", "carry")
+    val wBin = Window.partitionBy("bin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withStart = binned
+      .join(broadcast(carryDf), Seq("bin"))
+      .withColumn("start", coalesce(sum("nt").over(wBin), lit(0L)) + col("carry"))
+      .withColumn("end_m1", col("start") + col("nt") - 1)
+    val cutCols = PackCtxGrid.map { c =>
+      sum(when(col("nt") > 0 &&
+        expr(s"start DIV $c") < expr(s"end_m1 DIV $c"), 1L).otherwise(0L))
+        .as(s"cut$c")
+    }
+    val agg = withStart.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("nt").cast("long").as("total_tokens") +: cutCols): _*)
+    agg.filter(col("n_docs") > 0)
+      .select(col("n_docs"), col("total_tokens"),
+        explode(array(PackCtxGrid.map { c =>
+          struct(lit(c).as("ctx"), col(s"cut$c").as("cut"))
+        }: _*)).as("g"))
+      .select(col("g.ctx").as("ctx"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + g.ctx - 1) DIV g.ctx").as("n_chunks"),
+        col("g.cut").as("n_docs_cut"),
+        floor(col("g.cut").cast("double") * 1e6 /
+          col("n_docs") + 0.5).cast("long").as("cut_ppm"))
+      .withColumn("pad_tokens",
+        col("n_chunks") * col("ctx") - col("total_tokens"))
+      .withColumn("pad_ppm",
+        when(col("n_chunks") > 0,
+          floor(col("pad_tokens").cast("double") * 1e6 /
+            (col("n_chunks") * col("ctx")) + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+      .orderBy("ctx")
+  }
+
+  val packBoundaryCurveSql: String = {
+    val grid = PackCtxGrid.map(c => s"($c)").mkString(", ")
+    val cuts = PackCtxGrid.map { c =>
+      s"""CAST(sum(CASE WHEN nt > 0 AND start // $c < (start + nt - 1) // $c
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS cut$c""".stripMargin
+    }.mkString(",\n|             ")
+    val cutCase = PackCtxGrid.map(c => s"WHEN $c THEN cut$c")
+      .mkString(" ")
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(len(list_filter(
+       |                    string_split_regex(lower(text), '\\W+'),
+       |                    x -> length(x) > 0)) AS BIGINT) AS nt
+       |           FROM documents),
+       |c AS (SELECT doc_id, nt,
+       |             coalesce(sum(nt) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0) AS start
+       |      FROM d),
+       |t AS (SELECT count(*) AS n_docs,
+       |             CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens,
+       |             $cuts
+       |      FROM c)
+       |SELECT g.ctx, t.n_docs, t.total_tokens,
+       |       CAST((t.total_tokens + g.ctx - 1) // g.ctx AS BIGINT)
+       |         AS n_chunks,
+       |       CAST(CASE g.ctx $cutCase END AS BIGINT) AS n_docs_cut,
+       |       CAST(floor(CAST(CASE g.ctx $cutCase END AS DOUBLE) * 1e6
+       |                  / t.n_docs + 0.5) AS BIGINT) AS cut_ppm,
+       |       CAST((t.total_tokens + g.ctx - 1) // g.ctx * g.ctx
+       |            - t.total_tokens AS BIGINT) AS pad_tokens,
+       |       CASE WHEN (t.total_tokens + g.ctx - 1) // g.ctx > 0
+       |            THEN CAST(floor(
+       |              CAST((t.total_tokens + g.ctx - 1) // g.ctx * g.ctx
+       |                   - t.total_tokens AS DOUBLE) * 1e6
+       |              / ((t.total_tokens + g.ctx - 1) // g.ctx * g.ctx)
+       |              + 0.5) AS BIGINT)
+       |            ELSE 0 END AS pad_ppm
+       |FROM t CROSS JOIN (VALUES $grid) AS g(ctx)
+       |WHERE t.n_docs > 0
+       |ORDER BY g.ctx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_boundary_curve" -> ((s, d) => packBoundaryCurve(s, d)),
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "quality_agreement" -> ((s, d) => qualityAgreement(s, d)),
     "dataset_card"     -> ((s, d) => datasetCard(s, d)),
@@ -3108,6 +3234,7 @@ object TextAnalysis {
     "doc_fingerprint"  -> docFingerprintSql,
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "bm25_topk"        -> bm25TopKSql,
+    "pack_boundary_curve" -> packBoundaryCurveSql,
     "quality_agreement" -> qualityAgreementSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,
