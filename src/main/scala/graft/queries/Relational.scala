@@ -3208,7 +3208,93 @@ object Relational {
        |  ON a.n_name = b.n_name AND a.yr = b.yr + 1
        |ORDER BY a.n_name, a.yr""".stripMargin
 
+  /** EWMA window length in days: weights 2^(K−k) for lag k ∈ 1..K are
+    * exact in binary, so the smoothed numerator is pure integer
+    * arithmetic — no float recurrence whose rounding order could
+    * diverge cross-engine. Denominator 2^K − 1. */
+  private val EwmaK = 16
+  private val EwmaDen = (1L << EwmaK) - 1
+
+  /** EWMA REVENUE ANOMALY ALERTS — the ops-dashboard smoother: daily
+    * order revenue vs a 16-day exponentially-weighted moving average
+    * (truncated to the window where binary weights 2^(K−k) make it
+    * EXACT integer arithmetic — a float EWMA recurrence is
+    * engine-order-dependent, this one never rounds). A day alerts as
+    * `spike` when revenue > 2× its EWMA and `dip` when < ½× — the
+    * multiplicative band that survives level shifts. The daily frame
+    * is CALENDAR-BOUNDED (gap days coalesce to 0 revenue so lags are
+    * true day offsets); the EWMA is built by exploding each day's
+    * revenue into its 16 forward (target-day, weight·revenue)
+    * contributions and re-grouping — a calendar-sized shuffle, no
+    * SinglePartition window, no recurrence. Only days with a full
+    * 16-day history alert. At 100 TB the only fact-sized work is the
+    * initial scan+agg; everything after is |days| ≤ ~10⁴ rows. */
+  def revenueEwmaAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("c"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val cal = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("c"))
+    val contrib = cal
+      .select(col("day"), col("c"),
+        explode(sequence(lit(1), lit(EwmaK))).as("k"))
+      .select((col("day") + col("k")).as("day"),
+        (col("c") * expr(s"shiftleft(1L, $EwmaK - k)")).as("w"))
+    val num = contrib.groupBy("day").agg(sum("w").as("num"))
+    cal.join(num, Seq("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("lo") + EwmaK)
+      .filter(col("c") * EwmaDen > lit(2L) * col("num") ||
+        lit(2L) * col("c") * EwmaDen < col("num"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("day")).as("day"),
+        (col("c").cast("double") / 100).as("revenue"),
+        Det.r(col("num").cast("double") / EwmaDen / 100, 4).as("ewma"),
+        when(col("c") * EwmaDen > lit(2L) * col("num"), lit("spike"))
+          .otherwise(lit("dip")).as("direction"),
+        when(col("num") > 0,
+          floor(col("c").cast("double") * EwmaDen * 1e6 / col("num") + 0.5)
+            .cast("long")).as("ratio_ppm"))
+      .orderBy("day")
+  }
+
+  val revenueEwmaAnomalySql: String =
+    s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |                  CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+       |                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+       |                       AS BIGINT) AS c
+       |           FROM orders GROUP BY 1),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+       |cal AS (SELECT CAST(unnest(generate_series(b.lo, b.hi)) AS INTEGER)
+       |          AS day FROM b),
+       |cf AS (SELECT cal.day, coalesce(d.c, 0) AS c
+       |       FROM cal LEFT JOIN d USING (day)),
+       |contrib AS (SELECT cf.day + k.k AS day,
+       |                   cf.c * (1::BIGINT << ($EwmaK - k.k)) AS w
+       |            FROM cf CROSS JOIN
+       |              (SELECT unnest(generate_series(1, $EwmaK)) AS k) k),
+       |n16 AS (SELECT day, CAST(sum(w) AS BIGINT) AS num
+       |        FROM contrib GROUP BY 1),
+       |j AS (SELECT cf.day, cf.c, n.num
+       |      FROM cf JOIN n16 n USING (day), b
+       |      WHERE cf.day >= b.lo + $EwmaK)
+       |SELECT DATE '1970-01-01' + j.day AS day,
+       |       CAST(c AS DOUBLE) / 100 AS revenue,
+       |       ${Det.rSql(s"CAST(num AS DOUBLE) / $EwmaDen / 100", 4)} AS ewma,
+       |       CASE WHEN c * $EwmaDen > 2 * num THEN 'spike'
+       |            ELSE 'dip' END AS direction,
+       |       CASE WHEN num > 0
+       |            THEN CAST(floor(CAST(c AS DOUBLE) * $EwmaDen * 1e6 / num
+       |                            + 0.5) AS BIGINT) END AS ratio_ppm
+       |FROM j
+       |WHERE c * $EwmaDen > 2 * num OR 2 * c * $EwmaDen < num
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_ewma_anomaly" -> ((s, d) => revenueEwmaAnomaly(s, d)),
     "revenue_bridge"      -> ((s, d) => revenueBridge(s, d)),
     "benford_audit"       -> ((s, d) => benfordAudit(s, d)),
     "rfm_segments"        -> ((s, d) => rfmSegments(s, d)),
@@ -3270,6 +3356,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,
+    "revenue_ewma_anomaly" -> revenueEwmaAnomalySql,
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,

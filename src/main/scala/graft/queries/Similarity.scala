@@ -3472,7 +3472,161 @@ object Similarity {
        |FROM r_rr WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** PCA prefix width and power-iteration round count. 16 dims is the
+    * matryoshka prefix the recall curve already prices. K=8 is a FIXED
+    * estimate depth, not a convergence guarantee: power iteration
+    * contracts as (λ₂/λ₁)^K, and the synthetic fixture's prefix
+    * spectrum is deliberately near-flat (λ₂/λ₁ ≈ 0.97 — measured
+    * 20 937 / 20 183 at sf0.001), so the ITERATE keeps rotating while
+    * the Rayleigh estimate is already within 1.5 % of λ₁ by round 8.
+    * On the operator's real target — detecting a DOMINANT component,
+    * i.e. a wide eigengap — K=8 converges outright. The spec pins the
+    * honest invariants instead of fixture convergence: Rayleigh
+    * monotone in K, λ ≥ every per-dim variance, share ∈ (1/P, 1]. */
+  private val PcaP = 16
+  private val PcaRounds = 8
+
+  /** TOP PRINCIPAL COMPONENT of the 16-dim embedding prefix — the
+    * dimensionality/anisotropy readout an embedding pipeline checks
+    * before whitening or pruning dims (a dominant component means the
+    * space wastes capacity on one direction; var_share quantifies it).
+    *
+    * Numerics are the repo's exact-integer discipline end to end:
+    * components quantize to micro ints, the covariance numerator
+    * n·Σxy − Σx·Σy accumulates in DECIMAL(38,0) (exact — the float
+    * Σxy of 10¹⁰ rows is not), and each matrix entry micro-rounds
+    * through one fixed-parenthesization double division. Power
+    * iteration then runs on the 16×16 integer matrix — 256 longs of
+    * MODEL STATE (the PQ-codebook precedent): Spark folds it on the
+    * driver, the oracle unrolls the identical recurrence as
+    * MATERIALIZED per-round CTEs (the pagerank discipline), each
+    * round re-normalizing by max|w| to 1e6 with the same ⌊x+0.5⌋.
+    * λ is the Rayleigh quotient over the final vector (DECIMAL
+    * accumulation again), var_share = λ/trace.
+    *
+    * Scale: the only corpus-sized work is the two explode-aggregates
+    * (16·n and 256·n narrow rows, map-side combined); everything
+    * after is 256 rows. At 100 TB this is one scan + two shuffles of
+    * 256 keys — the driver never sees more than the matrix. */
+  def embeddingPcaTop(spark: SparkSession, sfDir: String,
+                      rounds: Int = PcaRounds): DataFrame = {
+    import spark.implicits._
+    val pref = Tables.embeddings(spark, sfDir)
+      .select(transform(
+        slice(col("embedding").cast("array<double>"), 1, PcaP),
+        x => floor(x * 1000000 + 0.5).cast("long")).as("v"))
+    val sums = pref.select(posexplode(col("v")).as(Seq("i", "qi")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum("qi").as("s"))
+    val pairs = pref
+      .select(posexplode(col("v")).as(Seq("i", "qi")), col("v"))
+      .select(col("i"), col("qi"), posexplode(col("v")).as(Seq("j", "qj")))
+      .groupBy("i", "j")
+      .agg(sum(col("qi").cast("decimal(38,0)") * col("qj")).as("spp"))
+    val cov = pairs
+      .join(sums.withColumnRenamed("s", "si"), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+      .select(col("i").cast("int"), col("j").cast("int"),
+        floor((col("n") * col("spp") -
+          col("si").cast("decimal(38,0)") * col("sj")).cast("double") /
+          (col("n").cast("double") * col("n") * 1e6) + 0.5)
+          .cast("long").as("c"))
+    // ≤ PcaP² = 256 narrow rows by construction — bounded model state,
+    // the PQ-codebook collect discipline
+    val covRows = cov.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    if (covRows.isEmpty)
+      return Seq.empty[(Int, Long, java.lang.Double, java.lang.Double)]
+        .toDF("dim", "v_micro", "lambda", "var_share")
+    // power iteration — the exact Long/IEEE recurrence the oracle's
+    // unrolled CTEs replay: w = C·v; v' = ⌊w·1e6/max|w|+0.5⌋
+    var v = Array.fill(PcaP)(1000000L)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(PcaP) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < PcaP) { acc += covRows((i, j)) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      v = if (m > 0)
+        w.map(wi => math.floor(wi.toDouble * 1e6 / m + 0.5).toLong)
+      else w
+    }
+    val num = (0 until PcaP).flatMap(i => (0 until PcaP).map(j =>
+      BigInt(v(i) * covRows((i, j))) * v(j))).sum
+    val den = v.map(x => x * x).sum
+    val trc = (0 until PcaP).map(i => covRows((i, i))).sum
+    def detR(x: Double, scale: Int): Double = {
+      val p = math.pow(10, scale)
+      math.floor(x * p + 0.5) / p
+    }
+    val lambda: java.lang.Double =
+      if (den > 0) detR(num.toDouble / den / 1e6, 8) else null
+    val share: java.lang.Double =
+      if (den > 0 && trc > 0) detR(num.toDouble / den / trc, 6) else null
+    (0 until PcaP).map(i => (i, v(i), lambda, share))
+      .toDF("dim", "v_micro", "lambda", "var_share")
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin — identical quantization, DECIMAL covariance, and the
+    * recurrence unrolled as MATERIALIZED per-round CTEs (plain CTEs
+    * would be re-inlined per reference — the 2^rounds-scan trap). */
+  val embeddingPcaTopSql: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""r$r AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(c.c * p.v) AS BIGINT) AS w
+         |  FROM cov c JOIN $pv p ON c.j = p.i GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT max(abs(w)) AS m FROM r$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, CASE WHEN m.m > 0
+         |                 THEN CAST(floor(CAST(w AS DOUBLE) * 1e6 / m.m
+         |                                 + 0.5) AS BIGINT)
+         |                 ELSE w END AS v
+         |  FROM r$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val vf = s"v$PcaRounds"
+    s"""WITH pref AS MATERIALIZED (
+       |  SELECT list_transform(embedding[1:$PcaP],
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+       |                     AS BIGINT)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(0, $PcaP)) AS d),
+       |si AS (SELECT d.d AS i, count(*) AS n,
+       |              CAST(sum(v[CAST(d.d + 1 AS INTEGER)]) AS BIGINT) AS s
+       |       FROM pref CROSS JOIN dims d GROUP BY 1),
+       |spp AS (SELECT a.d AS i, b.d AS j,
+       |               sum(CAST(v[CAST(a.d + 1 AS INTEGER)] AS DECIMAL(38,0))
+       |                   * v[CAST(b.d + 1 AS INTEGER)]) AS spp
+       |        FROM pref CROSS JOIN dims a CROSS JOIN dims b GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |         CAST(floor(CAST(a.n * p.spp
+       |                         - CAST(a.s AS DECIMAL(38,0)) * b.s AS DOUBLE)
+       |                    / (CAST(a.n AS DOUBLE) * a.n * 1e6) + 0.5)
+       |              AS BIGINT) AS c
+       |  FROM spp p JOIN si a ON p.i = a.i JOIN si b ON p.j = b.i),
+       |v0 AS (SELECT d AS i, 1000000::BIGINT AS v FROM dims),
+       |$rounds,
+       |ray AS (SELECT CAST(sum(CAST(a.v * c.c AS DECIMAL(38,0)) * b.v)
+       |                    AS DECIMAL(38,0)) AS num
+       |        FROM cov c JOIN $vf a ON c.i = a.i JOIN $vf b ON c.j = b.i),
+       |dn AS (SELECT CAST(sum(v * v) AS BIGINT) AS den FROM $vf),
+       |tc AS (SELECT CAST(sum(c) AS BIGINT) AS trc FROM cov WHERE i = j)
+       |SELECT CAST($vf.i AS INTEGER) AS dim, $vf.v AS v_micro,
+       |       CASE WHEN dn.den > 0
+       |            THEN ${Det.rSql("CAST(ray.num AS DOUBLE) / dn.den / 1e6", 8)}
+       |       END AS lambda,
+       |       CASE WHEN dn.den > 0 AND tc.trc > 0
+       |            THEN ${Det.rSql("CAST(ray.num AS DOUBLE) / dn.den / tc.trc", 6)}
+       |       END AS var_share
+       |FROM $vf, ray, dn, tc ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pca_top" -> ((s, d) => embeddingPcaTop(s, d)),
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "ann_cosine_lsh"  -> ((s, d) => annCosineLsh(s, d)),
@@ -3513,6 +3667,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "embedding_pca_top" -> embeddingPcaTopSql,
     "ann_cosine_topk" -> bruteForceTopKSql,
     "matryoshka_recall" -> matryoshkaRecallSql,
     "embedding_quantize" -> embeddingQuantizeSql,

@@ -683,4 +683,57 @@ class RelationalSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     assert(queries.Relational.revenueChangepoint(spark, dir).count() == 0)
   }
+
+  test("benford_audit: dense digit grid, counts partition the corpus, shares total 1e6") {
+    val rows = queries.Relational.benfordAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == n)
+    assert(n == Tables.orders(spark, sf).count())
+    // per-digit rounding leaves the ppm total within ±9 of exactly 1e6
+    val ppmSum = rows.map(_.getAs[Long]("obs_ppb")).sum
+    assert(math.abs(ppmSum - 1000000000L) <= 9, s"obs_ppb sum $ppmSum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+      assert(r.getAs[Double]("exp_count") > 0.0)
+    }
+  }
+
+  test("revenue_bridge: effects decompose delta_rev exactly (telescoping identity)") {
+    val rows = queries.Relational.revenueBridge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("delta_rev")
+      val v = r.getAs[Double]("volume_effect")
+      val p = r.getAs[Double]("price_effect")
+      // each effect is 4-dp micro-rounded → identity holds within 1e-4+1e-4
+      assert(math.abs(v + p - d) <= 2.1e-4, s"$v + $p != $d (${r.mkString(",")})")
+    }
+    // self-consistency: (nation, yr)'s rev_cur is (nation, yr+1)'s rev_prev
+    val cur = rows.map(r => (r.getAs[String]("n_name"), r.getAs[Int]("yr")) ->
+      r.getAs[Double]("rev_cur")).toMap
+    rows.foreach { r =>
+      cur.get((r.getAs[String]("n_name"), r.getAs[Int]("yr") - 1)).foreach { c =>
+        assert(c == r.getAs[Double]("rev_prev"))
+      }
+    }
+  }
+
+  test("revenue_ewma_anomaly: every alert is outside the 2x band with full history") {
+    val rows = queries.Relational.revenueEwmaAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty) // the sf0.001 daily series is noisy by construction
+    val minDay = Tables.orders(spark, sf)
+      .agg(min(col("o_orderdate").cast("date"))).head().getDate(0)
+    rows.foreach { r =>
+      val dir = r.getAs[String]("direction")
+      val ratio = r.getAs[Long]("ratio_ppm")
+      if (dir == "spike") assert(ratio == 0 || ratio >= 2000000L,
+        s"spike ratio $ratio") // null→0 (num=0 spike); ⌊x+0.5⌋ can hit the edge
+      else assert(dir == "dip" && (r.isNullAt(r.fieldIndex("ratio_ppm")) ||
+        ratio <= 500000L), s"dip ratio $ratio") // ⌊x+0.5⌋ can land on the edge
+      // full 16-day history: alert days start at min_day + 16
+      assert(r.getDate(r.fieldIndex("day")).toLocalDate.isAfter(
+        minDay.toLocalDate.plusDays(15)))
+    }
+  }
 }

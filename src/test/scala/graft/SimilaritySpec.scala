@@ -848,4 +848,28 @@ class SimilaritySpec extends AnyFunSuite {
     // the diagnostic discriminates on this corpus: neither 0 nor 1
     assert(totalMutual > 0 && totalMutual < rows.map(_.getAs[Long]("n_edges")).sum)
   }
+
+  test("embedding_pca_top: unit-normalized iterate, Rayleigh monotone in K, λ dominates every dim variance") {
+    val r8 = queries.Similarity.embeddingPcaTop(spark, sf).collect()
+    assert(r8.length == 16)
+    // max-abs normalization lands exactly on ±1e6
+    assert(r8.map(r => math.abs(r.getAs[Long]("v_micro"))).max == 1000000L)
+    val lambda = r8.head.getAs[Double]("lambda")
+    val share = r8.head.getAs[Double]("var_share")
+    // λ_max ≥ trace/P for any symmetric matrix; the round-8 Rayleigh
+    // estimate already clears it (and ≤ 1: λ ≤ trace)
+    assert(lambda > 0 && share > 1.0 / 16 && share <= 1.0 + 1e-9,
+      s"lambda=$lambda share=$share")
+    // power iteration's Rayleigh quotient is monotone non-decreasing in K
+    // on a symmetric PSD matrix — 4 vs 8 rounds must not regress
+    val l4 = queries.Similarity.embeddingPcaTop(spark, sf, rounds = 4)
+      .head().getAs[Double]("lambda")
+    assert(l4 <= lambda + 1e-9, s"Rayleigh regressed: K=4 $l4 > K=8 $lambda")
+    // λ_max ≥ c_ii for every diagonal entry: cross-check against the
+    // per-dim population variances embedding_dim_stats reports
+    val maxVar = queries.Similarity.embeddingDimStats(spark, sf).collect()
+      .filter(_.getAs[Int]("dim") < 16)
+      .map(r => math.pow(r.getAs[Double]("std"), 2)).max
+    assert(lambda >= maxVar - 1e-4, s"lambda=$lambda < max dim var $maxVar")
+  }
 }

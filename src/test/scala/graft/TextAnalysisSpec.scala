@@ -450,4 +450,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_bpe_symbols")).sum
     assert(totalSyms == applyTotal, s"$totalSyms != $applyTotal")
   }
+
+  test("pack_boundary_curve: nested power-of-two grids make cuts monotone; chunk math consistent") {
+    val rows = queries.TextAnalysis.packBoundaryCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("ctx")).toSeq == Seq(128, 256, 512, 1024))
+    val total = rows.head.getAs[Long]("total_tokens")
+    rows.foreach { r =>
+      val ctx = r.getAs[Int]("ctx").toLong
+      val chunks = r.getAs[Long]("n_chunks")
+      // ceil-division bracketing and pad identity
+      assert(chunks * ctx >= total && (chunks - 1) * ctx < total)
+      assert(r.getAs[Long]("pad_tokens") == chunks * ctx - total)
+      assert(r.getAs[Long]("n_docs_cut") <= r.getAs[Long]("n_docs"))
+    }
+    // every 1024-boundary is also a 512/256/128 boundary → cuts shrink with ctx
+    val cuts = rows.sortBy(_.getAs[Int]("ctx")).map(_.getAs[Long]("n_docs_cut"))
+    assert(cuts.zip(cuts.tail).forall { case (a, b) => a >= b }, cuts.mkString(","))
+    // the curve discriminates on this corpus
+    assert(cuts.head > cuts.last)
+  }
 }
