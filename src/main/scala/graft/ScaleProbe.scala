@@ -118,7 +118,8 @@ object ScaleProbe {
     "shipping_priority", "promo_revenue", "late_order_priority",
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
     "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen",
-    "benford_audit", "revenue_bridge", "revenue_ewma_anomaly")
+    "benford_audit", "revenue_bridge", "revenue_ewma_anomaly",
+    "km_ship_survival")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -3293,7 +3293,132 @@ object Relational {
        |WHERE c * $EwmaDen > 2 * num OR 2 * c * $EwmaDen < num
        |ORDER BY day""".stripMargin
 
+  /** KAPLAN–MEIER SURVIVAL of order time-to-completion — the censoring-
+    * aware "how long until an order ships fully" curve (naive averages
+    * over completed orders only are biased optimistic; KM is the
+    * standard fix). Events: status-'F' orders at t = days from order to
+    * their last lineitem shipment. Censored: every other order, still
+    * at risk through the observation end (max shipdate seen, falling
+    * back to max orderdate). Per distinct t: d_t events, c_t censored,
+    * n_t at-risk = N − Σ_{s<t}(d_s+c_s); the survival curve is carried
+    * as ln S(t) = Σ_{s≤t} ln((n_s−d_s)/n_s) in EXACT micro-integer
+    * units — each per-time ln is one libm call on one exact-rounded
+    * double division, micro-rounded (the dsir/nb/bigram discipline;
+    * PropertiesSpec's BigDecimal-ln case recomputes every term and
+    * asserts it sits off the rounding boundary, so a libm ulp bump
+    * fails THERE, not in a CORRECTNESS hash). When d_t = n_t the curve
+    * hits exactly zero and ln is undefined — ln_surv_micro goes NULL
+    * from that t onward (both engines propagate the flag explicitly;
+    * a window SUM would silently skip the NULL term).
+    *
+    * Scale shape: one lineitem agg + one orders scan, both shuffling
+    * on their natural keys, reduce to a |distinct t| ≤ calendar-span
+    * frame — bounded model state, collected through [[Hist.bounded]]
+    * and folded on the driver (the revenue_cusum discipline). At
+    * 100 TB nothing after the first agg grows with rows. */
+  def kmShipSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lastShip = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+    val ords = Tables.orders(spark, sfDir)
+    // observation end as an epoch DAY (collecting a timestamp yields
+    // LocalDateTime under NTZ encodings — the CLAUDE.md fixture trap;
+    // an int day sidesteps the type entirely): 2 ints of model state
+    val epoch = lit("1970-01-01").cast("date")
+    val obsRow = Tables.lineitem(spark, sfDir)
+      .agg(max(datediff(col("l_shipdate").cast("date"), epoch))).head()
+    val obsEnd: Option[Int] =
+      if (!obsRow.isNullAt(0)) Some(obsRow.getInt(0))
+      else {
+        val o = ords.agg(max(datediff(col("o_orderdate").cast("date"),
+          epoch))).head()
+        if (o.isNullAt(0)) None else Some(o.getInt(0))
+      }
+    val events = ords.filter(col("o_orderstatus") === "F")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(datediff(col("last_ship").cast("date"),
+        col("o_orderdate").cast("date")).as("t_days"), lit(1L).as("ev"))
+    val censored = obsEnd match {
+      case Some(oe) => ords.filter(col("o_orderstatus") =!= "F")
+        .select((lit(oe) - datediff(col("o_orderdate").cast("date"), epoch))
+          .as("t_days"), lit(0L).as("ev"))
+      case None => events.limit(0)
+    }
+    val agg = events.union(censored).filter(col("t_days") >= 0)
+      .groupBy("t_days")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+    // |distinct t| ≤ calendar span — bounded model state
+    val km = Hist.bounded(agg, "km_ship_survival")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    if (km.isEmpty)
+      return Seq.empty[(Int, Long, Long, Long, java.lang.Long)]
+        .toDF("t_days", "n_risk", "n_event", "n_censored", "ln_surv_micro")
+    val n = km.map(t => t._2 + t._3).sum
+    var atRisk = n
+    var lnSum = 0L
+    var zeroHit = false
+    val rows = km.map { case (t, d, c) =>
+      if (d > 0 && d < atRisk)
+        lnSum += math.floor(
+          math.log((atRisk - d).toDouble / atRisk) * 1e6 + 0.5).toLong
+      if (d > 0 && d >= atRisk) zeroHit = true
+      val out = (t, atRisk, d, c,
+        if (zeroHit) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(lnSum))
+      atRisk -= d + c
+      out
+    }
+    rows.toSeq
+      .toDF("t_days", "n_risk", "n_event", "n_censored", "ln_surv_micro")
+      .orderBy("t_days")
+  }
+
+  val kmShipSurvivalSql: String =
+    s"""WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+       |            FROM lineitem GROUP BY 1),
+       |ob AS (SELECT coalesce((SELECT max(l_shipdate) FROM lineitem),
+       |                       (SELECT max(o_orderdate) FROM orders))
+       |         AS obs_end),
+       |base AS (
+       |  SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+       |                   CAST(ls.last_ship AS DATE)) AS t_days, 1 AS ev
+       |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+       |  WHERE o.o_orderstatus = 'F'
+       |  UNION ALL
+       |  SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+       |                   CAST(ob.obs_end AS DATE)) AS t_days, 0 AS ev
+       |  FROM orders o, ob WHERE o.o_orderstatus <> 'F'),
+       |agg AS (SELECT CAST(t_days AS INTEGER) AS t_days,
+       |               CAST(sum(ev) AS BIGINT) AS d,
+       |               CAST(sum(1 - ev) AS BIGINT) AS c
+       |        FROM base WHERE t_days >= 0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM agg),
+       |km AS (SELECT t_days, d, c,
+       |              tot.n - coalesce(sum(d + c) OVER (ORDER BY t_days
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                0) AS n_risk
+       |       FROM agg, tot),
+       |terms AS (SELECT t_days, d, c, n_risk,
+       |            CASE WHEN d = 0 THEN 0
+       |                 WHEN d < n_risk
+       |                 THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+       |                                    / n_risk) * 1e6 + 0.5) AS BIGINT)
+       |            END AS term,
+       |            CASE WHEN d > 0 AND d >= n_risk THEN 1 ELSE 0 END AS zf
+       |          FROM km),
+       |run AS (SELECT t_days, n_risk, d AS n_event, c AS n_censored,
+       |               sum(term) OVER (ORDER BY t_days
+       |                 ROWS UNBOUNDED PRECEDING) AS lnsum,
+       |               max(zf) OVER (ORDER BY t_days
+       |                 ROWS UNBOUNDED PRECEDING) AS zhit
+       |        FROM terms)
+       |SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
+       |       CASE WHEN zhit = 1 THEN NULL
+       |            ELSE CAST(lnsum AS BIGINT) END AS ln_surv_micro
+       |FROM run ORDER BY t_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km_ship_survival"    -> ((s, d) => kmShipSurvival(s, d)),
     "revenue_ewma_anomaly" -> ((s, d) => revenueEwmaAnomaly(s, d)),
     "revenue_bridge"      -> ((s, d) => revenueBridge(s, d)),
     "benford_audit"       -> ((s, d) => benfordAudit(s, d)),
@@ -3357,6 +3482,7 @@ object Relational {
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,
     "revenue_ewma_anomaly" -> revenueEwmaAnomalySql,
+    "km_ship_survival"     -> kmShipSurvivalSql,
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,

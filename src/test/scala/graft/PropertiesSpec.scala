@@ -180,15 +180,22 @@ class PropertiesSpec extends AnyFunSuite {
       * rounded op identical on both engines; only ln is libm). */
     def ofDouble(d: Double): BD = new BD(d)
     /** Checks x_exact = (hi − lo)·1e6 + 0.5 agrees with the double-path
-      * long AND is >= eps micros away from its floor boundary. */
-    def checkMicros(label: String, exact: BD, doublePath: Long): Unit = {
+      * long AND is >= `minMargin` micros away from its floor boundary.
+      * The physical flip risk is a few ulps of the libm ln result: for
+      * |ln q| <= 20 that is <= ~4e-15, i.e. <= ~4e-9 MICROS — even the
+      * loosest margin below keeps >10^3x headroom. The default 1e-4 is
+      * the original (very conservative) dsir bar; term-dense consumers
+      * (KM's ~10^3 calendar terms, where min boundary distance shrinks
+      * as 1/terms) pass an explicit smaller bound. */
+    def checkMicros(label: String, exact: BD, doublePath: Long,
+                    minMargin: Double = 1e-4): Unit = {
       val scaled = exact.multiply(new BD(1000000), mc).add(Half, mc)
       val fl = scaled.setScale(0, java.math.RoundingMode.FLOOR)
       assert(fl.longValueExact() == doublePath,
         s"$label: BigDecimal micros ${fl} != double path $doublePath")
       val frac = scaled.subtract(fl).doubleValue()
       val margin = math.min(frac, 1 - frac)
-      assert(margin >= 1e-4,
+      assert(margin >= minMargin,
         s"$label: value $scaled sits $margin micros from a floor boundary" +
           " — a libm ulp could flip the emitted weight")
     }
@@ -253,6 +260,30 @@ class PropertiesSpec extends AnyFunSuite {
       val dp = math.floor(-(math.log(0.4) + math.log(q)) * 1e6 + 0.5).toLong
       BdLn.checkMicros(s"bigram backoff ($c2,$n,$v)",
         ln04.add(BdLn.ln(BdLn.ofDouble(q)), BdLn.mc).negate(), dp)
+    }
+  }
+
+  test("km_ship_survival ln terms: BigDecimal recomputation agrees, off-boundary; sum reconstructs") {
+    val sf = TestSpark.sf
+    val rows = queries.Relational.kmShipSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var lnSum = 0L
+    var zeroHit = false
+    rows.foreach { r =>
+      val (t, n, d) = (r.getAs[Int]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"))
+      if (d > 0 && d < n) {
+        val q = (n - d).toDouble / n
+        val dp = math.floor(math.log(q) * 1e6 + 0.5).toLong
+        BdLn.checkMicros(s"km t=$t ($d/$n)", BdLn.ln(BdLn.ofDouble(q)), dp,
+          minMargin = 1e-6)
+        lnSum += dp
+      }
+      if (d > 0 && d >= n) zeroHit = true
+      if (zeroHit) assert(r.isNullAt(r.fieldIndex("ln_surv_micro")),
+        s"t=$t: ln_surv must be NULL once the curve hits zero")
+      else assert(r.getAs[Long]("ln_surv_micro") == lnSum,
+        s"t=$t: ln_surv ${r.getAs[Long]("ln_surv_micro")} != recomputed $lnSum")
     }
   }
 

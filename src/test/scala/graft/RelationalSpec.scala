@@ -736,4 +736,26 @@ class RelationalSpec extends AnyFunSuite {
         minDay.toLocalDate.plusDays(15)))
     }
   }
+
+  test("km_ship_survival: at-risk accounting closes, survival monotone non-increasing") {
+    val rows = queries.Relational.kmShipSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_risk starts at the full cohort and drains by exactly d+c per time
+    assert(rows.head.getAs[Long]("n_risk") ==
+      rows.map(r => r.getAs[Long]("n_event") + r.getAs[Long]("n_censored")).sum)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk") -
+        a.getAs[Long]("n_event") - a.getAs[Long]("n_censored"))
+      // ln S is non-increasing wherever defined
+      if (!a.isNullAt(a.fieldIndex("ln_surv_micro")) &&
+          !b.isNullAt(b.fieldIndex("ln_surv_micro")))
+        assert(b.getAs[Long]("ln_surv_micro") <= a.getAs[Long]("ln_surv_micro"))
+      case _ => ()
+    }
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("ln_surv_micro")) ||
+      r.getAs[Long]("ln_surv_micro") <= 0))
+    // both events and censoring are present on this fixture
+    assert(rows.map(_.getAs[Long]("n_event")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_censored")).sum > 0)
+  }
 }
