@@ -1514,6 +1514,52 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** DAU/WAU STICKINESS — the product-health ratio (what share of the
+    * week's users showed up today): per active day, distinct daily
+    * users over distinct trailing-7-day users. The rolling distinct is
+    * NOT a window (count-distinct over sliding frames re-scans the
+    * frame per row): each user-day explodes into the ≤7 future days it
+    * keeps the user "weekly-active" for, and one distinct+count per
+    * target day recovers exactly the trailing-window cardinality —
+    * O(7·user-days), two hash shuffles, no frame re-scan. Days with
+    * zero activity are not reported (stickiness is undefined at
+    * dau = 0). ppm via ⌊x+0.5⌋ on one exact division. At 100 TB:
+    * linear in events, shuffles keyed on (user, day) then (day). */
+  def eventsStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        floor(col("dau").cast("double") * 1e6 / col("wau") + 0.5)
+          .cast("long").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val eventsStickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |            FROM events WHERE user_id IS NOT NULL),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT day, count(*) AS wau
+      |        FROM (SELECT DISTINCT ud.day + k.k AS day, ud.user_id
+      |              FROM ud CROSS JOIN
+      |                (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER)
+      |                   AS k) k)
+      |        GROUP BY 1)
+      |SELECT d.day, d.dau, w.wau,
+      |       CAST(floor(CAST(d.dau AS DOUBLE) * 1e6 / w.wau + 0.5) AS BIGINT)
+      |         AS stickiness_ppm
+      |FROM dau d JOIN wau w USING (day)
+      |ORDER BY day""".stripMargin
+
   /** DuckDB twin of [[userGrowthDaily]]. */
   val userGrowthDailySql: String =
     """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
@@ -2149,6 +2195,7 @@ object Temporal {
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
     "asof_join_native_fwd" -> ((s, d) => asofJoinNativeFwd(s, d)),
     "user_growth_daily" -> ((s, d) => userGrowthDaily(s, d)),
+    "events_stickiness" -> ((s, d) => eventsStickiness(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
@@ -2188,6 +2235,7 @@ object Temporal {
     "asof_join_native"  -> asofJoinNativeSql,
     "asof_join_native_fwd" -> asofJoinNativeFwdSql,
     "user_growth_daily" -> userGrowthDailySql,
+    "events_stickiness" -> eventsStickinessSql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,

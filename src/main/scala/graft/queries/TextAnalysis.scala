@@ -3184,7 +3184,106 @@ object TextAnalysis {
        |ORDER BY g.ctx""".stripMargin
   }
 
+  /** Ranks fitted by [[zipfFit]] — shared with the oracle template. */
+  private[graft] val ZipfTopN = 100
+
+  /** ZIPF POWER-LAW FIT over the corpus token-frequency distribution —
+    * the corpus-health readout (natural language sits near slope −1 on
+    * a log-log rank/frequency plot; template-generated or deduplicated-
+    * to-death corpora bend away from it). The top-[[ZipfTopN]] tokens
+    * by count (ties broken on the token string) give (rank, count)
+    * pairs; both coordinates pass through the micro-rounded-ln
+    * discipline (exact integer inputs, one libm ln each, ⌊x·10⁶+0.5⌋ —
+    * PropertiesSpec's BigDecimal case asserts every term off-boundary),
+    * and the OLS slope/intercept/R² are ratios of EXACT integer sums
+    * (BigInt / HUGEINT) with one fixed-parenthesization double division
+    * each. Output is ONE row of model state.
+    *
+    * Scale: the token count agg is the wordcount shuffle; the top-N is
+    * TakeOrdered (k·partitions rows to the driver); the fit runs on 100
+    * integers. Nothing downstream of the agg grows with the corpus. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val top = Tables.documents(spark, sfDir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(ZipfTopN)
+      .collect().map(_.getAs[Long]("cnt"))
+    if (top.isEmpty)
+      return Seq.empty[(Long, Double, Double, java.lang.Double)]
+        .toDF("n_ranks", "slope", "intercept_ln", "r2")
+    val x = top.indices.map(i =>
+      math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong)
+    val y = top.indices.map(i =>
+      math.floor(math.log(top(i).toDouble) * 1e6 + 0.5).toLong)
+    val n = top.length.toLong
+    val sx = x.sum; val sy = y.sum
+    val sxx = x.map(v => BigInt(v) * v).sum
+    val syy = y.map(v => BigInt(v) * v).sum
+    val sxy = x.zip(y).map { case (a, b) => BigInt(a) * b }.sum
+    val covN = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val varX = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val varY = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+    def detR(v: Double, s: Int): Double = {
+      val p = math.pow(10, s); math.floor(v * p + 0.5) / p
+    }
+    val slope = if (varX > 0) detR(covN / varX, 6) else 0.0
+    // single-rank corpus (varX = 0): slope degenerates to 0, intercept to
+    // the mean ln count — mirrored in the oracle's CASE
+    val intercept =
+      if (varX > 0) detR((sy.toDouble - covN / varX * sx) / n / 1e6, 6)
+      else detR(sy.toDouble / n / 1e6, 6)
+    val r2: java.lang.Double =
+      if (varX > 0 && varY > 0) detR(covN * covN / (varX * varY), 6) else null
+    Seq((n, slope, intercept, r2))
+      .toDF("n_ranks", "slope", "intercept_ln", "r2")
+  }
+
+  val zipfFitSql: String =
+    s"""WITH tc AS (SELECT t AS tok, count(*) AS cnt
+       |            FROM (SELECT unnest(list_filter(
+       |                    string_split_regex(lower(text), '\\W+'),
+       |                    x -> length(x) > 0)) AS t
+       |                  FROM documents)
+       |            GROUP BY 1),
+       |top AS (SELECT cnt,
+       |               row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+       |        FROM tc QUALIFY rk <= $ZipfTopN),
+       |pts AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5)
+       |                    AS BIGINT) AS x,
+       |               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5)
+       |                    AS BIGINT) AS y
+       |        FROM top),
+       |s AS (SELECT count(*) AS n,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+       |             sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+       |             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+       |      FROM pts),
+       |f AS (SELECT n, sx, sy,
+       |             CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+       |               AS covn,
+       |             CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+       |               AS varx,
+       |             CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)
+       |               AS vary
+       |      FROM s WHERE n > 0)
+       |SELECT n AS n_ranks,
+       |       CASE WHEN varx > 0 THEN ${Det.rSql("covn / varx", 6)}
+       |            ELSE 0.0 END AS slope,
+       |       CASE WHEN varx > 0
+       |            THEN ${Det.rSql(
+        "(CAST(sy AS DOUBLE) - covn / varx * sx) / n / 1e6", 6)}
+       |            ELSE ${Det.rSql("CAST(sy AS DOUBLE) / n / 1e6", 6)}
+       |       END AS intercept_ln,
+       |       CASE WHEN varx > 0 AND vary > 0
+       |            THEN ${Det.rSql("covn * covn / (varx * vary)", 6)}
+       |       END AS r2
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf_fit" -> ((s, d) => zipfFit(s, d)),
     "pack_boundary_curve" -> ((s, d) => packBoundaryCurve(s, d)),
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "quality_agreement" -> ((s, d) => qualityAgreement(s, d)),
@@ -3235,6 +3334,7 @@ object TextAnalysis {
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "bm25_topk"        -> bm25TopKSql,
     "pack_boundary_curve" -> packBoundaryCurveSql,
+    "zipf_fit"         -> zipfFitSql,
     "quality_agreement" -> qualityAgreementSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,

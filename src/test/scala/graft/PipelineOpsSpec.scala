@@ -1306,6 +1306,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("dau") <= r.getAs[Long]("cum_users")))
   }
 
+  test("events_stickiness: wau bounds dau, ratio in (0, 1e6], wau == brute-force trailing distinct") {
+    val rows = queries.Temporal.eventsStickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, ppm) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("stickiness_ppm"))
+      assert(dau >= 1 && dau <= wau)
+      assert(ppm >= 1 && ppm <= 1000000L, s"ppm $ppm")
+    }
+    // brute-force the trailing-7-day distinct on the collected user-days
+    val ud = Tables.eventsTs(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val expect = ud.map(_._1).distinct.map { d =>
+      d -> ud.filter { case (ud2, _) =>
+        !ud2.isAfter(d) && ud2.isAfter(d.minusDays(7)) }.map(_._2).distinct.length
+    }.toMap
+    rows.foreach { r =>
+      val d = r.getDate(r.fieldIndex("day")).toLocalDate
+      assert(r.getAs[Long]("wau") == expect(d), s"wau mismatch on $d")
+    }
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -287,6 +287,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf_fit ln coordinates: BigDecimal recomputation agrees, off-boundary") {
+    import java.math.{BigDecimal => BD}
+    val sf = TestSpark.sf
+    // rank coordinates are the fixed constants ln(1..100) — worst
+    // boundary margin across them is ~4.6e-3 micros (precomputed)
+    (1 to queries.TextAnalysis.ZipfTopN).foreach { rk =>
+      val dp = math.floor(math.log(rk.toDouble) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"zipf rank $rk", BdLn.ln(new BD(rk)), dp,
+        minMargin = 1e-3)
+    }
+    // count coordinates are fixture-dependent
+    val counts = queries.TextJobs.wordcount(spark, sf).collect()
+      .map(_.getAs[Long]("cnt")).sortBy(-_).take(queries.TextAnalysis.ZipfTopN)
+    assert(counts.nonEmpty)
+    counts.distinct.foreach { c =>
+      val dp = math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong
+      BdLn.checkMicros(s"zipf count $c", BdLn.ln(new BD(c)), dp,
+        minMargin = 1e-5)
+    }
+  }
+
   test("lateAuditCore bin decomposition == single-threaded reference fold") {
     // the distributed prefix-max (span bins + carry fold + within-bin
     // windows) must equal a literal left-to-right fold over arrival

@@ -469,4 +469,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the curve discriminates on this corpus
     assert(cuts.head > cuts.last)
   }
+
+  test("zipf_fit: negative slope, meaningful fit, intercept anchors the top rank") {
+    val r = queries.TextAnalysis.zipfFit(spark, sf).head()
+    assert(r.getAs[Long]("n_ranks") > 10)
+    val slope = r.getAs[Double]("slope")
+    val r2 = r.getAs[Double]("r2")
+    // frequency falls with rank, so the OLS slope is negative — but the
+    // synthetic fixture vocabulary is ~31 near-uniform words, i.e. NOT
+    // Zipfian, and the readout must SAY so: shallow slope (natural text
+    // sits near −1), weak fit. Flagging exactly this regime is the
+    // operator's job (template-generated corpora look like this).
+    assert(slope < 0 && slope > -0.5, s"slope $slope")
+    assert(r2 > 0 && r2 <= 1.0, s"r2 $r2")
+    // intercept_ln ≈ ln(count at rank 1): the fitted line at x=0
+    val topCnt = queries.TextJobs.wordcount(spark, sf).collect()
+      .map(_.getAs[Long]("cnt")).max
+    assert(math.abs(r.getAs[Double]("intercept_ln") - math.log(topCnt.toDouble))
+      < 1.5, s"intercept ${r.getAs[Double]("intercept_ln")} vs ln($topCnt)")
+  }
 }
