@@ -72,7 +72,8 @@ object ScaleProbe {
     "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
     "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve",
-    "pack_boundary_curve", "embedding_pca_top", "zipf_fit")
+    "pack_boundary_curve", "embedding_pca_top", "zipf_fit",
+    "ann_rrf_fusion")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -120,7 +121,7 @@ object ScaleProbe {
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
     "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen",
     "benford_audit", "revenue_bridge", "revenue_ewma_anomaly",
-    "km_ship_survival")
+    "km_ship_survival", "parts_abc_class")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -3417,7 +3417,85 @@ object Relational {
        |            ELSE CAST(lnsum AS BIGINT) END AS ln_surv_micro
        |FROM run ORDER BY t_days""".stripMargin
 
+  /** Bin count for the revenue-ordered prefix decomposition in
+    * [[partsAbcClass]] — per-bin sum frame ≤ 64k rows of model state. */
+  private val AbcBins = 65536L
+
+  /** ABC INVENTORY CLASSIFICATION — the warehouse's 80/15/5 rule: rank
+    * parts by revenue, class A = parts whose inclusive cumulative share
+    * stays within 80 % of total revenue, B to 95 %, C the tail; report
+    * the class-level rollup (how many SKUs carry how much revenue).
+    * Class boundaries are EXACT integer comparisons (5·cum ≤ 4·tot,
+    * 20·cum ≤ 19·tot on cents) — no float share at the decision point.
+    *
+    * The cumulative sum runs over a CORPUS-SIZED total order (|parts|),
+    * so it does NOT use a global window: parts bin by revenue span
+    * (≤ [[AbcBins]] bins, descending), per-bin sums are a bounded frame
+    * ([[Hist.bounded]]) carry-folded on the driver and broadcast back,
+    * and the within-bin inclusive cumsum partitions by bin (the
+    * highWatermarkFrame discipline — ties in revenue land in the same
+    * bin, ordered (r DESC, partkey)). Final shape: 3 rows. */
+  def partsAbcClass(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pr = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"))
+    val span = pr.agg(min("r"), max("r")).head()
+    if (span.isNullAt(1))
+      return Seq.empty[(String, Long, Double, Long)]
+        .toDF("abc_class", "n_parts", "revenue", "share_ppm")
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val binW = math.max(1L, (hi - lo) / AbcBins + 1)
+    val binned = pr.withColumn("bin", expr(s"($hi - r) DIV $binW"))
+    val binSum = Hist.bounded(
+      binned.groupBy("bin").agg(sum("r").as("s")), "parts_abc_class")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val carries = Seq.newBuilder[(Long, Long)]
+    var run = 0L
+    binSum.foreach { case (b, s) => carries += ((b, run)); run += s }
+    val tot = run
+    val carryDf = carries.result().toDF("bin", "carry")
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin").orderBy(col("r").desc, col("l_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned.join(broadcast(carryDf), Seq("bin"))
+      .withColumn("cum", sum("r").over(wBin) + col("carry"))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= lit(tot) * 4, "A")
+          .when(col("cum") * 20 <= lit(tot) * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum("r").cast("double") / 100).as("revenue"),
+        floor(sum("r").cast("double") * 1e6 / lit(tot).cast("double") + 0.5)
+          .cast("long").as("share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  val partsAbcClassSql: String =
+    s"""WITH pr AS (SELECT l_partkey,
+       |                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+       |                        AS BIGINT) AS r
+       |            FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM pr),
+       |c AS (SELECT l_partkey, r,
+       |             CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM pr),
+       |cls AS (SELECT r,
+       |               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+       |                    WHEN cum * 20 <= tot * 19 THEN 'B'
+       |                    ELSE 'C' END AS abc_class
+       |        FROM c, t WHERE tot > 0)
+       |SELECT abc_class, count(*) AS n_parts,
+       |       CAST(sum(r) AS DOUBLE) / 100 AS revenue,
+       |       CAST(floor(CAST(sum(r) AS DOUBLE) * 1e6
+       |                  / (SELECT CAST(tot AS DOUBLE) FROM t) + 0.5)
+       |            AS BIGINT) AS share_ppm
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
     "km_ship_survival"    -> ((s, d) => kmShipSurvival(s, d)),
     "revenue_ewma_anomaly" -> ((s, d) => revenueEwmaAnomaly(s, d)),
     "revenue_bridge"      -> ((s, d) => revenueBridge(s, d)),
@@ -3483,6 +3561,7 @@ object Relational {
     "revenue_bridge"       -> revenueBridgeSql,
     "revenue_ewma_anomaly" -> revenueEwmaAnomalySql,
     "km_ship_survival"     -> kmShipSurvivalSql,
+    "parts_abc_class"      -> partsAbcClassSql,
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,

@@ -3625,7 +3625,69 @@ object Similarity {
        |FROM $vf, ray, dn, tc ORDER BY dim""".stripMargin
   }
 
+  /** RRF smoothing constant — the standard k₀=60 from the original
+    * reciprocal-rank-fusion formulation, shared with the oracle. */
+  private val RrfK0 = 60
+
+  /** RECIPROCAL-RANK FUSION of two retrieval lists — the standard
+    * ensemble move when rankers disagree (here: the exact brute-force
+    * cosine list and the PQ-compressed ADC list, i.e. quality vs the
+    * 32×-compressed scale path): score(v) = Σ_lists 1/(k₀ + rank_v),
+    * missing-from-list contributes 0. Entirely INTEGER arithmetic —
+    * 10⁶ div (k₀+rank) — so there is no float anywhere, no rounding
+    * discipline needed, and ties break on vec_id. The fused rank
+    * surfaces where compression reordered the truth (the spec pins
+    * fusion ≥ PQ alone on exact-top-1 retention).
+    *
+    * Scale: both input lists are k·|Q| rows (the ANN operators' own
+    * output contract); the fusion is a full-outer join + per-query
+    * window over ≤ 2k candidates. Cost is the two retrievals, which
+    * the batch/IVF variants already price at scale. */
+  def annRrfFusion(spark: SparkSession, sfDir: String,
+                   k: Int = TopK): DataFrame = {
+    val a = bruteForceTopK(spark, sfDir, k)
+      .select(col("qid"), col("vec_id"), col("rank").as("rank_exact"))
+    val b = annCosinePq(spark, sfDir, k)
+      .select(col("qid"), col("vec_id"), col("rank").as("rank_pq"))
+    val fused = a.join(b, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"), col("rank_exact"), col("rank_pq"),
+        (coalesce(expr(s"1000000 DIV ($RrfK0 + rank_exact)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK0 + rank_pq)"), lit(0L)))
+          .as("rrf_u"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_u").desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("rrf_u"),
+        col("rank_exact"), col("rank_pq"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin — composes the two registered retrieval oracles as
+    * subqueries (WITH-in-subquery is supported), then pure integer
+    * fusion. */
+  val annRrfFusionSql: String =
+    s"""WITH a AS (SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank_exact
+       |           FROM ($bruteForceTopKSql)),
+       |b AS (SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank_pq
+       |      FROM ($annCosinePqSql)),
+       |f AS (SELECT coalesce(a.qid, b.qid) AS qid,
+       |             coalesce(a.vec_id, b.vec_id) AS vec_id,
+       |             a.rank_exact, b.rank_pq,
+       |             CAST(coalesce(1000000 // ($RrfK0 + a.rank_exact), 0)
+       |                  + coalesce(1000000 // ($RrfK0 + b.rank_pq), 0)
+       |                  AS BIGINT) AS rrf_u
+       |      FROM a FULL OUTER JOIN b
+       |        ON a.qid = b.qid AND a.vec_id = b.vec_id)
+       |SELECT qid,
+       |       CAST(row_number() OVER (PARTITION BY qid
+       |         ORDER BY rrf_u DESC, vec_id) AS INTEGER) AS rank,
+       |       vec_id, rrf_u, rank_exact, rank_pq
+       |FROM f QUALIFY rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rrf_fusion" -> ((s, d) => annRrfFusion(s, d)),
     "embedding_pca_top" -> ((s, d) => embeddingPcaTop(s, d)),
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -3668,6 +3730,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embedding_pca_top" -> embeddingPcaTopSql,
+    "ann_rrf_fusion" -> annRrfFusionSql,
     "ann_cosine_topk" -> bruteForceTopKSql,
     "matryoshka_recall" -> matryoshkaRecallSql,
     "embedding_quantize" -> embeddingQuantizeSql,

@@ -758,4 +758,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_event")).sum > 0)
     assert(rows.map(_.getAs[Long]("n_censored")).sum > 0)
   }
+
+  test("parts_abc_class: classes partition parts and revenue, A-heavy by construction") {
+    val rows = queries.Relational.partsAbcClass(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq == Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val ppm = rows.map(r => r.getAs[String]("abc_class") -> r.getAs[Long]("share_ppm")).toMap
+    assert(math.abs(rows.map(_.getAs[Long]("share_ppm")).sum - 1000000L) <= 3)
+    // boundary semantics: A's inclusive share cannot exceed 80%, A+B 95%
+    assert(ppm("A") <= 800000L && ppm("A") + ppm("B") <= 950001L, ppm.toString)
+    // A carries more revenue per part than C (the point of the ranking)
+    val perPart = rows.map(r => r.getAs[String]("abc_class") ->
+      r.getAs[Double]("revenue") / r.getAs[Long]("n_parts")).toMap
+    assert(perPart("A") > perPart("C"))
+  }
 }

@@ -849,6 +849,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(totalMutual > 0 && totalMutual < rows.map(_.getAs[Long]("n_edges")).sum)
   }
 
+  test("ann_rrf_fusion: integer scores reconstruct, exact top-1 never ranks worse than under PQ alone") {
+    val rows = queries.Similarity.annRrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def part(f: String): Long =
+        if (r.isNullAt(r.fieldIndex(f))) 0L
+        else 1000000L / (60 + r.getAs[Int](f))
+      assert(r.getAs[Long]("rrf_u") == part("rank_exact") + part("rank_pq"))
+      // at least one list proposed every fused candidate
+      assert(!r.isNullAt(r.fieldIndex("rank_exact")) ||
+        !r.isNullAt(r.fieldIndex("rank_pq")))
+    }
+    // the exact top-1 sits in the fused list at a rank <= its PQ rank
+    // (fusion can only help the vector the exact ranker puts first)
+    val pq = queries.Similarity.annCosinePq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Int]("rank")).toMap
+    rows.filter(r => !r.isNullAt(r.fieldIndex("rank_exact")) &&
+      r.getAs[Int]("rank_exact") == 1).foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      pq.get(key).foreach { pqRank =>
+        assert(r.getAs[Int]("rank") <= pqRank,
+          s"qid ${key._1}: fused ${r.getAs[Int]("rank")} > pq $pqRank")
+      }
+    }
+  }
+
   test("embedding_pca_top: unit-normalized iterate, Rayleigh monotone in K, λ dominates every dim variance") {
     val r8 = queries.Similarity.embeddingPcaTop(spark, sf).collect()
     assert(r8.length == 16)
