@@ -3629,6 +3629,94 @@ object Similarity {
     * reciprocal-rank-fusion formulation, shared with the oracle. */
   private val RrfK0 = 60
 
+  private val PprIters = 6
+  private val PprTopN = 50
+
+  /** PERSONALIZED PAGERANK over the kNN graph — "more like THESE":
+    * random-walk-with-restart relevance to a seed set (the fixture
+    * query vectors), the standard graph-retrieval upgrade over
+    * [[seedExpansion]]'s plain BFS (hops treat every edge alike; PPR
+    * weights paths by walk probability, so densely-connected near
+    * neighbors outrank distant chains). Teleport mass 0.15 splits
+    * uniformly over the seeds; the damped recurrence runs
+    * [[PprIters]] rounds in EXACT micro-integer arithmetic — the
+    * [[graft.queries.Relational.partPagerank]] discipline:
+    * r' = (15·tel) div 100 + (85·Σ_in r div deg) div 100, every
+    * division integer, both engines bit-identical. Edges are the
+    * shared write-once kNN sink (one build, 5 consumers); nodes are
+    * ALL vectors, so an isolated seed keeps its teleport mass instead
+    * of vanishing. Output: top-[[PprTopN]] by rank.
+    *
+    * Scale: the edge build is the family's priced stage (PERF.md);
+    * each round is one |n·k|-edge join + |n| agg — the part_pagerank
+    * shape, loop-invariant frames cached there and ReuseExchange-
+    * deduped here (edges/deg/nodes are plain parquet-sink scans). */
+  def knnPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = vecs(spark, sfDir).select(col("vec_id"))
+    val nSeeds = all.filter(col("vec_id") < NumQueries).count()
+    if (nSeeds == 0)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("vec_id", "ppr_micros", "is_seed")
+    val ed = knnEdgesMaterialized(spark, sfDir, KnnK)
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val tel = all.select(col("vec_id"),
+      when(col("vec_id") < NumQueries, lit(1000000L / nSeeds))
+        .otherwise(lit(0L)).as("tel"))
+    var ranks = tel.select(col("vec_id"), col("tel").as("r"))
+    for (_ <- 1 to PprIters) {
+      val contrib = ed
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("vec_id"), expr("r div deg").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("s"))
+      ranks = tel.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("(15 * tel) div 100 + (85 * coalesce(s, 0)) div 100").as("r"))
+    }
+    ranks
+      .select(col("vec_id"), col("r").as("ppr_micros"),
+        (col("vec_id") < NumQueries).as("is_seed"))
+      .orderBy(col("ppr_micros").desc, col("vec_id").asc)
+      .limit(PprTopN)
+  }
+
+  /** DuckDB twin — the shared kNN edge CTE chain + deg/tel frames and
+    * the identical integer recurrence unrolled as MATERIALIZED rounds. */
+  val knnPprSql: String = {
+    val rounds = (1 to PprIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS vec_id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |        FROM ed e
+         |        JOIN p${i - 1} r ON r.vec_id = e.src
+         |        JOIN deg d ON d.src = e.src
+         |        GROUP BY 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |         CAST((15 * t.tel) // 100
+         |              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM tel t LEFT JOIN c$i c ON c.vec_id = t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor AS dst
+       |                    FROM rk WHERE rank <= $KnnK),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |ns AS (SELECT count(*) AS ns FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |tel AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         CASE WHEN e.vec_id < $NumQueries THEN 1000000 // ns.ns
+       |              ELSE 0 END AS tel
+       |  FROM embeddings e, ns WHERE ns.ns > 0),
+       |p0 AS MATERIALIZED (SELECT vec_id, CAST(tel AS BIGINT) AS r FROM tel),
+       |$rounds
+       |SELECT vec_id, r AS ppr_micros, vec_id < $NumQueries AS is_seed
+       |FROM p$PprIters
+       |ORDER BY ppr_micros DESC, vec_id ASC
+       |LIMIT $PprTopN""".stripMargin
+  }
+
   /** RECIPROCAL-RANK FUSION of two retrieval lists — the standard
     * ensemble move when rankers disagree (here: the exact brute-force
     * cosine list and the PQ-compressed ADC list, i.e. quality vs the
@@ -3688,6 +3776,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rrf_fusion" -> ((s, d) => annRrfFusion(s, d)),
+    "knn_ppr" -> ((s, d) => knnPpr(s, d)),
     "embedding_pca_top" -> ((s, d) => embeddingPcaTop(s, d)),
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -3731,6 +3820,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "embedding_pca_top" -> embeddingPcaTopSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
+    "knn_ppr" -> knnPprSql,
     "ann_cosine_topk" -> bruteForceTopKSql,
     "matryoshka_recall" -> matryoshkaRecallSql,
     "embedding_quantize" -> embeddingQuantizeSql,

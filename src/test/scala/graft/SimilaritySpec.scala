@@ -876,6 +876,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn_ppr: teleport floor on seeds, positive mass only where BFS can reach") {
+    val rows = queries.Similarity.knnPpr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("ppr_micros"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val seeds = rows.filter(_.getAs[Boolean]("is_seed"))
+    val nonSeeds = rows.filterNot(_.getAs[Boolean]("is_seed"))
+    assert(seeds.nonEmpty && nonSeeds.nonEmpty) // propagation happened
+    // every seed keeps at least its damped teleport share:
+    // (15 * (1e6 div 10)) div 100 = 15000 on the 10-seed fixture
+    seeds.foreach(r => assert(r.getAs[Long]("ppr_micros") >= 15000L,
+      s"seed ${r.getAs[Long]("vec_id")}: ${r.getAs[Long]("ppr_micros")}"))
+    // walk mass cannot appear where no path exists: non-seeds with
+    // positive PPR must be BFS-reachable from the seed set in <= 6 hops
+    val reached = queries.Similarity.seedExpansion(spark, sf, maxHops = 6)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    nonSeeds.filter(_.getAs[Long]("ppr_micros") > 0).foreach { r =>
+      assert(reached.contains(r.getAs[Long]("vec_id")),
+        s"vec ${r.getAs[Long]("vec_id")} has PPR mass but is unreachable")
+    }
+  }
+
   test("embedding_pca_top: unit-normalized iterate, Rayleigh monotone in K, λ dominates every dim variance") {
     val r8 = queries.Similarity.embeddingPcaTop(spark, sf).collect()
     assert(r8.length == 16)
