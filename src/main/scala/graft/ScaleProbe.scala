@@ -73,7 +73,7 @@ object ScaleProbe {
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
     "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve",
     "pack_boundary_curve", "embedding_pca_top", "zipf_fit",
-    "ann_rrf_fusion", "knn_ppr")
+    "ann_rrf_fusion", "knn_ppr", "ngram_novelty_curve")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8
@@ -93,7 +93,7 @@ object ScaleProbe {
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
     "user_growth_daily", "events_late_audit", "watermark_delay_curve",
-    "events_stickiness")
+    "events_stickiness", "events_bot_regularity")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -1560,6 +1560,82 @@ object Temporal {
       |FROM dau d JOIN wau w USING (day)
       |ORDER BY day""".stripMargin
 
+  /** Minimum gap count before a user's cadence is judged — regularity
+    * of a handful of events is noise, not automation. */
+  private val BotMinGaps = 20L
+  private val BotTopN = 50
+
+  /** BOT-CADENCE DETECTION — inter-arrival regularity: humans arrive
+    * bursty (coefficient of variation ≈ 1 for Poisson, higher with
+    * sessions); schedulers and replay bots arrive metronomically
+    * (cv ≪ 1). Per user with ≥ [[BotMinGaps]] gaps, the readout is
+    * the [[BotTopN]] MOST-REGULAR users with `is_bot` = (cv < 0.1) as
+    * a column — evaluated as the EXACT integer predicate
+    * 100·(n·Σg² − S²) < S² on µs gaps (Σg² in DECIMAL(38,0): g² alone
+    * overflows int64 past ~50-day gaps), so the decision boundary
+    * never touches a float. Emitting the bottom-k rather than only
+    * flagged rows keeps the readout useful on an all-human corpus
+    * (this fixture: 50 rows, every is_bot false — the spec injects a
+    * metronome and sees the flag flip). cv²_ppm is one fixed-
+    * parenthesization division on the same exact inputs. Per-user
+    * windows partition by user_id — the natural key; no global
+    * ordering anywhere. At 100 TB: one events scan, one (user)-keyed
+    * window + agg, bottom-k output. */
+  def eventsBotRegularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = Tables.eventsTs(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("g", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("g").isNotNull)
+    val stats = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("s"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("q"))
+      .filter(col("n_gaps") >= BotMinGaps)
+    val varN = (col("n_gaps") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s")).cast("double")
+    val s2 = (col("s").cast("decimal(38,0)") * col("s")).cast("double")
+    stats
+      .filter(col("s") > 0)
+      .select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+        Det.r(col("s").cast("double") / col("n_gaps") / 1e6, 3)
+          .as("mean_gap_sec"),
+        floor(varN / s2 * 1e6 + 0.5).cast("long").as("cv2_ppm"),
+        (lit(100) * (col("n_gaps") * col("q") -
+          col("s").cast("decimal(38,0)") * col("s")) <
+          col("s").cast("decimal(38,0)") * col("s")).as("is_bot"))
+      .orderBy(col("cv2_ppm"), col("user_id"))
+      .limit(BotTopN)
+  }
+
+  val eventsBotRegularitySql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+       |           FROM events WHERE user_id IS NOT NULL),
+       |g AS (SELECT user_id,
+       |             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |               ORDER BY ts_us, event_id) AS g
+       |      FROM e),
+       |st AS (SELECT user_id, count(*) AS n_gaps,
+       |              CAST(sum(g) AS BIGINT) AS s,
+       |              sum(CAST(g AS DECIMAL(38,0)) * g) AS q
+       |       FROM g WHERE g IS NOT NULL GROUP BY 1
+       |       HAVING count(*) >= $BotMinGaps),
+       |fl AS (SELECT user_id, n_gaps, s,
+       |              CAST(n_gaps * q - CAST(s AS DECIMAL(38,0)) * s
+       |                   AS DOUBLE) AS varn,
+       |              CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) AS s2,
+       |              100 * (n_gaps * q - CAST(s AS DECIMAL(38,0)) * s)
+       |                < CAST(s AS DECIMAL(38,0)) * s AS is_bot
+       |       FROM st WHERE s > 0)
+       |SELECT user_id, n_gaps + 1 AS n_events,
+       |       ${Det.rSql("CAST(s AS DOUBLE) / n_gaps / 1e6", 3)}
+       |         AS mean_gap_sec,
+       |       CAST(floor(varn / s2 * 1e6 + 0.5) AS BIGINT) AS cv2_ppm,
+       |       is_bot
+       |FROM fl ORDER BY cv2_ppm, user_id
+       |LIMIT $BotTopN""".stripMargin
+
   /** DuckDB twin of [[userGrowthDaily]]. */
   val userGrowthDailySql: String =
     """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
@@ -2196,6 +2272,7 @@ object Temporal {
     "asof_join_native_fwd" -> ((s, d) => asofJoinNativeFwd(s, d)),
     "user_growth_daily" -> ((s, d) => userGrowthDaily(s, d)),
     "events_stickiness" -> ((s, d) => eventsStickiness(s, d)),
+    "events_bot_regularity" -> ((s, d) => eventsBotRegularity(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
@@ -2236,6 +2313,7 @@ object Temporal {
     "asof_join_native_fwd" -> asofJoinNativeFwdSql,
     "user_growth_daily" -> userGrowthDailySql,
     "events_stickiness" -> eventsStickinessSql,
+    "events_bot_regularity" -> eventsBotRegularitySql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,

@@ -3287,7 +3287,98 @@ object TextAnalysis {
        |       END AS r2
        |FROM f""".stripMargin
 
+  /** N-GRAM NOVELTY CURVE — diminishing returns of more data: walking
+    * the corpus in doc_id order, what fraction of each decile's
+    * distinct 8-gram hashes was never seen in any earlier document?
+    * A healthy fresh corpus stays high; a crawl that re-scrapes the
+    * same sites decays fast — THE curve a data-acquisition team reads
+    * before paying for the next crawl batch. Reuses the winnowing
+    * family's rolling-hash kernel ([[kgramHashes]], property-tested
+    * against the direct polynomial) with distinct-within-doc
+    * semantics; "novel" = this doc is min(doc_id) over the hash's
+    * postings. Deciles bin on the doc_id SPAN (exact integer
+    * arithmetic), not a global row_number — no corpus-wide window.
+    * Zero-k-gram docs still count in their decile's n_docs.
+    * At 100 TB: one scan + one (hash)-keyed shuffle (postings-sized,
+    * the contamination_check shape) + one (doc)-keyed agg. */
+  def ngramNoveltyCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dh = normalized(spark, sfDir)
+      .mapPartitions { it =>
+        it.flatMap { case (id, ns) =>
+          val seen = new java.util.HashSet[java.lang.Long]()
+          kgramHashes(ns).iterator.filter(h => seen.add(h)).map(h => (id, h))
+        }
+      }.toDF("doc_id", "h")
+    val first = dh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val perDoc = dh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+    val span = Tables.documents(spark, sfDir)
+      .agg(min("doc_id").as("lo"),
+        (max("doc_id") - min("doc_id") + 1).as("w"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .crossJoin(broadcast(span))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "novel"))
+      .select(expr("((doc_id - lo) * 10) DIV w").cast("int").as("decile"),
+        col("n_grams"), col("novel"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("n_grams"),
+        sum("novel").as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") > 0,
+          floor(col("n_novel").cast("double") * 1e6 /
+            col("n_grams") + 0.5).cast("long")).as("novelty_ppm"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB twin — the [[docFingerprintSql]] rolling-hash polynomial,
+    * distinct within doc, min-doc_id postings, span-binned deciles. */
+  val ngramNoveltyCurveSql: String = {
+    val pows = (0 until K).map(j =>
+      java.lang.Math.pow(B.toDouble, (K - 1 - j).toDouble).toLong)
+    val terms = (0 until K).map(j =>
+      s"CAST(ascii(substr(ns, i+$j, 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"""WITH nd AS (SELECT doc_id,
+       |                   trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))
+       |                     AS ns
+       |            FROM documents),
+       |hl AS (SELECT doc_id,
+       |              CASE WHEN length(ns) >= $K
+       |                   THEN list_distinct(list_transform(
+       |                          range(1, length(ns)-${K - 2}), i -> $terms))
+       |                   ELSE CAST([] AS BIGINT[]) END AS hs
+       |       FROM nd),
+       |dh AS (SELECT doc_id, unnest(hs) AS h FROM hl),
+       |f AS (SELECT h, min(doc_id) AS first_doc FROM dh GROUP BY 1),
+       |pd AS (SELECT dh.doc_id, count(*) AS n_grams,
+       |              CAST(sum(CASE WHEN f.first_doc = dh.doc_id
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS novel
+       |       FROM dh JOIN f USING (h) GROUP BY 1),
+       |sp AS (SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS w
+       |       FROM documents),
+       |b AS (SELECT CAST((d.doc_id - sp.lo) * 10 // sp.w AS INTEGER)
+       |               AS decile,
+       |             coalesce(pd.n_grams, 0) AS n_grams,
+       |             coalesce(pd.novel, 0) AS novel
+       |      FROM documents d CROSS JOIN sp
+       |      LEFT JOIN pd ON pd.doc_id = d.doc_id)
+       |SELECT decile, count(*) AS n_docs,
+       |       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       |       CAST(sum(novel) AS BIGINT) AS n_novel,
+       |       CASE WHEN sum(n_grams) > 0
+       |            THEN CAST(floor(CAST(sum(novel) AS DOUBLE) * 1e6
+       |                            / sum(n_grams) + 0.5) AS BIGINT)
+       |       END AS novelty_ppm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty_curve" -> ((s, d) => ngramNoveltyCurve(s, d)),
     "zipf_fit" -> ((s, d) => zipfFit(s, d)),
     "pack_boundary_curve" -> ((s, d) => packBoundaryCurve(s, d)),
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
@@ -3340,6 +3431,7 @@ object TextAnalysis {
     "bm25_topk"        -> bm25TopKSql,
     "pack_boundary_curve" -> packBoundaryCurveSql,
     "zipf_fit"         -> zipfFitSql,
+    "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "quality_agreement" -> qualityAgreementSql,
     "repetition_score" -> repetitionScoreSql,
     "quality_gate"     -> qualityGateSql,

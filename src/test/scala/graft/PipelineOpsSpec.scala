@@ -1331,6 +1331,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_bot_regularity: injected metronome flags, bursty human does not") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
+    def ts(us: Long) = new Timestamp(us / 1000)
+    // user 1: perfect metronome, 40 events 1000 s apart (cv = 0)
+    val bot = (0 until 40).map(i =>
+      (i.toLong, ts(1700000000000000L + i * 1000000000L), 1L, "view", 1.0, "{}"))
+    // user 2: bursty human — gaps alternate 1 s / 10 000 s (cv >> 0.1)
+    var t = 1700000000000000L
+    val human = (0 until 40).map { i =>
+      t += (if (i % 2 == 0) 1000000L else 10000000000L)
+      (100L + i, ts(t), 2L, "view", 1.0, "{}")
+    }
+    (bot ++ human).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = queries.Temporal.eventsBotRegularity(spark, dir).collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(byUser(1L).getAs[Boolean]("is_bot"))
+    assert(byUser(1L).getAs[Long]("cv2_ppm") == 0L)
+    assert(!byUser(2L).getAs[Boolean]("is_bot"))
+    assert(byUser(2L).getAs[Long]("cv2_ppm") > 10000L) // cv2 far above 0.01
+    // the metronome sorts first (most regular)
+    assert(rows.head.getAs[Long]("user_id") == 1L)
+  }
+
   private implicit class Tup3Map(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> (r._2, r._3)).toMap
   }

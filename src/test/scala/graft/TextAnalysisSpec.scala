@@ -470,6 +470,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cuts.head > cuts.last)
   }
 
+  test("ngram_novelty_curve: novelty bounded, decile 0 anchored, totals close") {
+    val rows = queries.TextAnalysis.ngramNoveltyCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (0 to 9))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+      val ppm = r.getAs[Long]("novelty_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // the first doc of the corpus contributes only novel k-grams, so
+    // decile 0's novelty is strictly positive
+    assert(rows.head.getAs[Long]("n_novel") > 0)
+    // exactness: every hash is novel exactly once ⇒ Σ n_novel equals the
+    // corpus-wide DISTINCT hash count (brute-forced with the same kernel)
+    val all = new java.util.HashSet[java.lang.Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val ns = r.getString(0).toLowerCase.replaceAll("\\W+", " ").trim
+      queries.TextAnalysis.kgramHashes(ns).foreach(h => all.add(h))
+    }
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == all.size.toLong)
+  }
+
   test("zipf_fit: negative slope, meaningful fit, intercept anchors the top rank") {
     val r = queries.TextAnalysis.zipfFit(spark, sf).head()
     assert(r.getAs[Long]("n_ranks") > 10)
