@@ -149,6 +149,8 @@ object SparkEntry {
       Similarity.knnComponents(s, d,
         a.getOrElse("k", "3").toInt,
         a.getOrElse("edges", "raw"))),
+    "knn_clustering_coeff" -> ((s, d, a) =>
+      Similarity.knnClusteringCoeff(s, d, a.getOrElse("k", "3").toInt)),
     "fuzzy_join_parts" -> ((s, d, a) =>
       Relational.fuzzyJoinParts(s, d, a.getOrElse("max_dist", "2").toInt)),
     "weighted_sample_pps" -> ((s, d, a) =>
@@ -273,6 +275,8 @@ object SparkEntry {
       Similarity.knnComponentsSqlFor(
         a.getOrElse("k", "3").toInt,
         a.getOrElse("edges", "raw"))),
+    "knn_clustering_coeff" -> (a =>
+      Similarity.knnClusteringCoeffSqlFor(a.getOrElse("k", "3").toInt)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

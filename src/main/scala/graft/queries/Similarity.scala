@@ -3625,6 +3625,80 @@ object Similarity {
        |FROM $vf, ray, dn, tc ORDER BY dim""".stripMargin
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT over the MUTUAL kNN graph — the
+    * neighborhood-quality readout next to [[knnReciprocity]]: per
+    * node, what fraction of its neighbor pairs are themselves
+    * neighbors (cc = 2t/(d(d−1)))? High cc = tight semantic clusters;
+    * low cc = the graph is a hub-and-spoke artifact. The MUTUAL graph
+    * is the right substrate and the cheap one: degrees are capped at
+    * k, so the wedge enumeration is O(n·k²) — on the raw graph a hub's
+    * in-degree is unbounded and deg² explodes (exactly the failure
+    * knn_reciprocity prices). Each triangle closes exactly one wedge
+    * per vertex, so per-node closed-wedge counts ARE per-node triangle
+    * counts. All-integer: per-node cc in ppm via ⌊2t·10⁶/(d(d−1))+0.5⌋,
+    * per-degree average via one more exact division. At 100 TB: the
+    * shared edge sink + two n·k²-bounded joins. */
+  def knnClusteringCoeff(spark: SparkSession, sfDir: String,
+                         k: Int = KnnK): DataFrame = {
+    val me = knnMutualEdges(spark, sfDir, k)
+    val pairs = me.select(least(col("vec_id"), col("neighbor")).as("a"),
+      greatest(col("vec_id"), col("neighbor")).as("b")).distinct()
+    val adj = pairs.select(col("a").as("ctr"), col("b").as("nb"))
+      .union(pairs.select(col("b").as("ctr"), col("a").as("nb")))
+    val deg = adj.groupBy("ctr").agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("ctr"), col("nb").as("a"))
+      .join(adj.select(col("ctr"), col("nb").as("b")), Seq("ctr"))
+      .filter(col("a") < col("b"))
+    val closed = wedges.join(pairs, Seq("a", "b"))
+      .groupBy("ctr").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(closed, Seq("ctr"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("d"),
+        floor(col("t").cast("double") * 2 * 1e6 /
+          (col("d") * (col("d") - 1)) + 0.5).cast("long").as("cc_ppm"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_nodes"), sum("cc_ppm").as("sum_cc"))
+      .select(col("d").as("degree"), col("n_nodes"),
+        floor(col("sum_cc").cast("double") / col("n_nodes") + 0.5)
+          .cast("long").as("avg_cc_ppm"))
+      .orderBy("degree")
+  }
+
+  /** DuckDB twin — the shared kNN edge chain, the mutual (kmm)
+    * restriction, then the identical wedge/closure arithmetic. */
+  def knnClusteringCoeffSqlFor(k: Int): String =
+    s"""WITH RECURSIVE
+       |$knnEdgeCtesSql,
+       |kmm AS MATERIALIZED (SELECT g.vec_id, g.neighbor
+       |       FROM (SELECT vec_id, neighbor FROM rk WHERE rank <= $k) g
+       |       JOIN (SELECT vec_id, neighbor FROM rk WHERE rank <= $k) g2
+       |         ON g2.vec_id = g.neighbor AND g2.neighbor = g.vec_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT least(vec_id, neighbor) AS a,
+       |         greatest(vec_id, neighbor) AS b FROM kmm),
+       |adj AS (SELECT a AS ctr, b AS nb FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT ctr, count(*) AS d FROM adj GROUP BY 1),
+       |closed AS (SELECT w.ctr, count(*) AS t
+       |           FROM (SELECT x.ctr, x.nb AS a, y.nb AS b
+       |                 FROM adj x JOIN adj y ON x.ctr = y.ctr
+       |                 WHERE x.nb < y.nb) w
+       |           JOIN pairs p ON p.a = w.a AND p.b = w.b
+       |           GROUP BY 1),
+       |cc AS (SELECT deg.d,
+       |              CAST(floor(CAST(coalesce(c.t, 0) AS DOUBLE) * 2 * 1e6
+       |                         / (deg.d * (deg.d - 1)) + 0.5) AS BIGINT)
+       |                AS cc_ppm
+       |       FROM deg LEFT JOIN closed c ON c.ctr = deg.ctr
+       |       WHERE deg.d >= 2)
+       |SELECT d AS degree, count(*) AS n_nodes,
+       |       CAST(floor(CAST(sum(cc_ppm) AS DOUBLE) / count(*) + 0.5)
+       |            AS BIGINT) AS avg_cc_ppm
+       |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  lazy val knnClusteringCoeffSql: String = knnClusteringCoeffSqlFor(KnnK)
+
   /** RRF smoothing constant — the standard k₀=60 from the original
     * reciprocal-rank-fusion formulation, shared with the oracle. */
   private val RrfK0 = 60
@@ -3777,6 +3851,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rrf_fusion" -> ((s, d) => annRrfFusion(s, d)),
     "knn_ppr" -> ((s, d) => knnPpr(s, d)),
+    "knn_clustering_coeff" -> ((s, d) => knnClusteringCoeff(s, d)),
     "embedding_pca_top" -> ((s, d) => embeddingPcaTop(s, d)),
     "ann_cosine_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -3821,6 +3896,7 @@ object Similarity {
     "embedding_pca_top" -> embeddingPcaTopSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "knn_ppr" -> knnPprSql,
+    "knn_clustering_coeff" -> knnClusteringCoeffSql,
     "ann_cosine_topk" -> bruteForceTopKSql,
     "matryoshka_recall" -> matryoshkaRecallSql,
     "embedding_quantize" -> embeddingQuantizeSql,

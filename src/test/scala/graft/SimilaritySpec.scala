@@ -876,6 +876,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn_clustering_coeff: degrees capped at k, cc bounded, matches brute force") {
+    val rows = queries.Similarity.knnClusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("degree") >= 2 && r.getAs[Long]("degree") <= 3,
+        s"mutual degree ${r.getAs[Long]("degree")} exceeds k") // k = 3 default
+      val cc = r.getAs[Long]("avg_cc_ppm")
+      assert(cc >= 0 && cc <= 1000000L)
+    }
+    // brute force on the collected mutual graph
+    val und = queries.Similarity.knnMutual(spark, sf).collect()
+      .map(r => (math.min(r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor")),
+        math.max(r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor")))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val pairSet = und.toSet
+    val expect = adj.filter(_._2.size >= 2).toSeq.map { case (_, nbs) =>
+      val d = nbs.size
+      val sorted = nbs.toSeq.sorted
+      val t = sorted.combinations(2).count { case Seq(a, b) =>
+        pairSet.contains((a, b)) }
+      d -> math.floor(t.toDouble * 2 * 1e6 / (d * (d - 1)) + 0.5).toLong
+    }.groupBy(_._1).map { case (d, ccs) =>
+      d -> math.floor(ccs.map(_._2).sum.toDouble / ccs.size + 0.5).toLong
+    }
+    rows.foreach { r =>
+      assert(expect(r.getAs[Long]("degree").toInt) == r.getAs[Long]("avg_cc_ppm"),
+        s"degree ${r.getAs[Long]("degree")} mismatch")
+    }
+  }
+
   test("knn_ppr: teleport floor on seeds, positive mass only where BFS can reach") {
     val rows = queries.Similarity.knnPpr(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -28,6 +28,7 @@ SPECS=(
   'watermark_delay_curve@jitter_minutes=30'
   'watermark_delay_curve@jitter_minutes=600'
   'substring_dedup@stride=4' 'substring_dedup@stride=16'
+  'knn_clustering_coeff@k=2' 'knn_clustering_coeff@k=4'
   'cluster_balanced_sample@alpha=0.25' 'cluster_balanced_sample@alpha=1.0'
   'label_propagation@edges=mutual' 'label_propagation@iters=1,mask_mod=2'
   'knn_components@edges=mutual' 'knn_components@k=5'
