@@ -74,7 +74,7 @@ object ScaleProbe {
     "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve",
     "pack_boundary_curve", "embedding_pca_top", "zipf_fit",
     "ann_rrf_fusion", "knn_ppr", "ngram_novelty_curve",
-    "knn_clustering_coeff")
+    "knn_clustering_coeff", "dedup_consensus")
 
   /** Queries that read only events — probed when nEvents > 0.
     * multikey_counts/multikey_flat live here (not DocQueries): the E8

@@ -1618,6 +1618,56 @@ object Dedup {
 
   /** Oracle: recursive transitive closure over the same simhash pairs,
     * min reachable id per doc (tiny at sf0.01 — 40 edges). */
+  /** CONSENSUS DEDUP CLUSTERS — the high-precision ensemble mode: a
+    * pair is an edge only when BOTH probabilistic layers flag it
+    * (MinHash Jaccard ≥ 0.8 AND SimHash Hamming ≤ 3), then connected
+    * components and a canonical keep-list, the [[dedupClusters]]
+    * output contract. This is the standard precision-over-recall move
+    * when deletion is irreversible: [[dedupMethodAgreement]] prices
+    * how much the two layers disagree; this operator acts only on the
+    * intersection, so a single layer's false positive cannot delete a
+    * document. Scale: both pair streams are the banded-LSH pipelines
+    * (cost tracks dup density); the intersection is an equi-join on
+    * narrow pair keys; CC is the shared [[ccLabelsOf]] engine. */
+  def dedupConsensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val mh = minhashLshDedup(spark, sfDir).select("doc_a", "doc_b")
+    val sh = simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val labels = ccLabelsOf(spark, mh.join(sh, Seq("doc_a", "doc_b")))
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("canonical_id"),
+        (col("doc_id") === col("comp")).as("keep"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: both layers by their exact definitions (the
+    * [[dedupMethodAgreementSql]] twins), intersected, then the
+    * [[dedupClustersSql]] recursive-CC labeling. */
+  val dedupConsensusSql: String =
+    s"""WITH RECURSIVE $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |$simhashSigCtes,
+       |mhp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+       |        WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |              >= 0.8),
+       |shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |p AS (SELECT m.doc_a, m.doc_b FROM mhp m
+       |      JOIN shp s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(doc_id, m) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.m FROM e JOIN reach r ON e.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(m) AS canonical_id FROM reach GROUP BY doc_id)
+       |SELECT doc_id, canonical_id, doc_id = canonical_id AS keep,
+       |       count(*) OVER (PARTITION BY canonical_id) AS n_members
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $simhashSigCtes,
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2426,6 +2476,7 @@ object Dedup {
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
     "embedding_dedup_lsh"  -> ((s, d) => embeddingDupsLsh(s, d)),
     "dedup_clusters"       -> ((s, d) => dedupClusters(s, d)),
+    "dedup_consensus"      -> ((s, d) => dedupConsensus(s, d)),
     "dedup_delta"          -> ((s, d) => dedupDelta(s, d)),
     "dedup_canonical"      -> ((s, d) => dedupCanonical(s, d)),
     "dedup_stats"          -> ((s, d) => dedupStats(s, d)),
@@ -2451,6 +2502,7 @@ object Dedup {
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,
     "embedding_dedup_lsh"  -> embeddingDupsLshSql,
     "dedup_clusters"       -> dedupClustersSql,
+    "dedup_consensus"      -> dedupConsensusSql,
     "dedup_delta"          -> dedupDeltaSql,
     "dedup_canonical"      -> dedupCanonicalSql,
     "dedup_stats"          -> dedupStatsSql,

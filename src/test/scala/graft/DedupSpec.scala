@@ -385,4 +385,25 @@ class DedupSpec extends AnyFunSuite {
     assert(curve(0.8) == ((1L, 2L, 0.333333)))
     assert(curve(0.9) == ((1L, 2L, 0.333333)))
   }
+
+  test("dedup_consensus: refines simhash clusters, one canonical keep per cluster") {
+    val cons = queries.Dedup.dedupConsensus(spark, sf).collect()
+    assert(cons.nonEmpty)
+    // canonical is the cluster min and the only keep
+    cons.groupBy(_.getAs[Long]("canonical_id")).foreach { case (cid, ms) =>
+      assert(ms.map(_.getAs[Long]("doc_id")).min == cid)
+      assert(ms.count(_.getAs[Boolean]("keep")) == 1)
+      assert(ms.forall(_.getAs[Long]("n_members") == ms.length))
+    }
+    // consensus edges are a subset of simhash edges, so every consensus
+    // cluster must sit inside ONE simhash cluster (a refinement)
+    val simhash = queries.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    cons.groupBy(_.getAs[Long]("canonical_id")).foreach { case (_, ms) =>
+      val parents = ms.map(m => simhash(m.getAs[Long]("doc_id"))).distinct
+      assert(parents.length == 1, s"consensus cluster spans $parents")
+    }
+    // and it is more conservative: no more flagged docs than either layer
+    assert(cons.length <= simhash.size)
+  }
 }
