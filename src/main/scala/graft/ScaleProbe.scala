@@ -94,7 +94,7 @@ object ScaleProbe {
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
     "user_growth_daily", "events_late_audit", "watermark_delay_curve",
-    "events_stickiness", "events_bot_regularity")
+    "events_stickiness", "events_bot_regularity", "events_autocorr")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out
@@ -122,7 +122,7 @@ object ScaleProbe {
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
     "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen",
     "benford_audit", "revenue_bridge", "revenue_ewma_anomaly",
-    "km_ship_survival", "parts_abc_class")
+    "km_ship_survival", "parts_abc_class", "orders_gini")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -3494,7 +3494,77 @@ object Relational {
        |            AS BIGINT) AS share_ppm
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GINI COEFFICIENT of customer spend — the inequality scalar
+    * completing the concentration family ([[revenueParetoShare]]'s
+    * top-share, [[supplierHhi]]'s Σshare²): G = (2·Σᵢ i·xᵢ − (n+1)·Σx)
+    * / (n·Σx) over spend sorted ascending (ties broken on custkey).
+    * Zero-order customers count with x = 0 — excluding them understates
+    * inequality. The global rank i runs over a CORPUS-SIZED order, so
+    * it is assigned WITHOUT a global window: customers bin by spend
+    * span, per-bin counts are a bounded frame carry-folded on the
+    * driver, and within-bin row_number partitions by bin (ties in x
+    * share a bin). Σ i·xᵢ accumulates in DECIMAL(38,0) (i·x alone can
+    * pass 2⁶³); the final G is one double division on exact integers,
+    * micro-rounded. Output: one row. */
+  def ordersGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("x"))
+    val span = spend.agg(min("x"), max("x")).head()
+    if (span.isNullAt(0))
+      return Seq.empty[(Long, Double, java.lang.Double)]
+        .toDF("n_customers", "total_spend", "gini")
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val binW = math.max(1L, (hi - lo) / AbcBins + 1)
+    val binned = spend.withColumn("bin", expr(s"(x - $lo) DIV $binW"))
+    val binCnt = Hist.bounded(
+      binned.groupBy("bin").agg(count(lit(1)).as("m")), "orders_gini")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val carries = Seq.newBuilder[(Long, Long)]
+    var run = 0L
+    binCnt.foreach { case (b, m) => carries += ((b, run)); run += m }
+    val n = run
+    val carryDf = carries.result().toDF("bin", "carry")
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin").orderBy(col("x"), col("c_custkey"))
+    val sums = binned.join(broadcast(carryDf), Seq("bin"))
+      .withColumn("i", row_number().over(wBin) + col("carry"))
+      .agg(sum(col("i").cast("decimal(38,0)") * col("x")).as("six"),
+        sum("x").as("sx"))
+    val num = (lit(2).cast("decimal(38,0)") * col("six") -
+      lit(n + 1).cast("decimal(38,0)") * col("sx")).cast("double")
+    val den = (lit(n).cast("decimal(38,0)") * col("sx")).cast("double")
+    sums.select(lit(n).as("n_customers"),
+      (col("sx").cast("double") / 100).as("total_spend"),
+      when(col("sx") > 0, Det.r(num / den, 6)).as("gini"))
+  }
+
+  val ordersGiniSql: String =
+    s"""WITH spend AS (
+       |  SELECT c.c_custkey,
+       |         CAST(coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)),
+       |                       0) AS BIGINT) AS x
+       |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1),
+       |rk AS (SELECT x, row_number() OVER (ORDER BY x, c_custkey) AS i
+       |       FROM spend),
+       |s AS (SELECT count(*) AS n,
+       |             sum(CAST(i AS DECIMAL(38,0)) * x) AS six,
+       |             CAST(sum(x) AS BIGINT) AS sx
+       |      FROM rk)
+       |SELECT n AS n_customers,
+       |       CAST(sx AS DOUBLE) / 100 AS total_spend,
+       |       CASE WHEN sx > 0 THEN ${Det.rSql(
+        "CAST(2 * six - (n + 1) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE) " +
+          "/ CAST(n * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)", 6)}
+       |       END AS gini
+       |FROM s WHERE n > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_gini"         -> ((s, d) => ordersGini(s, d)),
     "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
     "km_ship_survival"    -> ((s, d) => kmShipSurvival(s, d)),
     "revenue_ewma_anomaly" -> ((s, d) => revenueEwmaAnomaly(s, d)),
@@ -3562,6 +3632,7 @@ object Relational {
     "revenue_ewma_anomaly" -> revenueEwmaAnomalySql,
     "km_ship_survival"     -> kmShipSurvivalSql,
     "parts_abc_class"      -> partsAbcClassSql,
+    "orders_gini"          -> ordersGiniSql,
     "rfm_segments"         -> rfmSegmentsSql,
     "window_battery"       -> windowBatterySql,
     "zorder_orders"        -> zorderOrdersSql,

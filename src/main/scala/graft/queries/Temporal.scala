@@ -1636,6 +1636,89 @@ object Temporal {
        |FROM fl ORDER BY cv2_ppm, user_id
        |LIMIT $BotTopN""".stripMargin
 
+  /** Max lag priced by [[eventsAutocorr]]. */
+  private val AcfMaxLag = 7
+
+  /** DAILY-VOLUME AUTOCORRELATION at lags 1..[[AcfMaxLag]] — the
+    * seasonality detector that tells a capacity planner whether the
+    * stream has a weekly pulse (acf(7) high) or is memoryless: sample
+    * ACF r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ_t(x_t−x̄)² over the
+    * DENSE daily-count calendar (gap days count 0 — skipping them
+    * would shift every lag). All-integer: with S = Σx over n days,
+    * each centered term is the exact integer n·x_t − S, products
+    * accumulate in DECIMAL(38,0), and each r_k is one double division,
+    * micro-rounded. Lag pairs come from exploding each day's count to
+    * its ≤[[AcfMaxLag]] forward (t+k, k) probes and re-joining the
+    * calendar — the [[graft.queries.Relational.revenueEwmaAnomaly]]
+    * shape, no SinglePartition window. Calendar-bounded end to end
+    * after the one corpus scan. */
+  def eventsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.eventsTs(spark, sfDir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val cal = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("x"))
+    // calendar length + total: 2 longs of model state
+    val nS = cal.agg(count(lit(1)).as("n"), sum("x").as("s")).head()
+    if (nS.getLong(0) == 0) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, java.lang.Long)]
+        .toDF("lag", "n_days", "acf_ppm")
+    }
+    val (n, s) = (nS.getLong(0), nS.getLong(1))
+    val cen = cal.select(col("day"), (col("x") * n - s).as("c"))
+    val denRow = cen.agg(
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("d")).head()
+    val den = denRow.getDecimal(0)
+    val pairs = cen
+      .select(col("day"), col("c").as("c_lag"),
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("k"))
+      .select((col("day") + col("k")).as("day"), col("k"), col("c_lag"))
+      .join(cen, Seq("day"))
+    pairs.groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c").cast("decimal(38,0)") * col("c_lag")).as("a"))
+      .select(col("k").as("lag"), lit(n).as("n_days"),
+        when(lit(den.signum() > 0),
+          floor(col("a").cast("double") /
+            lit(den).cast("double") * 1e6 + 0.5).cast("long"))
+          .as("acf_ppm"))
+      .orderBy("lag")
+  }
+
+  val eventsAutocorrSql: String =
+    s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |                  CAST(ts AS DATE)) AS INTEGER) AS day,
+       |                  count(*) AS x
+       |           FROM events GROUP BY 1),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+       |cal AS (SELECT CAST(unnest(generate_series(b.lo, b.hi)) AS INTEGER)
+       |          AS day FROM b),
+       |cf AS (SELECT cal.day, coalesce(d.x, 0) AS x
+       |       FROM cal LEFT JOIN d USING (day)),
+       |t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM cf),
+       |cen AS (SELECT cf.day, CAST(cf.x * t.n - t.s AS BIGINT) AS c
+       |        FROM cf, t),
+       |dn AS (SELECT sum(CAST(c AS DECIMAL(38,0)) * c) AS d FROM cen),
+       |pr AS (SELECT a.day + k.k AS day, k.k, a.c AS c_lag
+       |       FROM cen a CROSS JOIN
+       |         (SELECT CAST(unnest(generate_series(1, $AcfMaxLag))
+       |                 AS INTEGER) AS k) k)
+       |SELECT pr.k AS lag, t.n AS n_days,
+       |       CASE WHEN dn.d > 0
+       |            THEN CAST(floor(CAST(sum(CAST(cen.c AS DECIMAL(38,0))
+       |                                     * pr.c_lag) AS DOUBLE)
+       |                            / CAST(dn.d AS DOUBLE) * 1e6 + 0.5)
+       |                 AS BIGINT)
+       |       END AS acf_ppm
+       |FROM pr JOIN cen ON cen.day = pr.day, t, dn
+       |GROUP BY pr.k, t.n, dn.d
+       |ORDER BY lag""".stripMargin
+
   /** DuckDB twin of [[userGrowthDaily]]. */
   val userGrowthDailySql: String =
     """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
@@ -2273,6 +2356,7 @@ object Temporal {
     "user_growth_daily" -> ((s, d) => userGrowthDaily(s, d)),
     "events_stickiness" -> ((s, d) => eventsStickiness(s, d)),
     "events_bot_regularity" -> ((s, d) => eventsBotRegularity(s, d)),
+    "events_autocorr" -> ((s, d) => eventsAutocorr(s, d)),
     "events_heavy_hitters" -> ((s, d) => eventsHeavyHitters(s, d)),
     "events_quantiles_by_type" -> ((s, d) => eventsQuantilesByType(s, d)),
     "user_erasure_audit" -> ((s, d) => userErasureAudit(s, d)),
@@ -2314,6 +2398,7 @@ object Temporal {
     "user_growth_daily" -> userGrowthDailySql,
     "events_stickiness" -> eventsStickinessSql,
     "events_bot_regularity" -> eventsBotRegularitySql,
+    "events_autocorr" -> eventsAutocorrSql,
     "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_quantiles_by_type" -> eventsQuantilesByTypeSql,
     "user_erasure_audit" -> userErasureAuditSql,

@@ -1331,6 +1331,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_autocorr: lags 1..7, Cauchy-Schwarz bound, matches brute force") {
+    val rows = queries.Temporal.eventsAutocorr(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (1 to 7))
+    rows.foreach { r =>
+      val a = r.getAs[Long]("acf_ppm")
+      assert(math.abs(a) <= 1000000L, s"lag ${r.getAs[Int]("lag")}: $a")
+    }
+    // brute force on the collected dense daily series
+    val daily = Tables.eventsTs(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .toMap
+    val lo = daily.keys.min
+    val hi = daily.keys.max
+    val xs = (lo to hi).map(d => daily.getOrElse(d, 0L)).toArray
+    val n = xs.length
+    val s = xs.sum
+    val c = xs.map(x => x * n - s)
+    val den = c.map(v => BigInt(v) * v).sum
+    rows.foreach { r =>
+      val k = r.getAs[Int]("lag")
+      val num = (k until n).map(t => BigInt(c(t)) * c(t - k)).sum
+      val expect = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("acf_ppm") == expect, s"lag $k")
+    }
+  }
+
   test("events_bot_regularity: injected metronome flags, bursty human does not") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString

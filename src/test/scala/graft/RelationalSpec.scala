@@ -759,6 +759,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_censored")).sum > 0)
   }
 
+  test("orders_gini: bounded, matches brute force on collected spends") {
+    val r = queries.Relational.ordersGini(spark, sf).head()
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g")
+    assert(r.getAs[Long]("n_customers") == Tables.customer(spark, sf).count())
+    // brute force: sort ascending (x, custkey), same integer formula
+    val xs = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L)).as("x"))
+      .collect().map(row => (row.getAs[Long]("x"), row.getAs[Long]("c_custkey")))
+      .sorted.map(_._1)
+    val n = xs.length
+    val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val sx = xs.map(BigInt(_)).sum
+    val expect = (BigInt(2) * six - BigInt(n + 1) * sx).toDouble /
+      (BigInt(n) * sx).toDouble
+    assert(math.abs(g - expect) < 2e-6, s"$g vs $expect")
+  }
+
   test("parts_abc_class: classes partition parts and revenue, A-heavy by construction") {
     val rows = queries.Relational.partsAbcClass(spark, sf).collect()
     assert(rows.map(_.getAs[String]("abc_class")).toSeq == Seq("A", "B", "C"))
