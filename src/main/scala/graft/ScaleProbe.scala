@@ -122,7 +122,9 @@ object ScaleProbe {
     "top_supplier", "waiting_supplier", "grouping_sets_orders",
     "order_backlog_monthly", "supplier_hhi", "revenue_trend_theilsen",
     "benford_audit", "revenue_bridge", "revenue_ewma_anomaly",
-    "km_ship_survival", "parts_abc_class", "orders_gini")
+    "km_ship_survival", "parts_abc_class", "orders_gini",
+    "market_share", "small_qty_revenue", "large_volume_customers",
+    "disc_revenue_brands", "dormant_high_balance", "part_link_prediction")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

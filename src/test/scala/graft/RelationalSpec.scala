@@ -794,4 +794,137 @@ class RelationalSpec extends AnyFunSuite {
       r.getAs[Double]("revenue") / r.getAs[Long]("n_parts")).toMap
     assert(perPart("A") > perPart("C"))
   }
+
+  test("market_share: share bounded by construction, nation <= total per year") {
+    val rows = queries.Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.getAs[Double]("total_revenue")
+      val nat = r.getAs[Double]("nation_revenue")
+      val sh = r.getAs[Double]("mkt_share")
+      assert(nat >= 0 && nat <= tot + 1e-6)
+      assert(sh >= 0 && sh <= 1)
+      assert(math.abs(sh - nat / tot) < 2e-6, s"share $sh vs ${nat / tot}")
+    }
+    // years strictly increasing (the ORDER BY is total)
+    val years = rows.map(_.getAs[Int]("o_year")).toSeq
+    assert(years == years.sorted && years.distinct == years)
+  }
+
+  test("small_qty_revenue: matches an in-memory per-part 20%-of-avg recompute") {
+    val rows = queries.Relational.smallQtyRevenue(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .collect().map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("qty"), r.getAs[Long]("pc")))
+    val stats = li.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).sum) }
+    val qual = li.filter { case (k, q, _) =>
+      val (n, sq) = stats(k); 5 * q * n < sq }
+    if (qual.isEmpty) assert(rows.isEmpty)
+    else {
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_items") == qual.length)
+      val sp = qual.map(_._3).sum
+      assert(math.abs(rows.head.getAs[Double]("total_revenue") - sp / 100.0) < 1e-6)
+      assert(math.abs(rows.head.getAs[Double]("avg_yearly") - sp / 700.0) < 1e-6)
+    }
+  }
+
+  test("large_volume_customers: every order's recomputed qty exceeds the threshold, sorted by price") {
+    val rows = queries.Relational.largeVolumeCustomers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sums = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("s"))
+      .collect().map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Long]("s")).toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(sums(ok) > 250L && sums(ok) == r.getAs[Long]("sum_qty"))
+    }
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("disc_revenue_brands: matches an in-memory disjunctive-branch recompute") {
+    val rows = queries.Relational.discRevenueBrands(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_size"),
+        col("l_quantity").cast("long").as("qty"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      .collect().map(r => (r.getAs[String]("p_brand"), r.getAs[Int]("p_size"),
+        r.getAs[Long]("qty"), r.getAs[Long]("rev")))
+    val qual = li.filter { case (b, s, q, _) =>
+      (b == "Brand#4" && s >= 1 && s <= 15 && q >= 1 && q <= 11) ||
+      (b == "Brand#16" && s >= 10 && s <= 25 && q >= 10 && q <= 20) ||
+      (b == "Brand#19" && s >= 20 && s <= 35 && q >= 20 && q <= 30) }
+    if (qual.isEmpty) assert(rows.isEmpty)
+    else {
+      assert(rows.length == 1 && rows.head.getAs[Long]("n_items") == qual.length)
+      assert(math.abs(rows.head.getAs[Double]("revenue")
+        - qual.map(x => BigInt(x._4)).sum.toDouble / 10000) < 1e-6)
+    }
+  }
+
+  test("dormant_high_balance: matches the above-positive-average + no-recent-order recompute") {
+    val rows = queries.Relational.dormantHighBalance(spark, sf).collect()
+    val bals = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("b"))
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("c_nationkey"), r.getAs[Long]("b")))
+    val pos = bals.map(_._3).filter(_ > 0)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getAs[Long]("o_custkey")).toSet
+    val natName = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val qual = bals.filter { case (ck, _, b) =>
+      BigInt(b) * pos.length > BigInt(pos.sum) && !recent.contains(ck) }
+    val expect = qual.groupBy(t => natName(t._2))
+      .map { case (n, xs) => n -> (xs.length.toLong, xs.map(_._3).sum / 100.0) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, tb) = expect(r.getAs[String]("nation"))
+      assert(r.getAs[Long]("n_custs") == n)
+      assert(math.abs(r.getAs[Double]("total_bal") - tb) < 1e-6)
+    }
+  }
+
+  test("part_link_prediction: pairs are non-edges, cn matches brute-force truncated incidence") {
+    val rows = queries.Relational.partLinkPrediction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force the weighted capped co-purchase graph on sf0.001:
+    // weights from partAffinity's full pair-count frame
+    val wedges = queries.Relational.partAffinity(spark, sf, topN = Int.MaxValue)
+      .collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_orders")))
+    val edges = wedges.map { case (u, v, _) => (u, v) }.toSet
+    // per-pivot top-q strongest neighbors: weight desc, partkey asc
+    val topq = wedges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      .groupBy(_._1).map { case (z, xs) =>
+        z -> xs.sortBy(t => (-t._3, t._2)).take(32).map(_._2).toSet }
+    // truncated incidence sets {z : x in topq(z)}
+    val incid = topq.toSeq.flatMap { case (z, xs) => xs.map(_ -> z) }
+      .groupBy(_._1).map { case (x, zs) => x -> zs.map(_._2).toSet }
+    rows.foreach { r =>
+      val a = r.getAs[Long]("part_a"); val b = r.getAs[Long]("part_b")
+      assert(!edges.contains((a, b)) && !edges.contains((b, a)),
+        s"($a,$b) is an existing edge")
+      val common = (incid(a) intersect incid(b)).size
+      assert(r.getAs[Long]("cn") == common, s"cn($a,$b)")
+      assert(r.getAs[Long]("tdeg_a") == incid(a).size)
+      assert(r.getAs[Long]("tdeg_b") == incid(b).size)
+      val u = incid(a).size + incid(b).size - common
+      assert(r.getAs[Long]("union_sz") == u)
+      assert(math.abs(r.getAs[Double]("jaccard") - common.toDouble / u) < 2e-6)
+    }
+    // deterministic total order: support desc, union asc, pair
+    val key = rows.map(r => (-r.getAs[Long]("cn"), r.getAs[Long]("union_sz"),
+      r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSeq
+    assert(key == key.sorted)
+  }
 }
