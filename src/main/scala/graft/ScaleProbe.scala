@@ -72,7 +72,7 @@ object ScaleProbe {
     "ivf_modularity", "ivf_nprobe_curve",
     "quality_calibration", "quality_survival_curve", "dup_cluster_size_dist",
     "dedup_method_agreement", "lang_source_chi2", "dedup_threshold_curve",
-    "pack_boundary_curve", "embedding_pca_top", "zipf_fit",
+    "pack_boundary_curve", "shard_plan", "embedding_pca_top", "zipf_fit",
     "ann_rrf_fusion", "knn_ppr", "ngram_novelty_curve",
     "knn_clustering_coeff", "dedup_consensus")
 
@@ -94,7 +94,8 @@ object ScaleProbe {
     "events_quantiles_by_type", "events_ab_test",
     "events_winsorized_stats", "user_diversity_simpson",
     "user_growth_daily", "events_late_audit", "watermark_delay_curve",
-    "events_stickiness", "events_bot_regularity", "events_autocorr")
+    "events_stickiness", "events_bot_regularity", "events_autocorr",
+    "events_latest_state")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -3189,6 +3189,84 @@ object TextAnalysis {
        |ORDER BY g.ctx""".stripMargin
   }
 
+  /** Target tokens per output shard for [[shardPlan]] — shared with the
+    * oracle template (sized so the fixtures produce multiple shards:
+    * ~20k corpus tokens at sf0.01 → ~5 shards). */
+  private[queries] val ShardTokens = 4096L
+
+  /** SHARD PLAN — the writer-side layout step of a packing pipeline:
+    * lay documents end to end in doc_id order and assign each doc to
+    * the shard its START offset falls in (shard = start div
+    * [[ShardTokens]] — the greedy sequential writer that rolls to a new
+    * file when the running token count passes the boundary; documents
+    * are never split). Emits one row per shard: doc range, doc count,
+    * token count, and fill (ppm of target — can exceed 1e6 because a
+    * straddling doc stays in the shard it started in). This is the
+    * plan [[sequencePack]]'s bins and [[packBoundaryCurve]]'s pricing
+    * feed into an actual distributed write: deterministic, resumable
+    * (a shard's contents depend only on the prefix sums, not on
+    * partitioning or task order).
+    *
+    * Scale shape: identical to [[packBoundaryCurve]] — the start
+    * offsets are the span-binned prefix-sum decomposition (≤64k-row
+    * bounded bin frame, driver carry fold, broadcast back; NO
+    * SinglePartition window), then one groupBy(shard) agg. Output is
+    * O(total_tokens / [[ShardTokens]]) rows — a distributed frame, not
+    * driver state. All-integer end to end. */
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = maybeCache(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("nt")))
+    val span = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, binW) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0),
+        math.max(1L, (span.getLong(1) - span.getLong(0)) / PackCurveBins + 1))
+    val binned = docs.withColumn("bin", expr(s"(doc_id - $lo) DIV $binW"))
+    val binSum = Hist.bounded(
+      binned.groupBy("bin").agg(sum("nt").as("s")), "shard_plan")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val carries = Seq.newBuilder[(Long, Long)]
+    var run = 0L
+    binSum.foreach { case (b, s) => carries += ((b, run)); run += s }
+    import spark.implicits._
+    val carryDf = carries.result().toDF("bin", "carry")
+    val wBin = Window.partitionBy("bin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned
+      .join(broadcast(carryDf), Seq("bin"))
+      .withColumn("start", coalesce(sum("nt").over(wBin), lit(0L)) + col("carry"))
+      .withColumn("shard", expr(s"start DIV $ShardTokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("nt").as("shard_tokens"))
+      .withColumn("fill_ppm",
+        floor(col("shard_tokens").cast("double") * 1e6 / ShardTokens + 0.5)
+          .cast("long"))
+      .orderBy("shard")
+  }
+
+  val shardPlanSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(len(list_filter(
+       |                    string_split_regex(lower(text), '\\W+'),
+       |                    x -> length(x) > 0)) AS BIGINT) AS nt
+       |           FROM documents),
+       |c AS (SELECT doc_id, nt,
+       |             coalesce(sum(nt) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0) AS start
+       |      FROM d)
+       |SELECT CAST(start // $ShardTokens AS BIGINT) AS shard,
+       |       count(*) AS n_docs,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       CAST(sum(nt) AS BIGINT) AS shard_tokens,
+       |       CAST(floor(CAST(sum(nt) AS DOUBLE) * 1e6 / $ShardTokens + 0.5)
+       |            AS BIGINT) AS fill_ppm
+       |FROM c
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Ranks fitted by [[zipfFit]] — shared with the oracle template. */
   private[graft] val ZipfTopN = 100
 
@@ -3378,6 +3456,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_plan" -> ((s, d) => shardPlan(s, d)),
     "ngram_novelty_curve" -> ((s, d) => ngramNoveltyCurve(s, d)),
     "zipf_fit" -> ((s, d) => zipfFit(s, d)),
     "pack_boundary_curve" -> ((s, d) => packBoundaryCurve(s, d)),
@@ -3430,6 +3509,7 @@ object TextAnalysis {
     "tfidf_top_terms"  -> tfidfTopTermsSql,
     "bm25_topk"        -> bm25TopKSql,
     "pack_boundary_curve" -> packBoundaryCurveSql,
+    "shard_plan"       -> shardPlanSql,
     "zipf_fit"         -> zipfFitSql,
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "quality_agreement" -> qualityAgreementSql,

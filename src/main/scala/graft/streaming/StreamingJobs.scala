@@ -72,6 +72,60 @@ object StreamingJobs {
         .select(col("event_id"), col("r.ts").as("ts"),
           col("r.event_type").as("event_type"), col("r.value").as("value"))
 
+  case class UpEv(user_id: Long, ts: Timestamp, event_id: Long,
+                  event_type: String, value: Double)
+  case class LatestOut(user_id: Long, last_ts: Timestamp,
+                       last_event_id: Long, last_type: String,
+                       last_value: Double, n_events: Long)
+
+  /** CDC "changelog → table" materialization: one row per user holding
+    * the LATEST event (plus a lifetime event count) — the canonical
+    * upsert view every event pipeline materializes (device shadow,
+    * user profile, inventory level). Winner = max (ts, event_id):
+    * event_id is the unique tie-break, so the upsert is deterministic
+    * under ANY arrival order, batch or stream.
+    *
+    * Batch twin: ONE max(struct) agg — map-side combined, no window
+    * (a row_number window would sort every user's history; the struct
+    * max never reads past event_id because it is unique). Streaming:
+    * keyed `mapGroupsWithState` upsert in Update mode with O(1) state
+    * per user and NO timeout — the state store IS the materialized
+    * table (|users|-sized, partitioned across executors), not a
+    * window buffer, so nothing expires. At 100 TB the batch twin is a
+    * single shuffle on user_id; the stream holds exactly one row per
+    * live user. StreamingSpec proves multi-batch replay lands on the
+    * batch frame. */
+  def latestState(events: DataFrame): DataFrame =
+    if (events.isStreaming) {
+      import events.sparkSession.implicits._
+      events.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")).as[UpEv]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout) {
+          (uid: Long, evs: Iterator[UpEv], state: GroupState[LatestOut]) =>
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              val n = if (cur == null) 1L else cur.n_events + 1
+              cur =
+                if (cur == null ||
+                    toUs(e.ts) > toUs(cur.last_ts) ||
+                    (toUs(e.ts) == toUs(cur.last_ts) &&
+                      e.event_id > cur.last_event_id))
+                  LatestOut(uid, e.ts, e.event_id, e.event_type, e.value, n)
+                else cur.copy(n_events = n)
+            }
+            state.update(cur)
+            cur
+        }.toDF()
+    } else
+      events.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("r"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("r.ts").as("last_ts"),
+          col("r.event_id").as("last_event_id"),
+          col("r.event_type").as("last_type"),
+          col("r.value").as("last_value"), col("n_events"))
+
   /** Stream-stream interval join: each error event joined to the SAME
     * user's signup/login events in the preceding hour ("what did the user
     * do right before the error"). Watermarks on both sides + the interval
@@ -433,6 +487,8 @@ object StreamingJobs {
     "events_by_segment" -> ((s, d) =>
       segmentActivity(batchEvents(s, d), Tables.customer(s, d))
         .orderBy("window_start", "segment")),
+    "events_latest_state" -> ((s, d) =>
+      latestState(batchEvents(s, d)).orderBy("user_id")),
     "events_late_audit" -> ((s, d) => eventsLateAudit(s, d)),
     "watermark_delay_curve" -> ((s, d) => watermarkDelayCurve(s, d)),
   )
@@ -489,6 +545,15 @@ object StreamingJobs {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
+    "events_latest_state" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       event_type AS last_type, value AS last_value, n_events
+        |FROM (SELECT user_id, ts, event_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "events_late_audit" -> eventsLateAuditSql,
     "watermark_delay_curve" -> watermarkDelayCurveSql,
   )

@@ -292,6 +292,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-state upsert == batch twin across micro-batches, any order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamingJobs.latestState(df).writeStream
+      .format("memory").queryName("latest_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val evs = Tables.eventsTs(spark, sf)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+      // adversarial replay: reverse event order, split across 3 batches —
+      // the upsert must land on the same table as in-order batch
+      val rev = evs.reverse
+      val third = rev.length / 3
+      mem.addData(rev.take(third)); q.processAllAvailable()
+      mem.addData(rev.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(rev.drop(2 * third)); q.processAllAvailable()
+      // Update-mode memory sink accumulates every per-batch update;
+      // the final state per user is its row with the max n_events
+      // (the count strictly increases on every upsert)
+      val streamed = spark.table("latest_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (_, rs) => rs.maxBy(_.getAs[Long]("n_events")) }
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("last_ts"),
+          r.getAs[Long]("last_event_id"), r.getAs[String]("last_type"),
+          r.getAs[Double]("last_value"), r.getAs[Long]("n_events")))
+        .toSeq.sortBy(_._1)
+      val batch = StreamingJobs.latestState(Tables.eventsTs(spark, sf))
+        .orderBy("user_id").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("last_ts"),
+          r.getAs[Long]("last_event_id"), r.getAs[String]("last_type"),
+          r.getAs[Double]("last_value"), r.getAs[Long]("n_events")))
+        .toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val memE = MemoryStream[(Long, Timestamp, Long, String)]

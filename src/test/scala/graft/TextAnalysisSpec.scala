@@ -470,6 +470,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cuts.head > cuts.last)
   }
 
+  test("shard_plan: matches an in-memory prefix-sum writer; shards partition docs and tokens") {
+    val rows = queries.TextAnalysis.shardPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // in-memory greedy writer with the same tokenizer
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getAs[String]("text").toLowerCase.replaceAll("\\W+", " ").trim
+        val nt = if (t.isEmpty) 0L else t.split(" ").length.toLong
+        (r.getAs[Long]("doc_id"), nt)
+      }.sortBy(_._1)
+    var off = 0L
+    val assigned = docs.map { case (id, nt) =>
+      val shard = off / 4096L; off += nt; (shard, id, nt) }
+    val expect = assigned.groupBy(_._1).map { case (sh, xs) =>
+      sh -> (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, fd, ld, tk) = expect(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("first_doc") == fd && r.getAs[Long]("last_doc") == ld)
+      assert(r.getAs[Long]("shard_tokens") == tk)
+      assert(r.getAs[Long]("fill_ppm") == math.floor(tk.toDouble * 1e6 / 4096 + 0.5).toLong)
+    }
+    // shards are a contiguous ascending sequence and doc ranges don't overlap
+    val sh = rows.map(_.getAs[Long]("shard")).toSeq
+    assert(sh == sh.sorted && sh.distinct == sh)
+    val ranges = rows.sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(ranges.forall { case (a, b) => a <= b })
+    assert(ranges.zip(ranges.tail).forall { case ((_, b1), (a2, _)) => b1 < a2 })
+    // partition identity: every doc lands in exactly one shard
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(rows.map(_.getAs[Long]("shard_tokens")).sum == docs.map(_._2).sum)
+  }
+
   test("ngram_novelty_curve: novelty bounded, decile 0 anchored, totals close") {
     val rows = queries.TextAnalysis.ngramNoveltyCurve(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("decile")).toSeq == (0 to 9))
