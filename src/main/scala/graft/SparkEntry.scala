@@ -83,6 +83,20 @@ object SparkEntry {
     "part_affinity" -> ((s, d, a) =>
       Relational.partAffinity(s, d, a.getOrElse("top_n", "50").toInt,
         a.getOrElse("max_basket", "256").toInt)),
+    "market_share" -> ((s, d, a) =>
+      Relational.marketShare(s, d, a.getOrElse("nation", "NATION_5"),
+        a.getOrElse("region", "AMERICA"), a.getOrElse("ptype", "PROMO"))),
+    "large_volume_customers" -> ((s, d, a) =>
+      Relational.largeVolumeCustomers(s, d,
+        a.getOrElse("min_qty", "250").toLong,
+        a.getOrElse("top_n", "100").toInt)),
+    "part_link_prediction" -> ((s, d, a) =>
+      Relational.partLinkPrediction(s, d, a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("top_q", "32").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
+    "shard_plan" -> ((s, d, a) =>
+      TextAnalysis.shardPlan(s, d,
+        a.getOrElse("shard_tokens", "4096").toLong)),
     "mixture_apply" -> ((s, d, a) =>
       TextAnalysis.mixtureApply(s, d, a.getOrElse("rate", "0.5").toDouble)),
     "winnow_overlap" -> ((s, d, a) =>
@@ -243,6 +257,20 @@ object SparkEntry {
     "basket_rules" -> (a =>
       Relational.basketRulesSqlFor(a.getOrElse("top_n", "50").toInt,
         a.getOrElse("max_basket", "256").toInt)),
+    "market_share" -> (a =>
+      Relational.marketShareSqlFor(a.getOrElse("nation", "NATION_5"),
+        a.getOrElse("region", "AMERICA"), a.getOrElse("ptype", "PROMO"))),
+    "large_volume_customers" -> (a =>
+      Relational.largeVolumeCustomersSqlFor(
+        a.getOrElse("min_qty", "250").toLong,
+        a.getOrElse("top_n", "100").toInt)),
+    "part_link_prediction" -> (a =>
+      Relational.partLinkPredictionSqlFor(a.getOrElse("top_n", "50").toInt,
+        a.getOrElse("top_q", "32").toInt,
+        a.getOrElse("max_basket", "256").toInt)),
+    "shard_plan" -> (a =>
+      TextAnalysis.shardPlanSqlFor(
+        a.getOrElse("shard_tokens", "4096").toLong)),
     "late_order_priority" -> (a =>
       Relational.lateOrderPrioritySqlFor(a.getOrElse("lag_days", "90").toInt)),
     "waiting_supplier" -> (a =>

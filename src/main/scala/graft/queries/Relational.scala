@@ -3566,7 +3566,10 @@ object Relational {
     * the share is ONE double division of two exact integers, rounded via
     * [[Det.r]]. At 1000 executors this is a scan-heavy plan with a single
     * shuffle — the dims never move the fact table. */
-  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+  def marketShare(spark: SparkSession, sfDir: String,
+                  nation: String = ShareNation,
+                  region: String = ShareRegion,
+                  ptype: String = SharePartType): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
@@ -3575,12 +3578,12 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).as("o_year"))
     val pt = Tables.part(spark, sfDir)
-      .filter(col("p_type") === SharePartType).select("p_partkey")
+      .filter(col("p_type") === ptype).select("p_partkey")
     val nat = Tables.nation(spark, sfDir)
     val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, sfDir)
-          .filter(col("r_name") === ShareRegion)),
+          .filter(col("r_name") === region)),
         col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey")
     val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
@@ -3594,7 +3597,7 @@ object Relational {
       .groupBy("o_year")
       .agg(
         sum(col("rev_e4").cast("decimal(38,0)")).as("tot"),
-        sum(when(col("s_nation") === ShareNation, col("rev_e4"))
+        sum(when(col("s_nation") === nation, col("rev_e4"))
           .otherwise(lit(0L)).cast("decimal(38,0)")).as("nat"),
         count(lit(1)).as("n_items"))
       .select(col("o_year"),
@@ -3606,7 +3609,8 @@ object Relational {
       .orderBy("o_year")
   }
 
-  val marketShareSql: String =
+  def marketShareSqlFor(nation: String, region: String,
+                        ptype: String): String =
     s"""SELECT o_year,
        |       CAST(tot AS DOUBLE) / 10000 AS total_revenue,
        |       CAST(nat AS DOUBLE) / 10000 AS nation_revenue,
@@ -3616,21 +3620,24 @@ object Relational {
        |  SELECT year(o_orderdate) AS o_year,
        |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
        |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS tot,
-       |         sum(CASE WHEN n2.n_name = '$ShareNation'
+       |         sum(CASE WHEN n2.n_name = '$nation'
        |                  THEN CAST(round(l_extendedprice*100) AS BIGINT)
        |                       * (100 - CAST(round(l_discount*100) AS BIGINT))
        |                  ELSE 0 END) AS nat,
        |         count(*) AS n_items
        |  FROM lineitem
-       |  JOIN part     ON l_partkey = p_partkey AND p_type = '$SharePartType'
+       |  JOIN part     ON l_partkey = p_partkey AND p_type = '$ptype'
        |  JOIN orders   ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-       |  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = '$ShareRegion'
+       |  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = '$region'
        |  JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
        |  GROUP BY 1)
        |ORDER BY o_year""".stripMargin
+
+  val marketShareSql: String =
+    marketShareSqlFor(ShareNation, ShareRegion, SharePartType)
 
   private val SmallQtyBrand = "Brand#4"
 
@@ -3690,11 +3697,14 @@ object Relational {
     * surviving ~top-percentile orders join orders (shuffle on orderkey)
     * and broadcast customer. Top-N via TakeOrderedAndProject; ties break
     * on orderkey. Quantities are integral → exact long sums. */
-  def largeVolumeCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+  def largeVolumeCustomers(spark: SparkSession, sfDir: String,
+                           minQty: Long = LargeQtyThreshold,
+                           topN: Int = LargeVolTopN): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
     val heavy = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
       .groupBy("l_orderkey").agg(sum("qty").as("sum_qty"))
-      .filter(col("sum_qty") > LargeQtyThreshold)
+      .filter(col("sum_qty") > minQty)
     heavy
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, sfDir)
@@ -3703,20 +3713,23 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(LargeVolTopN)
+      .limit(topN)
   }
 
-  val largeVolumeCustomersSql: String =
+  def largeVolumeCustomersSqlFor(minQty: Long, topN: Int): String =
     s"""WITH heavy AS (
        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
        |  FROM lineitem GROUP BY l_orderkey
-       |  HAVING sum(CAST(l_quantity AS BIGINT)) > $LargeQtyThreshold)
+       |  HAVING sum(CAST(l_quantity AS BIGINT)) > $minQty)
        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
        |FROM heavy
        |JOIN orders   ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey
-       |LIMIT $LargeVolTopN""".stripMargin
+       |LIMIT $topN""".stripMargin
+
+  val largeVolumeCustomersSql: String =
+    largeVolumeCustomersSqlFor(LargeQtyThreshold, LargeVolTopN)
 
   /** TPC-H Q19-shaped disjunctive-predicate revenue: three
     * (brand, size-range, quantity-range) branches OR-ed together. The
@@ -3881,7 +3894,8 @@ object Relational {
       .limit(topN)
   }
 
-  val partLinkPredictionSql: String =
+  def partLinkPredictionSqlFor(topN: Int, topQ: Int,
+                               maxBasket: Int): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |            FROM lineitem),
        |br AS (SELECT ok, pk,
@@ -3889,7 +3903,7 @@ object Relational {
        |       FROM op),
        |wed AS (SELECT a.pk AS u, b.pk AS v, count(*) AS w
        |        FROM br a JOIN br b ON a.ok = b.ok AND a.pk < b.pk
-       |        WHERE a.rk <= $AffinityMaxBasket AND b.rk <= $AffinityMaxBasket
+       |        WHERE a.rk <= $maxBasket AND b.rk <= $maxBasket
        |        GROUP BY 1, 2),
        |dir AS (SELECT u AS z, v AS x, w FROM wed
        |        UNION ALL SELECT v, u, w FROM wed),
@@ -3898,7 +3912,7 @@ object Relational {
        |                  row_number() OVER (PARTITION BY z
        |                                     ORDER BY w DESC, x) AS rk
        |           FROM dir)
-       |         WHERE rk <= $LinkTopQ),
+       |         WHERE rk <= $topQ),
        |tdeg AS (SELECT x, count(*) AS td FROM topq GROUP BY x),
        |cn AS (SELECT e1.x AS a, e2.x AS b, count(*) AS cn
        |       FROM topq e1 JOIN topq e2 ON e1.z = e2.z AND e1.x < e2.x
@@ -3915,7 +3929,10 @@ object Relational {
        |JOIN tdeg d1 ON d1.x = a
        |JOIN tdeg d2 ON d2.x = b
        |ORDER BY cn DESC, union_sz, part_a, part_b
-       |LIMIT $LinkTopN""".stripMargin
+       |LIMIT $topN""".stripMargin
+
+  val partLinkPredictionSql: String =
+    partLinkPredictionSqlFor(LinkTopN, LinkTopQ, AffinityMaxBasket)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "market_share"        -> ((s, d) => marketShare(s, d)),

@@ -3213,7 +3213,9 @@ object TextAnalysis {
     * SinglePartition window), then one groupBy(shard) agg. Output is
     * O(total_tokens / [[ShardTokens]]) rows — a distributed frame, not
     * driver state. All-integer end to end. */
-  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  def shardPlan(spark: SparkSession, sfDir: String,
+                shardTokens: Long = ShardTokens): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
     import org.apache.spark.sql.expressions.Window
     val docs = maybeCache(Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("nt")))
@@ -3236,18 +3238,18 @@ object TextAnalysis {
     binned
       .join(broadcast(carryDf), Seq("bin"))
       .withColumn("start", coalesce(sum("nt").over(wBin), lit(0L)) + col("carry"))
-      .withColumn("shard", expr(s"start DIV $ShardTokens"))
+      .withColumn("shard", expr(s"start DIV $shardTokens"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
         sum("nt").as("shard_tokens"))
       .withColumn("fill_ppm",
-        floor(col("shard_tokens").cast("double") * 1e6 / ShardTokens + 0.5)
+        floor(col("shard_tokens").cast("double") * 1e6 / shardTokens + 0.5)
           .cast("long"))
       .orderBy("shard")
   }
 
-  val shardPlanSql: String =
+  def shardPlanSqlFor(shardTokens: Long): String =
     s"""WITH d AS (SELECT doc_id,
        |                  CAST(len(list_filter(
        |                    string_split_regex(lower(text), '\\W+'),
@@ -3258,14 +3260,16 @@ object TextAnalysis {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |               0) AS start
        |      FROM d)
-       |SELECT CAST(start // $ShardTokens AS BIGINT) AS shard,
+       |SELECT CAST(start // $shardTokens AS BIGINT) AS shard,
        |       count(*) AS n_docs,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        |       CAST(sum(nt) AS BIGINT) AS shard_tokens,
-       |       CAST(floor(CAST(sum(nt) AS DOUBLE) * 1e6 / $ShardTokens + 0.5)
+       |       CAST(floor(CAST(sum(nt) AS DOUBLE) * 1e6 / $shardTokens + 0.5)
        |            AS BIGINT) AS fill_ppm
        |FROM c
        |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  val shardPlanSql: String = shardPlanSqlFor(ShardTokens)
 
   /** Ranks fitted by [[zipfFit]] — shared with the oracle template. */
   private[graft] val ZipfTopN = 100

@@ -32,6 +32,10 @@ SPECS=(
   'cluster_balanced_sample@alpha=0.25' 'cluster_balanced_sample@alpha=1.0'
   'label_propagation@edges=mutual' 'label_propagation@iters=1,mask_mod=2'
   'knn_components@edges=mutual' 'knn_components@k=5'
+  'market_share@nation=NATION_3' 'market_share@region=ASIA,ptype=ECONOMY'
+  'large_volume_customers@min_qty=150' 'large_volume_customers@min_qty=300,top_n=20'
+  'part_link_prediction@top_q=8' 'part_link_prediction@top_q=64,top_n=20'
+  'shard_plan@shard_tokens=1024' 'shard_plan@shard_tokens=16384'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
