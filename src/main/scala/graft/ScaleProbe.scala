@@ -95,7 +95,7 @@ object ScaleProbe {
     "events_winsorized_stats", "user_diversity_simpson",
     "user_growth_daily", "events_late_audit", "watermark_delay_curve",
     "events_stickiness", "events_bot_regularity", "events_autocorr",
-    "events_latest_state")
+    "events_latest_state", "events_user_bitmap_daily")
 
   /** Queries that read only the TPC-H-ish tables — probed when
     * relScale > 0 (Audit-verified table usage; asof_join_orders is out

@@ -2350,7 +2350,35 @@ object Temporal {
       |FROM g
       |ORDER BY o_custkey, run_id""".stripMargin
 
+  /** Daily active users via [[graft.functions.BitmapDistinct]] — the
+    * bitmap-accelerated exact distinct (registered through
+    * SparkSessionExtensions; also callable as `bitmap_distinct(...)` in
+    * SQL). Semantically identical to count(DISTINCT user_id) — the
+    * oracle IS count(DISTINCT) — but the partial aggregate state is a
+    * fixed-size bitmap instead of a per-group value set: shuffle bytes
+    * are O(id_domain/8) per (group, partition) regardless of event
+    * count, merge is a word-wise OR (order-independent, so the exact
+    * count is hash-gateable under any partitioning), and a second
+    * distinct in the same agg would not trigger Expand. The bounded-
+    * domain contract (ids < 2²⁶) fails self-announcingly; unbounded
+    * domains route to HLL (approx_distinct_parts) — the documented
+    * operator split. */
+  def eventsUserBitmapDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsTs(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.BitmapDistinct.bitmap_distinct(col("user_id"))
+          .as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  val eventsUserBitmapDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_bitmap_daily" -> ((s, d) => eventsUserBitmapDaily(s, d)),
     "asof_join_native"  -> ((s, d) => asofJoinNative(s, d)),
     "asof_join_native_fwd" -> ((s, d) => asofJoinNativeFwd(s, d)),
     "user_growth_daily" -> ((s, d) => userGrowthDaily(s, d)),
@@ -2391,6 +2419,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_user_bitmap_daily" -> eventsUserBitmapDailySql,
     // native-operator variant claims row-identity with the composed
     // as-of forms — all three share one oracle, enforced by the hash gate
     "asof_join_native"  -> asofJoinNativeSql,

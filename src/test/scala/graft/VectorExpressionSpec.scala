@@ -46,4 +46,46 @@ class VectorExpressionSpec extends AnyFunSuite {
     val r = df.select(array_dot(col("a"), col("b"))).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("bitmap_distinct == count(DISTINCT) per group across many partitions") {
+    import graft.functions.BitmapDistinct.bitmap_distinct
+    // 40 partitions force partial-buffer serialization + OR-merge
+    val df = spark.range(0, 100000, 1, 40)
+      .select((col("id") % 7).as("g"), (col("id") % 997).as("uid"))
+    val bm = df.groupBy("g").agg(bitmap_distinct(col("uid")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val cd = df.groupBy("g").agg(countDistinct(col("uid")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bm == cd && bm.values.forall(_ > 0))
+  }
+
+  test("bitmap_distinct is registered for SQL and skips nulls") {
+    val out = spark.sql(
+      "SELECT bitmap_distinct(x) AS n FROM VALUES (1L), (2L), (2L), (CAST(NULL AS LONG)) AS t(x)")
+      .as[Long].head()
+    assert(out == 2L)
+  }
+
+  test("bitmap_distinct fails self-announcingly outside the bounded domain") {
+    import graft.functions.BitmapDistinct.bitmap_distinct
+    val err = intercept[Exception] {
+      Seq(1L << 30).toDF("x").agg(bitmap_distinct(col("x"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m => m.contains("bitmap_distinct") && m.contains("outside")))
+  }
+
+  test("bitmap_distinct matches the oracle shape on the events fixture") {
+    val rows = queries.Temporal.eventsUserBitmapDaily(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.eventsTs(spark, TestSpark.sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") ==
+        exact(r.getAs[java.sql.Date]("day").toString))
+    }
+  }
 }
