@@ -125,7 +125,8 @@ object ScaleProbe {
     "benford_audit", "revenue_bridge", "revenue_ewma_anomaly",
     "km_ship_survival", "parts_abc_class", "orders_gini",
     "market_share", "small_qty_revenue", "large_volume_customers",
-    "disc_revenue_brands", "dormant_high_balance", "part_link_prediction")
+    "disc_revenue_brands", "dormant_high_balance", "part_link_prediction",
+    "part_name_profit")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

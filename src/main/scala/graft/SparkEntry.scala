@@ -97,6 +97,8 @@ object SparkEntry {
     "shard_plan" -> ((s, d, a) =>
       TextAnalysis.shardPlan(s, d,
         a.getOrElse("shard_tokens", "4096").toLong)),
+    "part_name_profit" -> ((s, d, a) =>
+      Relational.partNameProfit(s, d, a.getOrElse("pattern", "bolt"))),
     "mixture_apply" -> ((s, d, a) =>
       TextAnalysis.mixtureApply(s, d, a.getOrElse("rate", "0.5").toDouble)),
     "winnow_overlap" -> ((s, d, a) =>
@@ -271,6 +273,8 @@ object SparkEntry {
     "shard_plan" -> (a =>
       TextAnalysis.shardPlanSqlFor(
         a.getOrElse("shard_tokens", "4096").toLong)),
+    "part_name_profit" -> (a =>
+      Relational.partNameProfitSqlFor(a.getOrElse("pattern", "bolt"))),
     "late_order_priority" -> (a =>
       Relational.lateOrderPrioritySqlFor(a.getOrElse("lag_days", "90").toInt)),
     "waiting_supplier" -> (a =>

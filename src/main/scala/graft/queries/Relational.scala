@@ -3826,6 +3826,59 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY nation""".stripMargin
 
+  private val ProfitNamePattern = "bolt"
+
+  /** TPC-H Q9-shaped product-line revenue by producing nation and year
+    * (the reduced schema has no partsupp/supplycost, so the measure is
+    * discounted revenue rather than revenue − cost — same plan shape):
+    * lineitems of parts whose NAME contains a pattern, rolled up by the
+    * SUPPLIER's nation per order year. The name filter prunes the part
+    * dim BEFORE broadcast (contains() cannot push to parquet as a range
+    * but the dim-side scan is catalog-sized); supplier and nation
+    * broadcast; the only fact-fact shuffle is lineitem⋈orders on
+    * orderkey. Exact cents·pct decimal sums; Q9's classic ordering
+    * (nation asc, year desc). */
+  def partNameProfit(spark: SparkSession, sfDir: String,
+                     pattern: String = ProfitNamePattern): DataFrame = {
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(pattern)).select("p_partkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg((sum(col("rev_e4").cast("decimal(38,0)")).cast("double") / 10000)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  def partNameProfitSqlFor(pattern: String): String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+       |         / 10000 AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%$pattern%'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  val partNameProfitSql: String = partNameProfitSqlFor(ProfitNamePattern)
+
   private val LinkTopN = 50
   private val LinkTopQ = 32
   private val LinkMinCn = 2
@@ -3940,6 +3993,7 @@ object Relational {
     "large_volume_customers" -> ((s, d) => largeVolumeCustomers(s, d)),
     "disc_revenue_brands" -> ((s, d) => discRevenueBrands(s, d)),
     "dormant_high_balance" -> ((s, d) => dormantHighBalance(s, d)),
+    "part_name_profit"    -> ((s, d) => partNameProfit(s, d)),
     "part_link_prediction" -> ((s, d) => partLinkPrediction(s, d)),
     "orders_gini"         -> ((s, d) => ordersGini(s, d)),
     "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
@@ -4009,6 +4063,7 @@ object Relational {
     "large_volume_customers" -> largeVolumeCustomersSql,
     "disc_revenue_brands"  -> discRevenueBrandsSql,
     "dormant_high_balance" -> dormantHighBalanceSql,
+    "part_name_profit"     -> partNameProfitSql,
     "part_link_prediction" -> partLinkPredictionSql,
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,

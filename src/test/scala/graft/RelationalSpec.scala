@@ -893,6 +893,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("part_name_profit: totals match a direct filtered recompute; Q9 ordering") {
+    val rows = queries.Relational.partNameProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expect = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("y"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      .collect().groupBy(r => (r.getAs[String]("n_name"), r.getAs[Int]("y")))
+      .map { case (k, rs) => k -> (rs.map(r => BigInt(r.getAs[Long]("rev"))).sum, rs.length) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (rev, n) = expect((r.getAs[String]("nation"), r.getAs[Int]("o_year")))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(math.abs(r.getAs[Double]("revenue") - rev.toDouble / 10000) < 1e-6)
+    }
+    val key = rows.map(r => (r.getAs[String]("nation"), -r.getAs[Int]("o_year"))).toSeq
+    assert(key == key.sorted)
+  }
+
   test("part_link_prediction: pairs are non-edges, cn matches brute-force truncated incidence") {
     val rows = queries.Relational.partLinkPrediction(spark, sf).collect()
     assert(rows.nonEmpty)

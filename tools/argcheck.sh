@@ -36,6 +36,7 @@ SPECS=(
   'large_volume_customers@min_qty=150' 'large_volume_customers@min_qty=300,top_n=20'
   'part_link_prediction@top_q=8' 'part_link_prediction@top_q=64,top_n=20'
   'shard_plan@shard_tokens=1024' 'shard_plan@shard_tokens=16384'
+  'part_name_profit@pattern=widget' 'part_name_profit@pattern=small'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
