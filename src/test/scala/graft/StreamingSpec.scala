@@ -394,6 +394,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == ev.count())
   }
 
+  test("latest-state upsert state survives a checkpointed restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_latest_restart").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    val ev = Tables.eventsTs(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    // phase 1: the EARLY half of every user's history; phase 2: the rest.
+    // If the mapGroupsWithState store did not recover from the
+    // checkpoint, phase-2 counts would restart from 1 and the final
+    // n_events could never reach the batch total.
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    half1.write.parquet(inDir)
+    val outDir = s"$base/out"
+    def runOnce(): Unit = {
+      // memory sink can't recover from a checkpoint — foreachBatch is
+      // the recovery-capable sink for Update-mode stateful output
+      val q = StreamingJobs.latestState(
+          spark.readStream.schema(ev.schema).parquet(inDir))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000L) finally q.stop()
+    }
+    runOnce()
+    val stage = s"$base/stage"
+    half2.write.parquet(stage)
+    Files.list(Paths.get(stage)).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.move(p, Paths.get(inDir, "h2_" + p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    runOnce()
+    // the sink accumulates every emitted update across both phases:
+    // per touched user the max-n_events row is the final state, and it
+    // can only reach the two-phase lifetime total if the phase-1 state
+    // store was recovered from the checkpoint
+    val streamed = spark.read.parquet(outDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rs) => rs.maxBy(_.getAs[Long]("n_events")) }
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("n_events"))).toSeq.sortBy(_._1)
+    val batch = StreamingJobs.latestState(Tables.eventsTs(spark, sf))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("last_event_id"), r.getAs[Long]("n_events"))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (u, lastId, n) =>
+      assert(batch(u) == ((lastId, n)), s"user $u diverged after restart")
+    }
+  }
+
   test("sliding windows: every event contributes to exactly 2 windows") {
     val n = Tables.eventsTs(spark, sf).count()
     val total = StreamingJobs.sliding6h3h(Tables.eventsTs(spark, sf))
