@@ -29,6 +29,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("TPC-H classics: dims broadcast, selective filters reach the scans") {
+    // market_share: 4 broadcast dim joins, exactly one fact-fact shuffle
+    // join (lineitem⋈orders), type filter pushed to the part scan
+    val ms = plan("market_share")
+    assert(ms.split("BroadcastHashJoin").length - 1 >= 4, "dims broadcast")
+    assert(ms.contains("EqualTo(p_type,PROMO)"), "type filter pushed")
+    // small_qty_revenue: brand filter pushed; the fact joins the brand
+    // slice via broadcast before any per-part aggregation
+    val sq = plan("small_qty_revenue")
+    assert(sq.contains("EqualTo(p_brand,Brand#4)"), "brand filter pushed")
+    assert(sq.contains("BroadcastHashJoin"))
+    // large_volume_customers: per-order partial sums before the shuffle,
+    // top-N via TakeOrderedAndProject
+    val lv = plan("large_volume_customers")
+    assert(lv.contains("partial_sum") || lv.contains("partial sum"),
+      "HAVING pushdown aggregates map-side")
+    assert(lv.contains("TakeOrderedAndProject"))
+    // disc_revenue_brands: the hoisted brand prefilter reaches the part
+    // scan as an IN (the OR's common factor, pruned before broadcast)
+    val dr = plan("disc_revenue_brands")
+    assert(dr.contains("In(p_brand") || dr.contains("p_brand IN"),
+      "brand IN prefilter pushed")
+    // dormant_high_balance: dormancy is a real anti join, and the
+    // date prune reaches the orders scan
+    val dh = plan("dormant_high_balance")
+    assert(dh.contains("LeftAnti"))
+    assert(dh.contains("GreaterThanOrEqual(o_orderdate"), "date prune pushed")
+    // part_name_profit: pattern prunes the dim scan; supplier/nation/part
+    // all broadcast; TakeOrdered absent (full rollup, ordered output)
+    val pp = plan("part_name_profit")
+    assert(pp.contains("StringContains(p_name,bolt)"), "pattern pushed")
+    assert(pp.split("BroadcastHashJoin").length - 1 >= 2)
+  }
+
   test("semi/anti joins plan as Semi/Anti, with the selective filter pushed") {
     assert(plan("semi_join_heavy").contains("LeftSemi"))
     assert(plan("semi_join_heavy").contains("GreaterThan(l_quantity,45.0)"))
