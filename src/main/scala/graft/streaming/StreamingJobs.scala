@@ -406,6 +406,55 @@ object StreamingJobs {
     t
   }
 
+  case class OrdEv(o_custkey: Long, o_orderkey: Long,
+                   o_orderstatus: String, o_orderdate: Timestamp)
+  case class Scd2State(runId: Long, status: String,
+                      validFromUs: Long, n: Long)
+  case class Scd2Out(o_custkey: Long, run_id: Long, status: String,
+                     valid_from: Timestamp, valid_to: Timestamp,
+                     n_orders: Long)
+
+  /** Streaming SCD2 history maintenance over an order-status changelog —
+    * the live twin of the registered batch [[graft.queries.Temporal]]
+    * `scd2_order_status` (gaps-and-islands): per customer, a status run
+    * stays open in keyed state; when the status CHANGES, the closed
+    * type-2 history row (valid_from, valid_to = successor's start,
+    * n_orders) is emitted downstream and a new run opens. The stream
+    * emits exactly the batch twin's `is_current = false` rows — the
+    * open run is state, not output, because "current" only closes when
+    * a successor arrives (no timeout can invent one). Contract:
+    * per-key in-order arrival (the Kafka partition-by-key changelog
+    * norm); within a micro-batch, rows sort by (date, orderkey) so
+    * batch boundaries cannot split or reorder a run. State is O(1) per
+    * customer; StreamingSpec replays the orders table multi-batch and
+    * asserts streamed == batch closed rows. */
+  def scd2Stateful(orders: Dataset[OrdEv]): Dataset[Scd2Out] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[OrdEv], state: GroupState[Scd2State]) =>
+          val evs = it.toSeq.sortBy(e => (toUs(e.o_orderdate), e.o_orderkey))
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[Scd2Out]
+          evs.foreach { e =>
+            val t = toUs(e.o_orderdate)
+            if (cur == null)
+              cur = Scd2State(1L, e.o_orderstatus, t, 1L)
+            else if (e.o_orderstatus == cur.status)
+              cur = cur.copy(n = cur.n + 1)
+            else {
+              closed += Scd2Out(key, cur.runId, cur.status,
+                toTs(cur.validFromUs), toTs(t), cur.n)
+              cur = Scd2State(cur.runId + 1, e.o_orderstatus, t, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+
   /** Hand-rolled sessionizer over `KeyValueGroupedDataset` — the custom-
     * state escape hatch for semantics `session_window` can't express
     * (e.g. per-session enrichment, early emission, custom merge rules).

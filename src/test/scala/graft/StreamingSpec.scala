@@ -394,6 +394,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == ev.count())
   }
 
+  test("streaming SCD2 (flatMapGroupsWithState) emits exactly the batch closed-history rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val input = mem.toDF()
+      .toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+      .as[StreamingJobs.OrdEv]
+    val q = StreamingJobs.scd2Stateful(input).toDF().writeStream
+      .format("memory").queryName("scd2_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // per-key in-order replay (the changelog contract): global
+      // (date, orderkey) order preserves every customer's order, split
+      // across 3 micro-batches so runs straddle batch boundaries
+      val evs = Tables.orders(spark, sf)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+        .as[(Long, Long, String, Timestamp)].collect()
+        .sortBy(e => (e._4.getTime, e._2)).toSeq
+      val third = evs.length / 3
+      mem.addData(evs.take(third)); q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(evs.drop(2 * third)); q.processAllAvailable()
+      // batch side reads TIMESTAMP_NTZ → collect() yields LocalDateTime;
+      // streamed side carries java.sql.Timestamp — normalize both
+      def ms(x: Any): Long = x match {
+        case t: Timestamp => t.getTime
+        case d: java.time.LocalDateTime => Timestamp.valueOf(d).getTime
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("o_custkey"), r.getAs[Long]("run_id"),
+          r.getAs[String]("status"), ms(r.getAs[Any]("valid_from")),
+          ms(r.getAs[Any]("valid_to")), r.getAs[Long]("n_orders"))
+      val streamed = spark.table("scd2_test").collect().map(key).toSeq.sorted
+      val batch = queries.Temporal.scd2OrderStatus(spark, sf)
+        .filter(!col("is_current")).collect().map(key).toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("latest-state upsert state survives a checkpointed restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_latest_restart").toString
