@@ -85,15 +85,38 @@ object VectorFunctions {
   * pushdown rewrite (graft.plans.YearPredicateRewrite). Applied by
   * GraftSession. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Arity gate for the SQL builders: without it, `bitmap_distinct(a, b)`
+    * would silently ignore the second argument (a silent-wrong-answer
+    * shape) and a zero-arg call would surface as a raw
+    * NoSuchElementException. Matches Spark's WRONG_NUM_ARGS analysis
+    * error for built-in functions. */
+  private def exactArity(name: String, expected: Int,
+                         children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        cause = None)
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val cs = exactArity("array_dot", 2, children)
+        ArrayDotProduct(cs.head, cs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
-      (children: Seq[Expression]) => BitmapDistinct(children.head)))
+      (children: Seq[Expression]) =>
+        BitmapDistinct(exactArity("bitmap_distinct", 1, children).head)))
     ext.injectOptimizerRule(_ => graft.plans.YearPredicateRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

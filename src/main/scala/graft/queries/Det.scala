@@ -22,3 +22,35 @@ object Det {
     s"CAST(floor(($x) * $p + 0.5) AS DOUBLE) / $p"
   }
 }
+
+/** Safe-charset gates for user-supplied STRING arguments that are
+  * interpolated into oracle SQL (the arg-template layer). Numeric args
+  * go through toInt/toLong/toDouble and cannot inject; string args reach
+  * a '…' literal verbatim, so a quote breaks the oracle and — where the
+  * oracle uses LIKE while the Spark side uses Column.contains — a `%`/`_`
+  * silently DIVERGES the two engines instead of failing. Validate at the
+  * query function itself (both the DataFrame side and the SqlFor twin
+  * call these), so every entry path is covered. */
+object Args {
+  /** Arg destined for an equality-compared SQL string literal: bans
+    * quote, backslash, and control chars; everything else is inert
+    * inside '…'. */
+  def lit(name: String, v: String): String = {
+    require(v.forall(c => c != '\'' && c != '\\' && c >= ' '),
+      s"$name must not contain quotes, backslashes, or control chars " +
+        s"(it is interpolated into an oracle SQL literal), got '$v'")
+    v
+  }
+
+  /** Arg destined for a LIKE '%…%' pattern whose Spark twin is the
+    * LITERAL Column.contains: additionally bans the LIKE metacharacters
+    * `%` and `_`, which would silently diverge the two engines. */
+  def likeLit(name: String, v: String): String = {
+    lit(name, v)
+    require(!v.exists(c => c == '%' || c == '_'),
+      s"$name must not contain LIKE metacharacters % or _ " +
+        "(Spark compares it literally via contains; the oracle via LIKE), " +
+        s"got '$v'")
+    v
+  }
+}

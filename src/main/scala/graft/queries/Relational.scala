@@ -3560,8 +3560,10 @@ object Relational {
     * revenue supplied from [[ShareNation]]. The canonical "two
     * conditional sums, one ratio" plan: lineitem⋈orders is the only
     * fact-fact shuffle (orderkey); part (type-filtered BEFORE the join,
-    * so the broadcast is the selective slice), customer→nation→region
-    * and supplier→nation are all broadcast dims. Revenue accumulates in
+    * so the broadcast is the selective slice) and the bounded dims
+    * (nation, region) carry hints; the customer slice and supplier frame
+    * GROW with SF, so AQE picks their join strategy (broadcast while
+    * small, shuffle at warehouse scale). Revenue accumulates in
     * exact cents·pct units (decimal(38,0) sums — int128-safe at 100 TB);
     * the share is ONE double division of two exact integers, rounded via
     * [[Det.r]]. At 1000 executors this is a scan-heavy plan with a single
@@ -3570,6 +3572,8 @@ object Relational {
                   nation: String = ShareNation,
                   region: String = ShareRegion,
                   ptype: String = SharePartType): DataFrame = {
+    Args.lit("nation", nation); Args.lit("region", region)
+    Args.lit("ptype", ptype)
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
@@ -3590,10 +3594,16 @@ object Relational {
       .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("s_nation"))),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_nation")
+    // cust (a region slice of customer) and supp GROW with scale factor —
+    // no forced broadcast hint (invariant #4): AQE broadcasts them while
+    // their runtime size is under the threshold and falls back to a
+    // shuffle join at warehouse scale instead of OOMing the driver. The
+    // bounded dims (nation, region) and the type-pruned part slice keep
+    // their hints.
     li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(
         sum(col("rev_e4").cast("decimal(38,0)")).as("tot"),
@@ -3610,7 +3620,9 @@ object Relational {
   }
 
   def marketShareSqlFor(nation: String, region: String,
-                        ptype: String): String =
+                        ptype: String): String = {
+    Args.lit("nation", nation); Args.lit("region", region)
+    Args.lit("ptype", ptype)
     s"""SELECT o_year,
        |       CAST(tot AS DOUBLE) / 10000 AS total_revenue,
        |       CAST(nat AS DOUBLE) / 10000 AS nation_revenue,
@@ -3635,6 +3647,7 @@ object Relational {
        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
        |  GROUP BY 1)
        |ORDER BY o_year""".stripMargin
+  }
 
   val marketShareSql: String =
     marketShareSqlFor(ShareNation, ShareRegion, SharePartType)
@@ -3695,7 +3708,8 @@ object Relational {
     * partial sums — the shuffle carries one row per order, not per
     * line), the > threshold filter prunes before any join, and only the
     * surviving ~top-percentile orders join orders (shuffle on orderkey)
-    * and broadcast customer. Top-N via TakeOrderedAndProject; ties break
+    * and customer (AQE-chosen strategy — customer grows with SF, so no
+    * forced broadcast). Top-N via TakeOrderedAndProject; ties break
     * on orderkey. Quantities are integral → exact long sums. */
   def largeVolumeCustomers(spark: SparkSession, sfDir: String,
                            minQty: Long = LargeQtyThreshold,
@@ -3705,10 +3719,13 @@ object Relational {
       .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
       .groupBy("l_orderkey").agg(sum("qty").as("sum_qty"))
       .filter(col("sum_qty") > minQty)
+    // customer grows with scale factor — no forced broadcast (invariant
+    // #4): AQE broadcasts it while small and shuffle-joins at warehouse
+    // scale; the surviving heavy-order side is already pruned to the
+    // top percentile, so the shuffle fallback is cheap either way.
     heavy
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-          .select("c_custkey", "c_name")),
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -3840,6 +3857,7 @@ object Relational {
     * (nation asc, year desc). */
   def partNameProfit(spark: SparkSession, sfDir: String,
                      pattern: String = ProfitNamePattern): DataFrame = {
+    Args.likeLit("pattern", pattern)
     val pt = Tables.part(spark, sfDir)
       .filter(col("p_name").contains(pattern)).select("p_partkey")
     val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
@@ -3863,7 +3881,8 @@ object Relational {
       .orderBy(col("nation").asc, col("o_year").desc)
   }
 
-  def partNameProfitSqlFor(pattern: String): String =
+  def partNameProfitSqlFor(pattern: String): String = {
+    Args.likeLit("pattern", pattern)
     s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
        |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
@@ -3876,6 +3895,7 @@ object Relational {
        |JOIN orders   ON l_orderkey = o_orderkey
        |GROUP BY 1, 2
        |ORDER BY nation, o_year DESC""".stripMargin
+  }
 
   val partNameProfitSql: String = partNameProfitSqlFor(ProfitNamePattern)
 

@@ -311,4 +311,36 @@ class ArgsSpec extends AnyFunSuite {
     assert(math.abs(totCredit - totTouch.toDouble) < 1e-6,
       s"cap=1 credit $totCredit != touches $totTouch")
   }
+
+  test("string args interpolated into oracle SQL are charset-gated") {
+    // part_name_profit's oracle uses LIKE while Spark uses contains():
+    // LIKE metacharacters and quotes must be REJECTED, not silently
+    // diverge the two engines (ADVICE r11).
+    val pnp = SparkEntry.queriesWithArgs("part_name_profit")
+    intercept[IllegalArgumentException] {
+      pnp(spark, sf, Map("pattern" -> "50%"))
+    }
+    intercept[IllegalArgumentException] {
+      pnp(spark, sf, Map("pattern" -> "a_b"))
+    }
+    intercept[IllegalArgumentException] {
+      pnp(spark, sf, Map("pattern" -> "o'brien"))
+    }
+    intercept[IllegalArgumentException] {
+      queries.Relational.partNameProfitSqlFor("50%")
+    }
+    // market_share compares by equality — underscore is legal there
+    // (the default nation IS 'NATION_5') but quotes/backslashes break
+    // the oracle literal and must be rejected on BOTH sides.
+    val ms = SparkEntry.queriesWithArgs("market_share")
+    assert(ms(spark, sf, Map("nation" -> "NATION_5")).columns.nonEmpty)
+    intercept[IllegalArgumentException] {
+      ms(spark, sf, Map("nation" -> "x' OR '1'='1"))
+    }
+    intercept[IllegalArgumentException] {
+      queries.Relational.marketShareSqlFor("a\\b", "AMERICA", "PROMO")
+    }
+    // a legal non-default pattern still round-trips
+    assert(pnp(spark, sf, Map("pattern" -> "nut")).columns.contains("nation"))
+  }
 }

@@ -33,6 +33,26 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(out == 11.0)
   }
 
+  test("SQL registration enforces arity (WRONG_NUM_ARGS, not silent drop)") {
+    // bitmap_distinct(a, b) must FAIL analysis — before the arity gate it
+    // silently ignored the second argument (wrong-answer shape); zero
+    // args surfaced as a raw NoSuchElementException.
+    val twoArgs = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bitmap_distinct(id, id) FROM range(5)").collect()
+    }
+    assert(twoArgs.getMessage.contains("bitmap_distinct"))
+    assert(twoArgs.getCondition != null &&
+      twoArgs.getCondition.startsWith("WRONG_NUM_ARGS"))
+    val zeroArgs = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bitmap_distinct() FROM range(5)").collect()
+    }
+    assert(zeroArgs.getMessage.contains("bitmap_distinct"))
+    val dotOne = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array(1.0D))").collect()
+    }
+    assert(dotOne.getMessage.contains("array_dot"))
+  }
+
   test("array_dot rejects wrong input types at analysis") {
     val err = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(array_dot(col("a"), col("b"))).collect()
