@@ -126,7 +126,9 @@ object ScaleProbe {
     "km_ship_survival", "parts_abc_class", "orders_gini",
     "market_share", "small_qty_revenue", "large_volume_customers",
     "disc_revenue_brands", "dormant_high_balance", "part_link_prediction",
-    "part_name_profit")
+    "part_name_profit",
+    "customer_order_dist", "region_part_value", "min_cost_supplier",
+    "supplier_part_counts", "dominant_ship_suppliers")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

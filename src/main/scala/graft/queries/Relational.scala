@@ -3899,6 +3899,275 @@ object Relational {
 
   val partNameProfitSql: String = partNameProfitSqlFor(ProfitNamePattern)
 
+  private val OrderDistPriority = "1-URGENT"
+
+  /** TPC-H Q13-shaped customer order-count distribution — the one
+    * outer-join aggregate classic: how many customers placed exactly k
+    * qualifying ([[OrderDistPriority]]) orders, INCLUDING the zero
+    * bucket (customers with no qualifying order at all — the rows an
+    * inner join silently deletes; the reduced schema has no o_comment,
+    * so the qualifying filter is the priority class).
+    *
+    * Plan: orders pre-aggregates per custkey FIRST (map-side partial
+    * count; the shuffle carries one row per customer that ordered, not
+    * one per order), customer LEFT-joins that count frame on custkey
+    * (AQE picks the strategy — both sides grow with SF, so no forced
+    * broadcast), the zero bucket materializes via coalesce(n, 0), and
+    * the final distribution agg groups ≤ max-order-count rows. Orders
+    * by (custdist, c_count) desc — a total order, c_count is unique. */
+  def customerOrderDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val oc = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === OrderDistPriority)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val customerOrderDistSql: String =
+    s"""WITH oc AS (
+       |  SELECT o_custkey, count(*) AS n FROM orders
+       |  WHERE o_orderpriority = '$OrderDistPriority' GROUP BY o_custkey)
+       |SELECT c_count, count(*) AS custdist
+       |FROM (SELECT coalesce(n, 0) AS c_count
+       |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val StockRegion = "ASIA"
+
+  /** TPC-H Q11-shaped important stock: per part supplied by
+    * [[StockRegion]]'s suppliers, total discounted revenue — kept only
+    * where the part's value exceeds 1/1000 of the regional slice total
+    * (the group-HAVING-vs-global-scalar classic; the reduced schema has
+    * no partsupp, so value = lineitem revenue rather than availqty ×
+    * supplycost — same plan shape).
+    *
+    * Plan: region suppliers resolve through broadcast nation/region
+    * dims (the supplier frame itself grows with SF → AQE picks its join
+    * strategy); the fact shuffles ONCE on partkey for the per-part agg;
+    * the global total re-aggregates THAT frame (per-part rows, not the
+    * fact) into a 1-row broadcast. The threshold compare is exact
+    * integer cross-multiplication — value_e4 · 1000 > total_e4 in
+    * decimal(38,0)/HUGEINT (no float fraction at any scale; 10²⁴ head
+    * room at 100 TB). */
+  def regionPartValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rsupp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === StockRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val pv = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+      .join(rsupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("value_e4"))
+    val tot = pv.agg(sum("value_e4").as("t"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_e4") * 1000 > col("t"))
+      .select(col("p_partkey"),
+        (col("value_e4").cast("double") / 10000).as("value"))
+      .orderBy(col("value").desc, col("p_partkey").asc)
+  }
+
+  val regionPartValueSql: String =
+    s"""WITH rs AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$StockRegion'),
+       |pv AS (
+       |  SELECT l_partkey AS p_partkey,
+       |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS value_e4
+       |  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(value_e4) AS t FROM pv)
+       |SELECT p_partkey, CAST(value_e4 AS DOUBLE) / 10000 AS value
+       |FROM pv CROSS JOIN tot
+       |WHERE value_e4 * 1000 > t
+       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  private val MinCostPartType = "LARGE"
+  private val MinCostRegion = "AMERICA"
+  private val MinCostTopN = 100
+
+  /** TPC-H Q2-shaped min-cost supplier: for each [[MinCostPartType]]
+    * part, the cheapest [[MinCostRegion]] supplier that has actually
+    * shipped it (the correlated-min classic; the reduced schema has no
+    * partsupp/supplycost, so the supply relation is the distinct
+    * (partkey, suppkey) shipment pairs and the cost proxy is the
+    * supplier's account balance in exact cents).
+    *
+    * Plan: the shipment-pair frame aggregates the fact ONCE on
+    * (partkey, suppkey) — carrying two keys, never price columns; the
+    * part slice broadcasts (catalog-sized, type-pruned before the
+    * hint); region suppliers resolve through broadcast nation/region
+    * and join WITHOUT a hint (supplier grows with SF → AQE). The
+    * correlated min is a row_number window partitioned per part
+    * (ordered bal_c, then s_suppkey — an explicit total order, so ties
+    * are deterministic), never a self-join back onto the fact. Top-N
+    * via TakeOrderedAndProject. */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_type") === MinCostPartType).select("p_partkey", "p_name")
+    // semi-prune the fact against the type slice BEFORE the pair
+    // distinct, so the distinct exchange is slice-sized, not corpus-sized
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
+    val rsupp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"),
+        cents(col("s_acctbal")).as("bal_c"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_regionkey"),
+            col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === MinCostRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "nation", "bal_c")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_partkey"))
+      .orderBy(col("bal_c").asc, col("s_suppkey").asc)
+    pairs.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(rsupp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("nation"),
+        (col("bal_c").cast("double") / 100).as("s_acctbal"))
+      .orderBy(col("s_acctbal").asc, col("p_partkey").asc)
+      .limit(MinCostTopN)
+  }
+
+  val minCostSupplierSql: String =
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |rs AS (
+       |  SELECT s_suppkey, s_name, n_name AS nation,
+       |         CAST(round(s_acctbal*100) AS BIGINT) AS bal_c
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$MinCostRegion')
+       |SELECT p_partkey, p_name, s_suppkey, s_name, nation,
+       |       CAST(bal_c AS DOUBLE) / 100 AS s_acctbal
+       |FROM pairs
+       |JOIN part ON l_partkey = p_partkey AND p_type = '$MinCostPartType'
+       |JOIN rs ON l_suppkey = s_suppkey
+       |QUALIFY row_number() OVER (PARTITION BY p_partkey
+       |                           ORDER BY bal_c, s_suppkey) = 1
+       |ORDER BY s_acctbal, p_partkey
+       |LIMIT $MinCostTopN""".stripMargin
+
+  /** TPC-H Q16-shaped supplier diversity: distinct supplier count per
+    * (brand, type, size) for the catalog slice OUTSIDE one brand/type,
+    * excluding "complaint" suppliers (the NOT-IN classic; the reduced
+    * schema has no s_comment, so the exclusion list is the
+    * negative-balance suppliers).
+    *
+    * Plan: the brand/type/size slice prunes the part dim BEFORE its
+    * broadcast; the exclusion list is a left-anti join (supplier grows
+    * with SF → no forced hint, AQE broadcasts the filtered sliver while
+    * small); count(DISTINCT suppkey) partial-deduplicates map-side —
+    * the shuffle carries (group, suppkey) pairs, never raw lineitems.
+    * No pairs.distinct() pre-pass: the distinct aggregate subsumes it,
+    * saving a full extra exchange. */
+  def supplierPartCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 15, 25, 35, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  val supplierPartCountsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 15, 25, 35, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val DominantNamePrefix = "blue"
+  private val DominantShipYear = 1997
+
+  /** TPC-H Q20-shaped dominant shippers: suppliers that shipped MORE
+    * THAN 30% of a part's total [[DominantShipYear]] volume, for parts
+    * named `[[DominantNamePrefix]]…` — the semi-join-chain classic (the
+    * reduced schema has no partsupp availqty, so the "excess share"
+    * predicate is the supplier's share of the part's shipped quantity).
+    *
+    * Plan: the name-pruned part slice broadcasts into the
+    * year-range-pruned fact scan (both filters pushed); per-(part,
+    * supplier) quantities aggregate map-side; the per-part total
+    * re-aggregates THAT frame (pair rows, not the fact) and joins back
+    * on partkey — pair-frame-sized on both sides. The share test is
+    * exact integer cross-multiplication (qty·10 > total·3, quantities
+    * integral). The qualifying suppkey set semi-joins supplier (no
+    * hint — supplier grows with SF, the qualifying set is bounded by
+    * it). */
+  def dominantShipSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(DominantNamePrefix)).select("p_partkey")
+    val lo = lit(s"$DominantShipYear-01-01").cast("timestamp")
+    val hi = lit(s"${DominantShipYear + 1}-01-01").cast("timestamp")
+    val pa = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("pair_qty"))
+    val tot = pa.groupBy("l_partkey").agg(sum("pair_qty").as("part_qty"))
+    val dom = pa.join(tot, "l_partkey")
+      .filter(col("pair_qty") * 10 > col("part_qty") * 3)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "nation")
+      .orderBy("s_suppkey")
+  }
+
+  val dominantShipSuppliersSql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '$DominantNamePrefix%'
+       |    AND l_shipdate >= TIMESTAMP '$DominantShipYear-01-01'
+       |    AND l_shipdate <  TIMESTAMP '${DominantShipYear + 1}-01-01'),
+       |pa AS (SELECT l_partkey, l_suppkey, sum(qty) AS pair_qty
+       |       FROM li GROUP BY 1, 2),
+       |pt AS (SELECT l_partkey, sum(pair_qty) AS part_qty
+       |       FROM pa GROUP BY 1),
+       |dom AS (SELECT DISTINCT l_suppkey
+       |        FROM pa JOIN pt USING (l_partkey)
+       |        WHERE pair_qty * 10 > part_qty * 3)
+       |SELECT s_suppkey, s_name, n_name AS nation
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+       |ORDER BY s_suppkey""".stripMargin
+
   private val LinkTopN = 50
   private val LinkTopQ = 32
   private val LinkMinCn = 2
@@ -4014,6 +4283,11 @@ object Relational {
     "disc_revenue_brands" -> ((s, d) => discRevenueBrands(s, d)),
     "dormant_high_balance" -> ((s, d) => dormantHighBalance(s, d)),
     "part_name_profit"    -> ((s, d) => partNameProfit(s, d)),
+    "customer_order_dist" -> ((s, d) => customerOrderDist(s, d)),
+    "region_part_value"   -> ((s, d) => regionPartValue(s, d)),
+    "min_cost_supplier"   -> ((s, d) => minCostSupplier(s, d)),
+    "supplier_part_counts" -> ((s, d) => supplierPartCounts(s, d)),
+    "dominant_ship_suppliers" -> ((s, d) => dominantShipSuppliers(s, d)),
     "part_link_prediction" -> ((s, d) => partLinkPrediction(s, d)),
     "orders_gini"         -> ((s, d) => ordersGini(s, d)),
     "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
@@ -4084,6 +4358,11 @@ object Relational {
     "disc_revenue_brands"  -> discRevenueBrandsSql,
     "dormant_high_balance" -> dormantHighBalanceSql,
     "part_name_profit"     -> partNameProfitSql,
+    "customer_order_dist"  -> customerOrderDistSql,
+    "region_part_value"    -> regionPartValueSql,
+    "min_cost_supplier"    -> minCostSupplierSql,
+    "supplier_part_counts" -> supplierPartCountsSql,
+    "dominant_ship_suppliers" -> dominantShipSuppliersSql,
     "part_link_prediction" -> partLinkPredictionSql,
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,

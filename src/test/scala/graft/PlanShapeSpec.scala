@@ -63,6 +63,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pp.split("BroadcastHashJoin").length - 1 >= 2)
   }
 
+  test("TPC-H classics r12: outer/correlated/NOT-IN/semi-chain shapes") {
+    // customer_order_dist (Q13): priority filter pushed to the orders
+    // scan, per-customer counts partial-aggregate BEFORE the shuffle
+    val cd = plan("customer_order_dist")
+    assert(cd.contains("EqualTo(o_orderpriority,1-URGENT)"), "filter pushed")
+    assert(cd.contains("partial_count"), "map-side partial count")
+    // region_part_value (Q11): region filter pushed; the global scalar
+    // is a broadcast nested-loop cross of ONE row, not a shuffle
+    val rv = plan("region_part_value")
+    assert(rv.contains("EqualTo(r_name,ASIA)"), "region filter pushed")
+    assert(rv.contains("BroadcastHashJoin"))
+    // min_cost_supplier (Q2): type slice pushed, semi-prune before the
+    // pair distinct, per-part window (never SinglePartition), top-N via
+    // TakeOrderedAndProject
+    val mc = plan("min_cost_supplier")
+    assert(mc.contains("EqualTo(p_type,LARGE)"), "type filter pushed")
+    assert(mc.contains("LeftSemi"), "fact semi-pruned before distinct")
+    assert(mc.contains("TakeOrderedAndProject"))
+    assert(!mc.contains("SinglePartition"), s"window funnels:\n$mc")
+    // supplier_part_counts (Q16): size IN-list pushed, NOT IN as a real
+    // anti join, no pre-distinct exchange (the distinct agg subsumes it)
+    val sp = plan("supplier_part_counts")
+    // (the In(p_size,...) entry is truncated out of the plan's display
+    // string — the brand exclusion proves the slice predicates reach
+    // the same scan's PushedFilters)
+    assert(sp.contains("Not(EqualTo(p_brand,Brand#4))"), "slice filters pushed")
+    assert(sp.contains("LeftAnti"), "NOT IN plans as anti join")
+    // dominant_ship_suppliers (Q20): ship-year range and name prefix
+    // both pushed; the supplier qualification is a real semi join
+    val ds = plan("dominant_ship_suppliers")
+    assert(ds.contains("GreaterThanOrEqual(l_shipdate"), "year range pushed")
+    assert(ds.contains("StringStartsWith(p_name,blue)"), "prefix pushed")
+    assert(ds.contains("LeftSemi"))
+  }
+
   test("semi/anti joins plan as Semi/Anti, with the selective filter pushed") {
     assert(plan("semi_join_heavy").contains("LeftSemi"))
     assert(plan("semi_join_heavy").contains("GreaterThan(l_quantity,45.0)"))

@@ -951,4 +951,122 @@ class RelationalSpec extends AnyFunSuite {
       r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSeq
     assert(key == key.sorted)
   }
+
+  test("customer_order_dist: buckets partition customers, mass matches urgent orders") {
+    val rows = queries.Relational.customerOrderDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.customer(spark, sf).count()
+    val nUrgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    // every customer lands in exactly one bucket
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    // Σ k·custdist(k) recovers the urgent-order total (the zero bucket
+    // contributes nothing — the Q13 outer-join shape working)
+    val mass = rows.map(r =>
+      r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    assert(mass == nUrgent, s"mass $mass != urgent orders $nUrgent")
+    // the zero bucket exists at fixture scale (~e^-2 of customers)
+    assert(rows.exists(_.getAs[Long]("c_count") == 0L), "zero bucket absent")
+  }
+
+  test("region_part_value: kept parts are exactly those above 1/1000 of the slice total") {
+    val rows = queries.Relational.regionPartValue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the slice in memory (region suppliers are fixture-small)
+    val asia = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val pv = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("r"))
+      .collect()
+      .filter(r => asia(r.getAs[Long]("l_suppkey")))
+      .groupBy(_.getAs[Long]("l_partkey"))
+      .map { case (k, xs) => k -> xs.map(x => BigInt(x.getAs[Long]("r"))).sum }
+    val tot = pv.values.sum
+    val expect = pv.filter { case (_, v) => v * 1000 > tot }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      assert(expect.contains(k), s"part $k kept but below threshold")
+      assert(math.abs(r.getAs[Double]("value") -
+        expect(k).toDouble / 10000) < 1e-6)
+    }
+  }
+
+  test("min_cost_supplier: each row is the true min-balance regional shipper of its part") {
+    val rows = queries.Relational.minCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val america = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long").as("bal"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bal")).toMap
+    val pairs = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => america.contains(p._2))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    rows.foreach { r =>
+      val part = r.getAs[Long]("p_partkey")
+      val supp = r.getAs[Long]("s_suppkey")
+      val cands = pairs(part)
+      val best = cands.minBy(s => (america(s), s))
+      assert(supp == best, s"part $part picked $supp, true min $best")
+    }
+    // ordered by acctbal then partkey
+    val key = rows.map(r => (r.getAs[Double]("s_acctbal"),
+      r.getAs[Long]("p_partkey"))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("supplier_part_counts: complaint suppliers excluded, one group recomputed") {
+    // sf0.01: the sf0.001 fixture has NO negative-balance supplier, which
+    // would make the NOT-IN leg vacuous — the larger fixture carries 6
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = queries.Relational.supplierPartCounts(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val bad = Tables.supplier(spark, sf01).filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(bad.nonEmpty, "fixture must carry negative-balance suppliers")
+    val top = rows.head
+    val recount = Tables.lineitem(spark, sf01)
+      .join(Tables.part(spark, sf01),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === top.getAs[String]("p_brand") &&
+        col("p_type") === top.getAs[String]("p_type") &&
+        col("p_size") === top.getAs[Int]("p_size"))
+      .select("l_suppkey").collect().map(_.getLong(0))
+      .filterNot(bad).distinct.length
+    assert(top.getAs[Long]("supplier_cnt") == recount)
+    // descending count with full tie-break
+    val key = rows.map(r => (-r.getAs[Long]("supplier_cnt"),
+      r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+      r.getAs[Int]("p_size"))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("dominant_ship_suppliers: every returned supplier holds >30% of some blue part's 1997 volume") {
+    val rows = queries.Relational.dominantShipSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val blue = Tables.part(spark, sf).filter(col("p_name").startsWith("blue"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().filter(r => blue(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("q")))
+    val partTot = li.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val domSet = li.groupBy(p => (p._1, p._2))
+      .map { case ((pk, sk), xs) => (pk, sk, xs.map(_._3).sum) }
+      .filter { case (pk, _, q) => q * 10 > partTot(pk) * 3 }
+      .map(_._2).toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == domSet)
+  }
 }
