@@ -506,6 +506,33 @@ object ScaleProbe {
         }
     }
 
+    // -- bitmap_distinct partial wire bytes at the 2²⁶ id-domain cap
+    //    (r11 verdict #2 observable): per (group × partition) partial,
+    //    dense BitSet.toByteArray vs the shipped density-adaptive
+    //    encoding, across the cardinality range a map-side partial
+    //    actually sees. Pure serializer measurement — deterministic
+    //    Weyl-sequence ids spread over the full domain, no cluster work.
+    if (run.contains("events_user_bitmap_daily")) {
+      val agg = functions.BitmapDistinct(
+        org.apache.spark.sql.graft.Bridge.expression(lit(0L)))
+      Seq(100, 10000, 1000000, 1 << 24).foreach { card =>
+        val bs = new java.util.BitSet()
+        var i = 0L
+        var set = 0
+        while (set < card) {
+          val id = ((i * 2654435761L) & ((1L << 26) - 1)).toInt
+          if (!bs.get(id)) { bs.set(id); set += 1 }
+          i += 1
+        }
+        val dense = bs.toByteArray.length + 1
+        val wire = agg.serialize(bs).length
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"bitmap_partial_bytes","cardinality":%d,"dense_bytes":%d,"wire_bytes":%d,"ratio":%.4f}""",
+          Int.box(card), Int.box(dense), Int.box(wire),
+          Double.box(wire.toDouble / dense)))
+      }
+    }
+
     // -- stride-k substring dedup: the per-token window frame shrinks to
     //    ~1/stride (the r10 verdict #4 escape hatch); removable-mass
     //    recall vs stride 1 stays ~1 on the injected whole-doc dups

@@ -77,11 +77,63 @@ case class BitmapDistinct(
   override def eval(buffer: java.util.BitSet): Any =
     buffer.cardinality().toLong
 
-  override def serialize(buffer: java.util.BitSet): Array[Byte] =
-    buffer.toByteArray
+  /** Density-adaptive partial encoding (the r11 verdict's volume lever):
+    * a dense `BitSet.toByteArray` partial is O(highest-set-bit/8) bytes
+    * REGARDLESS of cardinality — at the 2²⁶ cap that is up to 8 MiB per
+    * (group × partition) partial even when the partition saw only a
+    * handful of ids, and a 365-group × wide-shuffle workload ships
+    * group·partition of them. Low-cardinality partials (the common
+    * map-side case: each partition sees a slice of each group) now
+    * serialize as delta-varint sorted ids instead; the encoding is
+    * chosen per buffer by a conservative size comparison, so the wire
+    * bytes are never worse than dense. `deserialize` restores the exact
+    * same BitSet either way — merge stays a word-wise OR and every
+    * result hash is unchanged. */
+  override def serialize(buffer: java.util.BitSet): Array[Byte] = {
+    val card = buffer.cardinality()
+    val dense = buffer.toByteArray
+    // varint of a 2²⁶ delta is ≤ 4 bytes; +6 covers header + cardinality
+    if (card.toLong * 4 + 6 < dense.length) {
+      val out = new java.io.ByteArrayOutputStream(card * 4 + 6)
+      out.write(BitmapDistinct.FormatSparse)
+      BitmapDistinct.writeVarInt(out, card)
+      var prev = -1
+      var i = buffer.nextSetBit(0)
+      while (i >= 0) {
+        BitmapDistinct.writeVarInt(out, i - prev) // deltas are >= 1
+        prev = i
+        i = buffer.nextSetBit(i + 1)
+      }
+      out.toByteArray
+    } else {
+      val out = new Array[Byte](dense.length + 1)
+      out(0) = BitmapDistinct.FormatDense
+      System.arraycopy(dense, 0, out, 1, dense.length)
+      out
+    }
+  }
 
   override def deserialize(storageFormat: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(storageFormat)
+    storageFormat(0) match {
+      case BitmapDistinct.FormatDense =>
+        java.util.BitSet.valueOf(java.nio.ByteBuffer.wrap(
+          storageFormat, 1, storageFormat.length - 1))
+      case BitmapDistinct.FormatSparse =>
+        val in = new java.io.ByteArrayInputStream(
+          storageFormat, 1, storageFormat.length - 1)
+        val card = BitmapDistinct.readVarInt(in)
+        val bs = new java.util.BitSet()
+        var prev = -1
+        var n = 0
+        while (n < card) {
+          prev += BitmapDistinct.readVarInt(in)
+          bs.set(prev)
+          n += 1
+        }
+        bs
+      case other => throw new IllegalStateException(
+        s"bitmap_distinct: unknown partial format byte $other")
+    }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -94,6 +146,33 @@ case class BitmapDistinct(
 object BitmapDistinct {
   /** Hard id-domain cap: 2²⁶ → one buffer ≤ 8 MiB. */
   val MaxId: Long = 1L << 26
+
+  /** Partial wire-format tags (first byte of a serialized buffer). */
+  private[functions] val FormatDense: Byte = 0
+  private[functions] val FormatSparse: Byte = 1
+
+  /** Unsigned LEB128 varint (7 bits per byte, high bit = continue). */
+  private[functions] def writeVarInt(out: java.io.ByteArrayOutputStream,
+                                     value: Int): Unit = {
+    var v = value
+    while ((v & ~0x7f) != 0) {
+      out.write((v & 0x7f) | 0x80)
+      v >>>= 7
+    }
+    out.write(v)
+  }
+
+  private[functions] def readVarInt(in: java.io.ByteArrayInputStream): Int = {
+    var v = 0
+    var shift = 0
+    var b = in.read()
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7f) << shift
+      shift += 7
+      b = in.read()
+    }
+    v | (b << shift)
+  }
 
   /** Column API: exact distinct over a bounded id domain. */
   def bitmap_distinct(c: Column): Column =

@@ -455,6 +455,65 @@ object StreamingJobs {
       }
   }
 
+  case class AttrEv(event_id: Long, user_id: Long, event_type: String,
+                    ts: Timestamp)
+  case class AttrState(clickId: Long, clickTsUs: Long)
+  case class AttrOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     click_event_id: Option[Long], gap_min: Option[Double],
+                     attributed: Boolean)
+
+  private val AttrWindowUs = 7L * 24 * 3600 * 1000000 // 7 days
+
+  /** Streaming last-touch attribution — the live twin of the registered
+    * batch [[graft.queries.Temporal]] `purchase_attribution`, completing
+    * the stateful quartet (sessionize / latest-state / SCD2 / this):
+    * keyed state holds each user's most recent click (id, ts); every
+    * purchase emits immediately, attributed to that click iff it is
+    * within the 7-day window (clicks process before purchases at equal
+    * ts — the batch twin's same-instant rule). Stale or absent clicks
+    * still emit the purchase with `attributed = false`, exactly like
+    * the batch ledger.
+    *
+    * Contract: per-key in-order arrival (the partition-by-user changelog
+    * norm); within a micro-batch, rows sort by (ts, kind, event_id) so
+    * a batch boundary cannot reorder a user's click→purchase pair.
+    * State is O(1) per user (16 bytes — one click id + one timestamp),
+    * and a click older than the window is semantics-FREE state (any
+    * purchase it could still meet reports `attributed = false` exactly
+    * as if the state were empty), so a production deployment can bolt an
+    * event-time timeout ≥ the window onto this same function to GC idle
+    * users without changing one output row. gap_min divides the SAME
+    * integer micros by the same constant as the batch side — IEEE-equal
+    * outputs. */
+  def attributionStateful(events: Dataset[AttrEv]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AttrEv], state: GroupState[AttrState]) =>
+          val evs = it.toSeq.sortBy(e =>
+            (toUs(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[AttrOut]
+          evs.foreach { e =>
+            val t = toUs(e.ts)
+            if (e.event_type == "click") cur = AttrState(e.event_id, t)
+            else {
+              val fresh = cur != null && t - cur.clickTsUs <= AttrWindowUs
+              out += AttrOut(e.event_id, user, e.ts,
+                if (fresh) Some(cur.clickId) else None,
+                if (fresh) Some((t - cur.clickTsUs).toDouble / 60000000d)
+                else None,
+                fresh)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Hand-rolled sessionizer over `KeyValueGroupedDataset` — the custom-
     * state escape hatch for semantics `session_window` can't express
     * (e.g. per-session enrichment, early emission, custom merge rules).

@@ -432,6 +432,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution == batch twin, pairs straddle batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val input = mem.toDS()
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .as[StreamingJobs.AttrEv]
+    val q = StreamingJobs.attributionStateful(input).toDF().writeStream
+      .format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // per-key in-order replay: global (ts, kind, event_id) order —
+      // kind breaks same-instant ties clicks-first, the batch rule
+      val evs = Tables.eventsTs(spark, sf)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+        .as[(Long, Long, String, Timestamp)].collect()
+        .sortBy(e => (e._4.getTime, if (e._3 == "click") 0 else 1, e._1))
+        .toSeq
+      val third = evs.length / 3
+      mem.addData(evs.take(third)); q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(evs.drop(2 * third)); q.processAllAvailable()
+      def ms(x: Any): Long = x match {
+        case t: Timestamp => t.getTime
+        case d: java.time.LocalDateTime => Timestamp.valueOf(d).getTime
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          ms(r.getAs[Any]("ts")),
+          Option(r.getAs[java.lang.Long]("click_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("gap_min")).map(_.toDouble),
+          r.getAs[Boolean]("attributed"))
+      val streamed = spark.table("attr_test").collect().map(key).toSeq.sorted
+      val batch = queries.Temporal.purchaseAttribution(spark, sf)
+        .collect().map(key).toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch)
+      // the straddle pin: at least one purchase in a LATER batch
+      // attributes to a click delivered in an EARLIER one — the keyed
+      // state carrying the click across the boundary, not in-batch luck
+      val batchOf = evs.zipWithIndex.map { case (e, i) =>
+        e._1 -> (if (i < third) 0 else if (i < 2 * third) 1 else 2)
+      }.toMap
+      val straddled = spark.table("attr_test").collect().exists { r =>
+        r.getAs[Boolean]("attributed") && {
+          val click = r.getAs[java.lang.Long]("click_event_id").toLong
+          batchOf(click) < batchOf(r.getAs[Long]("event_id"))
+        }
+      }
+      assert(straddled, "no attributed pair straddled a batch boundary")
+    } finally q.stop()
+  }
+
   test("latest-state upsert state survives a checkpointed restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_latest_restart").toString

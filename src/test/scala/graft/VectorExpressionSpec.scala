@@ -96,6 +96,46 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(msgs(err).exists(m => m.contains("bitmap_distinct") && m.contains("outside")))
   }
 
+  test("bitmap partials: sparse/dense round-trip, cross-encoding merge, wire-size win") {
+    import graft.functions.BitmapDistinct
+    val agg = BitmapDistinct(org.apache.spark.sql.graft.Bridge.expression(lit(0L)))
+    def roundTrip(ids: Seq[Int]): java.util.BitSet = {
+      val bs = new java.util.BitSet()
+      ids.foreach(bs.set)
+      agg.deserialize(agg.serialize(bs))
+    }
+    // sparse path: few ids across the full 2^26 domain, incl. both edges
+    val sparseIds = Seq(0, 1, 63, 64, 8191, 1 << 20, (1 << 26) - 1)
+    assert(roundTrip(sparseIds) == {
+      val e = new java.util.BitSet(); sparseIds.foreach(e.set); e
+    })
+    // dense path: a solid run (sparse encoding would be larger)
+    val denseIds = 0 until 4096
+    assert(roundTrip(denseIds) == {
+      val e = new java.util.BitSet(); denseIds.foreach(e.set); e
+    })
+    // empty buffer survives (all-null partition partial)
+    assert(roundTrip(Nil).cardinality() == 0)
+    // merge across encodings is still a word-wise OR after decode
+    val a = new java.util.BitSet(); sparseIds.foreach(a.set)
+    val b = new java.util.BitSet(); denseIds.foreach(b.set)
+    val merged = agg.merge(
+      agg.deserialize(agg.serialize(a)), agg.deserialize(agg.serialize(b)))
+    assert(merged.cardinality() == (sparseIds ++ denseIds).distinct.size)
+    // the volume lever: a 7-id partial at the top of the 2^26 domain is
+    // a handful of bytes, not the ~8 MiB dense image
+    val hi = new java.util.BitSet(); hi.set((1 << 26) - 1); hi.set(5)
+    val wire = agg.serialize(hi)
+    assert(wire.length < 32, s"sparse partial is ${wire.length}B")
+    assert(hi.toByteArray.length > 8000000, "dense image really is ~8 MiB")
+    assert(agg.deserialize(wire) == hi)
+    // a buffer where dense wins still round-trips through the dense tag
+    val full = new java.util.BitSet(); (0 until 100000).foreach(full.set)
+    val denseWire = agg.serialize(full)
+    assert(denseWire.length <= 100000 / 8 + 16)
+    assert(agg.deserialize(denseWire) == full)
+  }
+
   test("bitmap_distinct matches the oracle shape on the events fixture") {
     val rows = queries.Temporal.eventsUserBitmapDaily(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
