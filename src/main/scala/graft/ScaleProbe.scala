@@ -38,6 +38,7 @@ object ScaleProbe {
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
     "leakage_safe_split", "split_balance_audit",
+    "semantic_decontamination",
     "readability", "text_quality", "tokenizer_fertility",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",

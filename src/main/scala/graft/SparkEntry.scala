@@ -145,6 +145,9 @@ object SparkEntry {
         a.getOrElse("alpha", "0.5").toDouble)),
     "semdedup" -> ((s, d, a) =>
       Dedup.semDedup(s, d, a.getOrElse("tau", "0.47").toDouble)),
+    "semantic_decontamination" -> ((s, d, a) =>
+      Curation.semanticDecontamination(s, d,
+        a.getOrElse("tau", "0.47").toDouble)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -309,6 +312,9 @@ object SparkEntry {
         a.getOrElse("edges", "raw"))),
     "knn_clustering_coeff" -> (a =>
       Similarity.knnClusteringCoeffSqlFor(a.getOrElse("k", "3").toInt)),
+    "semantic_decontamination" -> (a =>
+      Curation.semanticDecontaminationSqlFor(
+        a.getOrElse("tau", "0.47").toDouble)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

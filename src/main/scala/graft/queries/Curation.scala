@@ -392,6 +392,147 @@ object Curation {
        |ORDER BY g.split, g.lang""".stripMargin
 
   // --------------------------------------------------------------------
+  // Semantic decontamination (embedding-space train→eval leak audit)
+  // --------------------------------------------------------------------
+
+  private[queries] val SemDecontTau = 0.47
+  private val SemDecontTopN = 100
+
+  /** SEMANTIC DECONTAMINATION — the eval-integrity gate verbatim
+    * `contamination_check` cannot express: a PARAPHRASED eval document
+    * embedded in train shares no 8-token shingle (so the fingerprint
+    * audit scores it 0) and has a different content hash (so
+    * [[leakageSafeSplit]] legitimately assigns the two docs to
+    * different splits) — but its embedding sits within τ of the train
+    * copy, and training on it still contaminates the eval (the
+    * SemDeDup-style leak, Abbas et al. 2023). This audit finds exactly
+    * those: for every eval-split (test/val) document, its nearest
+    * same-IVF-cell train document by 4dp-rounded cosine, flagged
+    * `leaked` iff cosine ≥ τ, with the count of train docs within τ
+    * (`n_dups`) and the per-split leak mass (docs + token mass the
+    * leaked evals represent) joined on.
+    *
+    * Output is the top-[[SemDecontTopN]] eval docs by nearest-train
+    * cosine (desc, then eval_doc — a total order), WITH the flag as a
+    * column — never a flagged-only frame that silently goes empty on a
+    * clean corpus (the thresholded-detector rule); CurationSpec injects
+    * a paraphrase pair and watches the flag flip where the shingle
+    * audit stays at zero.
+    *
+    * Scale: splits are a pure hash of content (no assignment table);
+    * the candidate stage is the memoized IVF coarse quantizer
+    * ([[Similarity.ivfAssigned]] — the `semdedup` substrate) with pairs
+    * generated ONLY within a cell, cross-split: Σ_cells |eval∩cell|·
+    * |train∩cell| ≈ 0.09·Σ|cell|² ≈ n^1.5 at derived cell counts, vs
+    * the n² cross join. Cosines are scored INSIDE the cell join where
+    * the exchange already collocated the vectors, and the frame
+    * projects to narrow (split, ids, cosine) rows before the per-eval
+    * window (the r8 array-payload rule); the window partitions by
+    * eval_doc (corpus-cardinality key, never SinglePartition); the
+    * per-split mass is a ≤|splits|-row broadcast join-back. Hot-cell
+    * skew treatment is inherited from semdedup (secondary-hash split,
+    * documented there). */
+  def semanticDecontamination(spark: SparkSession, sfDir: String,
+                              tau: Double = SemDecontTau): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val split = splitAssigned(spark, sfDir)
+      .select(col("doc_id"), col("split"), col("n_tokens"))
+    val av = Similarity.ivfAssigned(spark, sfDir)
+      .join(Similarity.vecs(spark, sfDir), "vec_id")
+      .join(split, col("vec_id") === col("doc_id"))
+    val evalSide = av.filter(col("split") =!= "train")
+      .select(col("cell"), col("split"), col("doc_id").as("eval_doc"),
+        col("n_tokens"), col("v").as("xe"), col("norm").as("ne"))
+    val trainSide = av.filter(col("split") === "train")
+      .select(col("cell"), col("doc_id").as("train_doc"),
+        col("v").as("xt"), col("norm").as("nt"))
+    val scored = evalSide.join(trainSide, "cell")
+      .select(col("split"), col("eval_doc"), col("n_tokens"),
+        col("train_doc"),
+        Det.r(graft.functions.VectorFunctions.array_dot(col("xe"), col("xt"))
+          / (col("ne") * col("nt")), 4).as("cosine"))
+    val wRank = Window.partitionBy("eval_doc")
+      .orderBy(col("cosine").desc, col("train_doc").asc)
+    val wAll = Window.partitionBy("eval_doc")
+    val led = scored
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_dups",
+        sum(when(col("cosine") >= tau, 1L).otherwise(0L)).over(wAll))
+      .filter(col("rn") === 1)
+      .withColumn("leaked", col("cosine") >= tau)
+      .drop("rn")
+    val mass = led.groupBy("split").agg(
+      sum(when(col("leaked"), 1L).otherwise(0L)).as("split_leaked_docs"),
+      sum(when(col("leaked"), col("n_tokens")).otherwise(0L))
+        .as("split_leaked_tokens"))
+    led.join(broadcast(mass), "split")
+      .select(col("split"), col("eval_doc"), col("n_tokens"),
+        col("train_doc"), col("cosine"), col("n_dups"), col("leaked"),
+        col("split_leaked_docs"), col("split_leaked_tokens"))
+      .orderBy(col("cosine").desc, col("eval_doc").asc)
+      .limit(SemDecontTopN)
+  }
+
+  /** DuckDB twin of [[semanticDecontamination]] — composes the
+    * [[Similarity.ivfChainSql]] assignment (`fin`/`nv`, the semdedup
+    * pattern) with the [[leakageSafeSplit]] content-hash split CTEs
+    * (renamed `sdh`/`sda` — the chain's own `tr` / `cand` names are
+    * taken) and the cross-split within-cell pair join. */
+  def semanticDecontaminationSqlFor(tau: Double): String =
+    s"""WITH ${Similarity.ivfChainSql},
+       |sdh AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sda AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN b < 5 THEN 'test'
+       |              WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+       |  FROM (SELECT sdh.*,
+       |               CAST(CAST('0x' || substr(md5(ch), 1, 15) AS UBIGINT)
+       |                    % 100 AS INTEGER) AS b
+       |        FROM sdh)),
+       |sd AS (SELECT a.doc_id, a.split, a.n_tokens, f.cell, n.v, n.norm
+       |       FROM sda a
+       |       JOIN fin f ON a.doc_id = f.vec_id
+       |       JOIN nv n ON n.vec_id = a.doc_id),
+       |sde AS (SELECT * FROM sd WHERE split <> 'train'),
+       |sdt AS (SELECT doc_id AS train_doc, cell, v, norm
+       |        FROM sd WHERE split = 'train'),
+       |sc AS (
+       |  SELECT e.split, e.doc_id AS eval_doc, e.n_tokens, t.train_doc,
+       |         CAST(floor(list_dot_product(e.v, t.v) / (e.norm * t.norm)
+       |                    * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |  FROM sde e JOIN sdt t ON e.cell = t.cell),
+       |led AS (
+       |  SELECT split, eval_doc, n_tokens, train_doc, cosine,
+       |         CAST(n_dups AS BIGINT) AS n_dups, cosine >= $tau AS leaked
+       |  FROM (SELECT sc.*,
+       |               row_number() OVER (PARTITION BY eval_doc
+       |                  ORDER BY cosine DESC, train_doc) AS rn,
+       |               sum(CASE WHEN cosine >= $tau THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY eval_doc) AS n_dups
+       |        FROM sc)
+       |  WHERE rn = 1),
+       |mass AS (
+       |  SELECT split,
+       |         CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS split_leaked_docs,
+       |         CAST(sum(CASE WHEN leaked THEN n_tokens ELSE 0 END) AS BIGINT)
+       |           AS split_leaked_tokens
+       |  FROM led GROUP BY split)
+       |SELECT l.split, l.eval_doc, l.n_tokens, l.train_doc, l.cosine,
+       |       l.n_dups, l.leaked, m.split_leaked_docs, m.split_leaked_tokens
+       |FROM led l JOIN mass m USING (split)
+       |ORDER BY l.cosine DESC, l.eval_doc
+       |LIMIT $SemDecontTopN""".stripMargin
+
+  val semanticDecontaminationSql: String =
+    semanticDecontaminationSqlFor(SemDecontTau)
+
+  // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
 
@@ -400,12 +541,14 @@ object Curation {
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
     "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)),
     "leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
-    "split_balance_audit" -> ((s, d) => splitBalanceAudit(s, d)))
+    "split_balance_audit" -> ((s, d) => splitBalanceAudit(s, d)),
+    "semantic_decontamination" -> ((s, d) => semanticDecontamination(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "weighted_sample_pps" -> weightedSamplePpsSql,
     "leakage_safe_split" -> leakageSafeSplitSql,
-    "split_balance_audit" -> splitBalanceAuditSql)
+    "split_balance_audit" -> splitBalanceAuditSql,
+    "semantic_decontamination" -> semanticDecontaminationSql)
 }

@@ -142,4 +142,76 @@ class CurationSpec extends AnyFunSuite {
     // the audit is non-vacuous: the small eval splits genuinely deviate
     assert(audit.exists(r => math.abs(r.getAs[Double]("dev")) > 0.01))
   }
+
+  test("semantic_decontamination catches a paraphrased leak the shingle audit misses") {
+    import spark.implicits._
+    // --- construct the corpus: 58 mutually-orthogonal background docs
+    // (all tokens i-suffixed — no shared shingle anywhere) + a train doc
+    // T and its PARAPHRASE P (synonym-substituted every 2-3 tokens: no 8
+    // consecutive tokens survive; embeddings 0.96-cosine apart)
+    def contentBucket(text: String): Int =
+      Seq(text).toDF("text").select(queries.Temporal.bucketCol(
+        md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))))).head.getInt(0)
+    def idBucket(id: Long): Int =
+      Seq(id).toDF("x").select(queries.Temporal.bucketCol(col("x"))).head.getInt(0)
+    val tBase = "the committee approved the annual budget proposal after " +
+      "extensive deliberation on wednesday afternoon"
+    val pBase = "the board endorsed the yearly spending plan after " +
+      "long discussion on wednesday evening"
+    // steer the CONTENT hash (split assignment) by a trailing token:
+    // T must land in train (bucket >= 10), P in test/val (bucket < 10)
+    val tText = (0 to 200).iterator.map(k => s"$tBase note$k")
+      .find(contentBucket(_) >= 10).get
+    val pText = (0 to 200).iterator.map(k => s"$pBase memo$k")
+      .find(contentBucket(_) < 10).get
+    // steer the DOC-ID hash: contamination_check splits by doc_id bucket,
+    // so P must be one of ITS test docs and T one of its train docs
+    val ids = (0L to 500L)
+    val pId = ids.find(idBucket(_) < 5).get
+    val tId = ids.find(id => id != pId && idBucket(id) >= 10).get
+    val bgIds = ids.filterNot(Set(pId, tId)).take(58)
+    def oneHot(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    val tVec = Array.tabulate(64)(i =>
+      if (i == 58) 0.8f else if (i == 59) 0.6f else 0.0f)
+    val pVec = Array.tabulate(64)(i =>
+      if (i == 58) 0.6f else if (i == 59) 0.8f else 0.0f)
+    val docs =
+      bgIds.zipWithIndex.map { case (id, i) =>
+        (id, s"bg$i word$i alpha$i beta$i gamma$i delta$i " +
+          s"epsilon$i zeta$i eta$i theta$i", "en", "bg")
+      } ++ Seq((tId, tText, "en", "core"), (pId, pText, "en", "core"))
+    val vecs = bgIds.zipWithIndex.map { case (id, i) => (id, oneHot(i), 0) } ++
+      Seq((tId, tVec, 1), (pId, pVec, 1))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_semdecont_fixture").getAbsolutePath
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // --- 1. byte-level split audit is CLEAN (all contents distinct)
+    val lss = queries.Curation.leakageSafeSplit(spark, dir).collect()
+    assert(lss.forall(_.getAs[Long]("leaked_clusters") == 0L))
+    // --- 2. the verbatim shingle audit scores P zero (paraphrase shares
+    // no 8-token run with anything in its train half)
+    val contam = queries.TextAnalysis.contaminationCheck(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_fps")).toMap
+    assert(contam.contains(pId), "P must be a test doc for the shingle audit")
+    assert(contam(pId) == 0L, s"shingle audit saw the paraphrase: ${contam(pId)}")
+    // --- 3. the semantic gate catches it: P's nearest same-cell train
+    // neighbor is T at cosine 0.96 >= tau, flagged leaked, and P's token
+    // mass lands in its split's leak total
+    val sd = queries.Curation.semanticDecontamination(spark, dir).collect()
+    val pRow = sd.find(_.getAs[Long]("eval_doc") == pId)
+      .getOrElse(fail(s"P ($pId) missing from the ledger"))
+    assert(pRow.getAs[Boolean]("leaked"), "paraphrase not flagged")
+    assert(pRow.getAs[Long]("train_doc") == tId)
+    assert(pRow.getAs[Double]("cosine") >= 0.9)
+    assert(Set("test", "val")(pRow.getAs[String]("split")))
+    assert(pRow.getAs[Long]("split_leaked_tokens") >=
+      pRow.getAs[Long]("n_tokens"))
+    // the orthogonal background corpus stays clean at tau
+    assert(sd.count(_.getAs[Boolean]("leaked")) == 1)
+  }
 }
