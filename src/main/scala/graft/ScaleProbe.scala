@@ -507,6 +507,20 @@ object ScaleProbe {
         }
     }
 
+    // -- kNN edge-build stage split (r11 verdict #3: isolate the ~131 s
+    //    intercept): cumulative wall time for signatures / +pairs /
+    //    +top-k / +sink-write, so the fixed cost lands on a named stage
+    //    instead of a bracketed guess. Pseudo-query (only=knn_stage_split)
+    //    — not part of the default sweep.
+    if (only.contains("knn_stage_split")) {
+      queries.Similarity.knnEdgeStageTimings(spark, dir).foreach {
+        case (stage, sec) =>
+          println(String.format(java.util.Locale.ROOT,
+            """{"query":"knn_stage_split","stage":"%s","n_vecs":%d,"cumulative_sec":%.2f}""",
+            stage, Long.box(nVecs), Double.box(sec)))
+      }
+    }
+
     // -- bitmap_distinct partial wire bytes at the 2²⁶ id-domain cap
     //    (r11 verdict #2 observable): per (group × partition) partial,
     //    dense BitSet.toByteArray vs the shipped density-adaptive

@@ -436,7 +436,7 @@ object Similarity {
     * candidate pairs (cost tracks bucket occupancy, E|bucket| =
     * n/2^SigBits per table — never n²), each pair scored ONCE by exact
     * cosine then emitted in both directions, per-vector top-k via the
-    * bounded [[TopScoresAgg]] (O(k) state per vector; no per-vector
+    * bounded [[graft.functions.TopKScores]] (O(k) state per vector; no per-vector
     * window over a corpus-sized partition). Vectors whose buckets hold
     * no mate produce no rows — documented sparse-output semantics (the
     * caller left-joins if it needs isolates). At 100 TB the knobs are
@@ -603,30 +603,55 @@ object Similarity {
     * far smaller than the corpus arrays — and the sink is a pure
     * function of (sfDir, k) under the session-immutable-corpus
     * contract. */
+  /** The ObjectHashAggregate sort-based fallback triggers at 128 groups
+    * per task — sized for UNBOUNDED buffers (collect_list, the 8 MiB
+    * dense bitmaps), not for [[graft.functions.TopKScores]]'s ~100 B
+    * O(k) state. Under the default, the edge build's per-partition
+    * partial agg (≈|vecs-in-partition| groups) fell back and SORTED the
+    * raw pair stream — measured 145 s of a 165 s build at 100k vecs;
+    * in hash mode the same stage is 7 s (PERF.md r12 stage table).
+    * 4M groups × ~136 B ≈ 550 MB caps task map memory, with the sort
+    * fallback still there past it. Scoped set/restore around the ONE
+    * action that pays it (the cold materialize write) — session confs
+    * are per-query-start, and graft sessions execute queries
+    * sequentially; a global raise would let a 365-group bitmap agg hold
+    * 365 × 8 MiB live per task instead. */
   private def knnEdgesMaterialized(spark: SparkSession, sfDir: String,
-                                   k: Int): DataFrame =
-    Dedup.materializeOnce(spark, s"graft_knn${k}_", sfDir)(
+                                   k: Int): DataFrame = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, 4000000)
+    try Dedup.materializeOnce(spark, s"graft_knn${k}_", sfDir)(
       knnEdges(spark, sfDir, k))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
-  /** [[knnGraph]] without the presentation sort — the reusable edge
-    * frame (vec_id, rank, neighbor, cosine) that [[labelPropagation]]
-    * consumes directly (it re-shuffles on its own keys immediately). */
-  private def knnEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  /** The edge build's pair stage — signatures, bucket self-join, scored
+    * (va, vb, score_u) rows, distinct — split out so the stage probe can
+    * price it separately from the top-k and sink stages.
+    *
+    * Score INSIDE the bucket self-join, where the arrays are already
+    * collocated by the (t, sig) shuffle, and project to 24-byte
+    * (va, vb, score_u) rows BEFORE the distinct. The previous shape
+    * (distinct bare pairs, then join vectors back per pair) shipped two
+    * 512 B arrays through a pair-cardinality shuffle — measured 100k
+    * vecs: tens of GB of sort spill, disk-full. A pair colliding in c
+    * tables pays the 64-mult dot c times (cheap, codegen'd); the score
+    * is a pure function of the pair, so the duplicates a multi-table
+    * collision emits are EXACT duplicates — [[graft.functions.TopKScores]]'s set
+    * semantics absorb them map-side, and the pair-cardinality DISTINCT
+    * exchange this stage used to pay is gone (the r12 stage probe put
+    * that exchange at the top of the edge-build bill; signature
+    * generation was 1.4 s of a ~190 s build). */
+  private def knnScoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val all = vecs(spark, sfDir)
     val sigs = signaturesFor(spark, all, NumTables,
       derivedSigBits(corpusVecCount(spark, sfDir)))
-    // Score INSIDE the bucket self-join, where the arrays are already
-    // collocated by the (t, sig) shuffle, and project to 24-byte
-    // (va, vb, score_u) rows BEFORE the distinct. The previous shape
-    // (distinct bare pairs, then join vectors back per pair) shipped two
-    // 512 B arrays through a pair-cardinality shuffle — measured 100k
-    // vecs: tens of GB of sort spill, disk-full. A pair colliding in c
-    // tables pays the 64-mult dot c times (cheap, codegen'd); the score
-    // is a pure function of the pair, so distinct on (va, vb, score_u)
-    // dedups identically to distinct on (va, vb).
     val sigv = sigs.join(all, "vec_id")
-    val scoredPairs = sigv
+    sigv
       .select(col("t"), col("sig"), col("vec_id").as("va"),
         col("v").as("xa"), col("norm").as("na"))
       .join(sigv.select(col("t"), col("sig"), col("vec_id").as("vb"),
@@ -635,14 +660,77 @@ object Similarity {
       .select(col("va"), col("vb"),
         floor(dot(col("xa"), col("xb")) / (col("na") * col("nb"))
           * 1e6 + 0.5).as("score_u"))
-      .distinct()
-    val directed = scoredPairs.select(col("va").as("qid"), col("vb").as("vec_id"), col("score_u"))
-      .union(scoredPairs.select(col("vb").as("qid"), col("va").as("vec_id"), col("score_u")))
+  }
+
+  /** [[knnGraph]] without the presentation sort — the reusable edge
+    * frame (vec_id, rank, neighbor, cosine) that [[labelPropagation]]
+    * consumes directly (it re-shuffles on its own keys immediately).
+    * Both directions of each pair emit from ONE pass over the scored
+    * bucket join (explode of a 2-struct array — no self-union that
+    * would recompute the join), and the per-vector top-k dedups the
+    * multi-table duplicates in its O(k) buffer. */
+  private def knnEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val directed = knnScoredPairs(spark, sfDir)
+      .select(explode(array(
+        struct(col("va").as("qid"), col("vb").as("vec_id"), col("score_u")),
+        struct(col("vb").as("qid"), col("va").as("vec_id"), col("score_u"))))
+        .as("e"))
+      .select(col("e.qid").as("qid"), col("e.vec_id").as("vec_id"),
+        col("e.score_u").as("score_u"))
     topKScored(spark, directed, k)
       .withColumnRenamed("vec_id", "neighbor")
       .withColumnRenamed("qid", "vec_id")
       .select(col("vec_id"), col("rank"), col("neighbor"),
         (col("score_u").cast("double") / 1e6).as("cosine"))
+  }
+
+  /** Stage-split timings for the kNN edge build (the r11 "isolate the
+    * intercept" probe): cumulative wall seconds for (1) signature
+    * generation alone, (2) + bucket self-join, pair scoring, distinct,
+    * (3) + directed top-k, (4) + the parquet sink write the memoized
+    * edge frame pays once per session. Cumulative by construction —
+    * subtract adjacent rows for per-stage cost. Probe-only surface
+    * (ScaleProbe `knn_stage_split`); results never feed a registered
+    * query. */
+  private[graft] def knnEdgeStageTimings(spark: SparkSession, sfDir: String,
+                                         k: Int = KnnK): Seq[(String, Double)] = {
+    // A/B hook: SPARK_GRAFT_TOPK_HASHAGG=1 keeps the top-k agg in hash
+    // mode past the 128-group ObjectHashAggregate fallback (TopKScores
+    // buffers are O(k) longs, so ~n groups in the map is ~100 B each —
+    // the fallback exists for UNBOUNDED buffers like collect_list or
+    // the 8 MiB dense bitmaps, not this one). Probe-only experiment.
+    sys.env.get("SPARK_GRAFT_TOPK_HASHAGG").foreach { _ =>
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 4000000)
+    }
+    def time(label: String)(body: => Unit): (String, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      body
+      label -> (System.nanoTime() - t0) / 1e9
+    }
+    val all = vecs(spark, sfDir)
+    val nb = derivedSigBits(corpusVecCount(spark, sfDir))
+    val sink = java.nio.file.Files.createTempDirectory("graft_knn_stage")
+      .toString
+    Seq(
+      time("signatures") {
+        signaturesFor(spark, all, NumTables, nb)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("pairs_scored") {
+        knnScoredPairs(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("topk_edges") {
+        knnEdges(spark, sfDir, k)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("edges_sink_write") {
+        knnEdges(spark, sfDir, k)
+          .write.mode("overwrite").parquet(s"$sink/edges.parquet")
+      })
   }
 
   /** The kNN-edge CTE chain shared by [[knnGraphSql]] and
@@ -965,7 +1053,7 @@ object Similarity {
     * so ingest cost tracks |delta|·occupancy, not corpus². Same adaptive
     * signature substrate as [[knnGraph]]; delta→base candidate pairs
     * are scored inside the bucket join (the r8 spill discipline) and
-    * ranked by the bounded [[TopScoresAgg]]. Delta vectors whose buckets
+    * ranked by the bounded [[graft.functions.TopKScores]]. Delta vectors whose buckets
     * hold no base mate emit nothing (the sparse-output semantics of the
     * family). */
   def knnDelta(spark: SparkSession, sfDir: String,
@@ -1239,7 +1327,7 @@ object Similarity {
     * DISTINCT undirected candidate pairs (cost tracks bucket occupancy,
     * never n²), labels joined BEFORE scoring so same-label pairs never
     * pay the cosine, each surviving pair scored once and emitted both
-    * directions, per-anchor top-k via the bounded [[TopScoresAgg]]
+    * directions, per-anchor top-k via the bounded [[graft.functions.TopKScores]]
     * (O(k) state — no corpus-sized window). Sparse-output semantics as
     * [[knnGraph]]: anchors with no cross-label bucket mate emit
     * nothing. At 100 TB the label frame is corpus-sized — it joins on
@@ -1398,7 +1486,7 @@ object Similarity {
     * filtered-ANN failure mode, documented in every vector-store
     * design). The label predicate joins BEFORE any cosine is paid, so
     * cost is |Q| × |matching corpus|; ranking goes through the bounded
-    * O(k)-state [[TopScoresAgg]] — no corpus-sized qid window. At
+    * O(k)-state [[graft.functions.TopKScores]] — no corpus-sized qid window. At
     * 100 TB a selective filter SHRINKS the scan (label is a partition/
     * cluster key in a real layout — this plan partition-prunes). */
   def annCosineFiltered(spark: SparkSession, sfDir: String, k: Int = TopK): DataFrame = {
@@ -1454,7 +1542,7 @@ object Similarity {
     * diversifier every production retrieval stack runs after ANN.
     *
     * Scale shape: the corpus is touched ONLY by the shortlist stage
-    * (broadcast query set × corpus scan → bounded [[TopScoresAgg]], the
+    * (broadcast query set × corpus scan → bounded [[graft.functions.TopKScores]], the
     * same O(k)-state shape as the PQ family); the greedy stage sees
     * |Q|·R rows with their vectors — groupByKey(qid) over R-row groups,
     * O(R²) pair sims per query computed in-task. R and |Q| are the
@@ -2858,46 +2946,29 @@ object Similarity {
     * the 8-term long sum — fold-order-free — and ranking ties break
     * vec_id ASC; the exact-cosine column reuses the [[bruteForceTopK]]
     * double fold. */
-  /** Bounded per-query top-k on (score_u DESC, vec_id ASC) as a typed
-    * [[Aggregator]] — the agg_custom_topk move. The qid window it
-    * replaces has only |Q| partitions, each holding (and sorting) the
-    * FULL scored stream in one task; this buffer is O(k) per group,
-    * merged map-side, so the shuffle carries ≤ k rows per (partition,
-    * qid) and no single task ever sees more than its input split.
-    * Ordering is total (score ties break vec_id ASC), so the emitted
-    * ranks are exactly row_number's — hash-identical output. */
-  private final class TopScoresAgg(k: Int)
-      extends Aggregator[(Long, Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
-    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)  // score DESC, vec_id ASC
-    private def insert(b: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
-      val (pre, post) = b.span(x => lt(x, e))
-      val merged = pre ::: (e :: post)
-      if (merged.length > k) merged.take(k) else merged
-    }
-    override def zero: List[(Long, Long)] = Nil
-    override def reduce(b: List[(Long, Long)], a: (Long, Long, Long)): List[(Long, Long)] =
-      insert(b, (a._3, a._2))
-    override def merge(x: List[(Long, Long)], y: List[(Long, Long)]): List[(Long, Long)] =
-      y.foldLeft(x)(insert)
-    override def finish(r: List[(Long, Long)]): Seq[(Long, Long)] = r
-    override def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
-  }
-
   /** (qid, vec_id, score_u) → (qid, rank, vec_id, score_u), rank 1..k per
-    * qid by (score_u DESC, vec_id ASC), via [[TopScoresAgg]]. */
+    * qid by (score_u DESC, vec_id ASC), via the native
+    * [[graft.functions.TopKScores]] `TypedImperativeAggregate` — O(k)
+    * primitive-array state per group, merged map-side, so the shuffle
+    * carries ≤ k rows per (partition, qid) and no single task ever sees
+    * more than its input split (the qid window it replaces held the
+    * full scored stream of a query in one task). SET semantics: exact
+    * (score, vec) duplicates are no-ops, which lets the kNN edge build
+    * feed the raw multi-table bucket-join stream straight in — no
+    * pair-cardinality distinct exchange, no per-row object ser/de (the
+    * r12 stage probe's two dominant costs; the typed Dataset
+    * `Aggregator` this replaced paid the encoder round-trip per row).
+    * Ordering is total (score ties break vec_id ASC), so the emitted
+    * ranks are exactly row_number's over DISTINCT pairs —
+    * hash-identical output. */
   private def topKScored(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
-    import spark.implicits._
-    val agg = new TopScoresAgg(k)
-    scored.select(col("qid"), col("vec_id"), col("score_u"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .agg(agg.toColumn.name("top"))
-      .toDF("qid", "top")
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKScores
+        .topk_scores(col("score_u"), col("vec_id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sv")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("sv._2").as("vec_id"), col("sv._1").as("score_u"))
+        col("sv.vec_id").as("vec_id"), col("sv.score_u").as("score_u"))
   }
 
   /** The full-corpus ADC-scored stream (qid, vec_id, score_u) shared by

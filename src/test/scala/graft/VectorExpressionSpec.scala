@@ -136,6 +136,45 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(agg.deserialize(denseWire) == full)
   }
 
+  test("TopKScores: set semantics, order, round-trip, cross-buffer merge") {
+    import graft.functions.{TopKScores, TopKScoresBuf}
+    val agg = TopKScores(
+      org.apache.spark.sql.graft.Bridge.expression(lit(0L)),
+      org.apache.spark.sql.graft.Bridge.expression(lit(0L)), 3)
+    val b = new TopKScoresBuf(3)
+    // duplicates are no-ops; order is (score DESC, vec ASC)
+    Seq((5L, 2L), (5L, 2L), (7L, 9L), (5L, 1L), (7L, 9L), (6L, 4L), (1L, 0L))
+      .foreach { case (s, v) => b.insert(s, v) }
+    assert(b.n == 3)
+    assert((0 until b.n).map(i => (b.scores(i), b.vecs(i))) ==
+      Seq((7L, 9L), (6L, 4L), (5L, 1L)))
+    // serialize round-trip
+    val rt = agg.deserialize(agg.serialize(b))
+    assert((0 until rt.n).map(i => (rt.scores(i), rt.vecs(i))) ==
+      (0 until b.n).map(i => (b.scores(i), b.vecs(i))))
+    // merge dedups across buffers and is commutative
+    val c = new TopKScoresBuf(3)
+    Seq((7L, 9L), (8L, 3L), (5L, 1L)).foreach { case (s, v) => c.insert(s, v) }
+    val m1 = agg.merge(agg.deserialize(agg.serialize(b)), c)
+    val m2 = agg.merge(agg.deserialize(agg.serialize(c)),
+      agg.deserialize(agg.serialize(b)))
+    def flat(x: TopKScoresBuf) = (0 until x.n).map(i => (x.scores(i), x.vecs(i)))
+    assert(flat(m1) == Seq((8L, 3L), (7L, 9L), (6L, 4L)))
+    assert(flat(m1) == flat(m2))
+    // end-to-end through a grouped agg with injected duplicates
+    import graft.functions.TopKScores.topk_scores
+    val df = Seq((1L, 10L, 100L), (1L, 10L, 100L), (1L, 20L, 90L),
+      (1L, 30L, 110L), (2L, 40L, 50L))
+      .toDF("qid", "vec_id", "score_u")
+      .groupBy("qid").agg(topk_scores(col("score_u"), col("vec_id"), 2).as("t"))
+      .select(col("qid"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    assert(df(1L) == Seq((110L, 30L), (100L, 10L)))
+    assert(df(2L) == Seq((50L, 40L)))
+  }
+
   test("bitmap_distinct matches the oracle shape on the events fixture") {
     val rows = queries.Temporal.eventsUserBitmapDaily(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
