@@ -37,6 +37,7 @@ SPECS=(
   'part_link_prediction@top_q=8' 'part_link_prediction@top_q=64,top_n=20'
   'shard_plan@shard_tokens=1024' 'shard_plan@shard_tokens=16384'
   'part_name_profit@pattern=widget' 'part_name_profit@pattern=small'
+  'semantic_decontamination@tau=0.3' 'semantic_decontamination@tau=0.6'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
