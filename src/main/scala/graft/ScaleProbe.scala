@@ -38,7 +38,7 @@ object ScaleProbe {
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
     "leakage_safe_split", "split_balance_audit",
-    "semantic_decontamination",
+    "semantic_decontamination", "semantic_decontamination_delta",
     "readability", "text_quality", "tokenizer_fertility",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
@@ -129,7 +129,9 @@ object ScaleProbe {
     "disc_revenue_brands", "dormant_high_balance", "part_link_prediction",
     "part_name_profit",
     "customer_order_dist", "region_part_value", "min_cost_supplier",
-    "supplier_part_counts", "dominant_ship_suppliers")
+    "supplier_part_counts", "dominant_ship_suppliers",
+    "returned_item_losses", "local_supplier_volume",
+    "forecast_revenue_uplift", "nation_trade_volume")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

@@ -86,6 +86,11 @@ object SparkEntry {
     "market_share" -> ((s, d, a) =>
       Relational.marketShare(s, d, a.getOrElse("nation", "NATION_5"),
         a.getOrElse("region", "AMERICA"), a.getOrElse("ptype", "PROMO"))),
+    "local_supplier_volume" -> ((s, d, a) =>
+      Relational.localSupplierVolume(s, d, a.getOrElse("region", "ASIA"))),
+    "nation_trade_volume" -> ((s, d, a) =>
+      Relational.nationTradeVolume(s, d,
+        a.getOrElse("nation1", "NATION_3"), a.getOrElse("nation2", "NATION_7"))),
     "large_volume_customers" -> ((s, d, a) =>
       Relational.largeVolumeCustomers(s, d,
         a.getOrElse("min_qty", "250").toLong,
@@ -148,6 +153,10 @@ object SparkEntry {
     "semantic_decontamination" -> ((s, d, a) =>
       Curation.semanticDecontamination(s, d,
         a.getOrElse("tau", "0.47").toDouble)),
+    "semantic_decontamination_delta" -> ((s, d, a) =>
+      Curation.semanticDecontaminationDelta(s, d,
+        a.getOrElse("tau", "0.47").toDouble,
+        a.getOrElse("delta_mod", "10").toLong)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -265,6 +274,11 @@ object SparkEntry {
     "market_share" -> (a =>
       Relational.marketShareSqlFor(a.getOrElse("nation", "NATION_5"),
         a.getOrElse("region", "AMERICA"), a.getOrElse("ptype", "PROMO"))),
+    "local_supplier_volume" -> (a =>
+      Relational.localSupplierVolumeSqlFor(a.getOrElse("region", "ASIA"))),
+    "nation_trade_volume" -> (a =>
+      Relational.nationTradeVolumeSqlFor(
+        a.getOrElse("nation1", "NATION_3"), a.getOrElse("nation2", "NATION_7"))),
     "large_volume_customers" -> (a =>
       Relational.largeVolumeCustomersSqlFor(
         a.getOrElse("min_qty", "250").toLong,
@@ -315,6 +329,10 @@ object SparkEntry {
     "semantic_decontamination" -> (a =>
       Curation.semanticDecontaminationSqlFor(
         a.getOrElse("tau", "0.47").toDouble)),
+    "semantic_decontamination_delta" -> (a =>
+      Curation.semanticDecontaminationDeltaSqlFor(
+        a.getOrElse("tau", "0.47").toDouble,
+        a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -532,6 +532,130 @@ object Curation {
   val semanticDecontaminationSql: String =
     semanticDecontaminationSqlFor(SemDecontTau)
 
+  private val DecontDeltaMod = 10L
+
+  /** INCREMENTAL DECONTAMINATION GATE — the nightly-ingest twin of
+    * [[semanticDecontamination]]: before a NEW train shard (modeled as
+    * the docs with `doc_id % deltaMod == deltaMod−1`, the
+    * [[Dedup.dedupDelta]] convention) is admitted to the corpus, audit
+    * it against the FROZEN eval set. One row per incoming shard doc:
+    * its nearest same-IVF-cell eval document (null if its cell holds
+    * none — admissible by construction), the count of eval docs within
+    * τ, the `rejected` flag, and the shard-level rollup (docs checked /
+    * rejected) broadcast onto every row. Direction is REVERSED from the
+    * full audit on purpose: the full audit asks "which eval docs are
+    * compromised", the gate asks "which incoming train docs would
+    * compromise them" — the answer you need BEFORE the shard lands.
+    *
+    * Scale: cost is |delta| × E|cell ∩ eval| — proportional to the
+    * SHARD, not the corpus (the full audit's Σ|cell|² term has no
+    * |corpus-train| factor here); cells and split assignment are the
+    * same memoized substrate; the rollup is a 1-row broadcast. */
+  def semanticDecontaminationDelta(spark: SparkSession, sfDir: String,
+                                   tau: Double = SemDecontTau,
+                                   deltaMod: Long = DecontDeltaMod): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val split = splitAssigned(spark, sfDir)
+      .select(col("doc_id"), col("split"), col("n_tokens"))
+    val av = Similarity.ivfAssigned(spark, sfDir)
+      .join(Similarity.vecs(spark, sfDir), "vec_id")
+      .join(split, col("vec_id") === col("doc_id"))
+    val evalSide = av.filter(col("split") =!= "train")
+      .select(col("cell"), col("doc_id").as("eval_doc"),
+        col("v").as("xe"), col("norm").as("ne"))
+    val shard = av.filter(col("split") === "train" &&
+        col("doc_id") % deltaMod === deltaMod - 1)
+      .select(col("cell"), col("doc_id").as("train_doc"), col("n_tokens"),
+        col("v").as("xt"), col("norm").as("nt"))
+    val scored = shard.join(evalSide, "cell")
+      .select(col("train_doc"),
+        col("eval_doc"),
+        Det.r(graft.functions.VectorFunctions.array_dot(col("xt"), col("xe"))
+          / (col("nt") * col("ne")), 4).as("cosine"))
+    val wRank = Window.partitionBy("train_doc")
+      .orderBy(col("cosine").desc, col("eval_doc").asc)
+    val wAll = Window.partitionBy("train_doc")
+    val nearest = scored
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_eval_dups",
+        sum(when(col("cosine") >= tau, 1L).otherwise(0L)).over(wAll))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val led = shard.select("train_doc", "n_tokens")
+      .join(nearest, Seq("train_doc"), "left")
+      .select(col("train_doc"), col("n_tokens"), col("eval_doc"),
+        col("cosine"), coalesce(col("n_eval_dups"), lit(0L)).as("n_eval_dups"),
+        coalesce(col("cosine") >= tau, lit(false)).as("rejected"))
+    val roll = led.agg(count(lit(1)).as("shard_docs"),
+      sum(when(col("rejected"), 1L).otherwise(0L)).as("shard_rejected"))
+    led.crossJoin(broadcast(roll))
+      .orderBy(col("cosine").desc_nulls_last, col("train_doc").asc)
+      .limit(SemDecontTopN)
+  }
+
+  /** DuckDB twin of [[semanticDecontaminationDelta]] — the full audit's
+    * CTE chain with the shard filter on the train side, a LEFT join so
+    * candidate-less shard docs stay in the ledger, and the 1-row shard
+    * rollup cross-joined on. */
+  def semanticDecontaminationDeltaSqlFor(tau: Double, deltaMod: Long): String =
+    s"""WITH ${Similarity.ivfChainSql},
+       |sdh AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sda AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN b < 5 THEN 'test'
+       |              WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+       |  FROM (SELECT sdh.*,
+       |               CAST(CAST('0x' || substr(md5(ch), 1, 15) AS UBIGINT)
+       |                    % 100 AS INTEGER) AS b
+       |        FROM sdh)),
+       |sd AS (SELECT a.doc_id, a.split, a.n_tokens, f.cell, n.v, n.norm
+       |       FROM sda a
+       |       JOIN fin f ON a.doc_id = f.vec_id
+       |       JOIN nv n ON n.vec_id = a.doc_id),
+       |sde AS (SELECT doc_id AS eval_doc, cell, v, norm
+       |        FROM sd WHERE split <> 'train'),
+       |shard AS (SELECT doc_id AS train_doc, n_tokens, cell, v, norm
+       |          FROM sd WHERE split = 'train'
+       |            AND doc_id % $deltaMod = $deltaMod - 1),
+       |sc AS (
+       |  SELECT t.train_doc, e.eval_doc,
+       |         CAST(floor(list_dot_product(t.v, e.v) / (t.norm * e.norm)
+       |                    * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |  FROM shard t JOIN sde e ON t.cell = e.cell),
+       |near AS (
+       |  SELECT train_doc, eval_doc, cosine, CAST(n_eval_dups AS BIGINT) AS n_eval_dups
+       |  FROM (SELECT sc.*,
+       |               row_number() OVER (PARTITION BY train_doc
+       |                  ORDER BY cosine DESC, eval_doc) AS rn,
+       |               sum(CASE WHEN cosine >= $tau THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY train_doc) AS n_eval_dups
+       |        FROM sc)
+       |  WHERE rn = 1),
+       |led AS (
+       |  SELECT s.train_doc, s.n_tokens, n.eval_doc, n.cosine,
+       |         coalesce(n.n_eval_dups, 0) AS n_eval_dups,
+       |         coalesce(n.cosine >= $tau, false) AS rejected
+       |  FROM shard s LEFT JOIN near n USING (train_doc)),
+       |roll AS (
+       |  SELECT count(*) AS shard_docs,
+       |         CAST(sum(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS shard_rejected
+       |  FROM led)
+       |SELECT l.train_doc, l.n_tokens, l.eval_doc, l.cosine, l.n_eval_dups,
+       |       l.rejected, r.shard_docs, r.shard_rejected
+       |FROM led l CROSS JOIN roll r
+       |ORDER BY l.cosine DESC NULLS LAST, l.train_doc
+       |LIMIT $SemDecontTopN""".stripMargin
+
+  val semanticDecontaminationDeltaSql: String =
+    semanticDecontaminationDeltaSqlFor(SemDecontTau, DecontDeltaMod)
+
   // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
@@ -542,7 +666,9 @@ object Curation {
     "weighted_sample_pps" -> ((s, d) => weightedSamplePps(s, d)),
     "leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "split_balance_audit" -> ((s, d) => splitBalanceAudit(s, d)),
-    "semantic_decontamination" -> ((s, d) => semanticDecontamination(s, d)))
+    "semantic_decontamination" -> ((s, d) => semanticDecontamination(s, d)),
+    "semantic_decontamination_delta" ->
+      ((s, d) => semanticDecontaminationDelta(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
@@ -550,5 +676,6 @@ object Curation {
     "weighted_sample_pps" -> weightedSamplePpsSql,
     "leakage_safe_split" -> leakageSafeSplitSql,
     "split_balance_audit" -> splitBalanceAuditSql,
-    "semantic_decontamination" -> semanticDecontaminationSql)
+    "semantic_decontamination" -> semanticDecontaminationSql,
+    "semantic_decontamination_delta" -> semanticDecontaminationDeltaSql)
 }

@@ -4168,6 +4168,249 @@ object Relational {
        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
        |ORDER BY s_suppkey""".stripMargin
 
+  private val ReturnedQuarterStart = "1998-01-01"
+  private val ReturnedQuarterEnd = "1998-04-01"
+  private val ReturnedTopN = 20
+
+  /** TPC-H Q10-shaped returned-item losses: the top customers by revenue
+    * REFUNDED on returned ('R') items for one order quarter — the
+    * "which accounts are hurting" churn readout. Both selective filters
+    * push to their scans (order-date range on orders, returnflag on
+    * lineitem), the pruned slices meet in the one fact-fact shuffle on
+    * orderkey, revenue accumulates per customer in exact cents·pct
+    * decimals, and customer/nation attach afterward — to the
+    * ≤|customers-with-returns| aggregate, never the fact (customer
+    * grows with SF → AQE strategy, nation broadcasts). Top-N via
+    * TakeOrderedAndProject, ties on c_custkey. */
+  def returnedItemLosses(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(ReturnedQuarterStart).cast("timestamp") &&
+        col("o_orderdate") < lit(ReturnedQuarterEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("rev"),
+        count(lit(1)).as("n_items"))
+    perCust
+      .join(Tables.customer(spark, sfDir)
+          .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        (col("rev").cast("double") / 10000).as("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(ReturnedTopN)
+  }
+
+  val returnedItemLossesSql: String =
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+       |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+       |         / 10000 AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |              AND o_orderdate >= TIMESTAMP '$ReturnedQuarterStart'
+       |              AND o_orderdate <  TIMESTAMP '$ReturnedQuarterEnd'
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT $ReturnedTopN""".stripMargin
+
+  private val LocalVolRegion = "ASIA"
+  private val LocalVolYearStart = "1997-01-01"
+  private val LocalVolYearEnd = "1998-01-01"
+
+  /** TPC-H Q5-shaped local supplier volume: revenue per nation of one
+    * region, for one order year, counting ONLY lineitems where the
+    * supplier and the ordering customer share that nation — the
+    * "domestic fulfillment" readout. The date range pushes to the orders
+    * scan and the region prune cuts customers to ~1/|regions| BEFORE the
+    * fact joins; the customer==supplier nation equality is a post-join
+    * filter (it relates two different join paths, so it cannot prune a
+    * scan on either engine).
+    *
+    * Scale: lineitem⋈orders is the one fact-fact shuffle (orderkey);
+    * the custkey and suppkey joins attach SF-growing dims — no forced
+    * broadcast (invariant #4, AQE decides); nation⋈region is a bounded
+    * broadcast slice. Output ≤ |nations in region| rows. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String,
+                          region: String = LocalVolRegion): DataFrame = {
+    Args.lit("region", region)
+    val natR = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(LocalVolYearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(LocalVolYearEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(natR), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey").as("c_nk"),
+        col("n_name").as("nation"))
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nk"))
+      .groupBy("nation")
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("rev"),
+        count(lit(1)).as("n_items"))
+      .select(col("nation"),
+        (col("rev").cast("double") / 10000).as("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("nation").asc)
+  }
+
+  def localSupplierVolumeSqlFor(region: String): String = {
+    Args.lit("region", region)
+    s"""SELECT n_name AS nation,
+       |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+       |         / 10000 AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |              AND o_orderdate >= TIMESTAMP '$LocalVolYearStart'
+       |              AND o_orderdate <  TIMESTAMP '$LocalVolYearEnd'
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |              AND s_nationkey = c_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey AND r_name = '$region'
+       |GROUP BY 1
+       |ORDER BY revenue DESC, nation""".stripMargin
+  }
+
+  val localSupplierVolumeSql: String = localSupplierVolumeSqlFor(LocalVolRegion)
+
+  /** TPC-H Q6-shaped revenue-uplift forecast: the revenue that would be
+    * RECLAIMED by eliminating small discounts on small-quantity orders —
+    * Σ price·discount over the 5–7% discount band at quantity < 24,
+    * per ship year. Zero joins: both band predicates and the projection
+    * push to the parquet scan (raw-column compares against literals —
+    * identical stored doubles compare identically on both engines; no
+    * arithmetic enters the predicate), and the aggregate is map-side
+    * partial into ≤|years| groups.
+    *
+    * Scale: this is the pure scan-throughput query — at 100 TB the cost
+    * is the pruned column read (3 doubles + a date), nothing else. */
+  def forecastRevenueUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(sum((cents(col("l_extendedprice")) * pct(col("l_discount")))
+          .cast("decimal(38,0)")).as("up"),
+        count(lit(1)).as("n_items"))
+      .select(col("ship_year"),
+        (col("up").cast("double") / 10000).as("uplift_revenue"),
+        col("n_items"))
+      .orderBy("ship_year")
+  }
+
+  val forecastRevenueUpliftSql: String =
+    s"""SELECT year(l_shipdate) AS ship_year,
+       |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |                * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+       |         / 10000 AS uplift_revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+       |GROUP BY 1
+       |ORDER BY ship_year""".stripMargin
+
+  private val TradeNation1 = "NATION_3"
+  private val TradeNation2 = "NATION_7"
+  private val TradeShipStart = "1996-01-01"
+  private val TradeShipEnd = "1998-01-01"
+
+  /** TPC-H Q7-shaped bilateral trade volume: shipped revenue between two
+    * nations (supplier in one, customer in the other, both directions
+    * kept as separate rows) per ship year. The two-nation slice joins
+    * onto the fact FIRST — supplier side prunes lineitem to
+    * ~2/|nations| before the orderkey shuffle — and the ship-date range
+    * pushes to the lineitem scan.
+    *
+    * Scale: nation is a bounded broadcast; the nation-sliced supplier
+    * and customer frames grow with SF → no forced broadcast (invariant
+    * #4, AQE decides). One fact-fact shuffle on orderkey over the
+    * supplier-pruned slice; ≤ 2·|years| output rows. */
+  def nationTradeVolume(spark: SparkSession, sfDir: String,
+                        nation1: String = TradeNation1,
+                        nation2: String = TradeNation2): DataFrame = {
+    Args.lit("nation1", nation1); Args.lit("nation2", nation2)
+    require(nation1 != nation2, "nation1 and nation2 must differ")
+    val natPair = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(nation1, nation2))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(TradeShipStart).cast("timestamp") &&
+        col("l_shipdate") < lit(TradeShipEnd).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        (cents(col("l_extendedprice")) * (lit(100) - pct(col("l_discount"))))
+          .as("rev_e4"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("rev"),
+        count(lit(1)).as("n_items"))
+      .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
+        (col("rev").cast("double") / 10000).as("revenue"), col("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  def nationTradeVolumeSqlFor(nation1: String, nation2: String): String = {
+    Args.lit("nation1", nation1); Args.lit("nation2", nation2)
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |       year(l_shipdate) AS ship_year,
+       |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+       |         / 10000 AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier  ON l_suppkey = s_suppkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |              AND ns.n_name IN ('$nation1', '$nation2')
+       |JOIN orders    ON l_orderkey = o_orderkey
+       |JOIN customer  ON o_custkey = c_custkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |              AND nc.n_name IN ('$nation1', '$nation2')
+       |WHERE l_shipdate >= TIMESTAMP '$TradeShipStart'
+       |  AND l_shipdate <  TIMESTAMP '$TradeShipEnd'
+       |  AND ns.n_name <> nc.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  val nationTradeVolumeSql: String =
+    nationTradeVolumeSqlFor(TradeNation1, TradeNation2)
+
   private val LinkTopN = 50
   private val LinkTopQ = 32
   private val LinkMinCn = 2
@@ -4288,6 +4531,10 @@ object Relational {
     "min_cost_supplier"   -> ((s, d) => minCostSupplier(s, d)),
     "supplier_part_counts" -> ((s, d) => supplierPartCounts(s, d)),
     "dominant_ship_suppliers" -> ((s, d) => dominantShipSuppliers(s, d)),
+    "returned_item_losses" -> ((s, d) => returnedItemLosses(s, d)),
+    "local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
+    "forecast_revenue_uplift" -> ((s, d) => forecastRevenueUplift(s, d)),
+    "nation_trade_volume" -> ((s, d) => nationTradeVolume(s, d)),
     "part_link_prediction" -> ((s, d) => partLinkPrediction(s, d)),
     "orders_gini"         -> ((s, d) => ordersGini(s, d)),
     "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
@@ -4363,6 +4610,10 @@ object Relational {
     "min_cost_supplier"    -> minCostSupplierSql,
     "supplier_part_counts" -> supplierPartCountsSql,
     "dominant_ship_suppliers" -> dominantShipSuppliersSql,
+    "returned_item_losses" -> returnedItemLossesSql,
+    "local_supplier_volume" -> localSupplierVolumeSql,
+    "forecast_revenue_uplift" -> forecastRevenueUpliftSql,
+    "nation_trade_volume" -> nationTradeVolumeSql,
     "part_link_prediction" -> partLinkPredictionSql,
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,

@@ -168,7 +168,9 @@ class CurationSpec extends AnyFunSuite {
     // so P must be one of ITS test docs and T one of its train docs
     val ids = (0L to 500L)
     val pId = ids.find(idBucket(_) < 5).get
-    val tId = ids.find(id => id != pId && idBucket(id) >= 10).get
+    // odd id → T lands in the deltaMod=2 incoming shard (case 4 below)
+    val tId = ids.find(id =>
+      id != pId && id % 2 == 1 && idBucket(id) >= 10).get
     val bgIds = ids.filterNot(Set(pId, tId)).take(58)
     def oneHot(d: Int): Array[Float] =
       Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
@@ -213,5 +215,32 @@ class CurationSpec extends AnyFunSuite {
       pRow.getAs[Long]("n_tokens"))
     // the orthogonal background corpus stays clean at tau
     assert(sd.count(_.getAs[Boolean]("leaked")) == 1)
+
+    // --- 4. the INCREMENTAL gate (reversed direction): with a deltaMod
+    // that puts T in the incoming shard, T is rejected before landing —
+    // its nearest eval neighbor is P at the same cosine
+    val mod = 2L // tId is odd by construction → T is in the shard
+    val sdd = queries.Curation
+      .semanticDecontaminationDelta(spark, dir, deltaMod = mod).collect()
+    assert(sdd.nonEmpty)
+    // every ledger row is genuinely from the shard
+    assert(sdd.forall(r => r.getAs[Long]("train_doc") % mod == mod - 1))
+    val tRow = sdd.find(_.getAs[Long]("train_doc") == tId)
+      .getOrElse(fail(s"T ($tId) missing from the shard ledger"))
+    assert(tRow.getAs[Boolean]("rejected"), "incoming paraphrase-source not rejected")
+    assert(tRow.getAs[Long]("eval_doc") == pId)
+    assert(tRow.getAs[Double]("cosine") >= 0.9)
+    assert(tRow.getAs[Long]("n_eval_dups") >= 1L)
+    // the shard rollup books exactly the one rejection, on every row
+    assert(sdd.forall(_.getAs[Long]("shard_rejected") == 1L))
+    assert(sdd.forall(_.getAs[Long]("shard_docs") == sdd.length.toLong))
+    // consistency with the full audit: the gate's rejection pair is the
+    // full audit's leak pair, seen from the other side
+    assert(pRow.getAs[Long]("train_doc") == tRow.getAs[Long]("train_doc"))
+    // a shard that EXCLUDES T admits everything (background is orthogonal)
+    val mod2 = (2L to mod + 1).find(m => tId % m != m - 1).get
+    val clean = queries.Curation
+      .semanticDecontaminationDelta(spark, dir, deltaMod = mod2).collect()
+    assert(clean.forall(!_.getAs[Boolean]("rejected")))
   }
 }

@@ -96,6 +96,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ds.contains("GreaterThanOrEqual(l_shipdate"), "year range pushed")
     assert(ds.contains("StringStartsWith(p_name,blue)"), "prefix pushed")
     assert(ds.contains("LeftSemi"))
+    // returned_item_losses (Q10): both selective filters reach their
+    // scans; top-N via TakeOrderedAndProject
+    val rl = plan("returned_item_losses")
+    assert(rl.contains("EqualTo(l_returnflag,R)"), "returnflag pushed")
+    assert(rl.contains("GreaterThanOrEqual(o_orderdate"), "date range pushed")
+    assert(rl.contains("TakeOrderedAndProject"))
+    // local_supplier_volume (Q5): order-year range and region name both
+    // pushed; the nation⋈region slice broadcasts
+    val lsv = plan("local_supplier_volume")
+    assert(lsv.contains("GreaterThanOrEqual(o_orderdate"), "date range pushed")
+    assert(lsv.contains("EqualTo(r_name,ASIA)"), "region filter pushed")
+    assert(lsv.contains("BroadcastHashJoin"))
+    // forecast_revenue_uplift (Q6): zero joins, both band predicates
+    // pushed to the one scan, map-side partial agg
+    val fr = plan("forecast_revenue_uplift")
+    assert(fr.contains("GreaterThanOrEqual(l_discount,0.05)"), "band pushed")
+    // (the PushedFilters display string truncates mid-list — the qty
+    // bound shows in the Filter node above the scan)
+    assert(fr.contains("< 24.0"), "qty bound in the scan filter")
+    assert(!fr.contains("Join"), "Q6 shape must not join")
+    assert(fr.contains("partial_sum") || fr.contains("partial sum"),
+      "map-side partial agg")
+    // nation_trade_volume (Q7): ship range pushed to the fact scan,
+    // nation pair IN pushed to both dim scans
+    val nt = plan("nation_trade_volume")
+    assert(nt.contains("GreaterThanOrEqual(l_shipdate"), "ship range pushed")
+    assert(nt.contains("In(n_name"), "nation pair IN pushed")
   }
 
   test("semi/anti joins plan as Semi/Anti, with the selective filter pushed") {

@@ -1050,6 +1050,129 @@ class RelationalSpec extends AnyFunSuite {
     assert(key == key.sorted)
   }
 
+  test("returned_item_losses: top row matches the brute-forced refund leader") {
+    val rows = queries.Relational.returnedItemLosses(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lo = lit("1998-01-01").cast("timestamp")
+    val hi = lit("1998-04-01").cast("timestamp")
+    val perCust = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("r"))
+      .collect().groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (k, xs) => k -> xs.map(x => BigInt(x.getAs[Long]("r"))).sum }
+    val best = perCust.toSeq.maxBy { case (k, v) => (v, -k) }
+    assert(rows.head.getAs[Long]("c_custkey") == best._1)
+    assert(math.abs(rows.head.getAs[Double]("revenue") -
+      best._2.toDouble / 10000) < 1e-6)
+    // ordering: revenue desc, custkey asc
+    val key = rows.map(r => (-r.getAs[Double]("revenue"),
+      r.getAs[Long]("c_custkey"))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("local_supplier_volume: matches the brute-forced domestic ASIA revenue") {
+    val rows = queries.Relational.localSupplierVolume(spark, sf).collect()
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val asia = Tables.region(spark, sf).collect()
+      .find(_.getString(1) == "ASIA").get.getInt(0)
+    val custNk = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey")).toMap
+    val suppNk = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("s_nationkey")).toMap
+    val ordCust = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp")).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val exp = scala.collection.mutable.Map.empty[String, (BigInt, Long)]
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("r"))
+      .collect().foreach { r =>
+        ordCust.get(r.getAs[Long]("l_orderkey")).foreach { ck =>
+          val snk = suppNk(r.getAs[Long]("l_suppkey"))
+          if (custNk(ck) == snk && nat(snk)._2 == asia) {
+            val name = nat(snk)._1
+            val (s, n) = exp.getOrElse(name, (BigInt(0), 0L))
+            exp(name) = (s + BigInt(r.getAs[Long]("r")), n + 1)
+          }
+        }
+      }
+    assert(exp.nonEmpty && rows.map(_.getString(0)).toSet == exp.keySet)
+    rows.foreach { r =>
+      val (s, n) = exp(r.getString(0))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(math.abs(r.getAs[Double]("revenue") - s.toDouble / 10000) < 1e-6)
+    }
+    val key = rows.map(r => (-r.getAs[Double]("revenue"), r.getString(0))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("forecast_revenue_uplift: brute-forced band sum per ship year; ordered") {
+    val rows = queries.Relational.forecastRevenueUplift(spark, sf).collect()
+    val exp = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(year(col("l_shipdate")).as("y"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * round(col("l_discount") * 100).cast("long")).as("u"))
+      .collect().groupBy(_.getInt(0)).map { case (y, xs) =>
+        y -> (xs.map(x => BigInt(x.getAs[Long]("u"))).sum, xs.length.toLong) }
+    assert(exp.nonEmpty && rows.map(_.getInt(0)).toSet == exp.keySet)
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+    rows.foreach { r =>
+      val (s, n) = exp(r.getInt(0))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(math.abs(r.getAs[Double]("uplift_revenue") - s.toDouble / 10000) < 1e-6)
+    }
+  }
+
+  test("nation_trade_volume: bilateral directions only, brute-forced per direction-year") {
+    val rows = queries.Relational.nationTradeVolume(spark, sf).collect()
+    val pair = Set("NATION_3", "NATION_7")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet
+      .subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custNk = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey")).toMap
+    val suppNk = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("s_nationkey")).toMap
+    val ordCust = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val exp = scala.collection.mutable.Map.empty[(String, String, Int), (BigInt, Long)]
+    Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("y"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100) - round(col("l_discount") * 100).cast("long"))).as("r"))
+      .collect().foreach { r =>
+        val sn = nat(suppNk(r.getAs[Long]("l_suppkey")))
+        val cn = nat(custNk(ordCust(r.getAs[Long]("l_orderkey"))))
+        if (pair(sn) && pair(cn) && sn != cn) {
+          val k = (sn, cn, r.getAs[Int]("y"))
+          val (s, n) = exp.getOrElse(k, (BigInt(0), 0L))
+          exp(k) = (s + BigInt(r.getAs[Long]("r")), n + 1)
+        }
+      }
+    assert(exp.nonEmpty && rows.length == exp.size)
+    rows.foreach { r =>
+      val (s, n) = exp((r.getString(0), r.getString(1), r.getInt(2)))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(math.abs(r.getAs[Double]("revenue") - s.toDouble / 10000) < 1e-6)
+    }
+    val key = rows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(key == key.sorted)
+  }
+
   test("dominant_ship_suppliers: every returned supplier holds >30% of some blue part's 1997 volume") {
     val rows = queries.Relational.dominantShipSuppliers(spark, sf).collect()
     assert(rows.nonEmpty)

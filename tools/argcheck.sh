@@ -38,6 +38,11 @@ SPECS=(
   'shard_plan@shard_tokens=1024' 'shard_plan@shard_tokens=16384'
   'part_name_profit@pattern=widget' 'part_name_profit@pattern=small'
   'semantic_decontamination@tau=0.3' 'semantic_decontamination@tau=0.6'
+  'semantic_decontamination_delta@tau=0.3'
+  'semantic_decontamination_delta@delta_mod=7,tau=0.6'
+  'local_supplier_volume@region=EUROPE' 'local_supplier_volume@region=AFRICA'
+  'nation_trade_volume@nation1=NATION_0,nation2=NATION_12'
+  'nation_trade_volume@nation2=NATION_24'
 )
 tools/run.sh graft.Verify "$SF" "$OUT" "${SPECS[@]}" 2>&1 \
   | grep -E '\[verify\].*failed' || true
