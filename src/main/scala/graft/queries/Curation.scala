@@ -568,6 +568,20 @@ object Curation {
         col("doc_id") % deltaMod === deltaMod - 1)
       .select(col("cell"), col("doc_id").as("train_doc"), col("n_tokens"),
         col("v").as("xt"), col("norm").as("nt"))
+    val led = decontLedger(shard, evalSide, tau)
+    val roll = led.agg(count(lit(1)).as("shard_docs"),
+      sum(when(col("rejected"), 1L).otherwise(0L)).as("shard_rejected"))
+    led.crossJoin(broadcast(roll))
+      .orderBy(col("cosine").desc_nulls_last, col("train_doc").asc)
+      .limit(SemDecontTopN)
+  }
+
+  /** Shared per-doc ledger of the two ingest gates: score each shard doc
+    * (cell, train_doc, n_tokens, xt, nt) against its cell's eval slice,
+    * keep the nearest eval neighbor + the within-τ count + the rejected
+    * flag; LEFT join so candidate-less docs stay admissible rows. */
+  private def decontLedger(shard: DataFrame, evalSide: DataFrame,
+                           tau: Double): DataFrame = {
     val scored = shard.join(evalSide, "cell")
       .select(col("train_doc"),
         col("eval_doc"),
@@ -582,16 +596,55 @@ object Curation {
         sum(when(col("cosine") >= tau, 1L).otherwise(0L)).over(wAll))
       .filter(col("rn") === 1)
       .drop("rn")
-    val led = shard.select("train_doc", "n_tokens")
+    shard.select("train_doc", "n_tokens")
       .join(nearest, Seq("train_doc"), "left")
       .select(col("train_doc"), col("n_tokens"), col("eval_doc"),
         col("cosine"), coalesce(col("n_eval_dups"), lit(0L)).as("n_eval_dups"),
         coalesce(col("cosine") >= tau, lit(false)).as("rejected"))
-    val roll = led.agg(count(lit(1)).as("shard_docs"),
-      sum(when(col("rejected"), 1L).otherwise(0L)).as("shard_rejected"))
-    led.crossJoin(broadcast(roll))
-      .orderBy(col("cosine").desc_nulls_last, col("train_doc").asc)
-      .limit(SemDecontTopN)
+  }
+
+  /** THE LIVE INGEST GATE — the foreachBatch body of the STREAMING
+    * decontamination gate: score an arbitrary batch of incoming docs
+    * (doc_id, text, embedding) against the corpus's FROZEN eval split,
+    * placing each incoming embedding in its IVF cell with the memoized
+    * coarse quantizer. No state store: the eval side is static (the
+    * split freezes at train time), so the live twin is a stream-static
+    * join per micro-batch — StreamingSpec pins a multi-micro-batch
+    * replay of the [[semanticDecontaminationDelta]] shard row-equal to
+    * the batch gate's ledger.
+    *
+    * Scale: per-batch cost is |batch| × E|cell ∩ eval|; the quantizer is
+    * a ≤cells×dim driver broadcast; the eval side shuffles on cell once
+    * per batch (at 100 TB, persist it cell-partitioned and this join is
+    * exchange-free on the static side). */
+  def decontGateBatch(spark: SparkSession, sfDir: String,
+                      incoming: DataFrame,
+                      tau: Double = SemDecontTau): DataFrame = {
+    import spark.implicits._
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val kernel = Similarity.IvfKernel
+    val bc = spark.sparkContext.broadcast(Similarity.ivfCentroids(spark, sfDir))
+    val shard = incoming
+      .select(col("doc_id"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nt",
+        sqrt(graft.functions.VectorFunctions.array_dot(col("v"), col("v"))))
+      .as[(Long, Long, Seq[Double], Double)]
+      .map { case (id, ntok, v, n) =>
+        val arr = v.toArray
+        (kernel.nearestCell(bc.value, arr.map(_ / n)), id, ntok, arr, n)
+      }
+      .toDF("cell", "train_doc", "n_tokens", "xt", "nt")
+    val split = splitAssigned(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    val evalSide = Similarity.ivfAssigned(spark, sfDir)
+      .join(Similarity.vecs(spark, sfDir), "vec_id")
+      .join(split, col("vec_id") === col("doc_id"))
+      .filter(col("split") =!= "train")
+      .select(col("cell"), col("doc_id").as("eval_doc"),
+        col("v").as("xe"), col("norm").as("ne"))
+    decontLedger(shard, evalSide, tau)
   }
 
   /** DuckDB twin of [[semanticDecontaminationDelta]] — the full audit's

@@ -1736,7 +1736,7 @@ object Similarity {
     * (score DESC, cell ASC) ranking. In a Serializable holder so task
     * closures capture this empty object, not Similarity$ (the
     * NotSerializableException trap). */
-  private object IvfKernel extends Serializable {
+  private[queries] object IvfKernel extends Serializable {
     def nearestCell(cs: Array[Array[Double]], u: Array[Double]): Int = {
       var best = 0; var bestDot = Double.NegativeInfinity
       var c = 0
@@ -1777,7 +1777,7 @@ object Similarity {
     * sample (~128 vectors/cell — training is O(128·cells²), the
     * standard production IVF build; the final assignment stays exact
     * over all n). Returns the trained centroid array. */
-  private def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
+  private[queries] def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
     ivfCentMemo.computeIfAbsent(sfDir, _ => {
       import spark.implicits._
       val unit = unitVecs(spark, sfDir).cache()

@@ -602,4 +602,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(curve(240) == 0, "4h delay covers the 3h jitter entirely")
     assert(curve(5) > 0, "5m delay under 3h jitter must drop rows")
   }
+
+  test("streaming decontamination gate: 3-micro-batch replay == batch delta gate ledger") {
+    // the LIVE ingest gate: each micro-batch of incoming docs is scored
+    // against the frozen eval split via foreachBatch(decontGateBatch) —
+    // no state store, so the union over batches must equal the batch
+    // semanticDecontaminationDelta ledger (rollup columns aside) when
+    // the replayed docs are exactly its shard
+    implicit val sqlCtx = spark.sqlContext
+    // the batch gate's shard: train-split docs with doc_id % 10 == 9
+    // (train = content-hash bucket >= 10, the splitAssigned convention)
+    val shard = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 9 &&
+        queries.Temporal.bucketCol(
+          md5(trim(regexp_replace(lower(col("text")), "\\W+", " ")))) >= 10)
+      .join(Tables.embeddings(spark, sf),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    assert(shard.size > 10, s"degenerate shard: ${shard.size}")
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Long, Double, Long, Boolean) =
+      (r.getAs[Long]("train_doc"), r.getAs[Long]("n_tokens"),
+        if (r.isNullAt(r.fieldIndex("eval_doc"))) -1L else r.getAs[Long]("eval_doc"),
+        if (r.isNullAt(r.fieldIndex("cosine"))) -99.0 else r.getAs[Double]("cosine"),
+        r.getAs[Long]("n_eval_dups"), r.getAs[Boolean]("rejected"))
+    val want = queries.Curation.semanticDecontaminationDelta(spark, sf)
+      .collect().map(key).toSet
+    assert(want.size == shard.size,
+      "batch ledger must cover the whole shard (top-N unclipped at this sf)")
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Long, Long, Double, Long, Boolean), Unit]
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val q = mem.toDF().toDF("doc_id", "text", "embedding")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          queries.Curation.decontGateBatch(spark, sf, batch)
+            .collect().foreach(r => got.put(key(r), ()))
+      }.start()
+    try {
+      val third = shard.size / 3
+      mem.addData(shard.take(third)); q.processAllAvailable()
+      mem.addData(shard.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(shard.drop(2 * third)); q.processAllAvailable()
+      assert(got.keySet.toSet == want)
+      // the gate is non-vacuous on the fixture: some doc has a same-cell
+      // eval neighbor (a real cosine, not the null sentinel)
+      assert(want.exists(_._4 > -99.0))
+    } finally q.stop()
+  }
 }
