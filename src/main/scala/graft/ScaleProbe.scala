@@ -131,7 +131,7 @@ object ScaleProbe {
     "customer_order_dist", "region_part_value", "min_cost_supplier",
     "supplier_part_counts", "dominant_ship_suppliers",
     "returned_item_losses", "local_supplier_volume",
-    "forecast_revenue_uplift", "nation_trade_volume")
+    "forecast_revenue_uplift", "nation_trade_volume", "customer_rfm")
 
   /** Queries needing BOTH events and the relational tables. */
   private[graft] val DualInputQueries = Seq(

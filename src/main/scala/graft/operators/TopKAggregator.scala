@@ -31,7 +31,20 @@ object TopKAggregator {
 
   /** Top-3 order prices per customer through the typed Aggregator path
     * (same values as the window-ranking formulation — ties only permute
-    * equal prices, so the per-rank PRICE sequence is deterministic). */
+    * equal prices, so the per-rank PRICE sequence is deterministic).
+    *
+    * Scale note: this query exists as the R7 arbitrary-reducer
+    * EXTENSION-POINT demo. A Dataset Aggregator plans as
+    * ObjectHashAggregate, whose partial stage falls back to SORT-based
+    * aggregation at 128 distinct groups per task — o_custkey is
+    * corpus-scaled, so at warehouse volume this shape sorts the raw
+    * order stream per partition (the r12 kNN edge-build lesson,
+    * PERF.md). The production forms are `window_top_orders` (Spark 4
+    * plans the rank filter as WindowGroupLimit — per-partition group
+    * top-k BEFORE the shuffle, pinned in PlanShapeSpec) or a native
+    * O(k)-buffer TypedImperativeAggregate with the fallback threshold
+    * scoped up around the one materializing action
+    * (`Similarity.knnEdgesMaterialized` is the template). */
   def customTopKPrices(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)

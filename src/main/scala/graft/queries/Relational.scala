@@ -4411,6 +4411,123 @@ object Relational {
   val nationTradeVolumeSql: String =
     nationTradeVolumeSqlFor(TradeNation1, TradeNation2)
 
+  /** Distributed GLOBAL RANK over a corpus-sized total order (metric
+    * ASC/DESC, ties on `tie` ASC) — the span-bin/carry-fold
+    * decomposition ([[partsAbcClass]]/[[ordersGini]] discipline) as a
+    * reusable step: bin on the metric span (≤ [[AbcBins]] bins oriented
+    * WITH the order, so bin order == rank order), per-bin counts are a
+    * bounded driver frame, the prefix-count carry broadcasts back, and
+    * row_number partitions by bin. No SinglePartition window anywhere. */
+  private def globalRank(df: DataFrame, metric: String, asc: Boolean,
+                         tie: String, out: String, tag: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val span = df.agg(min(col(metric)), max(col(metric))).head()
+    if (span.isNullAt(0)) return df.withColumn(out, lit(0L))
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val binW = math.max(1L, (hi - lo) / AbcBins + 1)
+    val bcol = if (asc) s"(($metric) - ($lo)) DIV $binW"
+               else s"(($hi) - ($metric)) DIV $binW"
+    val binned = df.withColumn("_bin", expr(bcol))
+    val binCnt = Hist.bounded(
+      binned.groupBy("_bin").agg(count(lit(1)).as("c")), tag)
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val carries = Seq.newBuilder[(Long, Long)]
+    binCnt.foreach { case (b, c) => carries += ((b, run)); run += c }
+    val wBin = org.apache.spark.sql.expressions.Window.partitionBy("_bin")
+      .orderBy(if (asc) col(metric).asc else col(metric).desc, col(tie).asc)
+    binned.join(broadcast(carries.result().toDF("_bin", "_carry")), Seq("_bin"))
+      .withColumn(out, row_number().over(wBin).cast("long") + col("_carry"))
+      .drop("_bin", "_carry")
+  }
+
+  /** RFM SEGMENTATION — the classic CRM readout: every ordering
+    * customer scored into quintiles on Recency (days from last order to
+    * the corpus anchor, most recent = 1), Frequency (order count,
+    * highest = 1), and Monetary (exact-cents spend, highest = 1), rolled
+    * up per (r_q, f_q, m_q) segment (≤125 rows: size, spend, mean
+    * recency). Quintile boundaries are EXACT ntile semantics (first
+    * n mod 5 buckets take the extra row) computed from the distributed
+    * global rank — three [[globalRank]] passes, one per axis, each a
+    * span-bin/carry decomposition, so no axis ever funnels the customer
+    * corpus through a SinglePartition ntile window. The oracle IS
+    * DuckDB's native ntile(5) over the same (metric, custkey) total
+    * orders — the rank→bucket arithmetic is pinned cross-engine, not
+    * assumed.
+    *
+    * Scale: one shuffle on custkey for the base aggregate; each rank
+    * pass is a bounded-histogram collect (≤64k bins) + a within-bin
+    * window; the rollup is a ≤125-group agg. The corpus-sized frame is
+    * traversed, never globally sorted. */
+  def customerRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("monetary_c"))
+    val mx = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderdate")).as("anchor"))
+    if (mx.head().isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Double, Double)]
+        .toDF("r_q", "f_q", "m_q", "n_customers", "monetary",
+          "avg_recency_days")
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+          .cast("long"))
+      .drop("anchor", "last_order")
+    val n = base.count()
+    val ranked = globalRank(globalRank(globalRank(base,
+      "recency_days", asc = true, "o_custkey", "r_rnk", "customer_rfm R"),
+      "frequency", asc = false, "o_custkey", "f_rnk", "customer_rfm F"),
+      "monetary_c", asc = false, "o_custkey", "m_rnk", "customer_rfm M")
+    // exact ntile(5) from the global rank: first n%5 buckets take
+    // ceil(n/5) rows (pinned against DuckDB's ntile above)
+    def ntileOf(rnk: String): Column = {
+      val q = n / 5
+      val rem = n % 5
+      if (q == 0) col(rnk)
+      else when(col(rnk) <= rem * (q + 1),
+          expr(s"($rnk - 1) DIV ${q + 1} + 1"))
+        .otherwise(expr(s"$rem + ($rnk - 1 - ${rem * (q + 1)}) DIV $q + 1"))
+    }
+    ranked
+      .withColumn("r_q", ntileOf("r_rnk"))
+      .withColumn("f_q", ntileOf("f_rnk"))
+      .withColumn("m_q", ntileOf("m_rnk"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum("monetary_c").cast("double") / 100).as("monetary"),
+        (sum("recency_days").cast("double") / count(lit(1)))
+          .as("avg_recency_days"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val customerRfmSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |         max(o_orderdate) AS last_order,
+       |         count(*) AS frequency,
+       |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+       |           AS monetary_c
+       |  FROM orders GROUP BY 1),
+       |mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+       |base AS (
+       |  SELECT p.*, date_diff('day', CAST(last_order AS DATE),
+       |                        CAST(anchor AS DATE)) AS recency_days
+       |  FROM per p, mx),
+       |scored AS (
+       |  SELECT *,
+       |         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+       |         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+       |         ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_q
+       |  FROM base)
+       |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       |       CAST(sum(monetary_c) AS DOUBLE) / 100 AS monetary,
+       |       CAST(sum(recency_days) AS DOUBLE) / count(*) AS avg_recency_days
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private val LinkTopN = 50
   private val LinkTopQ = 32
   private val LinkMinCn = 2
@@ -4535,6 +4652,7 @@ object Relational {
     "local_supplier_volume" -> ((s, d) => localSupplierVolume(s, d)),
     "forecast_revenue_uplift" -> ((s, d) => forecastRevenueUplift(s, d)),
     "nation_trade_volume" -> ((s, d) => nationTradeVolume(s, d)),
+    "customer_rfm" -> ((s, d) => customerRfm(s, d)),
     "part_link_prediction" -> ((s, d) => partLinkPrediction(s, d)),
     "orders_gini"         -> ((s, d) => ordersGini(s, d)),
     "parts_abc_class"     -> ((s, d) => partsAbcClass(s, d)),
@@ -4614,6 +4732,7 @@ object Relational {
     "local_supplier_volume" -> localSupplierVolumeSql,
     "forecast_revenue_uplift" -> forecastRevenueUpliftSql,
     "nation_trade_volume" -> nationTradeVolumeSql,
+    "customer_rfm" -> customerRfmSql,
     "part_link_prediction" -> partLinkPredictionSql,
     "benford_audit"        -> benfordAuditSql,
     "revenue_bridge"       -> revenueBridgeSql,

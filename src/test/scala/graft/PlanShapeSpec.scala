@@ -138,6 +138,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("window_top_orders")
     assert(p.contains("Window") && !p.contains("SinglePartition"),
       s"window funnels to one partition:\n$p")
+    // Spark 4 pushes the rank<=k filter down as WindowGroupLimit:
+    // per-partition group top-k BEFORE the shuffle — the scalable twin
+    // of the agg_custom_topk Aggregator demo (whose ObjectHashAggregate
+    // sort-falls-back at 128 corpus-scaled groups per task)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed as WindowGroupLimit:\n$p")
   }
 
   test("wordcount aggregates partially before the shuffle (partial_count)") {

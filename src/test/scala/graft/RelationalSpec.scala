@@ -1173,6 +1173,55 @@ class RelationalSpec extends AnyFunSuite {
     assert(key == key.sorted)
   }
 
+  test("customer_rfm: segments match a driver-side ntile brute force") {
+    val rows = queries.Relational.customerRfm(spark, sf).collect()
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+    val per = ords.groupBy(_.getAs[Long]("o_custkey")).map { case (k, xs) =>
+      val last = xs.map(_.getAs[java.sql.Date]("d").toLocalDate)
+        .maxBy(_.toEpochDay)
+      (k, last, xs.length.toLong, xs.map(x => BigInt(x.getAs[Long]("c"))).sum)
+    }.toSeq
+    val anchor = per.map(_._2).maxBy(_.toEpochDay)
+    val base = per.map { case (k, last, f, m) =>
+      (k, java.time.temporal.ChronoUnit.DAYS.between(last, anchor), f, m) }
+    def ntile(ranked: Seq[Long]): Map[Long, Long] = {
+      val n = ranked.size.toLong
+      val q = n / 5; val rem = n % 5
+      ranked.zipWithIndex.map { case (k, i) =>
+        val r = i + 1L
+        val b = if (q == 0) r
+          else if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+          else rem + (r - 1 - rem * (q + 1)) / q + 1
+        k -> b
+      }.toMap
+    }
+    val rq = ntile(base.sortBy { case (k, rec, _, _) => (rec, k) }.map(_._1))
+    val fq = ntile(base.sortBy { case (k, _, f, _) => (-f, k) }.map(_._1))
+    val mq = ntile(base.sortBy { case (k, _, _, m) => (-m, k) }.map(_._1))
+    val exp = base.groupBy { case (k, _, _, _) => (rq(k), fq(k), mq(k)) }
+      .map { case (seg, xs) =>
+        seg -> (xs.size.toLong, xs.map(_._4).sum, xs.map(_._2).sum) }
+    assert(rows.nonEmpty && rows.length == exp.size)
+    rows.foreach { r =>
+      val seg = (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+        r.getAs[Long]("m_q"))
+      val (cnt, mon, recSum) = exp(seg)
+      assert(r.getAs[Long]("n_customers") == cnt, s"segment $seg size")
+      assert(math.abs(r.getAs[Double]("monetary") - mon.toDouble / 100) < 1e-6)
+      assert(math.abs(r.getAs[Double]("avg_recency_days")
+        - recSum.toDouble / cnt) < 1e-9)
+    }
+    // ntile invariant: each axis partitions the population to within 1
+    Seq("r_q", "f_q", "m_q").foreach { axis =>
+      val sizes = rows.groupBy(_.getAs[Long](axis))
+        .map(_._2.map(_.getAs[Long]("n_customers")).sum)
+      assert(sizes.max - sizes.min <= 1, s"$axis buckets uneven: $sizes")
+    }
+  }
+
   test("dominant_ship_suppliers: every returned supplier holds >30% of some blue part's 1997 volume") {
     val rows = queries.Relational.dominantShipSuppliers(spark, sf).collect()
     assert(rows.nonEmpty)
