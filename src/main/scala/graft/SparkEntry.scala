@@ -157,6 +157,8 @@ object SparkEntry {
       Curation.semanticDecontaminationDelta(s, d,
         a.getOrElse("tau", "0.47").toDouble,
         a.getOrElse("delta_mod", "10").toLong)),
+    "ingest_drift" -> ((s, d, a) =>
+      Similarity.ingestDrift(s, d, a.getOrElse("delta_mod", "10").toLong)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -333,6 +335,8 @@ object SparkEntry {
       Curation.semanticDecontaminationDeltaSqlFor(
         a.getOrElse("tau", "0.47").toDouble,
         a.getOrElse("delta_mod", "10").toLong)),
+    "ingest_drift" -> (a =>
+      Similarity.ingestDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

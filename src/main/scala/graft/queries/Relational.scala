@@ -2524,7 +2524,14 @@ object Relational {
     * uncached it would rescan orders four times. The corpus max date is
     * model state (the as-of span precedent). Ranks tie exactly like SQL
     * percent_rank (equal values share the below-count), so the DuckDB
-    * twin uses the plain window. */
+    * twin uses the plain window.
+    *
+    * Companion: [[customerRfm]] is the POPULATION-quantile variant —
+    * exact ntile(5) buckets (ties split on custkey, buckets equal
+    * within 1) rolled up to the ≤125-segment marketing readout; this
+    * query is the per-customer FEATURE ledger where equal metric
+    * values must share a score. Same acronym, different quantile
+    * semantics, different output granularity. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, sfDir)
@@ -4441,12 +4448,16 @@ object Relational {
       .drop("_bin", "_carry")
   }
 
-  /** RFM SEGMENTATION — the classic CRM readout: every ordering
+  /** RFM SEGMENT ROLLUP — the population-quantile companion of
+    * [[rfmSegments]] (which emits the per-customer feature ledger with
+    * value-percentile scores where ties SHARE a score): every ordering
     * customer scored into quintiles on Recency (days from last order to
     * the corpus anchor, most recent = 1), Frequency (order count,
     * highest = 1), and Monetary (exact-cents spend, highest = 1), rolled
     * up per (r_q, f_q, m_q) segment (≤125 rows: size, spend, mean
-    * recency). Quintile boundaries are EXACT ntile semantics (first
+    * recency). Here ties split on custkey so the buckets are equal
+    * within 1 — the marketing-readout convention, vs the
+    * feature-ledger convention over there. Quintile boundaries are EXACT ntile semantics (first
     * n mod 5 buckets take the extra row) computed from the distributed
     * global rank — three [[globalRank]] passes, one per axis, each a
     * span-bin/carry decomposition, so no axis ever funnels the customer

@@ -3919,7 +3919,99 @@ object Similarity {
        |FROM f QUALIFY rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  private val DriftDeltaMod = 10L
+
+  /** INGEST DRIFT MONITOR — the distribution-shift readout a live
+    * ingest needs next to the decontamination gate (and the
+    * OCCUPANCY complement of [[embeddingDrift]]'s per-label centroid
+    * L2): does the incoming shard (vec_id % deltaMod == deltaMod−1,
+    * the delta convention) OCCUPY embedding space the way the corpus
+    * does? Per IVF cell:
+    * corpus mass, shard mass, both as exact-integer ppm shares, plus
+    * the total-variation distance between the two cell distributions
+    * (tv_ppm, broadcast onto every row) — TV = Σ|n_shard·NC −
+    * n_corpus·NS| / (2·NS·NC), an EXACT integer numerator (decimal
+    * accumulation; no probability ever rounds before the one final
+    * division). A drifting crawl (new language, new spam cluster)
+    * concentrates shard mass in cells where the corpus has little —
+    * TV → 1; a faithful shard reads ~0.
+    *
+    * Scale: two counts over the memoized cell assignment (one scan),
+    * a ≤|cells| LEFT join, and a 1-row rollup — no per-vector data
+    * leaves the cell aggregate. Empty shard or corpus → zero rows on
+    * both engines (TV undefined). */
+  def ingestDrift(spark: SparkSession, sfDir: String,
+                  deltaMod: Long = DriftDeltaMod): DataFrame = {
+    import spark.implicits._
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val asg = ivfAssigned(spark, sfDir)
+    val inShard = col("vec_id") % deltaMod === deltaMod - 1
+    val t = asg.agg(count(lit(1)).as("nc"),
+      sum(when(inShard, 1L).otherwise(0L)).as("ns")).head()
+    val nc = t.getLong(0)
+    val ns = if (t.isNullAt(1)) 0L else t.getLong(1)
+    if (nc == 0 || ns == 0)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("cell", "n_corpus", "n_shard", "corpus_ppm", "shard_ppm",
+          "tv_ppm")
+    val corpus = asg.groupBy("cell").agg(count(lit(1)).as("n_corpus"))
+    val shard = asg.filter(inShard)
+      .groupBy("cell").agg(count(lit(1)).as("n_shard"))
+    val led = corpus.join(shard, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_shard"))
+      .withColumn("dev",
+        abs(col("n_shard").cast("decimal(38,0)") * nc
+          - col("n_corpus").cast("decimal(38,0)") * ns))
+    val sdevRow = led.agg(sum("dev")).head()
+    val sdev = sdevRow.getDecimal(0)
+    val tv = math.floor(
+      sdev.doubleValue * 1e6 / (2.0 * nc * ns) + 0.5).toLong
+    led.select(col("cell").cast("long").as("cell"),
+        col("n_corpus"), col("n_shard"),
+        floor(col("n_corpus").cast("double") * 1e6 / nc + 0.5)
+          .cast("long").as("corpus_ppm"),
+        floor(col("n_shard").cast("double") * 1e6 / ns + 0.5)
+          .cast("long").as("shard_ppm"),
+        lit(tv).as("tv_ppm"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB twin — the chain's `fin` cell assignment, two grouped
+    * counts, HUGEINT deviation numerators, one double division at the
+    * very end (operand order mirrored against the Spark side). */
+  def ingestDriftSqlFor(deltaMod: Long): String =
+    s"""WITH $ivfChainSql,
+       |corpus AS (SELECT cell, count(*) AS n_corpus FROM fin GROUP BY 1),
+       |shard AS (SELECT cell, count(*) AS n_shard FROM fin
+       |          WHERE vec_id % $deltaMod = ${deltaMod - 1} GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |               CAST(sum(CASE WHEN vec_id % $deltaMod = ${deltaMod - 1}
+       |                             THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |        FROM fin),
+       |led AS (SELECT CAST(c.cell AS BIGINT) AS cell, c.n_corpus,
+       |               CAST(coalesce(s.n_shard, 0) AS BIGINT) AS n_shard
+       |        FROM corpus c LEFT JOIN shard s USING (cell)),
+       |dev AS (SELECT l.cell, l.n_corpus, l.n_shard, t.nc, t.ns,
+       |               abs(CAST(l.n_shard AS HUGEINT) * t.nc
+       |                   - CAST(l.n_corpus AS HUGEINT) * t.ns) AS d
+       |        FROM led l, tot t WHERE t.nc > 0 AND t.ns > 0),
+       |roll AS (SELECT CAST(floor(CAST(sum(d) AS DOUBLE) * 1e6
+       |                 / (2 * CAST(max(nc) AS DOUBLE) * CAST(max(ns) AS DOUBLE))
+       |                 + 0.5) AS BIGINT) AS tv_ppm
+       |         FROM dev)
+       |SELECT cell, CAST(n_corpus AS BIGINT) AS n_corpus, n_shard,
+       |       CAST(floor(CAST(n_corpus AS DOUBLE) * 1e6 / nc + 0.5)
+       |            AS BIGINT) AS corpus_ppm,
+       |       CAST(floor(CAST(n_shard AS DOUBLE) * 1e6 / ns + 0.5)
+       |            AS BIGINT) AS shard_ppm,
+       |       r.tv_ppm
+       |FROM dev CROSS JOIN roll r
+       |ORDER BY cell""".stripMargin
+
+  val ingestDriftSql: String = ingestDriftSqlFor(DriftDeltaMod)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_drift" -> ((s, d) => ingestDrift(s, d)),
     "ann_rrf_fusion" -> ((s, d) => annRrfFusion(s, d)),
     "knn_ppr" -> ((s, d) => knnPpr(s, d)),
     "knn_clustering_coeff" -> ((s, d) => knnClusteringCoeff(s, d)),
@@ -3964,6 +4056,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ingest_drift" -> ingestDriftSql,
     "embedding_pca_top" -> embeddingPcaTopSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "knn_ppr" -> knnPprSql,

@@ -952,4 +952,55 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => math.pow(r.getAs[Double]("std"), 2)).max
     assert(lambda >= maxVar - 1e-4, s"lambda=$lambda < max dim var $maxVar")
   }
+
+  test("ingest_drift: ppm shares and TV recompute exactly from the emitted counts") {
+    val rows = queries.Similarity.ingestDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nC = rows.map(_.getAs[Long]("n_corpus")).sum
+    val nS = rows.map(_.getAs[Long]("n_shard")).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val nShard = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 9).count()
+    assert(nC == nVecs && nS == nShard && nS > 0)
+    // every derived column recomputes exactly from the counts
+    val sdev = rows.map(r => (BigInt(r.getAs[Long]("n_shard")) * nC
+      - BigInt(r.getAs[Long]("n_corpus")) * nS).abs).sum
+    val tv = math.floor(
+      sdev.toDouble * 1e6 / (2.0 * nC * nS) + 0.5).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("corpus_ppm") == math.floor(
+        r.getAs[Long]("n_corpus").toDouble * 1e6 / nC + 0.5).toLong)
+      assert(r.getAs[Long]("shard_ppm") == math.floor(
+        r.getAs[Long]("n_shard").toDouble * 1e6 / nS + 0.5).toLong)
+      assert(r.getAs[Long]("tv_ppm") == tv)
+    }
+    assert(tv >= 0 && tv <= 1000000)
+    // the fixture shard is a uniform id-slice: no drift signal
+    assert(tv < 300000, s"uniform mod-slice should not read as drift: $tv")
+  }
+
+  test("ingest_drift flags a concentrated shard and clears an identical one") {
+    def write(vecs: Seq[(Long, Array[Float], Int)], name: String): String = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        name).getAbsolutePath
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def oneHot(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    // drifted: shard ids (%10==9) all point at e0; the rest spread
+    val drifted = write((0L to 59L).map { id =>
+      (id, if (id % 10 == 9) oneHot(0) else oneHot(1 + (id % 50).toInt), 0)
+    }, "graft_drift_hot")
+    val hot = queries.Similarity.ingestDrift(spark, drifted).collect()
+    assert(hot.nonEmpty)
+    val hotTv = hot.head.getAs[Long]("tv_ppm")
+    assert(hotTv > 500000, s"concentrated shard must read as drift: $hotTv")
+    // faithful: every vector identical -> one cell, TV exactly 0
+    val flat = write((0L to 59L).map(id => (id, oneHot(3), 0)), "graft_drift_flat")
+    val calm = queries.Similarity.ingestDrift(spark, flat).collect()
+    assert(calm.forall(_.getAs[Long]("tv_ppm") == 0L))
+    assert(calm.map(_.getAs[Long]("n_shard")).sum == 6L)
+  }
 }
