@@ -4483,11 +4483,16 @@ object Relational {
       return Seq.empty[(Long, Long, Long, Long, Double, Double)]
         .toDF("r_q", "f_q", "m_q", "n_customers", "monetary",
           "avg_recency_days")
-    val base = per.crossJoin(broadcast(mx))
+    // cached with the [[rfmSegments]] justification: one narrow
+    // |customers| frame with seven consumers (per-axis span + histogram
+    // actions ×3, plus the final ledger) — uncached, each rank pass
+    // rescans and re-aggregates orders (min-of-3 A/B at 24M orders in
+    // PERF.md r12; SPARK_GRAFT_DISABLE_CACHE=1 prices it)
+    val base = TextAnalysis.maybeCache(per.crossJoin(broadcast(mx))
       .withColumn("recency_days",
         datediff(col("anchor").cast("date"), col("last_order").cast("date"))
           .cast("long"))
-      .drop("anchor", "last_order")
+      .drop("anchor", "last_order"))
     val n = base.count()
     val ranked = globalRank(globalRank(globalRank(base,
       "recency_days", asc = true, "o_custkey", "r_rnk", "customer_rfm R"),
