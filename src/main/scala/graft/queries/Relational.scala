@@ -4477,9 +4477,13 @@ object Relational {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(cents(col("o_totalprice"))).as("monetary_c"))
-    val mx = Tables.orders(spark, sfDir)
-      .agg(max(col("o_orderdate")).as("anchor"))
-    if (mx.head().isNullAt(0))
+    // corpus anchor is model state ([[rfmSegments]]' as-of precedent):
+    // collected driver-side, not crossJoined — a broadcast 1-row agg
+    // inside a cached frame would embed an AQE ShuffleQueryStage in the
+    // plan the funnel sweep can't attribute to its keyless aggregate
+    val mxRow = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderdate"))).head()
+    if (mxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Long, Long, Double, Double)]
         .toDF("r_q", "f_q", "m_q", "n_customers", "monetary",
           "avg_recency_days")
@@ -4488,11 +4492,11 @@ object Relational {
     // actions ×3, plus the final ledger) — uncached, each rank pass
     // rescans and re-aggregates orders (min-of-3 A/B at 24M orders in
     // PERF.md r12; SPARK_GRAFT_DISABLE_CACHE=1 prices it)
-    val base = TextAnalysis.maybeCache(per.crossJoin(broadcast(mx))
+    val base = TextAnalysis.maybeCache(per
       .withColumn("recency_days",
-        datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+        datediff(lit(mxRow.get(0)).cast("date"), col("last_order").cast("date"))
           .cast("long"))
-      .drop("anchor", "last_order"))
+      .drop("last_order"))
     val n = base.count()
     val ranked = globalRank(globalRank(globalRank(base,
       "recency_days", asc = true, "o_custkey", "r_rnk", "customer_rfm R"),
