@@ -39,7 +39,7 @@ object ScaleProbe {
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
     "leakage_safe_split", "split_balance_audit",
     "semantic_decontamination", "semantic_decontamination_delta",
-    "ingest_drift",
+    "ingest_drift", "decont_gate_replay",
     "readability", "text_quality", "tokenizer_fertility",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",

@@ -159,6 +159,10 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "ingest_drift" -> ((s, d, a) =>
       Similarity.ingestDrift(s, d, a.getOrElse("delta_mod", "10").toLong)),
+    "decont_gate_replay" -> ((s, d, a) =>
+      Curation.decontGateReplay(s, d,
+        a.getOrElse("tau", "0.47").toDouble,
+        a.getOrElse("delta_mod", "10").toLong)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -337,6 +341,10 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "ingest_drift" -> (a =>
       Similarity.ingestDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
+    "decont_gate_replay" -> (a =>
+      Curation.decontGateReplaySqlFor(
+        a.getOrElse("tau", "0.47").toDouble,
+        a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -647,12 +647,11 @@ object Curation {
     decontLedger(shard, evalSide, tau)
   }
 
-  /** DuckDB twin of [[semanticDecontaminationDelta]] — the full audit's
-    * CTE chain with the shard filter on the train side, a LEFT join so
-    * candidate-less shard docs stay in the ledger, and the 1-row shard
-    * rollup cross-joined on. */
-  def semanticDecontaminationDeltaSqlFor(tau: Double, deltaMod: Long): String =
-    s"""WITH ${Similarity.ivfChainSql},
+  /** Shared CTE chain through the per-doc `led` ledger — composed by
+    * both the delta-gate oracle (adds the rollup + top-N) and the
+    * replay oracle (emits the raw ledger). */
+  private def decontDeltaCtes(tau: Double, deltaMod: Long): String =
+    s"""${Similarity.ivfChainSql},
        |sdh AS (
        |  SELECT doc_id,
        |         md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS ch,
@@ -694,7 +693,14 @@ object Curation {
        |  SELECT s.train_doc, s.n_tokens, n.eval_doc, n.cosine,
        |         coalesce(n.n_eval_dups, 0) AS n_eval_dups,
        |         coalesce(n.cosine >= $tau, false) AS rejected
-       |  FROM shard s LEFT JOIN near n USING (train_doc)),
+       |  FROM shard s LEFT JOIN near n USING (train_doc))""".stripMargin
+
+  /** DuckDB twin of [[semanticDecontaminationDelta]] — the full audit's
+    * CTE chain with the shard filter on the train side, a LEFT join so
+    * candidate-less shard docs stay in the ledger, and the 1-row shard
+    * rollup cross-joined on. */
+  def semanticDecontaminationDeltaSqlFor(tau: Double, deltaMod: Long): String =
+    s"""WITH ${decontDeltaCtes(tau, deltaMod)},
        |roll AS (
        |  SELECT count(*) AS shard_docs,
        |         CAST(sum(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
@@ -709,6 +715,41 @@ object Curation {
   val semanticDecontaminationDeltaSql: String =
     semanticDecontaminationDeltaSqlFor(SemDecontTau, DecontDeltaMod)
 
+  /** THE LIVE GATE, ORACLE-GATED — [[decontGateBatch]] (the exact entry
+    * point the streaming sink calls per micro-batch) run over the delta
+    * shard as its incoming frame, so the gate KERNEL itself — incoming
+    * tokenization, quantizer cell placement from the raw embedding, the
+    * shared ledger — is hash-compared against DuckDB through the same
+    * code path production uses, not just spec-pinned equal to the batch
+    * twin. Full per-doc ledger out (no rollup, no top-N), ordered
+    * (cosine DESC NULLS LAST, train_doc). */
+  def decontGateReplay(spark: SparkSession, sfDir: String,
+                       tau: Double = SemDecontTau,
+                       deltaMod: Long = DecontDeltaMod): DataFrame = {
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val incoming = splitAssigned(spark, sfDir)
+      .filter(col("split") === "train" &&
+        col("doc_id") % deltaMod === deltaMod - 1)
+      .select("doc_id")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .join(Tables.embeddings(spark, sfDir),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    decontGateBatch(spark, sfDir, incoming, tau)
+      .orderBy(col("cosine").desc_nulls_last, col("train_doc").asc)
+  }
+
+  /** DuckDB twin — the shared `led` chain, raw (the rollup/top-N belong
+    * to the delta gate's readout, not the kernel). */
+  def decontGateReplaySqlFor(tau: Double, deltaMod: Long): String =
+    s"""WITH ${decontDeltaCtes(tau, deltaMod)}
+       |SELECT train_doc, n_tokens, eval_doc, cosine, n_eval_dups, rejected
+       |FROM led
+       |ORDER BY cosine DESC NULLS LAST, train_doc""".stripMargin
+
+  val decontGateReplaySql: String =
+    decontGateReplaySqlFor(SemDecontTau, DecontDeltaMod)
+
   // --------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------
@@ -721,7 +762,8 @@ object Curation {
     "split_balance_audit" -> ((s, d) => splitBalanceAudit(s, d)),
     "semantic_decontamination" -> ((s, d) => semanticDecontamination(s, d)),
     "semantic_decontamination_delta" ->
-      ((s, d) => semanticDecontaminationDelta(s, d)))
+      ((s, d) => semanticDecontaminationDelta(s, d)),
+    "decont_gate_replay" -> ((s, d) => decontGateReplay(s, d)))
 
   val oracles: Map[String, String] = Map(
     "corpus_shuffle" -> corpusShuffleSql,
@@ -730,5 +772,6 @@ object Curation {
     "leakage_safe_split" -> leakageSafeSplitSql,
     "split_balance_audit" -> splitBalanceAuditSql,
     "semantic_decontamination" -> semanticDecontaminationSql,
-    "semantic_decontamination_delta" -> semanticDecontaminationDeltaSql)
+    "semantic_decontamination_delta" -> semanticDecontaminationDeltaSql,
+    "decont_gate_replay" -> decontGateReplaySql)
 }

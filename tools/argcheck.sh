@@ -41,6 +41,7 @@ SPECS=(
   'semantic_decontamination_delta@tau=0.3'
   'semantic_decontamination_delta@delta_mod=7,tau=0.6'
   'ingest_drift@delta_mod=4' 'ingest_drift@delta_mod=25'
+  'decont_gate_replay@tau=0.3' 'decont_gate_replay@delta_mod=7,tau=0.6'
   'local_supplier_volume@region=EUROPE' 'local_supplier_volume@region=AFRICA'
   'nation_trade_volume@nation1=NATION_0,nation2=NATION_12'
   'nation_trade_volume@nation2=NATION_24'
