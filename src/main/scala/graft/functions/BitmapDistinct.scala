@@ -91,9 +91,12 @@ case class BitmapDistinct(
     * result hash is unchanged. */
   override def serialize(buffer: java.util.BitSet): Array[Byte] = {
     val card = buffer.cardinality()
-    val dense = buffer.toByteArray
+    // dense toByteArray size WITHOUT allocating it: (highest set bit + 7) / 8
+    // — materializing up to 8 MiB just to size-compare would keep the heap
+    // churn the sparse branch exists to avoid
+    val denseLen = (buffer.length() + 7) / 8
     // varint of a 2²⁶ delta is ≤ 4 bytes; +6 covers header + cardinality
-    if (card.toLong * 4 + 6 < dense.length) {
+    if (card.toLong * 4 + 6 < denseLen) {
       val out = new java.io.ByteArrayOutputStream(card * 4 + 6)
       out.write(BitmapDistinct.FormatSparse)
       BitmapDistinct.writeVarInt(out, card)
@@ -106,6 +109,7 @@ case class BitmapDistinct(
       }
       out.toByteArray
     } else {
+      val dense = buffer.toByteArray
       val out = new Array[Byte](dense.length + 1)
       out(0) = BitmapDistinct.FormatDense
       System.arraycopy(dense, 0, out, 1, dense.length)
@@ -167,6 +171,11 @@ object BitmapDistinct {
     var shift = 0
     var b = in.read()
     while ((b & 0x80) != 0) {
+      // EOF reads -1, whose sign bits keep the continue-bit test true —
+      // without this check a truncated partial would spin the task
+      // forever instead of failing fast like the unknown-format case
+      if (b < 0) throw new IllegalStateException(
+        "bitmap_distinct: truncated varint in partial (corrupt shuffle bytes)")
       v |= (b & 0x7f) << shift
       shift += 7
       b = in.read()

@@ -4394,6 +4394,10 @@ object Relational {
 
   def nationTradeVolumeSqlFor(nation1: String, nation2: String): String = {
     Args.lit("nation1", nation1); Args.lit("nation2", nation2)
+    // same degenerate-arg rejection as the Spark twin: equal nations must
+    // throw on BOTH entry paths, not silently template a vacuously-empty
+    // oracle that would "match" a failed Spark run
+    require(nation1 != nation2, "nation1 and nation2 must differ")
     s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        |       year(l_shipdate) AS ship_year,
        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)

@@ -687,7 +687,7 @@ object Similarity {
 
   /** Stage-split timings for the kNN edge build (the r11 "isolate the
     * intercept" probe): cumulative wall seconds for (1) signature
-    * generation alone, (2) + bucket self-join, pair scoring, distinct,
+    * generation alone, (2) + bucket self-join + pair scoring,
     * (3) + directed top-k, (4) + the parquet sink write the memoized
     * edge frame pays once per session. Cumulative by construction —
     * subtract adjacent rows for per-stage cost. Probe-only surface
@@ -699,10 +699,13 @@ object Similarity {
     // mode past the 128-group ObjectHashAggregate fallback (TopKScores
     // buffers are O(k) longs, so ~n groups in the map is ~100 B each —
     // the fallback exists for UNBOUNDED buffers like collect_list or
-    // the 8 MiB dense bitmaps, not this one). Probe-only experiment.
+    // the 8 MiB dense bitmaps, not this one). Probe-only experiment;
+    // set/restore like knnEdgesMaterialized so the raised threshold
+    // never leaks past the probe into a bitmap-agg consumer.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.getOption(fbKey)
     sys.env.get("SPARK_GRAFT_TOPK_HASHAGG").foreach { _ =>
-      spark.conf.set(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 4000000)
+      spark.conf.set(fbKey, 4000000)
     }
     def time(label: String)(body: => Unit): (String, Double) = {
       spark.catalog.clearCache()
@@ -714,7 +717,7 @@ object Similarity {
     val nb = derivedSigBits(corpusVecCount(spark, sfDir))
     val sink = java.nio.file.Files.createTempDirectory("graft_knn_stage")
       .toString
-    Seq(
+    try Seq(
       time("signatures") {
         signaturesFor(spark, all, NumTables, nb)
           .write.format("noop").mode("overwrite").save()
@@ -731,6 +734,20 @@ object Similarity {
         knnEdges(spark, sfDir, k)
           .write.mode("overwrite").parquet(s"$sink/edges.parquet")
       })
+    finally {
+      // this box has a documented disk-full failure mode — never leak
+      // a multi-GB probe sink past the probe's own lifetime
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(sink))
+      if (sys.env.contains("SPARK_GRAFT_TOPK_HASHAGG")) fbPrev match {
+        case Some(v) => spark.conf.set(fbKey, v)
+        case None => spark.conf.unset(fbKey)
+      }
+    }
   }
 
   /** The kNN-edge CTE chain shared by [[knnGraphSql]] and

@@ -134,6 +134,11 @@ class VectorExpressionSpec extends AnyFunSuite {
     val denseWire = agg.serialize(full)
     assert(denseWire.length <= 100000 / 8 + 16)
     assert(agg.deserialize(denseWire) == full)
+    // a TRUNCATED sparse partial must fail fast, not spin the varint
+    // loop on EOF's -1 forever (the continue bit is set in -1's sign)
+    val truncated = wire.take(wire.length - 1)
+    val tErr = intercept[IllegalStateException] { agg.deserialize(truncated) }
+    assert(tErr.getMessage.contains("truncated"))
   }
 
   test("TopKScores: set semantics, order, round-trip, cross-buffer merge") {
