@@ -21,6 +21,19 @@ object Det {
     val p = math.pow(10, scale).toLong
     s"CAST(floor(($x) * $p + 0.5) AS DOUBLE) / $p"
   }
+
+  /** Exact driver-side floor(num/den + 1/2) over arbitrary-magnitude
+    * non-negative integers (den > 0): the two-floor half-up in pure
+    * integer arithmetic — floor(a/b + 1/2) == (2a + b) div (2b) — so a
+    * ratio whose operands exceed the 2⁵³ double mantissa (ingest_drift's
+    * Σ|dev| reaches nc·ns·2 at a fully-drifted corpus) still rounds
+    * identically to an oracle that carries a HUGEINT numerator.
+    * PropertiesSpec pins it against a BigDecimal reference past 2⁵³ and
+    * exhibits the double-path divergence it closes. */
+  def halfUpDiv(num: BigInt, den: BigInt): Long = {
+    require(den > 0 && num >= 0, s"halfUpDiv needs num >= 0 < den, got $num/$den")
+    ((num * 2 + den) / (den * 2)).toLong
+  }
 }
 
 /** Safe-charset gates for user-supplied STRING arguments that are

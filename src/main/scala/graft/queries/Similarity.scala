@@ -3947,9 +3947,11 @@ object Similarity {
     * corpus mass, shard mass, both as exact-integer ppm shares, plus
     * the total-variation distance between the two cell distributions
     * (tv_ppm, broadcast onto every row) — TV = Σ|n_shard·NC −
-    * n_corpus·NS| / (2·NS·NC), an EXACT integer numerator (decimal
-    * accumulation; no probability ever rounds before the one final
-    * division). A drifting crawl (new language, new spam cluster)
+    * n_corpus·NS| / (2·NS·NC), EXACT integer end-to-end (decimal
+    * numerator accumulation; the final half-up rounding is
+    * [[Det.halfUpDiv]] in BigInt against the oracle's HUGEINT `//`, so
+    * even a ≥2⁵³-magnitude numerator agrees cross-engine to the last
+    * ppm digit). A drifting crawl (new language, new spam cluster)
     * concentrates shard mass in cells where the corpus has little —
     * TV → 1; a faithful shard reads ~0.
     *
@@ -3980,22 +3982,30 @@ object Similarity {
         abs(col("n_shard").cast("decimal(38,0)") * nc
           - col("n_corpus").cast("decimal(38,0)") * ns))
     val sdevRow = led.agg(sum("dev")).head()
-    val sdev = sdevRow.getDecimal(0)
-    val tv = math.floor(
-      sdev.doubleValue * 1e6 / (2.0 * nc * ns) + 0.5).toLong
+    // exact-integer half-up: Σ|dev| reaches nc·ns·2 at a fully-drifted
+    // corpus, past the 2⁵³ double mantissa at ≥~1e9-row shards — the
+    // BigInt form matches the oracle's HUGEINT numerator at any scale
+    val sdev = BigInt(sdevRow.getDecimal(0).toBigInteger)
+    val tv = Det.halfUpDiv(sdev * 1000000L, BigInt(nc) * ns * 2)
+    // per-cell ppm shares: same two-floor discipline in long arithmetic
+    // (n·2e6 + nc stays long-exact to ~4.6e12 rows per cell — orders of
+    // magnitude past the 100 TB embedding count)
     led.select(col("cell").cast("long").as("cell"),
         col("n_corpus"), col("n_shard"),
-        floor(col("n_corpus").cast("double") * 1e6 / nc + 0.5)
-          .cast("long").as("corpus_ppm"),
-        floor(col("n_shard").cast("double") * 1e6 / ns + 0.5)
-          .cast("long").as("shard_ppm"),
+        expr(s"(n_corpus * 2000000 + ${nc}L) DIV ${2 * nc}L")
+          .as("corpus_ppm"),
+        expr(s"(n_shard * 2000000 + ${ns}L) DIV ${2 * ns}L")
+          .as("shard_ppm"),
         lit(tv).as("tv_ppm"))
       .orderBy("cell")
   }
 
   /** DuckDB twin — the chain's `fin` cell assignment, two grouped
-    * counts, HUGEINT deviation numerators, one double division at the
-    * very end (operand order mirrored against the Spark side). */
+    * counts, HUGEINT deviation numerators, and EXACT-INTEGER half-up
+    * divisions throughout: floor(a/b + 1/2) == (2a + b) // (2b) on
+    * HUGEINT, mirroring [[Det.halfUpDiv]] / the Spark DIV forms — no
+    * probability ever touches a double, so the last ppm digit agrees
+    * cross-engine past 2⁵³-magnitude products. */
   def ingestDriftSqlFor(deltaMod: Long): String =
     s"""WITH $ivfChainSql,
        |corpus AS (SELECT cell, count(*) AS n_corpus FROM fin GROUP BY 1),
@@ -4012,15 +4022,15 @@ object Similarity {
        |               abs(CAST(l.n_shard AS HUGEINT) * t.nc
        |                   - CAST(l.n_corpus AS HUGEINT) * t.ns) AS d
        |        FROM led l, tot t WHERE t.nc > 0 AND t.ns > 0),
-       |roll AS (SELECT CAST(floor(CAST(sum(d) AS DOUBLE) * 1e6
-       |                 / (2 * CAST(max(nc) AS DOUBLE) * CAST(max(ns) AS DOUBLE))
-       |                 + 0.5) AS BIGINT) AS tv_ppm
+       |roll AS (SELECT CAST(
+       |           (2 * sum(d) * 1000000 + 2 * CAST(max(nc) AS HUGEINT) * max(ns))
+       |           // (4 * CAST(max(nc) AS HUGEINT) * max(ns)) AS BIGINT) AS tv_ppm
        |         FROM dev)
        |SELECT cell, CAST(n_corpus AS BIGINT) AS n_corpus, n_shard,
-       |       CAST(floor(CAST(n_corpus AS DOUBLE) * 1e6 / nc + 0.5)
-       |            AS BIGINT) AS corpus_ppm,
-       |       CAST(floor(CAST(n_shard AS DOUBLE) * 1e6 / ns + 0.5)
-       |            AS BIGINT) AS shard_ppm,
+       |       CAST((CAST(n_corpus AS HUGEINT) * 2000000 + nc)
+       |            // (2 * CAST(nc AS HUGEINT)) AS BIGINT) AS corpus_ppm,
+       |       CAST((CAST(n_shard AS HUGEINT) * 2000000 + ns)
+       |            // (2 * CAST(ns AS HUGEINT)) AS BIGINT) AS shard_ppm,
        |       r.tv_ppm
        |FROM dev CROSS JOIN roll r
        |ORDER BY cell""".stripMargin

@@ -351,4 +351,46 @@ class PropertiesSpec extends AnyFunSuite {
       assert(expect.values.map(_._2).sum > 0, s"seed $seed: vacuous (no late rows)")
     }
   }
+
+  test("Det.halfUpDiv == BigDecimal floor(a/b + 1/2) past 2^53, where the double path diverges") {
+    import graft.queries.Det
+    def ref(num: BigInt, den: BigInt): Long = {
+      // independent reference: BigDecimal division at guard-digit scale,
+      // then floor(x + 1/2) in exact decimal
+      val q = new java.math.BigDecimal(num.bigInteger)
+        .divide(new java.math.BigDecimal(den.bigInteger), 40,
+          java.math.RoundingMode.FLOOR)
+      q.add(new java.math.BigDecimal("0.5"))
+        .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+    }
+    val two53 = BigInt(1) << 53
+    // ingest_drift-shaped operands: num = Σ|dev|·1e6 (≤ 2·nc·ns·1e6),
+    // den = 2·nc·ns, at nc/ns magnitudes where nc·ns blows past 2^53
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 2000) {
+      val nc = BigInt(rnd.nextLong(1L << 40) + 1)
+      val ns = BigInt(rnd.nextLong(1L << 40) + 1)
+      val den = nc * ns * 2
+      val num = (BigInt(rnd.nextLong().abs) % (den + 1)) * 1000000L
+      assert(Det.halfUpDiv(num, den) == ref(num, den),
+        s"halfUpDiv($num, $den) != BigDecimal reference")
+    }
+    // boundary exactness: a numerator landing EXACTLY on the .5 line
+    // rounds up on both paths (half-up, not banker's)
+    assert(Det.halfUpDiv(BigInt(3), BigInt(2)) == 2L) // 1.5 -> 2
+    assert(Det.halfUpDiv(BigInt(1), BigInt(2)) == 1L) // 0.5 -> 1
+    assert(Det.halfUpDiv(BigInt(0), BigInt(7)) == 0L)
+    // non-vacuous: exhibit the divergence the exact form closes — an odd
+    // numerator just past 2^53 is unrepresentable in double, and the old
+    // floor(double + 0.5) path lands one ulp low
+    val sdev = two53 + 1            // odd: doubleValue rounds to 2^53
+    val nc1 = 1000000L; val ns1 = 1L
+    val exact = Det.halfUpDiv(sdev * 1000000L, BigInt(nc1) * ns1 * 2)
+    val doublePath = math.floor(
+      new java.math.BigDecimal(sdev.bigInteger).doubleValue * 1e6
+        / (2.0 * nc1 * ns1) + 0.5).toLong
+    assert(exact == ref(sdev * 1000000L, BigInt(nc1) * ns1 * 2))
+    assert(exact != doublePath,
+      "expected the double path to diverge at 2^53+1 — case is vacuous")
+  }
 }
