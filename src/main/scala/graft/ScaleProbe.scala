@@ -39,7 +39,7 @@ object ScaleProbe {
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
     "leakage_safe_split", "split_balance_audit",
     "semantic_decontamination", "semantic_decontamination_delta",
-    "ingest_drift", "decont_gate_replay",
+    "ingest_drift", "ingest_drift_replay", "decont_gate_replay",
     "readability", "text_quality", "tokenizer_fertility",
     "token_counts", "tfidf_top_terms", "bigrams",
     "doc_chunk", "doc_surprisal", "dedup_canonical", "embedding_quantize",
@@ -51,6 +51,7 @@ object ScaleProbe {
     "lang_confusion", "pipeline_export", "mixture_apply",
     "ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf",
     "embedding_cosine_dedup", "embedding_dedup_lsh",
+    "crossmodal_retrieval",
     "mm_features", "mm_frame_sample", "mm_fusion", "mm_integrity",
     "winnow_overlap", "token_pmi", "vocab_growth", "bpe_pair_counts",
     "bpe_train", "bpe_apply", "bpe_vocab",
@@ -521,6 +522,46 @@ object ScaleProbe {
           println(String.format(java.util.Locale.ROOT,
             """{"query":"knn_stage_split","stage":"%s","n_vecs":%d,"cumulative_sec":%.2f}""",
             stage, Long.box(nVecs), Double.box(sec)))
+      }
+    }
+
+    // -- decont substrate cold/warm A/B (r12 verdict #1 observable): the
+    //    FIRST delta-gate call in a session trains the IVF quantizer and
+    //    writes the three write-once sinks (assignment, split, eval
+    //    side); the second call and the drift monitor read them back as
+    //    bucketed scans. Pseudo-query (only=decont_substrate_ab).
+    if (only.contains("decont_substrate_ab")) {
+      def timeIt(body: => Unit): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val cold = timeIt(queries.Curation.semanticDecontaminationDelta(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val warm = timeIt(queries.Curation.semanticDecontaminationDelta(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val drift = timeIt(queries.Similarity.ingestDrift(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"decont_substrate_ab","n_docs":%d,"n_vecs":%d,"cold_sec":%.2f,"warm_sec":%.2f,"drift_warm_sec":%.2f}""",
+        Long.box(nDocs), Long.box(nVecs), Double.box(cold), Double.box(warm),
+        Double.box(drift)))
+    }
+
+    // -- live-gate placement A/B (r12 verdict #3 observable): place an
+    //    incoming shard (docs ⋈ embeddings) in IVF cells via the shipped
+    //    codegen expression vs the replaced typed-map encoder path.
+    //    Pseudo-query (only=decont_gate_placement).
+    if (only.contains("decont_gate_placement")) {
+      val incoming = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .join(spark.read.parquet(s"$dir/embeddings.parquet"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      queries.Curation.gatePlacementTimings(spark, dir, incoming).foreach {
+        case (leg, sec) =>
+          println(String.format(java.util.Locale.ROOT,
+            """{"query":"decont_gate_placement","leg":"%s","n_vecs":%d,"sec":%.2f}""",
+            leg, Long.box(nVecs), Double.box(sec)))
       }
     }
 

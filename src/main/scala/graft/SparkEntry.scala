@@ -64,6 +64,9 @@ object SparkEntry {
       Similarity.annCosineIvf(s, d, a.getOrElse("n_probe", "4").toInt)),
     "mm_frame_sample" -> ((s, d, a) =>
       Multimodal.mmFrameSample(s, d, a.getOrElse("stride", "16").toInt)),
+    "crossmodal_retrieval" -> ((s, d, a) =>
+      Multimodal.crossmodalRetrieval(s, d,
+        a.getOrElse("modality", "image"), a.getOrElse("k", "5").toInt)),
     "results_limit" -> ((s, d, a) =>
       TextJobs.resultsLimit(s, d, a.getOrElse("limit", "20").toInt)),
     "doc_chunk" -> ((s, d, a) =>
@@ -159,6 +162,8 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "ingest_drift" -> ((s, d, a) =>
       Similarity.ingestDrift(s, d, a.getOrElse("delta_mod", "10").toLong)),
+    "ingest_drift_replay" -> ((s, d, a) =>
+      Similarity.ingestDriftReplay(s, d, a.getOrElse("delta_mod", "10").toLong)),
     "decont_gate_replay" -> ((s, d, a) =>
       Curation.decontGateReplay(s, d,
         a.getOrElse("tau", "0.47").toDouble,
@@ -341,6 +346,11 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "ingest_drift" -> (a =>
       Similarity.ingestDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
+    "ingest_drift_replay" -> (a =>
+      Similarity.ingestDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
+    "crossmodal_retrieval" -> (a =>
+      Multimodal.crossmodalRetrievalSqlFor(
+        a.getOrElse("modality", "image"), a.getOrElse("k", "5").toInt)),
     "decont_gate_replay" -> (a =>
       Curation.decontGateReplaySqlFor(
         a.getOrElse("tau", "0.47").toDouble,

@@ -247,19 +247,52 @@ object Curation {
     * variant swaps HLL exactly as [[Relational.tableProfile]] documents.
     * Empty corpus: zero rows on both engines (the keyless scalars cross
     * an empty per-split aggregate). */
-  /** Content-hash split assignment shared by [[leakageSafeSplit]] and
-    * [[splitBalanceAudit]]: (doc_id, lang, source, ch, n_tokens, split)
-    * with the 5/5/90 test/val/train buckets keyed on the NORMALIZED
-    * content hash — one definition, two consumers, no drift. */
+  /** Content-hash split assignment shared by [[leakageSafeSplit]],
+    * [[splitBalanceAudit]], and the decontamination tier:
+    * (doc_id, lang, source, ch, n_tokens, split) with the 5/5/90
+    * test/val/train buckets keyed on the NORMALIZED content hash — one
+    * definition, all consumers, no drift.
+    *
+    * PERSISTED once per session (write-once bucketed sink, r12 verdict
+    * #1): the md5 + tokenize pass over the full text column is the
+    * expensive stage, and SIX queries consume the identical frame; the
+    * sink's HashPartitioning(doc_id, 32) also deletes this side's
+    * exchange from the substrate build's vec_id == doc_id join. The
+    * split is a pure function of content, so the persisted frame IS the
+    * frozen split — exactly the production contract (the split freezes
+    * at train time; a re-derivation that could drift per reader is the
+    * bug, not the optimization). */
   private def splitAssigned(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))).as("ch"),
-        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("b", Temporal.bucketCol(col("ch")))
-      .withColumn("split",
-        when(col("b") < 5, "test")
-          .when(col("b") < 10, "val").otherwise("train"))
+    Dedup.materializeOnceBucketed(spark, "graft_split_", sfDir, 32, "doc_id")(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))).as("ch"),
+          size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("b", Temporal.bucketCol(col("ch")))
+        .withColumn("split",
+          when(col("b") < 5, "test")
+            .when(col("b") < 10, "val").otherwise("train")))
+
+  /** The FROZEN eval side of the decontamination gates — every non-train
+    * doc's (cell, split, eval_doc, n_tokens, xe, ne) — persisted once
+    * per session as a CELL-BUCKETED sink (the r12 verdict's top ask,
+    * stated in [[decontGateBatch]]'s scaladoc since r12): the
+    * full/delta/live gates all join this frame on `cell`, and the
+    * bucketed scan's HashPartitioning(cell, 32) makes that join
+    * EXCHANGE-FREE on the static side — per micro-batch only the
+    * incoming shard shuffles (CurationSpec pins the plan shape). At
+    * 100 TB this is the difference between re-shuffling the eval corpus
+    * every nightly shard and never touching it after freeze. */
+  private def evalSideMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.materializeOnceBucketed(spark, "graft_decont_eval_", sfDir, 32, "cell")(
+      Similarity.ivfAssigned(spark, sfDir)
+        .join(Similarity.vecs(spark, sfDir), "vec_id")
+        .join(splitAssigned(spark, sfDir)
+          .select(col("doc_id"), col("split"), col("n_tokens")),
+          col("vec_id") === col("doc_id"))
+        .filter(col("split") =!= "train")
+        .select(col("cell"), col("split"), col("doc_id").as("eval_doc"),
+          col("n_tokens"), col("v").as("xe"), col("norm").as("ne")))
 
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val a = splitAssigned(spark, sfDir)
@@ -435,15 +468,12 @@ object Curation {
   def semanticDecontamination(spark: SparkSession, sfDir: String,
                               tau: Double = SemDecontTau): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val split = splitAssigned(spark, sfDir)
-      .select(col("doc_id"), col("split"), col("n_tokens"))
-    val av = Similarity.ivfAssigned(spark, sfDir)
+    val evalSide = evalSideMaterialized(spark, sfDir)
+    val trainSide = Similarity.ivfAssigned(spark, sfDir)
       .join(Similarity.vecs(spark, sfDir), "vec_id")
-      .join(split, col("vec_id") === col("doc_id"))
-    val evalSide = av.filter(col("split") =!= "train")
-      .select(col("cell"), col("split"), col("doc_id").as("eval_doc"),
-        col("n_tokens"), col("v").as("xe"), col("norm").as("ne"))
-    val trainSide = av.filter(col("split") === "train")
+      .join(splitAssigned(spark, sfDir).select(col("doc_id"), col("split")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("split") === "train")
       .select(col("cell"), col("doc_id").as("train_doc"),
         col("v").as("xt"), col("norm").as("nt"))
     val scored = evalSide.join(trainSide, "cell")
@@ -556,15 +586,14 @@ object Curation {
                                    deltaMod: Long = DecontDeltaMod): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
-    val split = splitAssigned(spark, sfDir)
-      .select(col("doc_id"), col("split"), col("n_tokens"))
-    val av = Similarity.ivfAssigned(spark, sfDir)
+    val evalSide = evalSideMaterialized(spark, sfDir)
+      .select(col("cell"), col("eval_doc"), col("xe"), col("ne"))
+    val shard = Similarity.ivfAssigned(spark, sfDir)
       .join(Similarity.vecs(spark, sfDir), "vec_id")
-      .join(split, col("vec_id") === col("doc_id"))
-    val evalSide = av.filter(col("split") =!= "train")
-      .select(col("cell"), col("doc_id").as("eval_doc"),
-        col("v").as("xe"), col("norm").as("ne"))
-    val shard = av.filter(col("split") === "train" &&
+      .join(splitAssigned(spark, sfDir)
+        .select(col("doc_id"), col("split"), col("n_tokens")),
+        col("vec_id") === col("doc_id"))
+      .filter(col("split") === "train" &&
         col("doc_id") % deltaMod === deltaMod - 1)
       .select(col("cell"), col("doc_id").as("train_doc"), col("n_tokens"),
         col("v").as("xt"), col("norm").as("nt"))
@@ -614,37 +643,96 @@ object Curation {
     * the batch gate's ledger.
     *
     * Scale: per-batch cost is |batch| × E|cell ∩ eval|; the quantizer is
-    * a ≤cells×dim driver broadcast; the eval side shuffles on cell once
-    * per batch (at 100 TB, persist it cell-partitioned and this join is
-    * exchange-free on the static side). */
+    * a ≤cells×dim expression constant; the eval side is the persisted
+    * cell-bucketed sink ([[evalSideMaterialized]]), so the per-batch
+    * join is EXCHANGE-FREE on the static side — only the micro-batch
+    * shuffles (or broadcasts, when small enough for AQE to flip the
+    * join). Cell placement is the native whole-stage-codegen argmin
+    * expression [[graft.functions.NearestCell]] (r12 verdict #3): the
+    * centroid matrix rides into the generated code as ONE reference
+    * object and the per-row loop replicates
+    * [[Similarity.IvfKernel.nearestCell]] bit-for-bit (elementwise
+    * v/‖v‖ first, ascending multiply-accumulate, strict-> first-wins;
+    * an all-zero vector NaN-floods every score on both paths and lands
+    * in cell 0), deleting the Dataset-encoder round trip that was the
+    * only object-churn stage on the live hot path — the same class of
+    * win the r12 edge build paid 7× for. `decont_gate_replay`
+    * hash-gates this exact path against DuckDB; ScaleProbe's
+    * `decont_gate_placement` A/Bs it against the replaced map path. */
   def decontGateBatch(spark: SparkSession, sfDir: String,
                       incoming: DataFrame,
                       tau: Double = SemDecontTau): DataFrame = {
-    import spark.implicits._
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val evalSide = evalSideMaterialized(spark, sfDir)
+      .select(col("cell"), col("eval_doc"), col("xe"), col("ne"))
+    decontLedger(gatePlacement(spark, sfDir, incoming), evalSide, tau)
+  }
+
+  /** The live gate's placement stage: (cell, train_doc, n_tokens, xt,
+    * nt) for an incoming (doc_id, text, embedding) frame. Shared by
+    * [[decontGateBatch]] and the ScaleProbe placement A/B so the probe
+    * times the exact production expression. */
+  private[graft] def gatePlacement(spark: SparkSession, sfDir: String,
+                                   incoming: DataFrame): DataFrame = {
+    val dot = graft.functions.VectorFunctions.array_dot _
+    val cents = Similarity.ivfCentroids(spark, sfDir)
+    incoming
+      .select(col("doc_id").as("train_doc"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
+        col("embedding").cast("array<double>").as("xt"))
+      .withColumn("nt", sqrt(dot(col("xt"), col("xt"))))
+      .withColumn("cell",
+        Similarity.cellArgminCol(cents, col("xt"), col("nt")))
+      .select(col("cell"), col("train_doc"), col("n_tokens"),
+        col("xt"), col("nt"))
+  }
+
+  /** Probe-only A/B for the placement stage (the r12 verdict #3
+    * observable): wall seconds to place `incoming` in cells and noop-sink
+    * the shard frame via (a) the shipped whole-stage-codegen expression
+    * and (b) the pre-r13 typed-map encoder round trip it replaced. Both
+    * legs share the tokenize + norm stage, so the delta isolates the
+    * placement implementation. */
+  private[graft] def gatePlacementTimings(
+      spark: SparkSession, sfDir: String,
+      incoming: DataFrame): Seq[(String, Double)] = {
+    import spark.implicits._
+    // min-of-2 per leg (the Bench convention), first round untimed-ish:
+    // the first leg in a fresh JVM otherwise absorbs JIT + cold parquet
+    // footers and the A/B measures session warmup, not placement
+    def time(label: String)(df: => DataFrame): (String, Double) =
+      label -> (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val dot = graft.functions.VectorFunctions.array_dot _
     val kernel = Similarity.IvfKernel
     val bc = spark.sparkContext.broadcast(Similarity.ivfCentroids(spark, sfDir))
-    val shard = incoming
-      .select(col("doc_id"),
-        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("nt",
-        sqrt(graft.functions.VectorFunctions.array_dot(col("v"), col("v"))))
-      .as[(Long, Long, Seq[Double], Double)]
-      .map { case (id, ntok, v, n) =>
-        val arr = v.toArray
-        (kernel.nearestCell(bc.value, arr.map(_ / n)), id, ntok, arr, n)
-      }
-      .toDF("cell", "train_doc", "n_tokens", "xt", "nt")
-    val split = splitAssigned(spark, sfDir)
-      .select(col("doc_id"), col("split"))
-    val evalSide = Similarity.ivfAssigned(spark, sfDir)
-      .join(Similarity.vecs(spark, sfDir), "vec_id")
-      .join(split, col("vec_id") === col("doc_id"))
-      .filter(col("split") =!= "train")
-      .select(col("cell"), col("doc_id").as("eval_doc"),
-        col("v").as("xe"), col("norm").as("ne"))
-    decontLedger(shard, evalSide, tau)
+    Seq(
+      // placement-free baseline: the shared tokenize + norm stage, so
+      // the two placement legs read as deltas over it
+      time("base_no_placement") {
+        incoming
+          .select(col("doc_id").as("train_doc"),
+            size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
+            col("embedding").cast("array<double>").as("xt"))
+          .withColumn("nt", sqrt(dot(col("xt"), col("xt"))))
+      },
+      time("placement_expr")(gatePlacement(spark, sfDir, incoming)),
+      time("placement_map") {
+        incoming
+          .select(col("doc_id"),
+            size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nt", sqrt(dot(col("v"), col("v"))))
+          .as[(Long, Long, Seq[Double], Double)]
+          .map { case (id, ntok, v, n) =>
+            val arr = v.toArray
+            (kernel.nearestCell(bc.value, arr.map(_ / n)), id, ntok, arr, n)
+          }
+          .toDF("cell", "train_doc", "n_tokens", "xt", "nt")
+      })
   }
 
   /** Shared CTE chain through the per-doc `led` ledger — composed by

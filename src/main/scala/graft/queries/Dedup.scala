@@ -1769,6 +1769,61 @@ object Dedup {
     spark.read.parquet(out)
   }
 
+  /** [[materializeOnce]] with a BUCKETED sink: the frame is written as a
+    * bucketed parquet table (in-memory-catalog entry over the same
+    * session-keyed path), so every consumer's scan reports
+    * `HashPartitioning(key, nBuckets)` and an equi-join on `key` plans
+    * NO exchange above this side — only the other side shuffles, to the
+    * bucket count. This is the production "persist it cell-partitioned
+    * and this join is exchange-free" shape the decontamination gate's
+    * scaladoc prescribes: the static side of a stream-static join must
+    * not re-shuffle per micro-batch, and the substrate of the
+    * full/delta/live gates must not re-shuffle per consumer. Bucket
+    * count 32 == spark.sql.shuffle.partitions at test scale; a cluster
+    * deployment sizes it like any bucketed fact table (buckets ≈
+    * corpus_bytes / target_task_bytes). CurationSpec pins the
+    * no-exchange plan shape. A session whose catalog lacks the table
+    * (fresh catalog over a survivor path) re-registers the DDL over the
+    * existing files. */
+  private[queries] def materializeOnceBucketed(
+      spark: SparkSession, prefix: String, sfDir: String,
+      nBuckets: Int, key: String)(df: => DataFrame): DataFrame = {
+    val out = TextJobs.tmpOut(spark, prefix, sfDir)
+    val tbl = "graft_b_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(out.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    var done = false
+    while (!done) {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = clusterSinks.putIfAbsent(out, fresh)
+      if (prior == null) {
+        try {
+          cleanupHook; cleanupDirs.add(out)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          df.write.format("parquet").mode("overwrite")
+            .bucketBy(nBuckets, key).sortBy(key)
+            .option("path", out).saveAsTable(tbl)
+          fresh.complete(out): Unit
+          done = true
+        } catch {
+          case t: Throwable =>
+            clusterSinks.remove(out, fresh)
+            fresh.completeExceptionally(t)
+            throw t
+        }
+      } else {
+        try { prior.join(); done = true }
+        catch { case _: Throwable => () }
+      }
+    }
+    if (!spark.catalog.tableExists(tbl)) {
+      val ddl = spark.read.parquet(out).schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$out'")
+    }
+    spark.table(tbl)
+  }
+
   // --------------------------------------------------------------------
   // Incremental dedup: label a delta shard against the standing index
   // --------------------------------------------------------------------

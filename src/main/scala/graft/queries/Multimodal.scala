@@ -471,7 +471,97 @@ object Multimodal {
             " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS ok_share
        |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
+  private val XmodalNProbe = 4
+  private val XmodalTopK = 5
+
+  /** CROSS-MODAL RETRIEVAL — the first retrieval CONSUMER of the
+    * multimodal family (r12 verdict #6): "find the top-k `modality`
+    * assets for this text query", joining the TEXT-side ANN substrate
+    * (the shared IVF coarse quantizer — [[Similarity.ivfAssigned]]'s
+    * persisted cells, probed exactly like `ann_cosine_ivf`) to ASSET
+    * rows ([[assets]]' modality + stored metadata). This is the query a
+    * multimodal training pipeline runs constantly: caption/query text →
+    * candidate images, with the asset metadata in the result so the
+    * downstream pairing job never re-joins the media lake. (Concept
+    * twin: `bm25_topk` is RETRIEVAL too, but lexical — token match over
+    * an inverted index; this one is embedding-space and cross-modal.)
+    *
+    * The fixture models the standard shared-embedding-space setup (CLIP
+    *-style): text doc_id and its asset share one embedding row; the
+    * cross-modal part is structural — queries are TEXT rows, results
+    * are ASSET rows of the requested modality with their metadata, and
+    * the modality FILTER prunes candidates before ranking (rank k among
+    * images ≠ rank k overall — the per-qid window sees the filtered
+    * candidate stream only).
+    *
+    * Scale shape: identical to `ann_cosine_ivf` (broadcast ≤|Q|·nprobe
+    * probe list against the bucketed cell assignment, score inside the
+    * join, per-qid window on a |Q|-cardinality key) plus one broadcast
+    * asset-metadata join — the modality filter drops ~half the
+    * candidate stream before the window. MultimodalSpec pins recall vs
+    * the brute-force cross-modal leg. */
+  def crossmodalRetrieval(spark: SparkSession, sfDir: String,
+                          modality: String = "image",
+                          k: Int = XmodalTopK): DataFrame = {
+    Args.lit("modality", modality)
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cands = Similarity.ivfCandidates(spark, sfDir, XmodalNProbe)
+    val all = Similarity.vecs(spark, sfDir)
+    val asset = assets(spark, sfDir).toDF()
+      .filter(col("modality") === modality)
+      .select(col("doc_id"), col("modality"), col("width"), col("height"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    cands
+      .join(all, "vec_id")
+      .join(asset, col("vec_id") === col("doc_id"))
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm")), "qid")
+      .withColumn("cosine_raw",
+        graft.functions.VectorFunctions.array_dot(col("v"), col("qv"))
+          / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("modality"),
+        col("width"), col("height"), Det.r(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin — the shared IVF chain's `cand`/`nv` CTEs + the asset
+    * metadata expressions (pure functions of doc_id) + the
+    * modality-filtered per-qid ranking (WHERE applies before the window
+    * on both engines, so rank is within the filtered stream). */
+  def crossmodalRetrievalSqlFor(modality: String, k: Int): String = {
+    Args.lit("modality", modality)
+    require(k > 0, s"k must be positive, got $k")
+    s"""WITH ${Similarity.ivfChainSql},
+       |ast AS (SELECT doc_id,
+       |               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       |               CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+       |               CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS height
+       |        FROM documents),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id, t.modality, t.width, t.height,
+       |         list_dot_product(a.v, q.v) / (a.norm * q.norm) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY c.qid
+       |            ORDER BY list_dot_product(a.v, q.v) / (a.norm * q.norm) DESC,
+       |                     c.vec_id ASC) AS rank
+       |  FROM cand c JOIN nv a ON c.vec_id = a.vec_id
+       |              JOIN nv q ON c.qid = q.vec_id
+       |              JOIN ast t ON t.doc_id = c.vec_id
+       |  WHERE t.modality = '$modality')
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id AS doc_id, modality,
+       |       width, height,
+       |       CAST(floor(cosine_raw * 10000 + 0.5) AS DOUBLE) / 10000 AS cosine
+       |FROM scored WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  val crossmodalRetrievalSql: String =
+    crossmodalRetrievalSqlFor("image", XmodalTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "crossmodal_retrieval" -> ((s, d) => crossmodalRetrieval(s, d)),
     "mm_integrity" -> ((s, d) => mmIntegrity(s, d)),
     "mm_dedup"     -> ((s, d) => mmDedup(s, d)),
     "mm_near_dedup" -> ((s, d) => mmNearDedup(s, d)),
@@ -482,6 +572,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "crossmodal_retrieval" -> crossmodalRetrievalSql,
     "mm_integrity" -> mmIntegritySql,
     "mm_dedup"     -> mmDedupSql,
     "mm_near_dedup" -> mmNearDedupSql,

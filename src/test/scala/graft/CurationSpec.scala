@@ -243,4 +243,49 @@ class CurationSpec extends AnyFunSuite {
       .semanticDecontaminationDelta(spark, dir, deltaMod = mod2).collect()
     assert(clean.forall(!_.getAs[Boolean]("rejected")))
   }
+
+  test("decont gates: the persisted eval sink joins exchange-free on the static side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // force the at-scale join shape: at 100 TB the eval side cannot
+    // broadcast, so pin the SMJ path where the bucketing must carry
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bKey)
+    spark.conf.set(bKey, -1)
+    try Seq(
+      "semantic_decontamination_delta" ->
+        queries.Curation.semanticDecontaminationDelta(spark, sf),
+      "decont_gate_replay" -> queries.Curation.decontGateReplay(spark, sf),
+      "semantic_decontamination" ->
+        queries.Curation.semanticDecontamination(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val evalScans = plan.collect {
+        case s: FileSourceScanExec if s.output.exists(_.name == "eval_doc") => s
+      }
+      assert(evalScans.nonEmpty, s"$name: no eval-side file scan in plan")
+      assert(evalScans.forall(_.bucketedScan),
+        s"$name: eval-side scan is not a bucketed read")
+      // no ShuffleExchange between the eval scan and its cell join: the
+      // static side's HashPartitioning(cell, 32) must satisfy the join
+      // directly (downstream per-train_doc window shuffles are the
+      // QUERY's keys, not the substrate's — out of scope here)
+      def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+        if (evalScans.exists(_ eq p)) Some(List(p))
+        else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+      val path = pathTo(plan).getOrElse(
+        fail(s"$name: eval scan unreachable from root"))
+      val joinIdx = path.lastIndexWhere(_.children.length == 2)
+      assert(joinIdx >= 0, s"$name: no join above the eval scan")
+      val between = path.drop(joinIdx)
+      assert(!between.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"$name: a shuffle exchange sits between the bucketed eval scan " +
+          s"and its join:\n${between.map(_.nodeName).mkString(" <- ")}")
+    }
+    finally spark.conf.set(bKey, prev)
+  }
 }

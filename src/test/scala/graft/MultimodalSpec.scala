@@ -153,4 +153,53 @@ class MultimodalSpec extends AnyFunSuite {
         r.getAs[Long]("n_assets"))
     }
   }
+
+  test("crossmodal_retrieval: recall vs brute-force cross-modal leg; metadata exact") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val got = queries.Multimodal.crossmodalRetrieval(spark, sf).collect()
+    // every result row is an asset of the requested modality with the
+    // stored metadata (pure functions of doc_id in the fixture lake)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("modality") == "image" && id % 2 == 0)
+      assert(r.getAs[Int]("width") == 64 + (id % 8).toInt * 16)
+      assert(r.getAs[Int]("height") == 64 + (id % 4).toInt * 32)
+    }
+    // ranks are 1..k per query, cosine non-increasing within a query
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // brute-force cross-modal exact top-k: per text query, best k IMAGE
+    // assets by cosine over the whole corpus (no IVF pruning)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("v").toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      s / math.sqrt(na) / math.sqrt(nb)
+    }
+    val qids = got.map(_.getAs[Long]("qid")).distinct
+    assert(qids.nonEmpty, "vacuous: no retrieval results at the fixture")
+    var hits = 0; var total = 0
+    qids.foreach { q =>
+      val exact = emb.keys.toSeq
+        .filter(id => id % 2 == 0 && id != q)
+        .map(id => (cos(emb(q), emb(id)), id))
+        .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+      val ann = got.filter(_.getAs[Long]("qid") == q)
+        .map(_.getAs[Long]("doc_id")).toSet
+      hits += (exact & ann).size; total += exact.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8,
+      s"cross-modal candidate recall $recall below floor (hits=$hits/$total)")
+  }
 }

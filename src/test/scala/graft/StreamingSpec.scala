@@ -650,4 +650,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.exists(_._4 > -99.0))
     } finally q.stop()
   }
+
+  test("live drift monitor: multi-batch occupancy fold == batch ingest_drift, empty batch included") {
+    // the LIVE twin of the batch occupancy monitor: per micro-batch,
+    // ingestDriftBatch places the incoming vectors, folds the per-cell
+    // counts into the threaded cumulative state, and re-emits the TV
+    // ledger — after the last batch the ledger must ROW-EQUAL the batch
+    // monitor on the same shard, and an EMPTY micro-batch must leave
+    // the ledger exactly where it was
+    implicit val sqlCtx = spark.sqlContext
+    val shard = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(shard.size > 10, s"degenerate shard: ${shard.size}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("cell"), r.getAs[Long]("n_corpus"),
+        r.getAs[Long]("n_shard"), r.getAs[Long]("corpus_ppm"),
+        r.getAs[Long]("shard_ppm"), r.getAs[Long]("tv_ppm"))
+    val want = queries.Similarity.ingestDrift(spark, sf).collect().map(key).toSeq
+    var state = Map.empty[Int, Long]
+    val ledgers = scala.collection.mutable.ArrayBuffer.empty[Seq[
+      (Long, Long, Long, Long, Long, Long)]]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val (next, ledger) =
+            queries.Similarity.ingestDriftBatch(spark, sf, batch, state)
+          state = next
+          ledgers += ledger.collect().map(key).toSeq
+          ()
+      }.start()
+    try {
+      val third = shard.size / 3
+      mem.addData(shard.take(third)); q.processAllAvailable()
+      val afterFirst = ledgers.last
+      // empty micro-batch: state and ledger unchanged
+      mem.addData(Seq.empty[(Long, Seq[Float])]); q.processAllAvailable()
+      assert(ledgers.size >= 2 && ledgers.last == afterFirst,
+        "an empty micro-batch must not move the cumulative ledger")
+      mem.addData(shard.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(shard.drop(2 * third)); q.processAllAvailable()
+      assert(ledgers.last == want,
+        "cumulative live ledger != batch monitor on the same shard")
+      // the fold really accumulated: total shard mass == |shard|
+      assert(state.values.sum == shard.size.toLong)
+      // intermediate ledgers carry intermediate mass (monotone fold)
+      assert(afterFirst.map(_._3).sum < want.map(_._3).sum)
+    } finally q.stop()
+  }
 }
