@@ -541,10 +541,44 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save())
       val drift = timeIt(queries.Similarity.ingestDrift(spark, dir)
         .write.format("noop").mode("overwrite").save())
+      // the LIVE gate on the now-warm substrate: isolates the replay's
+      // own work (incoming build + tokenize + placement + ledger) from
+      // the substrate freeze the cold leg pays
+      val replayWarm = timeIt(queries.Curation.decontGateReplay(spark, dir)
+        .write.format("noop").mode("overwrite").save())
       println(String.format(java.util.Locale.ROOT,
-        """{"query":"decont_substrate_ab","n_docs":%d,"n_vecs":%d,"cold_sec":%.2f,"warm_sec":%.2f,"drift_warm_sec":%.2f}""",
+        """{"query":"decont_substrate_ab","n_docs":%d,"n_vecs":%d,"cold_sec":%.2f,"warm_sec":%.2f,"drift_warm_sec":%.2f,"gate_replay_warm_sec":%.2f}""",
         Long.box(nDocs), Long.box(nVecs), Double.box(cold), Double.box(warm),
-        Double.box(drift)))
+        Double.box(drift), Double.box(replayWarm)))
+    }
+
+    // -- composite pipeline probe (r12 verdict #7): ONE end-to-end chain
+    //    ingest gate -> drift monitor -> near-dedup -> quality gate ->
+    //    pack, in one session with NO cache clearing between stages —
+    //    the per-family tables price each stage alone; this number makes
+    //    a regression in the SEAMS (substrate reuse, sink policy, cache
+    //    interplay) visible across rounds. Stages run the registered
+    //    queries verbatim. Pseudo-query (only=pipeline_composite).
+    if (only.contains("pipeline_composite")) {
+      def stage(label: String)(name: String): (String, Double) = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        label -> (System.nanoTime() - t0) / 1e9
+      }
+      val stages = Seq(
+        stage("gate_decont")("decont_gate_replay"),
+        stage("monitor_drift")("ingest_drift_replay"),
+        stage("dedup_minhash")("minhash_lsh_dedup"),
+        stage("quality_gate")("quality_gate"),
+        stage("pack")("sequence_pack"))
+      val body = stages.map { case (l, s) =>
+        String.format(java.util.Locale.ROOT, """"%s":%.2f""", l, Double.box(s))
+      }.mkString(",")
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"pipeline_composite","n_docs":%d,"n_vecs":%d,%s,"total_sec":%.2f}""",
+        Long.box(nDocs), Long.box(nVecs), body,
+        Double.box(stages.map(_._2).sum)))
     }
 
     // -- live-gate placement A/B (r12 verdict #3 observable): place an
