@@ -33,7 +33,7 @@ object ScaleProbe {
   private[graft] val DocQueries = Seq(
     "wordcount", "exact_dedup", "para_dedup", "para_dedup_stats",
     "substring_dedup", "pipeline_funnel",
-    "simhash_dedup", "minhash_lsh_dedup",
+    "simhash_dedup", "minhash_lsh_dedup", "dedup_gate_replay",
     "ngram_jaccard_dedup", "dedup_clusters", "dedup_delta", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
@@ -579,6 +579,30 @@ object ScaleProbe {
         """{"query":"pipeline_composite","n_docs":%d,"n_vecs":%d,%s,"total_sec":%.2f}""",
         Long.box(nDocs), Long.box(nVecs), body,
         Double.box(stages.map(_._2).sum)))
+    }
+
+    // -- minhash band-geometry A/B (the closed-vocabulary occupancy
+    //    wall): run the candidate-stage cost accounting at the FIXED
+    //    fixture geometry (4 rows × 32 bands) and at the corpus-derived
+    //    geometry, same hv cache (first leg carries the md5 pass + cache
+    //    build). bucket_pairs = Σ C(occ,2) over (band, bv) buckets — the
+    //    pair enumeration work the bucket join pays before the length
+    //    filter; the derived law is judged on bucket_pairs growth vs n,
+    //    recall on verified_pairs (injected dups are n/100 exactly).
+    //    Pseudo-query (only=minhash_geometry).
+    if (only.contains("minhash_geometry")) {
+      val derived = queries.Dedup.derivedBandGeometry(nDocs)
+      val geoms = Seq("fixture" -> Some((4, 32)), "derived" -> Some(derived))
+        .distinctBy(_._2)
+      geoms.foreach { case (leg, g) =>
+        val t0 = System.nanoTime()
+        val st = queries.Dedup.minhashGeometryStats(spark, dir, g)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val body = st.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"minhash_geometry","leg":"%s",%s,"sec":%.2f}""",
+          leg, body, Double.box(sec)))
+      }
     }
 
     // -- live-gate placement A/B (r12 verdict #3 observable): place an

@@ -168,6 +168,8 @@ object SparkEntry {
       Curation.decontGateReplay(s, d,
         a.getOrElse("tau", "0.47").toDouble,
         a.getOrElse("delta_mod", "10").toLong)),
+    "dedup_gate_replay" -> ((s, d, a) =>
+      Dedup.dedupGateReplay(s, d, a.getOrElse("delta_mod", "10").toLong)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -355,6 +357,8 @@ object SparkEntry {
       Curation.decontGateReplaySqlFor(
         a.getOrElse("tau", "0.47").toDouble,
         a.getOrElse("delta_mod", "10").toLong)),
+    "dedup_gate_replay" -> (a =>
+      Dedup.dedupGateReplaySqlFor(a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

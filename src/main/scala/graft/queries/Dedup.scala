@@ -37,9 +37,14 @@ object Dedup {
     * are set-order-insensitive, and the construction matches the oracles'
     * CTE: lower → \W+ split → non-empty → 3-windows space-joined →
     * first-occurrence distinct. */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    docShinglesOf(spark, Tables.documents(spark, sfDir))
+
+  /** [[docShingles]] over a caller-supplied docs frame — the live dedup
+    * gate shingles its incoming micro-batch through the same kernel. */
+  private def docShinglesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -75,8 +80,17 @@ object Dedup {
     * shared with simhash), so jaccard over the hashed space is the same
     * exact cross-engine quantity (an intra-pair collision — ~n²/2⁴⁸ —
     * would affect both engines identically). */
-  private def docShingleHashes(spark: SparkSession,
-                               ds: DataFrame): DataFrame = {
+  private def docShingleHashes(spark: SparkSession, ds: DataFrame): DataFrame =
+    // corpus-sized cache, measured-justified (PERF.md r6 A/B): the frame
+    // feeds the broadcast-sizing count plus both sides of the candidate
+    // join; wrapped in maybeCache so SPARK_GRAFT_DISABLE_CACHE=1 A/Bs it
+    // like every other cache site
+    TextAnalysis.maybeCache(docShingleHashesRaw(spark, ds))
+
+  /** [[docShingleHashes]] WITHOUT the session cache — the live gate's
+    * per-micro-batch incoming frames must not accrete cache entries. */
+  private def docShingleHashesRaw(spark: SparkSession,
+                                  ds: DataFrame): DataFrame = {
     import spark.implicits._
     val hashed = ds.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -97,11 +111,7 @@ object Dedup {
           (id, arr.toSeq)
         }
       }.toDF("doc_id", "hs")
-    // corpus-sized cache, measured-justified (PERF.md r6 A/B): the frame
-    // feeds the broadcast-sizing count plus both sides of the candidate
-    // join; wrapped in maybeCache so SPARK_GRAFT_DISABLE_CACHE=1 A/Bs it
-    // like every other cache site
-    TextAnalysis.maybeCache(hashed)
+    hashed
   }
 
   /** DuckDB twin of [[docShingleHashes]] (requires the `sh` CTE).
@@ -1085,6 +1095,58 @@ object Dedup {
   private val BandRows = 4               // 32 bands × 4 rows
   private val NumBands = NumHashes / BandRows
 
+  /** Recall budget for the banded-LSH candidate stage at the verified
+    * threshold j = 0.8: P(a true pair shares no band) ≤ this, by the
+    * closed formula (1 − jʳ)ᵇ. The fixture geometry (4, 32) sits at
+    * 5·10⁻⁸; derived geometries are sized to the same order. */
+  private val MinhashMissBudget = 1e-7
+  private val MinhashThreshold = 0.8
+  /** Corpus size where the fixed fixture geometry starts saturating its
+    * band-value space (the closed-vocabulary occupancy wall measured in
+    * PERF.md): below this, (4, 32) verbatim — sf fixtures and bench
+    * never change behavior; above, +1 band row per corpus doubling. */
+  private val GeomBaseDocs = 1_000_000L
+  private val MaxBandRows = 8
+
+  /** (bandRows r, numBands b) from corpus doc count — the
+    * [[graft.queries.Similarity.derivedSigBits]] discipline applied to
+    * minhash banding. A band is a false-positive bucket key with
+    * per-pair collision rate E[Jʳ]; on a closed-vocabulary corpus the
+    * distinct band-value space is |shingle vocab|-combinatorial in r,
+    * so each +1 row multiplies the value space and divides the
+    * background collision rate by the background agreement (≤ ~½ on any
+    * corpus sparser than coin flips) — +1 row per doubling past
+    * [[GeomBaseDocs]] keeps bucket-pair work ~linear in n. b is then
+    * the SMALLEST band count holding the miss budget at j = 0.8:
+    * b = ⌈ln(budget) / ln(1 − 0.8ʳ)⌉ — recall is a closed guarantee at
+    * every geometry, never traded for occupancy. r caps at
+    * [[MaxBandRows]] (r·b = 704 signature rows; past that the verify
+    * stage, not candidate generation, is the documented binding cost
+    * and the in-family escape is the sketch/simhash path). Geometry
+    * only shapes CANDIDATE generation — the output is exact-Jaccard
+    * verified either way, so fixture hashes are geometry-independent. */
+  private[graft] def derivedBandGeometry(nDocs: Long): (Int, Int) = {
+    val m = math.max(1L, (nDocs + GeomBaseDocs - 1) / GeomBaseDocs)
+    val ceilLog2 =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val r = math.min(MaxBandRows, BandRows + ceilLog2)
+    if (r == BandRows) (BandRows, NumBands)
+    else {
+      val bandHit = math.pow(MinhashThreshold, r)
+      val b = math.ceil(math.log(MinhashMissBudget) / math.log1p(-bandHit)).toInt
+      (r, b)
+    }
+  }
+
+  /** Corpus doc count per dir, memoized (the corpusVecCount pattern —
+    * corpus dirs are session-immutable); feeds [[derivedBandGeometry]]
+    * at query construction. */
+  private val nDocsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusDocCount(spark: SparkSession, sfDir: String): Long =
+    nDocsMemo.computeIfAbsent(sfDir,
+      _ => Long.box(Tables.documents(spark, sfDir).count())).longValue()
+
   /** splitmix64 finalizer — the content hash behind OPH slot assignment.
     * Full-width 64-bit avalanche of the 48-bit shingle hash, so slot and
     * value bits are independent of the md5 bits they came from. */
@@ -1122,12 +1184,45 @@ object Dedup {
     * Bands of 4 slots hash to buckets; pairs sharing a bucket are
     * candidates; the AllPairs length filter prunes size-mismatched
     * candidates before verification joins the hash arrays — pair-local,
-    * no n² anywhere. */
+    * no n² anywhere.
+    *
+    * Geometry is CORPUS-DERIVED past 1M docs ([[derivedBandGeometry]]):
+    * the fixed (4, 32) banding saturates its band-value space on
+    * closed-vocabulary corpora (Σ C(occ, 2) bucket work goes
+    * superlinear — measured in PERF.md's minhash_geometry table), so
+    * band rows grow +1 per corpus doubling with band count re-derived
+    * to hold the same ≤1e-7 miss budget at j = 0.8. The output is
+    * exact-verified either way — geometry changes candidate-stage cost,
+    * never results. */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val hv = docShingleHashes(spark, docShingles(spark, sfDir))
-    val bandRows = hv.select(col("doc_id"), col("hs")).as[(Long, Seq[Long])]
-      .flatMap { case (id, hs) =>
+    val (r, b) = derivedBandGeometry(corpusDocCount(spark, sfDir))
+    verifyJaccard(spark, minhashCandidates(spark, hv, r, b), hv, MinhashThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Band rows `(doc_id, band, bv, n)` at a given geometry. Two kernels:
+    *
+    *  - **(4, 32)** — the fixture geometry: ONE-PERMUTATION HASHING with
+    *    optimal densification, verbatim (one mix per shingle; see
+    *    [[minhashLshDedup]]'s construction notes above).
+    *  - **derived wide geometries** — r·b INDEPENDENT seeded minhash
+    *    rows (row i = min over shingle hashes of mix64(h + i·gamma)):
+    *    per-row agreement is EXACTLY the pair's jaccard, independently
+    *    per row, so the (1 − jʳ)ᵇ miss bound carries no OPH-sparsity
+    *    caveat — at 200+ rows against ~60-shingle docs an OPH signature
+    *    would be >70% densified borrows, and correlated borrowed bands
+    *    void the closed recall formula exactly when the wide geometry
+    *    is the one relying on it. Costs one mix per (shingle, row) —
+    *    |sh|·r·b ≈ 30k mixes/doc at the widest geometry, a scan-local
+    *    JIT'd loop, measured in the `minhash_geometry` probe leg. */
+  private[graft] def minhashBandRows(spark: SparkSession, hv: DataFrame,
+                                     bandRowsN: Int, numBands: Int): DataFrame = {
+    import spark.implicits._
+    val src = hv.select(col("doc_id"), col("hs")).as[(Long, Seq[Long])]
+    val out =
+      if (bandRowsN == BandRows && numBands == NumBands) src.flatMap { case (id, hs) =>
         if (hs.isEmpty) Iterator.empty
         else {
           val slots = Array.fill(NumHashes)(Long.MaxValue)
@@ -1161,19 +1256,78 @@ object Dedup {
             (id, b, bh, hs.size)
           }
         }
-      }.toDF("doc_id", "band", "bv", "n")
-    // banded bucket join + AllPairs length filter (min·10⁴ ≥ ⌊0.8·10⁴⌋·max
-    // ⇒ necessary for j ≥ 0.8, exact ints — see ngramJaccardPairs)
-    val cands = bandRows.as("x").join(bandRows.as("y"),
+      }
+      else {
+        val rN = bandRowsN
+        val bN = numBands
+        src.flatMap { case (id, hs) =>
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val rows = rN * bN
+            val mins = Array.fill(rows)(Long.MaxValue)
+            hs.foreach { sh =>
+              var i = 0
+              while (i < rows) {
+                // splitmix64 stream: per-row gamma offset, shared finalizer
+                var z = (sh + (i + 1) * -0x61C8864680B583EBL) ^ 0x9E3779B97F4A7C15L
+                z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                z ^= (z >>> 31)
+                if (z < mins(i)) mins(i) = z
+                i += 1
+              }
+            }
+            (0 until bN).iterator.map { b =>
+              var bh = 1125899906842597L
+              var r = 0
+              while (r < rN) { bh = bh * 31 + mins(b * rN + r); r += 1 }
+              (id, b, bh, hs.size)
+            }
+          }
+        }
+      }
+    out.toDF("doc_id", "band", "bv", "n")
+  }
+
+  /** Banded bucket join + AllPairs length filter (min·10⁴ ≥ ⌊0.8·10⁴⌋·max
+    * ⇒ necessary for j ≥ 0.8, exact ints — see ngramJaccardPairs) over
+    * [[minhashBandRows]] at the given geometry, deduplicated to distinct
+    * (doc_a, doc_b) candidates. */
+  private[graft] def minhashCandidates(spark: SparkSession, hv: DataFrame,
+                                       bandRowsN: Int, numBands: Int): DataFrame = {
+    val bandRows = minhashBandRows(spark, hv, bandRowsN, numBands)
+    bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 10000L >=
             greatest(col("x.n"), col("y.n")) * 8000L)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, cands, hv, 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Probe-only cost accounting for a band geometry: bucket occupancy
+    * (Σ C(occ, 2) over (band, bv) buckets IS the bucket-join's pair
+    * enumeration work, the quantity the occupancy wall inflates),
+    * candidate count after the length filter + distinct, and verified
+    * pairs. Eager — runs the stages; the ScaleProbe leg times them. */
+  private[graft] def minhashGeometryStats(spark: SparkSession, sfDir: String,
+      geom: Option[(Int, Int)]): scala.collection.immutable.ListMap[String, Long] = {
+    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val n = corpusDocCount(spark, sfDir)
+    val (r, b) = geom.getOrElse(derivedBandGeometry(n))
+    val occ = minhashBandRows(spark, hv, r, b)
+      .groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets"), coalesce(max("c"), lit(0L)).as("max_occ"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("bucket_pairs"))
+      .head()
+    val cands = minhashCandidates(spark, hv, r, b).count()
+    val verified = verifyJaccard(spark,
+      minhashCandidates(spark, hv, r, b), hv, MinhashThreshold).count()
+    scala.collection.immutable.ListMap(
+      "n_docs" -> n, "band_rows" -> r.toLong, "num_bands" -> b.toLong,
+      "buckets" -> occ.getLong(0), "max_occ" -> occ.getLong(1),
+      "bucket_pairs" -> occ.getLong(2), "cand_pairs" -> cands,
+      "verified_pairs" -> verified)
   }
 
   /** Oracle = brute-force exact Jaccard over the hashed shingle sets
@@ -1191,6 +1345,201 @@ object Dedup {
        |  FROM hv a JOIN hv b ON a.doc_id < b.doc_id)
        |WHERE raw_j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Live dedup admit gate
+  // --------------------------------------------------------------------
+
+  private val GateDeltaMod = 10L
+  /** Partition count of the standing band index (pb = bv mod this): the
+    * per-batch probe reads only the touched dirs, so the touched-set
+    * collect is ≤ this many driver values (the Hist.bounded class of
+    * driver state). A cluster deployment sizes it like any
+    * partition-pruned fact table (P ≈ index_bytes / target_scan_bytes). */
+  private val GatePartitions = 64L
+
+  /** THE LIVE NEAR-DUP ADMIT GATE — the foreachBatch body of the
+    * streaming dedup gate, completing the live-ingest triple
+    * ([[graft.queries.Curation.decontGateBatch]] scores against eval,
+    * [[graft.queries.Similarity.ingestDriftBatch]] monitors occupancy;
+    * this one answers "is this incoming doc a near-dup of anything we
+    * already have?" BEFORE it lands). One ledger row per incoming doc:
+    * shingle count, best match (highest rounded jaccard, ties to the
+    * smallest doc id), the count of matches, and the rejected flag.
+    *
+    * SEMANTICS — first-occurrence-keeps, non-recursive: an incoming doc
+    * is rejected iff some BASE doc (corpus outside the shard) or some
+    * EARLIER-ARRIVED incoming doc (same batch: smaller doc_id; prior
+    * batches: the `prior` frame) has exact hashed-shingle jaccard ≥ 0.8
+    * — "earlier" regardless of whether that earlier doc was itself
+    * rejected, the [[exactDedup]] canonical convention, which keeps the
+    * ledger non-recursive and batch-split-invariant (a doc's verdict
+    * depends only on the set of earlier docs, not on batch boundaries —
+    * StreamingSpec pins a 3-batch replay row-equal to the one-batch
+    * twin). CONTRAST [[dedupDelta]]: that query LABELS the shard with
+    * full cluster identities after admission (simhash edges, connected
+    * components); this gate makes the binary admit decision at ingest
+    * time against exact jaccard — run the gate on the stream, the
+    * labeler on what survives.
+    *
+    * Scale: the standing index (band rows of the base corpus at the
+    * corpus-derived geometry) is a write-once session sink PARTITIONED
+    * by pb = bv mod [[GatePartitions]]; each micro-batch collects its
+    * touched pb set (≤ P driver values) and probes ONLY those dirs —
+    * per-batch scan cost ∝ touched partitions, not corpus
+    * (PartitionFilters pinned in BucketingSpec). The batch side
+    * shingles/hashes/bands through the SAME kernels as the index
+    * (uncached — per-batch frames must not accrete session cache);
+    * candidates are narrow (in_doc, other_doc) rows before the
+    * distinct; verification joins the hash arrays per pair (the
+    * [[minhashLshDedup]] discipline). Prior-batch state is Θ(arrived)
+    * rows — in production an appended parquet dir, here a caller-held
+    * frame. */
+  private[graft] def dedupGateBatch(spark: SparkSession, sfDir: String,
+                                    incoming: DataFrame,
+                                    deltaMod: Long = GateDeltaMod,
+                                    prior: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val (rG, bG) = derivedBandGeometry(corpusDocCount(spark, sfDir))
+    val incHv = docShingleHashesRaw(spark, docShinglesOf(spark,
+      incoming.select(col("doc_id"), col("text"))))
+    val incBands = minhashBandRows(spark, incHv, rG, bG)
+      .select(col("doc_id").as("in_doc"), col("band"), col("bv"),
+        col("n").as("n_in"))
+    val corpusHv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val baseFilter = col("doc_id") % deltaMod =!= deltaMod - 1
+    val baseIndex = materializeOncePartitioned(spark,
+      s"graft_dgate${deltaMod}_", sfDir, "pb")(
+      minhashBandRows(spark, corpusHv.filter(baseFilter), rG, bG)
+        .select(col("doc_id").as("other_doc"), col("band"), col("bv"),
+          col("n").as("n_o"), pmod(col("bv"), lit(GatePartitions)).as("pb")))
+    // per-batch partition prune: touched pb values, ≤ GatePartitions of them
+    val touched = incBands
+      .select(pmod(col("bv"), lit(GatePartitions)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val lenOk = least(col("n_in"), col("n_o")) * 10000L >=
+      greatest(col("n_in"), col("n_o")) * 8000L
+    val candBase = incBands
+      .join(baseIndex.filter(col("pb").isin(touched: _*)), Seq("band", "bv"))
+      .filter(lenOk).select("in_doc", "other_doc")
+    val candSelf = incBands.join(
+        incBands.select(col("in_doc").as("other_doc"), col("band"), col("bv"),
+          col("n_in").as("n_o")), Seq("band", "bv"))
+      .filter(col("other_doc") < col("in_doc") && lenOk)
+      .select("in_doc", "other_doc")
+    val priorHv = prior.map(p => docShingleHashesRaw(spark, docShinglesOf(spark,
+      p.select(col("doc_id"), col("text")))))
+    val candPrior = priorHv.map { ph =>
+      incBands.join(minhashBandRows(spark, ph, rG, bG)
+          .select(col("doc_id").as("other_doc"), col("band"), col("bv"),
+            col("n").as("n_o")), Seq("band", "bv"))
+        .filter(lenOk).select("in_doc", "other_doc")
+    }
+    val cands = (Seq(candBase, candSelf) ++ candPrior.toSeq)
+      .reduce(_.unionByName(_)).distinct()
+    val othersHv = (Seq(corpusHv.filter(baseFilter), incHv) ++ priorHv.toSeq)
+      .map(_.select(col("doc_id").as("other_doc"), col("hs").as("hs_o")))
+      .reduce(_.unionByName(_))
+    val t = MinhashThreshold  // local: task closures must not touch Dedup$
+    val verified = cands
+      .join(incHv.select(col("doc_id").as("in_doc"), col("hs").as("hs_i")),
+        "in_doc")
+      .join(othersHv, "other_doc")
+      .select(col("in_doc"), col("other_doc"), col("hs_i"), col("hs_o"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, ha, hb) =>
+          val x = ha.toArray; val y = hb.toArray
+          var i = 0; var j = 0; var c = 0
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          val raw = c.toDouble / (x.length + y.length - c)
+          if (raw >= t) Some((a, b, math.floor(raw * 1000000 + 0.5) / 1000000))
+          else None
+        }
+      }.toDF("in_doc", "other_doc", "jaccard")
+    val wBest = Window.partitionBy("in_doc")
+      .orderBy(col("jaccard").desc, col("other_doc").asc)
+    val best = verified
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("in_doc")))
+      .filter(col("rn") === 1)
+      .select(col("in_doc"), col("other_doc").as("dup_of"),
+        col("jaccard"), col("n_dups"))
+    incHv.select(col("doc_id").as("in_doc"),
+        size(col("hs")).cast("long").as("n_shingles"))
+      .join(best, Seq("in_doc"), "left")
+      .select(col("in_doc"), col("n_shingles"), col("dup_of"), col("jaccard"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of").isNotNull.as("rejected"))
+  }
+
+  /** THE LIVE DEDUP GATE, ORACLE-GATED — [[dedupGateBatch]] (the exact
+    * entry point the streaming sink calls per micro-batch) run over the
+    * fixture delta shard (`doc_id % deltaMod == deltaMod − 1`, the
+    * ingest-gate shard convention shared with
+    * [[graft.queries.Curation.decontGateReplay]]) as ONE incoming
+    * batch, so the gate kernel — incoming shingling, banding, the
+    * pruned index probe, pair verification, the ledger — is
+    * hash-compared against a brute-force DuckDB twin through the same
+    * code path production uses. Ordered (jaccard DESC NULLS LAST,
+    * in_doc). */
+  def dedupGateReplay(spark: SparkSession, sfDir: String,
+                      deltaMod: Long = GateDeltaMod): DataFrame = {
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val incoming = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % deltaMod === deltaMod - 1)
+      .select("doc_id", "text")
+    dedupGateBatch(spark, sfDir, incoming, deltaMod)
+      .orderBy(col("jaccard").desc_nulls_last, col("in_doc").asc)
+  }
+
+  /** DuckDB twin of [[dedupGateReplay]]: brute-force exact jaccard of
+    * each shard doc against base ∪ earlier-shard docs (the gate's
+    * candidate stage has recall ≈ 1 at the verified threshold and the
+    * output is exact-verified, so brute force IS the same quantity),
+    * then the best-match ledger. Shingle-less shard docs stay as
+    * admissible rows (LEFT JOIN from the `sh` anchor — `hv` excludes
+    * them, see [[shingleHashSqlCte]]). */
+  def dedupGateReplaySqlFor(deltaMod: Long): String =
+    s"""WITH $shinglesSqlCte,
+       |$shingleHashSqlCte,
+       |inc AS (SELECT s.doc_id AS in_doc, coalesce(len(h.hs), 0) AS n_shingles,
+       |               h.hs
+       |        FROM sh s LEFT JOIN hv h USING (doc_id)
+       |        WHERE s.doc_id % $deltaMod = $deltaMod - 1),
+       |m AS (
+       |  SELECT i.in_doc, o.doc_id AS other_doc,
+       |         CAST(len(list_intersect(i.hs, o.hs)) AS DOUBLE)
+       |           / (len(i.hs) + len(o.hs) - len(list_intersect(i.hs, o.hs)))
+       |           AS raw_j
+       |  FROM inc i JOIN hv o
+       |    ON o.doc_id != i.in_doc
+       |   AND (o.doc_id % $deltaMod != $deltaMod - 1 OR o.doc_id < i.in_doc)
+       |  WHERE i.hs IS NOT NULL),
+       |mm AS (SELECT in_doc, other_doc,
+       |              CAST(floor(raw_j * 1000000 + 0.5) AS DOUBLE) / 1000000
+       |                AS jaccard
+       |       FROM m WHERE raw_j >= 0.8),
+       |best AS (SELECT in_doc, other_doc AS dup_of, jaccard,
+       |                CAST(n_dups AS BIGINT) AS n_dups
+       |         FROM (SELECT mm.*,
+       |                      row_number() OVER (PARTITION BY in_doc
+       |                        ORDER BY jaccard DESC, other_doc) AS rn,
+       |                      count(*) OVER (PARTITION BY in_doc) AS n_dups
+       |               FROM mm)
+       |         WHERE rn = 1)
+       |SELECT i.in_doc, CAST(i.n_shingles AS BIGINT) AS n_shingles, b.dup_of,
+       |       b.jaccard, coalesce(b.n_dups, 0) AS n_dups,
+       |       b.dup_of IS NOT NULL AS rejected
+       |FROM inc i LEFT JOIN best b USING (in_doc)
+       |ORDER BY jaccard DESC NULLS LAST, in_doc""".stripMargin
+
+  val dedupGateReplaySql: String = dedupGateReplaySqlFor(GateDeltaMod)
 
   // --------------------------------------------------------------------
   // SimHash
@@ -1823,6 +2172,54 @@ object Dedup {
     }
     spark.table(tbl)
   }
+
+  /** [[materializeOnce]] with a PARTITIONED sink (one dir per value of
+    * `partCol`): a consumer probing a bounded set of partition values
+    * (the live dedup gate's per-batch band-bucket probe) reads ONLY the
+    * touched dirs — scan cost ∝ touched partitions, not corpus
+    * (PartitionFilters in the scan node; BucketingSpec pins it). The
+    * frame is repartitioned by `partCol` before the write so each dir
+    * holds O(1) files rather than one per task; the read re-applies the
+    * written schema explicitly so an EMPTY frame (degenerate corpora)
+    * round-trips instead of failing parquet schema inference. */
+  private[queries] def materializeOncePartitioned(
+      spark: SparkSession, prefix: String, sfDir: String,
+      partCol: String)(df: => DataFrame): DataFrame = {
+    val out = TextJobs.tmpOut(spark, prefix, sfDir)
+    var schema: org.apache.spark.sql.types.StructType = null
+    var done = false
+    while (!done) {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = clusterSinks.putIfAbsent(out, fresh)
+      if (prior == null) {
+        try {
+          cleanupHook; cleanupDirs.add(out)
+          val frame = df
+          schema = frame.schema
+          frame.repartition(col(partCol)).write.mode("overwrite")
+            .partitionBy(partCol).parquet(out)
+          sinkSchemas.put(out, schema)
+          fresh.complete(out): Unit
+          done = true
+        } catch {
+          case t: Throwable =>
+            clusterSinks.remove(out, fresh)
+            fresh.completeExceptionally(t)
+            throw t
+        }
+      } else {
+        try { prior.join(); done = true }
+        catch { case _: Throwable => () }
+      }
+    }
+    spark.read.schema(sinkSchemas.get(out)).parquet(out)
+  }
+
+  /** Written schemas of [[materializeOncePartitioned]] sinks, so waiter
+    * sessions (and re-reads) can re-apply them over empty sinks. */
+  private val sinkSchemas =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
 
   // --------------------------------------------------------------------
   // Incremental dedup: label a delta shard against the standing index
@@ -2526,6 +2923,7 @@ object Dedup {
     "containment_pairs_sketch" -> ((s, d) => containmentPairsSketch(s, d)),
     "containment_sketch_coverage" -> ((s, d) => containmentSketchCoverage(s, d)),
     "minhash_lsh_dedup"    -> ((s, d) => minhashLshDedup(s, d)),
+    "dedup_gate_replay"    -> ((s, d) => dedupGateReplay(s, d)),
     "simhash_dedup"        -> ((s, d) => simhashDedup(s, d)),
     "dup_pair_sources"     -> ((s, d) => dupPairSources(s, d)),
     "embedding_cosine_dedup" -> ((s, d) => embeddingCosineDups(s, d)),
@@ -2552,6 +2950,7 @@ object Dedup {
     "containment_pairs_sketch" -> containmentPairsSketchSql,
     "containment_sketch_coverage" -> containmentSketchCoverageSql,
     "minhash_lsh_dedup"    -> minhashLshDedupSql,
+    "dedup_gate_replay"    -> dedupGateReplaySql,
     "simhash_dedup"        -> simhashDedupSql,
     "dup_pair_sources"     -> dupPairSourcesSql,
     "embedding_cosine_dedup" -> embeddingCosineDupsSql,

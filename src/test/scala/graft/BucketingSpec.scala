@@ -53,6 +53,26 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dedup gate: base-index scan is partition-pruned to the batch's touched pb set") {
+    // the live gate's scale contract: a micro-batch probes ONLY the
+    // band-bucket dirs its own band values hash into — the base-index
+    // scan must carry a PartitionFilter on pb, not read the whole index
+    val inc = Seq((9100001L, "zzqq wwxx yyvv uupp ttrr ssnn"))
+      .toDF("doc_id", "text")
+    val ledger = queries.Dedup.dedupGateBatch(spark, TestSpark.sf, inc, 10L, None)
+    val plan = ledger.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(f => f.contains("pb") && f.contains("IN")),
+      s"no pb partition filter on the base-index scan:\n${plan.take(3000)}")
+    // a 1-doc batch emits 32 band values -> at most 32 of the 64 dirs
+    val inList = pf.filter(f => f.contains("pb") && f.contains("IN")).head
+    assert(inList.count(_ == ',') < 63, s"prune not selective: $inList")
+    // and the unique doc is admitted
+    val row = ledger.collect().head
+    assert(!row.getAs[Boolean]("rejected") && row.getAs[Long]("n_shingles") == 4L)
+  }
+
   test("dynamic partition pruning from a selective dim filter") {
     val dir = java.nio.file.Paths.get("target", "test-scratch", "orders-dpp").toString
     Tables.orders(spark, TestSpark.sf)

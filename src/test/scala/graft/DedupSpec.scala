@@ -406,4 +406,38 @@ class DedupSpec extends AnyFunSuite {
     // and it is more conservative: no more flagged docs than either layer
     assert(cons.length <= simhash.size)
   }
+
+  test("derivedBandGeometry: fixture geometry below 1M; recall law holds above") {
+    // fixture regime: byte-identical to the historical fixed geometry
+    Seq(0L, 1L, 5000L, 60000L, 1000000L).foreach { n =>
+      assert(queries.Dedup.derivedBandGeometry(n) == ((4, 32)), s"n=$n")
+    }
+    // derived regime: +1 row per doubling, capped; b minimal for the
+    // 1e-7 miss budget at j = 0.8 — (1-0.8^r)^b <= 1e-7 < (1-0.8^r)^(b-1)
+    val pts = Seq(1000001L -> 5, 2000001L -> 6, 4000001L -> 7, 8000001L -> 8,
+      100000000L -> 8 /* MaxBandRows cap */ )
+    pts.foreach { case (n, expR) =>
+      val (r, b) = queries.Dedup.derivedBandGeometry(n)
+      assert(r == expR, s"n=$n r=$r")
+      val miss = math.pow(1.0 - math.pow(0.8, r), b)
+      assert(miss <= 1e-7, s"n=$n miss=$miss")
+      assert(math.pow(1.0 - math.pow(0.8, r), b - 1) > 1e-7, s"n=$n b=$b not minimal")
+    }
+    // monotone rows, never narrower than the fixture geometry
+    val rs = (0 to 30).map(i => queries.Dedup.derivedBandGeometry(1L << i)._1)
+    assert(rs == rs.sorted && rs.forall(_ >= 4))
+  }
+
+  test("wide-geometry kernel: exact recall on the fixture at a forced derived geometry") {
+    // verify() output is always a SUBSET of the exact pair set (exact
+    // jaccard filter), so count equality proves set equality: the
+    // independent-row kernel at a wide geometry loses no true pair.
+    val exact = queries.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").count()
+    val st = queries.Dedup.minhashGeometryStats(spark, sf, Some((6, 54)))
+    assert(st("verified_pairs") == exact)
+    assert(st("band_rows") == 6L && st("num_bands") == 54L)
+    assert(st("bucket_pairs") >= st("cand_pairs")) // enumeration ⊇ survivors
+    assert(exact > 0)
+  }
 }

@@ -651,6 +651,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live dedup gate: 3-batch replay == one-batch ledger (id-ordered arrival)") {
+    // the LIVE near-dup admit gate: each micro-batch probes the standing
+    // base index plus everything that arrived before it — with arrival
+    // in doc_id order (the batch twin's definition of "earlier"), the
+    // union over batches must row-equal the one-batch replay ledger
+    implicit val sqlCtx = spark.sqlContext
+    val shard = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(shard.size > 10, s"degenerate shard: ${shard.size}")
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Long, Double, Long, Boolean) =
+      (r.getAs[Long]("in_doc"), r.getAs[Long]("n_shingles"),
+        if (r.isNullAt(r.fieldIndex("dup_of"))) -1L else r.getAs[Long]("dup_of"),
+        if (r.isNullAt(r.fieldIndex("jaccard"))) -1.0 else r.getAs[Double]("jaccard"),
+        r.getAs[Long]("n_dups"), r.getAs[Boolean]("rejected"))
+    val want = queries.Dedup.dedupGateReplay(spark, sf).collect().map(key).toSet
+    assert(want.size == shard.size, "ledger must cover the whole shard")
+    val got = scala.collection.concurrent.TrieMap
+      .empty[(Long, Long, Long, Double, Long, Boolean), Unit]
+    var arrived = Seq.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val prior = if (arrived.isEmpty) None
+            else Some(arrived.toDF("doc_id", "text"))
+          queries.Dedup.dedupGateBatch(spark, sf, batch, 10L, prior)
+            .collect().foreach(r => got.put(key(r), ()))
+          arrived = arrived ++
+            batch.select("doc_id", "text").as[(Long, String)].collect().toSeq
+          ()
+      }.start()
+    try {
+      val third = shard.size / 3
+      mem.addData(shard.take(third)); q.processAllAvailable()
+      mem.addData(shard.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(shard.drop(2 * third)); q.processAllAvailable()
+      assert(got.keySet.toSet == want)
+      // non-vacuous: the generator's injected dup pairs straddle the
+      // shard boundary (id % 100 == 99 is in the shard, id-1 in base),
+      // so the fixture must reject through the BASE leg
+      assert(want.exists(_._6), "no rejection on a fixture with injected dups")
+    } finally q.stop()
+  }
+
+  test("dedup gate: first-occurrence-keeps across base, same-batch, and prior-batch legs") {
+    // synthetic incoming docs drive the three candidate legs the fixture
+    // replay cannot (its injected pairs all straddle the shard boundary):
+    // same-batch earlier id, prior-batch arrival, and a base collision —
+    // and a rejected doc still blocks its later copies (first-occurrence
+    // convention: earlier ARRIVED, not earlier ADMITTED)
+    val unique = "zzqq wwxx yyvv uupp ttrr ssnn qqmm"
+    val baseText = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 9).orderBy("doc_id")
+      .select("text").as[String].head()
+    val b1 = Seq((9000001L, unique), (9000002L, unique)).toDF("doc_id", "text")
+    val r1 = queries.Dedup.dedupGateBatch(spark, sf, b1, 10L, None)
+      .collect().map(r => r.getAs[Long]("in_doc") -> r).toMap
+    assert(!r1(9000001L).getAs[Boolean]("rejected"), "first occurrence admitted")
+    assert(r1(9000002L).getAs[Boolean]("rejected"))
+    assert(r1(9000002L).getAs[Long]("dup_of") == 9000001L)
+    assert(r1(9000002L).getAs[Double]("jaccard") == 1.0)
+    val b2 = Seq((9000003L, unique), (9000004L, baseText)).toDF("doc_id", "text")
+    val r2 = queries.Dedup.dedupGateBatch(spark, sf, b2, 10L, Some(b1))
+      .collect().map(r => r.getAs[Long]("in_doc") -> r).toMap
+    // prior-batch leg: BOTH earlier copies match (the rejected 9000002
+    // included); best = smallest id at the tied jaccard
+    assert(r2(9000003L).getAs[Boolean]("rejected"))
+    assert(r2(9000003L).getAs[Long]("dup_of") == 9000001L)
+    assert(r2(9000003L).getAs[Long]("n_dups") == 2L)
+    // base leg: an incoming copy of a standing corpus doc is rejected
+    assert(r2(9000004L).getAs[Boolean]("rejected"))
+    assert(r2(9000004L).getAs[Double]("jaccard") == 1.0)
+  }
+
   test("live drift monitor: multi-batch occupancy fold == batch ingest_drift, empty batch included") {
     // the LIVE twin of the batch occupancy monitor: per micro-batch,
     // ingestDriftBatch places the incoming vectors, folds the per-cell
