@@ -34,6 +34,7 @@ object ScaleProbe {
     "wordcount", "exact_dedup", "para_dedup", "para_dedup_stats",
     "substring_dedup", "pipeline_funnel",
     "simhash_dedup", "minhash_lsh_dedup", "dedup_gate_replay",
+    "quality_drift", "quality_drift_replay",
     "ngram_jaccard_dedup", "dedup_clusters", "dedup_delta", "doc_fingerprint",
     "repetition_score", "quality_gate", "sequence_pack", "split_assign",
     "contamination_check", "corpus_stats", "dataset_card", "lang_id",
@@ -569,6 +570,8 @@ object ScaleProbe {
       val stages = Seq(
         stage("gate_decont")("decont_gate_replay"),
         stage("monitor_drift")("ingest_drift_replay"),
+        stage("gate_dedup")("dedup_gate_replay"),   // added r13-cont.; earlier
+                                                    // stages stay comparable
         stage("dedup_minhash")("minhash_lsh_dedup"),
         stage("quality_gate")("quality_gate"),
         stage("pack")("sequence_pack"))

@@ -170,6 +170,11 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "dedup_gate_replay" -> ((s, d, a) =>
       Dedup.dedupGateReplay(s, d, a.getOrElse("delta_mod", "10").toLong)),
+    "quality_drift" -> ((s, d, a) =>
+      TextAnalysis.qualityDrift(s, d, a.getOrElse("delta_mod", "10").toLong)),
+    "quality_drift_replay" -> ((s, d, a) =>
+      TextAnalysis.qualityDriftReplay(s, d,
+        a.getOrElse("delta_mod", "10").toLong)),
     "gopher_quality" -> ((s, d, a) =>
       TextAnalysis.gopherQuality(s, d, a.getOrElse("min_words", "20").toInt)),
     "dsir_weights" -> ((s, d, a) =>
@@ -359,6 +364,10 @@ object SparkEntry {
         a.getOrElse("delta_mod", "10").toLong)),
     "dedup_gate_replay" -> (a =>
       Dedup.dedupGateReplaySqlFor(a.getOrElse("delta_mod", "10").toLong)),
+    "quality_drift" -> (a =>
+      TextAnalysis.qualityDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
+    "quality_drift_replay" -> (a =>
+      TextAnalysis.qualityDriftSqlFor(a.getOrElse("delta_mod", "10").toLong)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

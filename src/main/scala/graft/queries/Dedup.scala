@@ -2061,6 +2061,166 @@ object Dedup {
         rm(new java.io.File(d))
       }))
 
+  // --------------------------------------------------------------------
+  // Cross-session persistent sinks (opt-in)
+  // --------------------------------------------------------------------
+
+  /** Root for CROSS-SESSION persistent substrate sinks. Unset (the
+    * default): every [[materializeOnce]]-family sink is a session temp
+    * dir, deleted at JVM exit — each cold session re-pays every freeze
+    * (IVF train + assignment, kNN edge build, cluster labels). Set
+    * (`SPARK_GRAFT_SUBSTRATE_DIR` env, or the system property for
+    * in-JVM tests): sinks land at `$root/<prefix><content-key>` where
+    * [[corpusContentKey]] digests the corpus FILES and the engine CODE
+    * — staleness is structurally impossible because a changed corpus or
+    * a rebuilt engine changes the key and lands in a fresh dir (stale
+    * dirs become unreferenced garbage; operators reap them like any
+    * warehouse retention policy). This is the production write-once
+    * form the substrate scaladocs prescribe: the freeze is paid once
+    * per (corpus, engine build), not once per session. */
+  private def substrateRoot: Option[String] =
+    sys.props.get("graft.substrate.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_SUBSTRATE_DIR")).filter(_.nonEmpty)
+
+  /** Engine-code fingerprint folded into every sink key: size+mtime of
+    * the class files whose kernels define substrate contents, so a
+    * recompiled engine never reads a previous build's sinks. Covers the
+    * substrate-defining modules — a deliberate over-approximation of
+    * "did the bytes change" is impossible cheaply, so the rule is: any
+    * rebuild of these classes invalidates (touching them is exactly
+    * editing the kernels). */
+  private lazy val codeTag: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("graft/queries/Dedup.class", "graft/queries/Similarity.class",
+      "graft/queries/Curation.class", "graft/queries/TextAnalysis.class")
+      .foreach { c =>
+        val url = getClass.getClassLoader.getResource(c)
+        if (url != null) {
+          val conn = url.openConnection()
+          md.update(s"$c:${conn.getContentLengthLong}:${conn.getLastModified}"
+            .getBytes("UTF-8"))
+        }
+      }
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Content key of a corpus dir: md5 over the sfDir string, every
+    * TABLE file's (relative path, size, mtime), and [[codeTag]].
+    * Only `*.parquet` entries participate — the substrate is a function
+    * of table contents, and corpus dirs carry non-table files that
+    * change per run (ScaleProbe's reuse MANIFEST) which must not
+    * invalidate the key. Memoized per sfDir (corpus dirs are
+    * session-immutable, the repo-wide contract). */
+  private val corpusKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusContentKey(sfDir: String): String =
+    corpusKeyMemo.computeIfAbsent(sfDir, { _ =>
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(f: java.io.File, rel: String): Unit =
+        if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids != null) kids.sortBy(_.getName)
+            .foreach(c => walk(c, rel + "/" + c.getName))
+        } else entries += s"$rel:${f.length}:${f.lastModified}"
+      val top = new java.io.File(sfDir).listFiles()
+      if (top != null) top.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).foreach(t => walk(t, t.getName))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update((sfDir + "\n" + codeTag + "\n" + entries.mkString("\n"))
+        .getBytes("UTF-8"))
+      md.digest().take(8).map("%02x".format(_)).mkString
+    })
+
+  /** Resolve a sink location: (path, persistent?). Persistent sinks are
+    * NOT registered for exit cleanup. */
+  private def sinkOut(spark: SparkSession, prefix: String,
+                      sfDir: String): (String, Boolean) =
+    substrateRoot match {
+      case Some(r) =>
+        (new java.io.File(r, prefix + corpusContentKey(sfDir)).getAbsolutePath,
+          true)
+      case None => (TextJobs.tmpOut(spark, prefix, sfDir), false)
+    }
+
+  /** Build a persistent sink: run `write` into a `.build.<appId>`
+    * sibling, then ATOMIC-RENAME into place. A dir that exists IS
+    * complete (renames are atomic on one filesystem); losing a
+    * cross-session race is benign — the loser deletes its temp and
+    * reads the winner's dir. */
+  private def buildAtomically(spark: SparkSession, out: String)
+                             (write: String => Unit): Unit = {
+    val outPath = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outPath)) return
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmp = out + ".build." + app
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    write(tmp)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), outPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
+        rm(new java.io.File(tmp))  // another session won; theirs is complete
+    }
+  }
+
+  /** Schema sidecar for sinks whose parquet can be EMPTY (degenerate
+    * corpora) or whose reader runs in a later session: files starting
+    * with `_` are invisible to Spark's parquet listing. */
+  private def writeSchemaSidecar(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = java.nio.file.Paths.get(dir, "_GRAFT_SCHEMA.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, schema.json.getBytes("UTF-8")): Unit
+  }
+  private def readSchemaSidecar(
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = java.nio.file.Paths.get(dir, "_GRAFT_SCHEMA.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Cross-session persistence for small DRIVER-SIDE model constants
+    * (the IVF centroid matrix; the PQ codebook and BPE merge list fit
+    * the same hook): in persistent mode the computed bytes land once at
+    * `$root/<prefix><content-key>` — content-keyed like every sink, so
+    * staleness is impossible — and later sessions read them back
+    * instead of re-training. Session mode just computes. Callers encode
+    * doubles as RAW BITS so the round trip is bit-exact (a formatted
+    * double would thread a parse through every hash gate). */
+  private[queries] def persistedModel(spark: SparkSession, prefix: String,
+      sfDir: String)(compute: => Array[Byte]): Array[Byte] =
+    substrateRoot match {
+      case None => compute
+      case Some(_) =>
+        val (out, _) = sinkOut(spark, prefix, sfDir)
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readAllBytes(p)
+        else {
+          val bytes = compute
+          java.nio.file.Files.createDirectories(p.getParent)
+          val app = spark.sparkContext.applicationId
+            .replaceAll("[^A-Za-z0-9._-]", "_")
+          val tmp = java.nio.file.Paths.get(out + ".build." + app)
+          java.nio.file.Files.write(tmp, bytes)
+          try java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp): Unit
+          }
+          bytes
+        }
+    }
+
   /** Write-once materialization of [[dedupClusters]] — pipeline
     * COMPOSITION, the thing the reference's every-job-recomputes model
     * can't do: [[dedupCanonical]] and [[dedupStats]] both need the
@@ -2088,15 +2248,21 @@ object Dedup {
     * shutdown-hook cleaner, and returns a plain parquet scan. */
   private[queries] def materializeOnce(spark: SparkSession, prefix: String,
                                        sfDir: String)(df: => DataFrame): DataFrame = {
-    val out = TextJobs.tmpOut(spark, prefix, sfDir)
+    val (out, persistent) = sinkOut(spark, prefix, sfDir)
     var done = false
     while (!done) {
       val fresh = new java.util.concurrent.CompletableFuture[String]()
       val prior = clusterSinks.putIfAbsent(out, fresh)
       if (prior == null) {
         try {
-          cleanupHook; cleanupDirs.add(out)
-          df.write.mode("overwrite").parquet(out)
+          if (persistent) buildAtomically(spark, out) { tmp =>
+            val frame = df
+            frame.write.mode("overwrite").parquet(tmp)
+            writeSchemaSidecar(tmp, frame.schema)
+          } else {
+            cleanupHook; cleanupDirs.add(out)
+            df.write.mode("overwrite").parquet(out)
+          }
           fresh.complete(out): Unit
           done = true
         } catch {
@@ -2115,7 +2281,10 @@ object Dedup {
         catch { case _: Throwable => () }
       }
     }
-    spark.read.parquet(out)
+    readSchemaSidecar(out) match {
+      case Some(s) => spark.read.schema(s).parquet(out)
+      case None    => spark.read.parquet(out)
+    }
   }
 
   /** [[materializeOnce]] with a BUCKETED sink: the frame is written as a
@@ -2137,7 +2306,7 @@ object Dedup {
   private[queries] def materializeOnceBucketed(
       spark: SparkSession, prefix: String, sfDir: String,
       nBuckets: Int, key: String)(df: => DataFrame): DataFrame = {
-    val out = TextJobs.tmpOut(spark, prefix, sfDir)
+    val (out, persistent) = sinkOut(spark, prefix, sfDir)
     val tbl = "graft_b_" + java.security.MessageDigest.getInstance("MD5")
       .digest(out.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     var done = false
@@ -2146,11 +2315,26 @@ object Dedup {
       val prior = clusterSinks.putIfAbsent(out, fresh)
       if (prior == null) {
         try {
-          cleanupHook; cleanupDirs.add(out)
-          spark.sql(s"DROP TABLE IF EXISTS $tbl")
-          df.write.format("parquet").mode("overwrite")
-            .bucketBy(nBuckets, key).sortBy(key)
-            .option("path", out).saveAsTable(tbl)
+          if (persistent) buildAtomically(spark, out) { tmp =>
+            // bucketed layout needs the catalog writer: write through a
+            // throwaway EXTERNAL table at the build path (drop leaves
+            // the files), rename, then the re-register branch below
+            // recreates the DDL over the final location
+            val tmpTbl = tbl + "_bld"
+            spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+            val frame = df
+            frame.write.format("parquet").mode("overwrite")
+              .bucketBy(nBuckets, key).sortBy(key)
+              .option("path", tmp).saveAsTable(tmpTbl)
+            writeSchemaSidecar(tmp, frame.schema)
+            spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          } else {
+            cleanupHook; cleanupDirs.add(out)
+            spark.sql(s"DROP TABLE IF EXISTS $tbl")
+            df.write.format("parquet").mode("overwrite")
+              .bucketBy(nBuckets, key).sortBy(key)
+              .option("path", out).saveAsTable(tbl)
+          }
           fresh.complete(out): Unit
           done = true
         } catch {
@@ -2165,7 +2349,8 @@ object Dedup {
       }
     }
     if (!spark.catalog.tableExists(tbl)) {
-      val ddl = spark.read.parquet(out).schema.toDDL
+      val ddl = readSchemaSidecar(out)
+        .getOrElse(spark.read.parquet(out).schema).toDDL
       spark.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET " +
         s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS " +
         s"LOCATION '$out'")
@@ -2185,20 +2370,21 @@ object Dedup {
   private[queries] def materializeOncePartitioned(
       spark: SparkSession, prefix: String, sfDir: String,
       partCol: String)(df: => DataFrame): DataFrame = {
-    val out = TextJobs.tmpOut(spark, prefix, sfDir)
-    var schema: org.apache.spark.sql.types.StructType = null
+    val (out, persistent) = sinkOut(spark, prefix, sfDir)
     var done = false
     while (!done) {
       val fresh = new java.util.concurrent.CompletableFuture[String]()
       val prior = clusterSinks.putIfAbsent(out, fresh)
       if (prior == null) {
         try {
-          cleanupHook; cleanupDirs.add(out)
-          val frame = df
-          schema = frame.schema
-          frame.repartition(col(partCol)).write.mode("overwrite")
-            .partitionBy(partCol).parquet(out)
-          sinkSchemas.put(out, schema)
+          def writeTo(dst: String): Unit = {
+            val frame = df
+            frame.repartition(col(partCol)).write.mode("overwrite")
+              .partitionBy(partCol).parquet(dst)
+            writeSchemaSidecar(dst, frame.schema)
+          }
+          if (persistent) buildAtomically(spark, out)(writeTo)
+          else { cleanupHook; cleanupDirs.add(out); writeTo(out) }
           fresh.complete(out): Unit
           done = true
         } catch {
@@ -2212,14 +2398,9 @@ object Dedup {
         catch { case _: Throwable => () }
       }
     }
-    spark.read.schema(sinkSchemas.get(out)).parquet(out)
+    spark.read.schema(readSchemaSidecar(out).getOrElse(
+      spark.read.parquet(out).schema)).parquet(out)
   }
-
-  /** Written schemas of [[materializeOncePartitioned]] sinks, so waiter
-    * sessions (and re-reads) can re-apply them over empty sinks. */
-  private val sinkSchemas =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.types.StructType]()
 
   // --------------------------------------------------------------------
   // Incremental dedup: label a delta shard against the standing index

@@ -3459,8 +3459,172 @@ object TextAnalysis {
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Quality drift monitor (batch + live twin)
+  // --------------------------------------------------------------------
+
+  private val QualityDriftDeltaMod = 10L
+  /** 0.05-wide score bands over the 4dp quality score: band =
+    * ⌊score·10⁴+0.5⌋ div 500 — the [[qualityCalibration]] two-floor
+    * discipline (integerise the per-row stat, then integer-divide;
+    * scores are ≥ 0 so Spark `div` and DuckDB `//` agree without the
+    * negative-operand caveat). ≤ 21 bands. */
+  private val QualityBandUnits = 500L
+
+  /** QUALITY DRIFT MONITOR — the third axis of the ingest-drift readout
+    * family: [[graft.queries.Similarity.ingestDrift]] watches embedding
+    * OCCUPANCY, [[sourceDivergence]] compares frozen per-source token
+    * distributions; this one asks whether an incoming shard's QUALITY
+    * distribution (the [[textQuality]] heuristic score, banded 0.05
+    * wide) matches the corpus — the "tonight's crawl is junk" alarm a
+    * training pipeline wants before mixing. Per band: corpus mass,
+    * shard mass, exact-integer ppm shares, and the total-variation
+    * distance broadcast onto every row — the
+    * [[graft.queries.Similarity.ingestDrift]] ledger discipline
+    * verbatim (decimal(38,0) deviation numerators, [[Det.halfUpDiv]]
+    * BigInt ↔ HUGEINT `//`, so the last ppm digit agrees cross-engine
+    * past 2⁵³).
+    *
+    * Scale: the corpus band histogram is a ≤21-row write-once sink
+    * ([[graft.queries.Dedup.materializeOnce]] — persistent across
+    * sessions under SPARK_GRAFT_SUBSTRATE_DIR); the shard side is one
+    * scored scan of the shard + a ≤21-group count. Nothing corpus-sized
+    * moves after the histogram freeze. Empty corpus or shard → zero
+    * rows (TV undefined) on both engines. */
+  def qualityDrift(spark: SparkSession, sfDir: String,
+                   deltaMod: Long = QualityDriftDeltaMod): DataFrame = {
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val shard = bandCountsOf(
+      qualityScoredFrame(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % deltaMod === deltaMod - 1)))
+      .withColumnRenamed("n", "n_shard")
+    qualityDriftLedger(spark, sfDir, shard)
+  }
+
+  /** Per-band counts of a quality-scored frame (column `n`). */
+  private def bandCountsOf(scored: DataFrame): DataFrame =
+    scored
+      .select(expr("CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)" +
+        s" div $QualityBandUnits").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+
+  /** Frozen corpus quality histogram — a ≤21-row write-once sink. */
+  private def corpusQualityBands(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.materializeOnce(spark, "graft_qbands_", sfDir)(
+      bandCountsOf(qualityScoredFrame(Tables.documents(spark, sfDir)))
+        .withColumnRenamed("n", "n_corpus"))
+
+  /** Shared ledger tail of [[qualityDrift]] and [[qualityDriftBatch]] —
+    * the [[graft.queries.Similarity.ingestDrift]] shape on score bands. */
+  private def qualityDriftLedger(spark: SparkSession, sfDir: String,
+                                 shard: DataFrame): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusQualityBands(spark, sfDir)
+    val ncRow = corpus.agg(sum("n_corpus")).head()
+    val nc = if (ncRow.isNullAt(0)) 0L else ncRow.getLong(0)
+    val nsRow = shard.agg(sum("n_shard")).head()
+    val ns = if (nsRow.isNullAt(0)) 0L else nsRow.getLong(0)
+    if (nc == 0 || ns == 0)
+      return Seq.empty[(Long, Double, Long, Long, Long, Long, Long)]
+        .toDF("band", "band_lo", "n_corpus", "n_shard", "corpus_ppm",
+          "shard_ppm", "tv_ppm")
+    val led = corpus.join(shard, Seq("band"), "left")
+      .na.fill(0L, Seq("n_shard"))
+      .withColumn("dev",
+        abs(col("n_shard").cast("decimal(38,0)") * nc
+          - col("n_corpus").cast("decimal(38,0)") * ns))
+    val sdev = BigInt(led.agg(sum("dev")).head().getDecimal(0).toBigInteger)
+    val tv = Det.halfUpDiv(sdev * 1000000L, BigInt(nc) * ns * 2)
+    led.select(col("band"),
+        ((col("band") * lit(QualityBandUnits)).cast("double") / lit(10000.0))
+          .as("band_lo"),
+        col("n_corpus"), col("n_shard"),
+        expr(s"(n_corpus * 2000000 + ${nc}L) DIV ${2 * nc}L").as("corpus_ppm"),
+        expr(s"(n_shard * 2000000 + ${ns}L) DIV ${2 * ns}L").as("shard_ppm"),
+        lit(tv).as("tv_ppm"))
+      .orderBy("band")
+  }
+
+  /** THE LIVE QUALITY MONITOR — the foreachBatch body completing the
+    * per-batch readout row of the live ingest stream (decont gate +
+    * dedup gate + occupancy drift + this): score an incoming micro-batch
+    * of (doc_id, text) with the SAME kernel [[textQuality]] uses, fold
+    * its ≤21 band counts into the cumulative shard histogram (a
+    * trivially mergeable monoid of driver model state), and emit the
+    * [[qualityDrift]] ledger against the frozen corpus histogram.
+    * StreamingSpec pins a multi-batch replay (empty batch included)
+    * row-equal to the batch monitor. */
+  def qualityDriftBatch(spark: SparkSession, sfDir: String,
+                        incoming: DataFrame,
+                        prior: Map[Long, Long] = Map.empty)
+      : (Map[Long, Long], DataFrame) = {
+    import spark.implicits._
+    val scored = qualityScoredFrame(
+      incoming.select(col("doc_id"), lit("").as("source"), col("text")))
+    val batchCounts = bandCountsOf(scored).as[(Long, Long)].collect()
+    val merged = batchCounts.foldLeft(prior) { case (m, (b, n)) =>
+      m.updated(b, m.getOrElse(b, 0L) + n)
+    }
+    val shard = merged.toSeq.toDF("band", "n_shard")
+    (merged, qualityDriftLedger(spark, sfDir, broadcast(shard)))
+  }
+
+  /** THE LIVE MONITOR, ORACLE-GATED — [[qualityDriftBatch]] over the
+    * delta shard as one incoming batch (the ingest_drift_replay
+    * convention), hash-compared against the batch twin's DuckDB chain
+    * through the exact foreachBatch code path. */
+  def qualityDriftReplay(spark: SparkSession, sfDir: String,
+                         deltaMod: Long = QualityDriftDeltaMod): DataFrame = {
+    require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
+    val incoming = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % deltaMod === deltaMod - 1)
+      .select("doc_id", "text")
+    qualityDriftBatch(spark, sfDir, incoming)._2
+  }
+
+  /** DuckDB twin — the shared `qsc` quality CTE, banded, then the
+    * ingest_drift oracle discipline verbatim (HUGEINT deviation
+    * numerators, exact-integer half-up divisions). */
+  def qualityDriftSqlFor(deltaMod: Long): String =
+    s"""WITH $qualityScoredSqlCte,
+       |qb AS (SELECT doc_id,
+       |              CAST(floor(quality_score * 10000 + 0.5) AS BIGINT)
+       |                // $QualityBandUnits AS band
+       |       FROM qsc),
+       |corpus AS (SELECT band, count(*) AS n_corpus FROM qb GROUP BY 1),
+       |shard AS (SELECT band, count(*) AS n_shard FROM qb
+       |          WHERE doc_id % $deltaMod = ${deltaMod - 1} GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |               CAST(sum(CASE WHEN doc_id % $deltaMod = ${deltaMod - 1}
+       |                             THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |        FROM qb),
+       |led AS (SELECT c.band, c.n_corpus,
+       |               CAST(coalesce(s.n_shard, 0) AS BIGINT) AS n_shard
+       |        FROM corpus c LEFT JOIN shard s USING (band)),
+       |dev AS (SELECT l.band, l.n_corpus, l.n_shard, t.nc, t.ns,
+       |               abs(CAST(l.n_shard AS HUGEINT) * t.nc
+       |                   - CAST(l.n_corpus AS HUGEINT) * t.ns) AS d
+       |        FROM led l, tot t WHERE t.nc > 0 AND t.ns > 0),
+       |roll AS (SELECT CAST(
+       |           (2 * sum(d) * 1000000 + 2 * CAST(max(nc) AS HUGEINT) * max(ns))
+       |           // (4 * CAST(max(nc) AS HUGEINT) * max(ns)) AS BIGINT) AS tv_ppm
+       |         FROM dev)
+       |SELECT band, CAST(band * $QualityBandUnits AS DOUBLE) / 10000 AS band_lo,
+       |       CAST(n_corpus AS BIGINT) AS n_corpus, n_shard,
+       |       CAST((CAST(n_corpus AS HUGEINT) * 2000000 + nc)
+       |            // (2 * CAST(nc AS HUGEINT)) AS BIGINT) AS corpus_ppm,
+       |       CAST((CAST(n_shard AS HUGEINT) * 2000000 + ns)
+       |            // (2 * CAST(ns AS HUGEINT)) AS BIGINT) AS shard_ppm,
+       |       r.tv_ppm
+       |FROM dev CROSS JOIN roll r
+       |ORDER BY band""".stripMargin
+
+  val qualityDriftSql: String = qualityDriftSqlFor(QualityDriftDeltaMod)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_plan" -> ((s, d) => shardPlan(s, d)),
+    "quality_drift" -> ((s, d) => qualityDrift(s, d)),
+    "quality_drift_replay" -> ((s, d) => qualityDriftReplay(s, d)),
     "ngram_novelty_curve" -> ((s, d) => ngramNoveltyCurve(s, d)),
     "zipf_fit" -> ((s, d) => zipfFit(s, d)),
     "pack_boundary_curve" -> ((s, d) => packBoundaryCurve(s, d)),
@@ -3514,6 +3678,8 @@ object TextAnalysis {
     "bm25_topk"        -> bm25TopKSql,
     "pack_boundary_curve" -> packBoundaryCurveSql,
     "shard_plan"       -> shardPlanSql,
+    "quality_drift"    -> qualityDriftSql,
+    "quality_drift_replay" -> qualityDriftSql,
     "zipf_fit"         -> zipfFitSql,
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "quality_agreement" -> qualityAgreementSql,

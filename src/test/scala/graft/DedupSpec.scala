@@ -407,6 +407,42 @@ class DedupSpec extends AnyFunSuite {
     assert(cons.length <= simhash.size)
   }
 
+  test("persistent substrate sinks: content-keyed dirs under the opt-in root, results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_subst_").toString
+    def mkCorpus(tag: String, texts: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Paths.get("target", "test-scratch",
+        s"subst_$tag").toAbsolutePath.toString
+      texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      dir
+    }
+    val base = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+    // shard doc 9 duplicates base doc 0 -> the gate must reject it
+    val a = mkCorpus("a", base ++ Seq(
+      9L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      19L -> "totally fresh unseen words nowhere else in this corpus here"))
+    val b = mkCorpus("b", base.map { case (id, t) => id -> (t + " shifted") })
+    // session-mode result first (prop unset): the behavioral baseline
+    val want = queries.Dedup.dedupGateReplay(spark, a).collect().map(_.toString).toSeq
+    sys.props("graft.substrate.dir") = root
+    try {
+      val got = queries.Dedup.dedupGateReplay(spark, a).collect().map(_.toString).toSeq
+      assert(got == want, "persistent-mode ledger differs from session-mode")
+      assert(got.exists(_.contains("true")), "the injected base dup must reject")
+      queries.Dedup.dedupGateReplay(spark, b).collect()
+      val sinks = new java.io.File(root).listFiles().map(_.getName).toSeq
+        .filter(_.startsWith("graft_dgate10_")).sorted
+      assert(sinks.size == 2, s"distinct corpora must get distinct keys: $sinks")
+      assert(sinks.forall(s => new java.io.File(new java.io.File(root, s),
+        "_GRAFT_SCHEMA.json").exists()), "schema sidecar missing")
+      assert(!sinks.exists(_.contains(".build.")), "build temp leaked")
+    } finally { sys.props.remove("graft.substrate.dir"): Unit }
+  }
+
   test("derivedBandGeometry: fixture geometry below 1M; recall law holds above") {
     // fixture regime: byte-identical to the historical fixed geometry
     Seq(0L, 1L, 5000L, 60000L, 1000000L).foreach { n =>

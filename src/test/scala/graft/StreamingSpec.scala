@@ -727,6 +727,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2(9000004L).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("live quality monitor: multi-batch band fold == batch quality_drift, empty batch included") {
+    // the quality axis of the live readout: per micro-batch, score the
+    // incoming docs with the textQuality kernel, fold the ≤21 band
+    // counts into the cumulative histogram, re-emit the TV ledger —
+    // after the last batch it must row-equal the batch monitor, and an
+    // empty micro-batch must not move it
+    implicit val sqlCtx = spark.sqlContext
+    val shard = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(shard.size > 10, s"degenerate shard: ${shard.size}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("band"), r.getAs[Double]("band_lo"),
+        r.getAs[Long]("n_corpus"), r.getAs[Long]("n_shard"),
+        r.getAs[Long]("corpus_ppm"), r.getAs[Long]("shard_ppm"),
+        r.getAs[Long]("tv_ppm"))
+    val want = queries.TextAnalysis.qualityDrift(spark, sf).collect().map(key).toSeq
+    var state = Map.empty[Long, Long]
+    val ledgers = scala.collection.mutable.ArrayBuffer.empty[Seq[
+      (Long, Double, Long, Long, Long, Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val (next, ledger) =
+            queries.TextAnalysis.qualityDriftBatch(spark, sf, batch, state)
+          state = next
+          ledgers += ledger.collect().map(key).toSeq
+          ()
+      }.start()
+    try {
+      val third = shard.size / 3
+      mem.addData(shard.take(third)); q.processAllAvailable()
+      val afterFirst = ledgers.last
+      mem.addData(Seq.empty[(Long, String)]); q.processAllAvailable()
+      assert(ledgers.size >= 2 && ledgers.last == afterFirst,
+        "an empty micro-batch must not move the cumulative ledger")
+      mem.addData(shard.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(shard.drop(2 * third)); q.processAllAvailable()
+      assert(ledgers.last == want,
+        "cumulative live ledger != batch monitor on the same shard")
+      assert(state.values.sum == shard.size.toLong)
+    } finally q.stop()
+  }
+
   test("live drift monitor: multi-batch occupancy fold == batch ingest_drift, empty batch included") {
     // the LIVE twin of the batch occupancy monitor: per micro-batch,
     // ingestDriftBatch places the incoming vectors, folds the per-cell

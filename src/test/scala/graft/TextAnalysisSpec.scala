@@ -546,4 +546,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("intercept_ln") - math.log(topCnt.toDouble))
       < 1.5, s"intercept ${r.getAs[Double]("intercept_ln")} vs ln($topCnt)")
   }
+
+  test("quality_drift: bands partition the corpus; an injected junk shard alarms") {
+    import spark.implicits._
+    // fixture: bands cover every doc, ppm shares sum to ~1e6, tv sane
+    val rows = queries.TextAnalysis.qualityDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == nDocs)
+    val tv = rows.head.getAs[Long]("tv_ppm")
+    assert(rows.forall(_.getAs[Long]("tv_ppm") == tv) && tv >= 0 && tv <= 1000000)
+    val cppm = rows.map(_.getAs[Long]("corpus_ppm")).sum
+    assert(math.abs(cppm - 1000000L) <= rows.length,
+      s"corpus ppm shares sum $cppm")  // half-up per band: ±1 each
+    // injected drift: shard docs are punctuation junk, base docs are the
+    // fixture-like sentences -> disjoint bands -> TV near 1
+    val dir = java.nio.file.Paths.get("target", "test-scratch",
+      "qdrift").toAbsolutePath.toString
+    val docs =
+      (0L until 40L).filter(_ % 10 != 9).map(i => (i,
+        "the quick brown fox jumps over the lazy dog near the river bank " +
+          s"carrying item $i")) ++
+        Seq(9L, 19L, 29L, 39L).map(i => (i, "!!! ??? *** !!! ??? ***"))
+    docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val drifted = queries.TextAnalysis.qualityDrift(spark, dir).collect()
+    assert(drifted.nonEmpty)
+    // corpus INCLUDES the shard (4 of 40 docs), so the fully-disjoint
+    // shard reads TV = 1 − 4/40 = 0.9 exactly
+    assert(drifted.head.getAs[Long]("tv_ppm") == 900000L,
+      s"junk shard must alarm: tv=${drifted.head.getAs[Long]("tv_ppm")}")
+  }
 }

@@ -43,6 +43,7 @@ SPECS=(
   'ingest_drift@delta_mod=4' 'ingest_drift@delta_mod=25'
   'decont_gate_replay@tau=0.3' 'decont_gate_replay@delta_mod=7,tau=0.6'
   'dedup_gate_replay@delta_mod=4' 'dedup_gate_replay@delta_mod=7'
+  'quality_drift@delta_mod=4' 'quality_drift_replay@delta_mod=7'
   'ingest_drift_replay@delta_mod=4' 'ingest_drift_replay@delta_mod=25'
   'crossmodal_retrieval@modality=audio' 'crossmodal_retrieval@k=3'
   'local_supplier_volume@region=EUROPE' 'local_supplier_volume@region=AFRICA'
