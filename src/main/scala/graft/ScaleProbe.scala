@@ -584,6 +584,107 @@ object ScaleProbe {
         Double.box(stages.map(_._2).sum)))
     }
 
+    // -- live-ingest per-batch latency: the production metric of the
+    //    four-kernel nightly stream (decont gate, dedup gate, occupancy
+    //    drift, quality drift) — warm the frozen side once, then run
+    //    the delta shard through NB batches (split by (doc_id div 10)
+    //    mod NB, id-ordered) threading each kernel's state exactly as a
+    //    foreachBatch sink would, and report per-kernel seconds per
+    //    batch (median + max). Pseudo-query (only=live_ingest_stream).
+    if (only.contains("live_ingest_stream")) {
+      val nb = 10
+      val shardDf = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 9)
+        .join(spark.read.parquet(s"$dir/embeddings.parquet"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      def batchOf(i: Int) =
+        shardDf.filter((col("doc_id").divide(10).cast("long")) % nb === i)
+      // freeze/warm the static side so batch timings measure the kernels
+      batchOf(0).limit(1).collect()
+      queries.Curation.decontGateBatch(spark, dir, batchOf(0).limit(1))
+        .write.format("noop").mode("overwrite").save()
+      queries.Dedup.dedupGateBatch(spark, dir,
+        batchOf(0).select("doc_id", "text").limit(1), 10L, None)
+        .write.format("noop").mode("overwrite").save()
+      queries.Similarity.ingestDriftBatch(spark, dir,
+        batchOf(0).select(col("doc_id").as("vec_id"), col("embedding"))
+          .limit(1))._2.write.format("noop").mode("overwrite").save()
+      queries.TextAnalysis.qualityDriftBatch(spark, dir,
+        batchOf(0).select("doc_id", "text").limit(1))._2
+        .write.format("noop").mode("overwrite").save()
+      var driftState = Map.empty[Int, Long]
+      var qualState = Map.empty[Long, Long]
+      // dedup-gate state: the PRODUCTION protocol — per-batch band rows
+      // and hash arrays appended to parquet state dirs, read back as the
+      // prior for the next batch (never re-shingled from text)
+      val stateBands = s"$dir/gate_state_bands"
+      val stateHv = s"$dir/gate_state_hv"
+      def rmDir(p: String): Unit = {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }
+      rmDir(stateBands); rmDir(stateHv)
+      val times = Map("decont" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+        "dedup" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+        "drift" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+        "quality" -> scala.collection.mutable.ArrayBuffer.empty[Double])
+      def t(k: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        times(k) += (System.nanoTime() - t0) / 1e9
+      }
+      var batchRows = 0L
+      (0 until nb).foreach { i =>
+        // a stream delivers MATERIALIZED rows — feed the kernels a
+        // parquet-backed batch, not the doc⋈emb join lineage (which
+        // every kernel action would otherwise re-execute)
+        val bDir = s"$dir/gate_batch_$i"
+        rmDir(bDir)
+        batchOf(i).write.parquet(bDir)
+        val b = spark.read.parquet(bDir)
+        batchRows += b.count()
+        t("decont")(queries.Curation.decontGateBatch(spark, dir, b)
+          .write.format("noop").mode("overwrite").save())
+        val prior = if (i == 0) None else Some(
+          (spark.read.parquet(stateBands), spark.read.parquet(stateHv)))
+        t("dedup") {
+          val (led, bands, hv) = queries.Dedup.dedupGateBatchFull(spark, dir,
+            b.select("doc_id", "text"), 10L, prior)
+          led.write.format("noop").mode("overwrite").save()
+          bands.write.mode("append").parquet(stateBands)
+          hv.write.mode("append").parquet(stateHv)
+        }
+        t("drift") {
+          val (s2, led) = queries.Similarity.ingestDriftBatch(spark, dir,
+            b.select(col("doc_id").as("vec_id"), col("embedding")), driftState)
+          driftState = s2
+          led.write.format("noop").mode("overwrite").save()
+        }
+        t("quality") {
+          val (s2, led) = queries.TextAnalysis.qualityDriftBatch(spark, dir,
+            b.select("doc_id", "text"), qualState)
+          qualState = s2
+          led.write.format("noop").mode("overwrite").save()
+        }
+      }
+      def stats(k: String): String = {
+        val s = times(k).sorted
+        val series = times(k).map(v => String.format(
+          java.util.Locale.ROOT, "%.1f", Double.box(v))).mkString("[", ",", "]")
+        String.format(java.util.Locale.ROOT,
+          """"%s_med_sec":%.2f,"%s_max_sec":%.2f,"%s_series":%s""",
+          k, Double.box(s(s.length / 2)), k, Double.box(s.last), k, series)
+      }
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"live_ingest_stream","n_docs":%d,"n_vecs":%d,"n_batches":%d,"shard_rows":%d,%s,%s,%s,%s}""",
+        Long.box(nDocs), Long.box(nVecs), Integer.valueOf(nb),
+        Long.box(batchRows), stats("decont"), stats("dedup"),
+        stats("drift"), stats("quality")))
+    }
+
     // -- minhash band-geometry A/B (the closed-vocabulary occupancy
     //    wall): run the candidate-stage cost accounting at the FIXED
     //    fixture geometry (4 rows × 32 bands) and at the corpus-derived

@@ -1398,15 +1398,47 @@ object Dedup {
   private[graft] def dedupGateBatch(spark: SparkSession, sfDir: String,
                                     incoming: DataFrame,
                                     deltaMod: Long = GateDeltaMod,
-                                    prior: Option[DataFrame] = None): DataFrame = {
+                                    prior: Option[DataFrame] = None): DataFrame =
+    dedupGateBatchFull(spark, sfDir, incoming, deltaMod,
+      prior.map { p =>
+        val ph = docShingleHashesRaw(spark, docShinglesOf(spark,
+          p.select(col("doc_id"), col("text"))))
+        val (rG, bG) = derivedBandGeometry(corpusDocCount(spark, sfDir))
+        (minhashBandRows(spark, ph, rG, bG), ph)
+      })._1
+
+  /** [[dedupGateBatch]] with the PRODUCTION state protocol: prior-batch
+    * state arrives as PRECOMPUTED (band rows, hash arrays) frames —
+    * in production an appended parquet pair the caller grows per batch
+    * (the `live_ingest_stream` probe does exactly that) — and the
+    * batch's own (ledger, bands, hv) come back so the caller can append
+    * without re-shingling. The docs-frame `prior` of [[dedupGateBatch]]
+    * re-hashes every earlier doc per batch: O(arrived) per batch,
+    * quadratic across a stream — measured as the dedup leg's growth in
+    * the first live_ingest_stream probe (16.9 s median at 10k-doc
+    * batches, vs 2.6 s with state frames + the small-batch broadcast
+    * below). */
+  private[graft] def dedupGateBatchFull(spark: SparkSession, sfDir: String,
+      incoming: DataFrame, deltaMod: Long,
+      priorState: Option[(DataFrame, DataFrame)])
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     require(deltaMod > 1, s"deltaMod must be > 1, got $deltaMod")
     val (rG, bG) = derivedBandGeometry(corpusDocCount(spark, sfDir))
     val incHv = docShingleHashesRaw(spark, docShinglesOf(spark,
       incoming.select(col("doc_id"), col("text"))))
-    val incBands = minhashBandRows(spark, incHv, rG, bG)
+    val incBandsRaw = minhashBandRows(spark, incHv, rG, bG)
+    val incBands = incBandsRaw
       .select(col("doc_id").as("in_doc"), col("band"), col("bv"),
         col("n").as("n_in"))
+    // a live micro-batch is small: force the probe side broadcast so the
+    // standing index NEVER shuffles per batch (AQE can't see through the
+    // typed-kernel lineage to make this call itself); a bulk replay
+    // (shard-sized "batch") falls back to the shuffle join
+    val smallBatch =
+      incoming.select(col("doc_id")).limit(100001).count() <= 100000
+    def probeSide(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     val corpusHv = docShingleHashes(spark, docShingles(spark, sfDir))
     val baseFilter = col("doc_id") % deltaMod =!= deltaMod - 1
     val baseIndex = materializeOncePartitioned(spark,
@@ -1420,7 +1452,7 @@ object Dedup {
       .distinct().collect().map(_.getLong(0)).toSeq
     val lenOk = least(col("n_in"), col("n_o")) * 10000L >=
       greatest(col("n_in"), col("n_o")) * 8000L
-    val candBase = incBands
+    val candBase = probeSide(incBands)
       .join(baseIndex.filter(col("pb").isin(touched: _*)), Seq("band", "bv"))
       .filter(lenOk).select("in_doc", "other_doc")
     val candSelf = incBands.join(
@@ -1428,17 +1460,16 @@ object Dedup {
           col("n_in").as("n_o")), Seq("band", "bv"))
       .filter(col("other_doc") < col("in_doc") && lenOk)
       .select("in_doc", "other_doc")
-    val priorHv = prior.map(p => docShingleHashesRaw(spark, docShinglesOf(spark,
-      p.select(col("doc_id"), col("text")))))
-    val candPrior = priorHv.map { ph =>
-      incBands.join(minhashBandRows(spark, ph, rG, bG)
+    val candPrior = priorState.map { case (pBands, _) =>
+      probeSide(incBands).join(pBands
           .select(col("doc_id").as("other_doc"), col("band"), col("bv"),
             col("n").as("n_o")), Seq("band", "bv"))
         .filter(lenOk).select("in_doc", "other_doc")
     }
     val cands = (Seq(candBase, candSelf) ++ candPrior.toSeq)
       .reduce(_.unionByName(_)).distinct()
-    val othersHv = (Seq(corpusHv.filter(baseFilter), incHv) ++ priorHv.toSeq)
+    val othersHv = (Seq(corpusHv.filter(baseFilter), incHv) ++
+        priorState.map(_._2).toSeq)
       .map(_.select(col("doc_id").as("other_doc"), col("hs").as("hs_o")))
       .reduce(_.unionByName(_))
     val t = MinhashThreshold  // local: task closures must not touch Dedup$
@@ -1470,12 +1501,13 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("in_doc"), col("other_doc").as("dup_of"),
         col("jaccard"), col("n_dups"))
-    incHv.select(col("doc_id").as("in_doc"),
+    val ledger = incHv.select(col("doc_id").as("in_doc"),
         size(col("hs")).cast("long").as("n_shingles"))
       .join(best, Seq("in_doc"), "left")
       .select(col("in_doc"), col("n_shingles"), col("dup_of"), col("jaccard"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("dup_of").isNotNull.as("rejected"))
+    (ledger, incBandsRaw, incHv)
   }
 
   /** THE LIVE DEDUP GATE, ORACLE-GATED — [[dedupGateBatch]] (the exact

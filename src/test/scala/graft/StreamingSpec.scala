@@ -727,6 +727,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2(9000004L).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("one-stream live ingest: decont + dedup + drift + quality kernels compose per micro-batch") {
+    // THE nightly ingest job: ONE stream of (doc_id, text, embedding)
+    // rows, one foreachBatch running all four live kernels on the same
+    // micro-batch frame — each kernel's union/fold over 3 batches must
+    // equal that kernel fed the whole shard as one batch (state
+    // threading and sink reuse compose; no kernel perturbs another
+    // through the shared session caches or substrate sinks)
+    implicit val sqlCtx = spark.sqlContext
+    val shard = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 9)
+      .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .as[(Long, String, Seq[Float])].collect().toSeq.sortBy(_._1)
+    assert(shard.size > 10, s"degenerate shard: ${shard.size}")
+    val fullDf = shard.toDF("doc_id", "text", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val wantDecont = rows(queries.Curation.decontGateBatch(spark, sf, fullDf))
+    val wantDedup = rows(queries.Dedup.dedupGateBatch(spark, sf,
+      fullDf.select("doc_id", "text"), 10L, None))
+    val wantDrift = rows(queries.Similarity.ingestDriftBatch(spark, sf,
+      fullDf.select(col("doc_id").as("vec_id"), col("embedding")))._2)
+    val wantQual = rows(queries.TextAnalysis.qualityDriftBatch(spark, sf,
+      fullDf.select("doc_id", "text"))._2)
+    val gotDecont = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    val gotDedup = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    var gotDrift = Set.empty[String]
+    var gotQual = Set.empty[String]
+    var driftState = Map.empty[Int, Long]
+    var qualState = Map.empty[Long, Long]
+    var arrived = Seq.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val q = mem.toDF().toDF("doc_id", "text", "embedding")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val docs = batch.select("doc_id", "text")
+          queries.Curation.decontGateBatch(spark, sf, batch)
+            .collect().foreach(r => gotDecont.put(r.toString, ()))
+          val prior = if (arrived.isEmpty) None
+            else Some(arrived.toDF("doc_id", "text"))
+          queries.Dedup.dedupGateBatch(spark, sf, docs, 10L, prior)
+            .collect().foreach(r => gotDedup.put(r.toString, ()))
+          val (ds2, driftLed) = queries.Similarity.ingestDriftBatch(spark, sf,
+            batch.select(col("doc_id").as("vec_id"), col("embedding")),
+            driftState)
+          driftState = ds2; gotDrift = driftLed.collect().map(_.toString).toSet
+          val (qs2, qualLed) = queries.TextAnalysis.qualityDriftBatch(
+            spark, sf, docs, qualState)
+          qualState = qs2; gotQual = qualLed.collect().map(_.toString).toSet
+          arrived = arrived ++
+            docs.as[(Long, String)].collect().toSeq
+          ()
+      }.start()
+    try {
+      val third = shard.size / 3
+      mem.addData(shard.take(third)); q.processAllAvailable()
+      mem.addData(shard.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(shard.drop(2 * third)); q.processAllAvailable()
+      assert(gotDecont.keySet.toSet == wantDecont, "decont gate diverged")
+      assert(gotDedup.keySet.toSet == wantDedup, "dedup gate diverged")
+      assert(gotDrift == wantDrift, "drift monitor diverged")
+      assert(gotQual == wantQual, "quality monitor diverged")
+    } finally q.stop()
+  }
+
   test("live quality monitor: multi-batch band fold == batch quality_drift, empty batch included") {
     // the quality axis of the live readout: per micro-batch, score the
     // incoming docs with the textQuality kernel, fold the ≤21 band
