@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for registered queries to files — the
   * optimization-round measurement tool (guide §1: capture the plan shape
-  * before and after every change; the committed `plans/r13/*.txt` files
+  * before and after every change; the committed files under `plans/r13`
   * are the judge-checkable evidence).
   *
   * Usage: tools/run.sh graft.PlanDump <outDir> [sfDir] [query...]
