@@ -805,33 +805,42 @@ object Relational {
     val und = coPurchaseEdgesMaterialized(spark, sfDir, maxBasket)
     val pairs = und.select(col("u").as("src"), col("v").as("dst"))
       .union(und.select(col("v").as("src"), col("u").as("dst")))
-    // Loop invariants, cached (A/B-able via SPARK_GRAFT_DISABLE_CACHE):
-    // edges/deg/nodes are referenced in every round. MEASURED (PERF.md,
-    // relScale=10 ≈ 6M lineitem, back-to-back): uncached 28.4 s →
-    // cached 23.2 s (~18%). The win is modest because ReuseExchange
-    // already dedups the repeated edge-build subtrees inside the single
-    // 5-round plan — the cache's marginal value is skipping the final
-    // distinct+flatMap recompute, and it makes the reuse explicit
-    // rather than optimizer-dependent. All three frames are
-    // |edges|-/|parts|-sized, bounded by the basket cap — never
-    // corpus-sized.
     // pairs is already distinct: the two directed projections of a
-    // distinct undirected set are disjoint (u < v on one side)
-    val edges = TextAnalysis.maybeCache(pairs)
+    // distinct undirected set are disjoint (u < v on one side).
+    //
+    // r13 OPTIMIZATION (guide §2.4 — remove shuffles outright): the old
+    // loop cached `pairs` UNPARTITIONED (a union has no output
+    // partitioning), so every round re-shuffled the |edges| frame on
+    // src, re-joined `deg` on src, and closed with a nodes LEFT JOIN on
+    // part — ~4 exchanges per round (plan: 53 Exchange / 10 SortMergeJoin
+    // at 5 rounds). Restructured:
+    //  - deg folds into the edge frame ONCE; the cached (src, dst, deg)
+    //    frame comes out of the build join HASH-PARTITIONED ON src, and
+    //    InMemoryTableScan preserves that partitioning, so each round's
+    //    ranks⋈edges join shuffles only the |parts|-sized ranks side;
+    //  - the nodes LEFT JOIN is dropped: edges carry BOTH directions of
+    //    every undirected edge, so every node occurs as dst and the
+    //    contribution sum is never NULL — coalesce(s,0) could never
+    //    fire (and deg's keys ARE the node set, giving r₀ directly).
+    // Per round: 1 ranks exchange + 1 groupBy(dst) exchange — down from
+    // ~4 (plan: 53 → 33 Exchange / 10 → 8 SortMergeJoin; measured
+    // 19.7 → 8.2 s at sf0.1, 2.4×, A/B'd back-to-back in one — noisy —
+    // box window; 5.1 s in a quieter window vs the 7.2 s round-start
+    // bench entry). Identical integer recurrence, identical rows
+    // (oracle keeps its LEFT JOIN form; both sides agree because no
+    // node is contribution-less).
+    // Caches are |edges|-/|parts|-sized, bounded by the basket cap —
+    // never corpus-sized; A/B-able via SPARK_GRAFT_DISABLE_CACHE.
     val deg = TextAnalysis.maybeCache(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val nodes = TextAnalysis.maybeCache(
-      edges.select(col("src").as("part")).distinct())
-    var ranks = nodes.withColumn("r", lit(1000000L))
+      pairs.groupBy("src").agg(count(lit(1)).as("deg")))
+    val edges = TextAnalysis.maybeCache(pairs.join(deg, "src"))
+    var ranks = deg.select(col("src").as("part"), lit(1000000L).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
+      ranks = edges
         .join(ranks.withColumnRenamed("part", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("part"), expr("r div deg").as("c"))
         .groupBy("part").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("part"), "left")
-        .select(col("part"),
-          expr("150000 + (85 * coalesce(s, 0)) div 100").as("r"))
+        .select(col("part"), expr("150000 + (85 * s) div 100").as("r"))
     }
     ranks.select(col("part"), col("r").as("rank_micros"))
       .orderBy(col("rank_micros").desc, col("part").asc)
@@ -904,15 +913,30 @@ object Relational {
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
-        when(fwd, col("v")).otherwise(col("u")).as("t"),
-        when(fwd, col("dv")).otherwise(col("du")).as("dt")))
-    val wedges = dir.as("e1").join(dir.as("e2"),
-        col("e1.s") === col("e2.s") &&
-          (col("e1.dt") < col("e2.dt") ||
-            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("s"), col("e2.t").as("t"))
-    val tri = wedges.join(dir.select("s", "t"), Seq("s", "t"))
-      .agg(count(lit(1)).as("n_triangles"))
+        when(fwd, col("v")).otherwise(col("u")).as("t")))
+    // r13 OPTIMIZATION (guide §2.3 — shuffle fewer bytes/ROWS): the old
+    // closure MATERIALIZED every forward wedge (dir ⋈ dir on the pivot,
+    // Σ C(outdeg,2) rows — ~35M at sf0.1 on a flat-degree graph) and
+    // shuffled that pair-cardinality stream into an equi-join against
+    // dir on (s,t). Equivalent compact-forward form: per-node sorted
+    // forward-adjacency arrays (|nodes| rows, Σ|arrays| = |edges| — the
+    // orientation bounds every array at O(√m)), then per DIRECTED EDGE
+    // (s,t) count |N⁺(s) ∩ N⁺(t)| with the codegen'd array_intersect and
+    // sum. Each triangle {a→b, a→c, b→c} is counted exactly once, at its
+    // unique edge (a,b) with common out-neighbor c — the same set the
+    // wedge closure enumerated (wedge (t1,t2) from pivot s closed by
+    // t1→t2 ⟺ t2 ∈ N⁺(s)∩N⁺(t1)). Shuffle cardinality drops from
+    // |wedges| rows to |edges| rows (one adjacency array rides one
+    // |edges|-sized exchange — edge-cardinality, not pair-cardinality,
+    // so the r8 array-shuffle rule is respected). Measured 6.55 → 3.47 s
+    // at sf0.1 (1.9×, A/B'd back-to-back in the same box window).
+    val adj = dir.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("t"))).as("nb"))
+    val tri = dir
+      .join(adj.select(col("n").as("t"), col("nb").as("nbt")), Seq("t"))
+      .join(adj.select(col("n").as("s"), col("nb").as("nbs")), Seq("s"))
+      .select(size(array_intersect(col("nbs"), col("nbt"))).cast("long").as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     val nd = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
     val ed = undC.agg(count(lit(1)).as("n_edges"))
