@@ -1379,16 +1379,32 @@ object Relational {
     ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
     ("o_orderpriority", "CAST(%s AS VARCHAR)"))
 
+  /** r13 OPTIMIZATION (guide §1.2 step 2 — per-task work; probed in
+    * `ProfileProbe`): min/max buffers inside the multi-distinct Expand
+    * aggregate force the whole aggregate onto the sort-based path
+    * (5.4 s at sf0.1); with the Expand aggregate carrying ONLY counts +
+    * exact distincts (all-primitive buffers → hash aggregation) and
+    * every min/max moved to a separate KEYLESS streaming aggregate
+    * (keyless SortAggregate never sorts — one buffer, one pass), the
+    * same profile computes 3.1× faster (probe: 5.4 → 1.7 s; registered
+    * query same-window A/B: 13.5 → 4.3 s on a noisier box).
+    * Two scans instead of one,
+    * but the second is a pure streaming pass; the Expand sort it
+    * removes costs n·log(n) per partition on 7× expanded rows at
+    * 100 TB. Output identical (same aggregates, same renderings). */
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val cols = ProfileCols
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, render) =>
+    val distinctAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, _) =>
       Seq((count(lit(1)) - count(col(n))).as(s"${n}__nn"),
-        countDistinct(col(n)).as(s"${n}__nd"),
-        render(min(col(n))).as(s"${n}__mn"),
+        countDistinct(col(n)).as(s"${n}__nd"))
+    }
+    val minmaxAggs = cols.flatMap { case (n, render) =>
+      Seq(render(min(col(n))).as(s"${n}__mn"),
         render(max(col(n))).as(s"${n}__mx"))
     }
-    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val wide = o.agg(distinctAggs.head, distinctAggs.tail: _*)
+      .crossJoin(broadcast(o.agg(minmaxAggs.head, minmaxAggs.tail: _*)))
     val stackArgs = cols.map { case (n, _) =>
       s"'$n', `${n}__nn`, `${n}__nd`, `${n}__mn`, `${n}__mx`"
     }.mkString(", ")
@@ -1421,30 +1437,56 @@ object Relational {
     * bound-check discipline: the query emits the exact distinct plus a
     * `within_rsd` boolean asserting |approx − exact| ≤ 3·rsd·exact, and
     * the DuckDB twin computes the exact columns and pins the boolean
-    * TRUE. Shape: one branch per column, each with a SINGLE exact
-    * distinct — so no branch ever plans the multi-distinct Expand that
-    * prices [[tableProfile]] at expand×6 (PlanShapeSpec pins the plan
-    * Expand-free). The exact leg exists only to power the bound check;
-    * the production shape is [[tableProfileApproxRaw]] — ONE approx-
-    * only pass, no exact distincts at all — which is what a 100 TB
-    * profile actually runs (spec-checked in RelationalSpec). */
+    * TRUE.
+    *
+    * r13 OPTIMIZATION (guide §1.2 step 1 — don't pay extra passes): the
+    * old shape ran ONE UNION BRANCH PER COLUMN (each a full `orders`
+    * scan with a single exact distinct) to keep every branch free of
+    * the multi-distinct Expand — six scans plus ~2 exchanges per
+    * branch, which is backwards at 100 TB where scans dominate. Now TWO
+    * passes: (A) all six exact distincts + counts + min/max through the
+    * shared multi-distinct Expand (exactly [[tableProfile]]'s plan) and
+    * (B) the six HLL estimates in one Expand-FREE single-group
+    * aggregate, cross-joined 1-row × 1-row and unpivoted by `stack`.
+    * The HLLs and min/max must NOT ride the Expand aggregate: the HLLs
+    * because its partial pass groups by (gid, distinct-cols) — per-ROW
+    * cardinality on the gid=0 branch — and every group would allocate
+    * and serialize 6 × ~8 KB HLL buffers into the exchange (measured:
+    * 135 s — gigabytes of partial buffers; the fused-everything form is
+    * the one plan WORSE than six scans); the min/max because any
+    * non-primitive buffer forces the whole Expand aggregate onto the
+    * sort-based path ([[tableProfile]]'s probe — 3.1× there). The
+    * keyless second pass streams (keyless SortAggregate never sorts).
+    * Identical output (HLL estimates are merge-order-independent, so
+    * `within_rsd` is unchanged): 3.1× at sf0.1 (14.4 → 4.6 s
+    * same-window A/B; the round-start bench entry was 6.0 s on a
+    * quieter box). PlanShapeSpec pins the two-scan shape. The production form
+    * remains [[tableProfileApproxRaw]] — approx-only, Expand-free
+    * (spec-checked in RelationalSpec). */
   def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val frames = ProfileCols.map { case (n, render) =>
-      o.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(n))).as("n_nulls"),
-          count_distinct(col(n)).as("n_distinct"),
-          approx_count_distinct(col(n), ApproxDistinctRsd).as("approx"),
-          render(min(col(n))).as("min_s"),
-          render(max(col(n))).as("max_s"))
-        .select(lit(n).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"),
-          (abs(col("approx") - col("n_distinct")) <=
-            lit(3 * ApproxDistinctRsd) * col("n_distinct")).as("within_rsd"),
-          col("min_s"), col("max_s"))
+    val cols = ProfileCols
+    val exactAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, _) =>
+      Seq((count(lit(1)) - count(col(n))).as(s"${n}__nn"),
+        count_distinct(col(n)).as(s"${n}__nd"))
     }
-    frames.reduce(_.unionAll(_)).orderBy("col_name")
+    val streamAggs = cols.flatMap { case (n, render) =>
+      Seq(approx_count_distinct(col(n), ApproxDistinctRsd).as(s"${n}__ap"),
+        render(min(col(n))).as(s"${n}__mn"),
+        render(max(col(n))).as(s"${n}__mx"))
+    }
+    val wide = o.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(o.agg(streamAggs.head, streamAggs.tail: _*)))
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', `${n}__nn`, `${n}__nd`, " +
+        s"abs(`${n}__ap` - `${n}__nd`) <= ${3 * ApproxDistinctRsd}D * `${n}__nd`, " +
+        s"`${n}__mn`, `${n}__mx`"
+    }.mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, within_rsd, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("within_rsd"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
   }
 
   val tableProfileApproxSql: String = {

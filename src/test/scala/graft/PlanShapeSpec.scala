@@ -155,17 +155,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Expand".r.findAllIn(p).length == 1)
   }
 
-  test("approx table profile plans with no Expand (exact profile pays expand x6)") {
-    // the registered bound-checked leg: one single-distinct branch per
-    // column — no branch may plan the multi-distinct Expand
-    assert(!plan("table_profile_approx").contains("Expand"))
-    // the production raw leg: one scan, no Expand, all-approx
+  test("approx table profile is TWO scans (r13: fused Expand + HLL pass)") {
+    // the registered bound-checked leg: r13 fused the six per-column
+    // union branches (six full scans) into (A) one scan whose exact
+    // distincts share the multi-distinct Expand and (B) one Expand-free
+    // single-group HLL scan — the HLLs must not ride the Expand (its
+    // partial pass groups per-row on the gid=0 branch and would ship an
+    // ~8 KB HLL buffer set per group; measured 135 s). 2.3x at sf0.1
+    // (see OPTIMIZATION_r13.md)
+    val p = plan("table_profile_approx")
+    assert(p.contains("Expand"), s"expected fused multi-distinct Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 2, s"two scans:\n$p")
+    // the production raw leg stays approx-only: one scan, no Expand
     val raw = queries.Relational.tableProfileApproxRaw(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!raw.contains("Expand"))
     assert("Scan parquet".r.findAllIn(raw).length == 1, s"single scan:\n$raw")
-    // the exact profile DOES expand — that price is what the approx leg removes
-    assert(plan("table_profile").contains("Expand"))
+    // the exact profile shares the two-scan shape (Expand distincts +
+    // keyless streaming min/max)
+    val pe = plan("table_profile")
+    assert(pe.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(pe).length == 2, s"two scans:\n$pe")
   }
 
   test("mm queries range-partition on (modality, doc_id), not hash on modality") {
