@@ -79,16 +79,32 @@ object Dedup {
     * hash identically (first-12-hex-of-md5, the portable construction
     * shared with simhash), so jaccard over the hashed space is the same
     * exact cross-engine quantity (an intra-pair collision — ~n²/2⁴⁸ —
-    * would affect both engines identically). */
-  private def docShingleHashes(spark: SparkSession, ds: DataFrame): DataFrame =
-    // corpus-sized cache, measured-justified (PERF.md r6 A/B): the frame
-    // feeds the broadcast-sizing count plus both sides of the candidate
-    // join; wrapped in maybeCache so SPARK_GRAFT_DISABLE_CACHE=1 A/Bs it
-    // like every other cache site
-    TextAnalysis.maybeCache(docShingleHashesRaw(spark, ds))
+    * would affect both engines identically).
+    *
+    * This is the corpus-wide frame behind the write-once session
+    * sink (r13 OPTIMIZATION, guide §1.2 step 1 — don't recompute a
+    * shared substrate per consumer): EIGHT registered queries
+    * (minhash/threshold-curve/containment ×3/ngram-jaccard/delta/
+    * geometry) each re-ran tokenize → 3-shingle → md5 → sort over the
+    * whole corpus, because the session `.cache()` is dropped between
+    * bench entries. The (doc_id, hs) frame is a pure function of the
+    * corpus, so it is substrate exactly like the kNN edge sink and the
+    * co-purchase edge sink ([[materializeOnce]] precedent): first
+    * consumer pays the kernel once, every later consumer gets a plain
+    * FileSourceScan of narrow (id, sorted-long-array) rows. Under
+    * `SPARK_GRAFT_SUBSTRATE_DIR` it persists cross-session like the
+    * rest of the substrate family. Values are identical by
+    * construction (same kernel, parquet round-trip of longs is exact),
+    * so every consumer's oracle hash is unchanged. */
+  private def corpusShingleHashes(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    materializeOnce(spark, "graft_shinglehash_", sfDir)(
+      docShingleHashesRaw(spark, docShingles(spark, sfDir)))
 
-  /** [[docShingleHashes]] WITHOUT the session cache — the live gate's
-    * per-micro-batch incoming frames must not accrete cache entries. */
+  /** The shingle-hash kernel over a caller-supplied shingled frame —
+    * the live dedup gate hashes its incoming micro-batches through the
+    * same code (per-batch frames must never land in a session sink or
+    * cache). */
   private def docShingleHashesRaw(spark: SparkSession,
                                   ds: DataFrame): DataFrame = {
     import spark.implicits._
@@ -606,7 +622,7 @@ object Dedup {
     * identical), so the output matches the naive all-pairs oracle. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.8
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val cands = exactJaccardCandidates(hv, t)
     verifyJaccard(spark, cands, hv, t)
       .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -712,7 +728,7 @@ object Dedup {
   def dedupThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tMin = ThresholdCurveTenths.min / 10.0
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val pairs = verifyJaccard(spark, exactJaccardCandidates(hv, tMin), hv, tMin)
     val sizes = hv.select(col("doc_id"), size(col("hs")).cast("long").as("nsz"))
     val p = pairs
@@ -805,7 +821,7 @@ object Dedup {
                        t: Double = ContainT,
                        maxDf: Int = ContainMaxDf): DataFrame = {
     require(t > 0 && t <= 1, s"need 0 < t <= 1, got $t")
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = post.join(
       post.groupBy("h").agg(count(lit(1)).as("df"))
@@ -927,7 +943,7 @@ object Dedup {
                              maxDf: Int = ContainMaxDf): DataFrame = {
     require(t > 0 && t <= 1, s"need 0 < t <= 1, got $t")
     require(k > 0, s"need k > 0, got $k")
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
     val rareH = post.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
@@ -1035,7 +1051,7 @@ object Dedup {
   def containmentSketchCoverage(spark: SparkSession, sfDir: String,
                                 k: Int = SketchK,
                                 maxDf: Int = ContainMaxDf): DataFrame = {
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val post = hv.select(col("doc_id"), explode(col("hs")).as("h"))
     val rareH = post.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
@@ -1195,7 +1211,7 @@ object Dedup {
     * exact-verified either way — geometry changes candidate-stage cost,
     * never results. */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val (r, b) = derivedBandGeometry(corpusDocCount(spark, sfDir))
     verifyJaccard(spark, minhashCandidates(spark, hv, r, b), hv, MinhashThreshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -1312,7 +1328,7 @@ object Dedup {
     * pairs. Eager — runs the stages; the ScaleProbe leg times them. */
   private[graft] def minhashGeometryStats(spark: SparkSession, sfDir: String,
       geom: Option[(Int, Int)]): scala.collection.immutable.ListMap[String, Long] = {
-    val hv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val hv = corpusShingleHashes(spark, sfDir)
     val n = corpusDocCount(spark, sfDir)
     val (r, b) = geom.getOrElse(derivedBandGeometry(n))
     val occ = minhashBandRows(spark, hv, r, b)
@@ -1439,7 +1455,7 @@ object Dedup {
       incoming.select(col("doc_id")).limit(100001).count() <= 100000
     def probeSide(df: DataFrame): DataFrame =
       if (smallBatch) broadcast(df) else df
-    val corpusHv = docShingleHashes(spark, docShingles(spark, sfDir))
+    val corpusHv = corpusShingleHashes(spark, sfDir)
     val baseFilter = col("doc_id") % deltaMod =!= deltaMod - 1
     val baseIndex = materializeOncePartitioned(spark,
       s"graft_dgate${deltaMod}_", sfDir, "pb")(
