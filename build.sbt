@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default matches tools/run.sh (16g): the sbt-forked bench/verify JVM
+  // previously ran at 8g while every run.sh invocation got 16g — at 269
+  // bench queries with intra-query caches the smaller heap just adds GC
+  // pressure on a 128 GiB box (r13 parity fix; SPARK_DRIVER_MEM still
+  // overrides both)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -839,7 +839,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(col("ha")).cast("long").as("n_a"),
         size(col("hb")).cast("long").as("n_b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
+        graft.functions.VectorFunctions.sorted_intersect_count(
+          col("ha"), col("hb")).as("n_common"))
     val directed = joined
       .select(col("doc_a").as("contained"), col("doc_b").as("container"),
         col("n_a").as("n_contained"), col("n_common"))
@@ -978,7 +979,8 @@ object Dedup {
       .join(hv.select(col("doc_id").as("container"), col("hs").as("hb")), "container")
       .select(col("contained"), col("container"),
         size(col("ha")).cast("long").as("n_contained"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
+        graft.functions.VectorFunctions.sorted_intersect_count(
+          col("ha"), col("hb")).as("n_common"))
       .withColumn("raw", col("n_common").cast("double") / col("n_contained"))
       .filter(col("raw") >= t)
       .crossJoin(broadcast(regime))

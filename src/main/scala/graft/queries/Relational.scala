@@ -934,7 +934,8 @@ object Relational {
     // dir on (s,t). Equivalent compact-forward form: per-node sorted
     // forward-adjacency arrays (|nodes| rows, Σ|arrays| = |edges| — the
     // orientation bounds every array at O(√m)), then per DIRECTED EDGE
-    // (s,t) count |N⁺(s) ∩ N⁺(t)| with the codegen'd array_intersect and
+    // (s,t) count |N⁺(s) ∩ N⁺(t)| with the two-pointer codegen
+    // sorted_intersect_count (arrays are sorted-distinct) and
     // sum. Each triangle {a→b, a→c, b→c} is counted exactly once, at its
     // unique edge (a,b) with common out-neighbor c — the same set the
     // wedge closure enumerated (wedge (t1,t2) from pivot s closed by
@@ -948,7 +949,8 @@ object Relational {
     val tri = dir
       .join(adj.select(col("n").as("t"), col("nb").as("nbt")), Seq("t"))
       .join(adj.select(col("n").as("s"), col("nb").as("nbs")), Seq("s"))
-      .select(size(array_intersect(col("nbs"), col("nbt"))).cast("long").as("c"))
+      .select(graft.functions.VectorFunctions.sorted_intersect_count(
+        col("nbs"), col("nbt")).as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     val nd = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))

