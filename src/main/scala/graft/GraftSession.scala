@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Whole-stage-codegen compiled-class cache (static conf; default
+      // 100 entries). The 269-query registry compiles ~8 codegen units
+      // per query, so at the default size every unit is LRU-evicted
+      // before its query runs again — each bench pass re-pays Janino
+      // compilation (~0.25 s/query, FloorProbe r14) that a long-lived
+      // production driver pays once. Sized to hold the whole suite;
+      // entries are compiled classes (JVM code, never data), so this
+      // cannot cache results across runs.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "1.5")
