@@ -511,32 +511,40 @@ object Dedup {
     * mass goes. Each stage feeds the next, so the numbers are the
     * COMPOSED pipeline's, not per-stage-in-isolation.
     *
-    * Scale shape: stage frames are narrow projections of one documents
-    * scan; each stage adds at most one hash shuffle (gate is stateless,
-    * exact dedup groups on a 16-byte md5, paragraph dedup windows on
-    * uniform md5 keys); the four 1-row aggregates are the sanctioned
+    * Scale shape (r14 single-substrate form — guide §1.2 step 1: the
+    * old four union branches re-ran the scan→tokenize chain 4×, the
+    * gate chain 3× and the ch groupBy+join 2×): ONE narrow scan
+    * computes every per-doc stage attribute (token count, gate keep,
+    * exact-dedup canonical flag via a min-over-ch window), one
+    * conditional aggregate takes stages 0-2, and the paragraph leg
+    * reuses the same exchange. Stage VALUES are unchanged — the gate
+    * keep set, the min-doc_id-per-ch canonical set and the
+    * first-md5-occurrence paragraph rule are identical row sets. Each
+    * stage attribute adds at most one hash shuffle (ch / ph are
+    * uniform md5 keys); the two 1-row aggregates are the sanctioned
     * pre-aggregated SinglePartition funnels. Nothing is collected,
     * cached, or broadcast. */
   def pipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val base = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.toks(col("text")).as("t"))
-      .withColumn("n_toks", size(col("t")).cast("long"))
-    def stage(df: DataFrame, id: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    val kept = base.join(
-      TextAnalysis.qualityGateFrame(docs).filter(col("keep")).select("doc_id"),
-      "doc_id")
-    val hashed = kept.withColumn("ch",
-      md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))))
-    val canonical = hashed
-      .join(hashed.groupBy("ch").agg(min("doc_id").as("keep_id")), "ch")
-      .filter(col("doc_id") === col("keep_id"))
-    val paras = canonical.filter(size(col("t")) > 0)
+    // keep = the qualityGateFrame default thresholds, inlined on the
+    // shared repetition substrate (same rule the oracle twin states)
+    val perDoc = TextAnalysis.repetitionBaseFrame(docs)
+      .select(col("doc_id"), col("text"), col("t"),
+        col("n_tokens").cast("long").as("n_toks"),
+        (col("n_tokens") >= 20 && col("dup_bigram_frac") <= 0.05).as("keep"))
+      .withColumn("ch",
+        md5(trim(regexp_replace(lower(col("text")), "\\W+", " "))))
+      .withColumn("keep_id", min(when(col("keep"), col("doc_id")))
+        .over(Window.partitionBy("ch")))
+      .withColumn("canon", col("keep") && col("doc_id") === col("keep_id"))
+    val main = perDoc.agg(
+      count(lit(1)).as("n0"), coalesce(sum("n_toks"), lit(0L)).as("t0"),
+      count(when(col("keep"), 1)).as("n1"),
+      coalesce(sum(when(col("keep"), col("n_toks"))), lit(0L)).as("t1"),
+      count(when(col("canon"), 1)).as("n2"),
+      coalesce(sum(when(col("canon"), col("n_toks"))), lit(0L)).as("t2"))
+    val paras = perDoc.filter(col("canon") && size(col("t")) > 0)
       .select(col("doc_id"), col("t"),
         posexplode(sequence(lit(0), size(col("t")) - 1, lit(ParaTokens))))
       .select(col("doc_id"), col("pos").as("para_idx"),
@@ -549,14 +557,20 @@ object Dedup {
         Window.partitionBy("ph").orderBy("doc_id", "para_idx")))
       .filter(col("rn") === 1)
     val s3 = retained
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
-      .select(lit(3).as("stage_id"), lit("para_dedup").as("stage"),
-        col("n_docs"), col("n_tokens"))
-    stage(base, 0, "raw")
-      .unionByName(stage(kept, 1, "quality_gate"))
-      .unionByName(stage(canonical, 2, "exact_dedup"))
-      .unionByName(s3)
+      .agg(count_distinct(col("doc_id")).as("n3"),
+        coalesce(sum("n_toks"), lit(0L)).as("t3"))
+    main.crossJoin(s3)
+      .select(explode(array(
+        struct(lit(0).as("stage_id"), lit("raw").as("stage"),
+          col("n0").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit(1).as("stage_id"), lit("quality_gate").as("stage"),
+          col("n1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2).as("stage_id"), lit("exact_dedup").as("stage"),
+          col("n2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3).as("stage_id"), lit("para_dedup").as("stage"),
+          col("n3").as("n_docs"), col("t3").as("n_tokens")))).as("s"))
+      .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"),
+        col("s.n_tokens"))
       .orderBy("stage_id")
   }
 

@@ -4503,36 +4503,6 @@ object Relational {
   val nationTradeVolumeSql: String =
     nationTradeVolumeSqlFor(TradeNation1, TradeNation2)
 
-  /** Distributed GLOBAL RANK over a corpus-sized total order (metric
-    * ASC/DESC, ties on `tie` ASC) — the span-bin/carry-fold
-    * decomposition ([[partsAbcClass]]/[[ordersGini]] discipline) as a
-    * reusable step: bin on the metric span (≤ [[AbcBins]] bins oriented
-    * WITH the order, so bin order == rank order), per-bin counts are a
-    * bounded driver frame, the prefix-count carry broadcasts back, and
-    * row_number partitions by bin. No SinglePartition window anywhere. */
-  private def globalRank(df: DataFrame, metric: String, asc: Boolean,
-                         tie: String, out: String, tag: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val span = df.agg(min(col(metric)), max(col(metric))).head()
-    if (span.isNullAt(0)) return df.withColumn(out, lit(0L))
-    val (lo, hi) = (span.getLong(0), span.getLong(1))
-    val binW = math.max(1L, (hi - lo) / AbcBins + 1)
-    val bcol = if (asc) s"(($metric) - ($lo)) DIV $binW"
-               else s"(($hi) - ($metric)) DIV $binW"
-    val binned = df.withColumn("_bin", expr(bcol))
-    val binCnt = Hist.bounded(
-      binned.groupBy("_bin").agg(count(lit(1)).as("c")), tag)
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var run = 0L
-    val carries = Seq.newBuilder[(Long, Long)]
-    binCnt.foreach { case (b, c) => carries += ((b, run)); run += c }
-    val wBin = org.apache.spark.sql.expressions.Window.partitionBy("_bin")
-      .orderBy(if (asc) col(metric).asc else col(metric).desc, col(tie).asc)
-    binned.join(broadcast(carries.result().toDF("_bin", "_carry")), Seq("_bin"))
-      .withColumn(out, row_number().over(wBin).cast("long") + col("_carry"))
-      .drop("_bin", "_carry")
-  }
-
   /** RFM SEGMENT ROLLUP — the population-quantile companion of
     * [[rfmSegments]] (which emits the per-customer feature ledger with
     * value-percentile scores where ties SHARE a score): every ordering
@@ -4544,17 +4514,21 @@ object Relational {
     * within 1 — the marketing-readout convention, vs the
     * feature-ledger convention over there. Quintile boundaries are EXACT ntile semantics (first
     * n mod 5 buckets take the extra row) computed from the distributed
-    * global rank — three [[globalRank]] passes, one per axis, each a
-    * span-bin/carry decomposition, so no axis ever funnels the customer
-    * corpus through a SinglePartition ntile window. The oracle IS
-    * DuckDB's native ntile(5) over the same (metric, custkey) total
-    * orders — the rank→bucket arithmetic is pinned cross-engine, not
-    * assumed.
+    * global rank — the span-bin/carry decomposition
+    * ([[partsAbcClass]]/[[ordersGini]] discipline), FUSED across the
+    * three axes (r14): one aggregate takes every metric span plus n,
+    * one packed-key histogram pass (axis·2^16 + bin) takes all three
+    * bin counts, then three broadcast carry joins + within-bin
+    * row_number windows assign the ranks — so no axis ever funnels the
+    * customer corpus through a SinglePartition ntile window and no
+    * axis re-executes another's window chain. The oracle IS DuckDB's
+    * native ntile(5) over the same (metric, custkey) total orders —
+    * the rank→bucket arithmetic is pinned cross-engine, not assumed.
     *
-    * Scale: one shuffle on custkey for the base aggregate; each rank
-    * pass is a bounded-histogram collect (≤64k bins) + a within-bin
-    * window; the rollup is a ≤125-group agg. The corpus-sized frame is
-    * traversed, never globally sorted. */
+    * Scale: one shuffle on custkey for the base aggregate; the rank
+    * machinery is one bounded-histogram collect (≤3·64k bins) + three
+    * within-bin windows; the rollup is a ≤125-group agg. The
+    * corpus-sized frame is traversed, never globally sorted. */
   def customerRfm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.orders(spark, sfDir)
@@ -4582,11 +4556,58 @@ object Relational {
         datediff(lit(mxRow.get(0)).cast("date"), col("last_order").cast("date"))
           .cast("long"))
       .drop("last_order"))
-    val n = base.count()
-    val ranked = globalRank(globalRank(globalRank(base,
-      "recency_days", asc = true, "o_custkey", "r_rnk", "customer_rfm R"),
-      "frequency", asc = false, "o_custkey", "f_rnk", "customer_rfm F"),
-      "monetary_c", asc = false, "o_custkey", "m_rnk", "customer_rfm M")
+    // r14 OPTIMIZATION (guide §1.2 step 1 — fewer passes): the three
+    // chained [[globalRank]] calls each ran TWO driver actions (metric
+    // span, bin histogram) against the progressively-windowed frame, so
+    // axis F's actions re-executed axis R's join+window and axis M's
+    // re-ran both — 7 actions with cumulative recomputation. All three
+    // metrics live on `base` BEFORE any ranking, so ONE aggregate takes
+    // every span plus n, and ONE packed-key histogram pass (axis·2^16 +
+    // bin; bin < 2^16 by the binW construction) takes all three bin
+    // counts. Carry folds and within-bin windows are unchanged — the
+    // rank arithmetic is bit-identical to the chained form.
+    val spanRow = base.agg(count(lit(1)),
+      min("recency_days"), max("recency_days"),
+      min("frequency"), max("frequency"),
+      min("monetary_c"), max("monetary_c")).head()
+    val n = spanRow.getLong(0)
+    // n ≥ 1 here: mxRow was non-null, so at least one order exists
+    val axes = Seq(("recency_days", true, "r_rnk", 0L),
+      ("frequency", false, "f_rnk", 1L),
+      ("monetary_c", false, "m_rnk", 2L))
+    val bounds = axes.zipWithIndex.map { case (_, i) =>
+      (spanRow.getLong(1 + 2 * i), spanRow.getLong(2 + 2 * i))
+    }
+    val binned = axes.zip(bounds).foldLeft(base) {
+      case (df, ((metric, asc, _, ax), (lo, hi))) =>
+        val binW = math.max(1L, (hi - lo) / AbcBins + 1)
+        val bcol = if (asc) s"(($metric) - ($lo)) DIV $binW"
+                   else s"(($hi) - ($metric)) DIV $binW"
+        df.withColumn(s"_bin_$ax", expr(bcol))
+    }
+    val hist = Hist.bounded(
+      binned.select(explode(array(axes.map { case (_, _, _, ax) =>
+          col(s"_bin_$ax") + lit(ax * 65536L) }: _*)).as("pb"))
+        .groupBy("pb").agg(count(lit(1)).as("c")),
+      "customer_rfm RFM")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ranked = axes.foldLeft(binned) {
+      case (df, (metric, asc, out, ax)) =>
+        var run = 0L
+        val carries = Seq.newBuilder[(Long, Long)]
+        hist.filter(_._1 / 65536L == ax).foreach { case (pb, c) =>
+          carries += ((pb % 65536L, run)); run += c
+        }
+        val wBin = org.apache.spark.sql.expressions.Window
+          .partitionBy(s"_bin_$ax")
+          .orderBy(if (asc) col(metric).asc else col(metric).desc,
+            col("o_custkey").asc)
+        df.join(broadcast(carries.result().toDF(s"_bin_$ax", s"_carry_$ax")),
+            Seq(s"_bin_$ax"))
+          .withColumn(out, row_number().over(wBin).cast("long") +
+            col(s"_carry_$ax"))
+          .drop(s"_bin_$ax", s"_carry_$ax")
+    }
     // exact ntile(5) from the global rank: first n%5 buckets take
     // ceil(n/5) rows (pinned against DuckDB's ntile above)
     def ntileOf(rnk: String): Column = {

@@ -313,14 +313,17 @@ object TextAnalysis {
     * construction is the same zip-with-tail shape as the `bigrams` query
     * (no window shuffle); `dup_bigram_frac` = 1 − distinct/total is the
     * Gopher-style "duplicate n-gram fraction" repetition signal. */
-  private def repetitionBaseFrame(docs: DataFrame): DataFrame =
+  // private[queries] + text retained (r14): [[Dedup.pipelineFunnel]]
+  // reads this directly so its four stages share ONE tokenize scan
+  private[queries] def repetitionBaseFrame(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
       .withColumn("bg", zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b)))
-      .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
+      .select(col("doc_id"), col("text"), col("t"),
+        size(col("t")).as("n_tokens"),
         Det.r(when(size(col("bg")) > 0,
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
           .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
