@@ -7,8 +7,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to a plain FileSourceScan everywhere). See FIXTURES.md §B for schemas.
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Memoized parquet SCHEMA per (sfDir, table) — metadata only, never
+    * data. Every `spark.read.parquet(path)` call re-runs footer-based
+    * schema inference (~0.1-0.2 s of the per-query floor at sf0.1,
+    * FloorProbe r14); corpus dirs are immutable for a session's
+    * lifetime (the contract every fixture, sink and ScaleProbe corpus
+    * already satisfies — CLAUDE.md model-state memoization precedent),
+    * so the schema is inferred once and passed explicitly thereafter.
+    * Keyed by path; a failed read is not memoized. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

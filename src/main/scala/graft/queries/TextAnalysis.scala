@@ -1370,21 +1370,25 @@ object TextAnalysis {
                     topN: Int = WinnowTopN): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     import spark.implicits._
-    // NO cache, by measurement (PERF.md "intra-query caches"): at the 1M
-    // probe, caching this corpus-sized fingerprint frame was FLAT twice
-    // (10.4 s vs 9.8 s; 16.8 s vs 16.6 s uncached) — the JIT'd winnow
-    // kernel recomputes faster than the cache round-trips, so the three
-    // consumers below just re-scan, and a 100 TB run doesn't pin
-    // corpus/K-chars of executor memory for nothing
-    val fp = normalized(spark, sfDir)
-      .flatMap { case (id, ns) =>
-        val mins = winnowMins(kgramHashes(ns))
-        val out = new Array[(Long, Long)](mins.size)
-        var i = 0
-        val it = mins.iterator()
-        while (it.hasNext) { out(i) = (id, it.next()); i += 1 }
-        out
-      }.toDF("doc_id", "fp")
+    // r14: the fingerprint frame goes behind the write-once session
+    // sink ([[Dedup.materializeOnce]], the corpusShingleHashes pattern)
+    // instead of the measured-flat .cache() (PERF.md r11: 10.4 s vs
+    // 9.8 s at the 1M probe — cache round-trips lost to the JIT'd
+    // kernel). The sink is different economics: the typed-flatMap
+    // winnow kernel runs ONCE per session and the three consumers below
+    // (per-doc counts, hot-set df, cold join — previously three full
+    // kernel re-runs, a 12-scan plan) become plain parquet scans of
+    // narrow (doc_id, fp) rows, with no executor memory pinned.
+    val fp = Dedup.materializeOnce(spark, "graft_winnowfp_", sfDir)(
+      normalized(spark, sfDir)
+        .flatMap { case (id, ns) =>
+          val mins = winnowMins(kgramHashes(ns))
+          val out = new Array[(Long, Long)](mins.size)
+          var i = 0
+          val it = mins.iterator()
+          while (it.hasNext) { out(i) = (id, it.next()); i += 1 }
+          out
+        }.toDF("doc_id", "fp"))
     val nFps = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hotRaw = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowMaxDf).select("fp")
@@ -2179,12 +2183,24 @@ object TextAnalysis {
     * with 30-digit BigDecimal ln (the r8-flagged libm-ulp hazard: a
     * libm/engine bump that lands a weight within 1 ulp of a
     * ⌊x·10⁶+0.5⌋ boundary must fail a spec HERE, not the hash gate). */
+  /** The feature stream folded ONCE into per-(doc, lang, bucket)
+    * occurrence counts (r14): the histogram and per-doc scoring legs
+    * both re-aggregate from this exchange — its subtree is
+    * canonicalized-equal in both, so ReuseExchange shares one tokenize
+    * pass where the raw stream (narrow, exchange-free) ran it twice. */
+  private def dsirPerDocCounts(spark: SparkSession, sfDir: String): DataFrame =
+    dsirTok(spark, sfDir).groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("n"))
+
   private[graft] def dsirBucketCounts(spark: SparkSession, sfDir: String,
                                       targetLang: String = "en"): DataFrame = {
-    val tok = dsirTok(spark, sfDir)
-    val hist = tok.groupBy("b").agg(
-      count(lit(1)).as("cnt_raw"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_tgt"))
+    val db = dsirPerDocCounts(spark, sfDir)
+    // sum(n) over the per-doc fold ≡ count over raw occurrences; the
+    // count tuples are value-identical to the unfolded form
+    val hist = db.groupBy("b").agg(
+      sum("n").as("cnt_raw"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L))
+        .as("cnt_tgt"))
     val totals = hist.agg(
       coalesce(sum("cnt_raw"), lit(0L)).as("tot_raw"),
       coalesce(sum("cnt_tgt"), lit(0L)).as("tot_tgt"))
@@ -2202,13 +2218,21 @@ object TextAnalysis {
 
   def dsirWeights(spark: SparkSession, sfDir: String,
                   targetLang: String = "en"): DataFrame = {
-    val tok = dsirTok(spark, sfDir)
+    // r14 OPTIMIZATION (guide §1.2 step 1 — don't tokenize twice): the
+    // scoring pass previously re-ran the corpus tokenize→bigram→hash
+    // explode the histogram pass had already paid (the query's dominant
+    // per-task work; narrow chains share no exchange, so nothing was
+    // reused). Both legs now read [[dsirPerDocCounts]]; the per-doc sum
+    // carries multiplicity (Σ n·lw ≡ Σ_occurrences lw — exact integer
+    // arithmetic, order-free), so every emitted value is unchanged.
+    val db = dsirPerDocCounts(spark, sfDir)
     val w = dsirBucketCounts(spark, sfDir, targetLang)
       .withColumn("lw_micros", dsirLwMicros)
       .select("b", "lw_micros")
-    tok.join(broadcast(w), "b")
+    db.join(broadcast(w), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lw_micros").as("logw_micros"))
+      .agg(sum("n").as("n_feats"),
+        sum(col("n") * col("lw_micros")).as("logw_micros"))
       .withColumn("avg_logw",
         Det.r(col("logw_micros").cast("double") / 1e6 / col("n_feats"), 6))
       .orderBy("doc_id")
