@@ -2600,9 +2600,11 @@ object Relational {
     * price range — none of the three grows with row count) — collects
     * it (≤ a few thousand rows of model state), prefix-sums
     * below/(n-1) on the driver, and broadcast-joins the (value, score)
-    * map back. The per-customer base is cached: one narrow |customers|
-    * agg frame with four consumers (three histograms + the final join);
-    * uncached it would rescan orders four times. The corpus max date is
+    * map back (the three axis histograms fold into ONE exploded
+    * (axis, value) aggregate — r14). The per-customer base is cached:
+    * one narrow |customers| agg frame with two consumers (the fused
+    * histogram + the final join);
+    * uncached it would rescan orders per consumer. The corpus max date is
     * model state (the as-of span precedent). Ranks tie exactly like SQL
     * percent_rank (equal values share the below-count), so the DuckDB
     * twin uses the plain window.
@@ -2634,12 +2636,23 @@ object Relational {
         expr("cents div 10000").as("m_b"))
       .cache()
     // bounded value histogram → driver prefix-sum → (value, score) map;
-    // asc=false ranks descending values (recency: newest first)
-    def scoreMap(valCol: String, asc: Boolean, outCol: String): DataFrame = {
-      val hist = Hist.bounded(
-          base.groupBy(valCol).agg(count(lit(1)).as("n_at")),
-          s"rfm_segments/$valCol")
-        .map(r => (r.getAs[Long](valCol), r.getAs[Long]("n_at")))
+    // asc=false ranks descending values (recency: newest first).
+    // r14: the three per-axis histograms fold into ONE exploded
+    // (axis, value) aggregate — one action against the cached base
+    // instead of three (the customer_rfm fused-histogram move); the
+    // per-axis driver folds and broadcast maps are unchanged.
+    val hist3 = Hist.bounded(
+      base.select(explode(array(
+          struct(lit(0).as("ax"), col("r_days").as("v")),
+          struct(lit(1).as("ax"), col("f_orders").as("v")),
+          struct(lit(2).as("ax"), col("m_b").as("v")))).as("e"))
+        .groupBy(col("e.ax").as("ax"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("n_at")),
+      "rfm_segments/fused")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    def scoreMap(ax: Int, valCol: String, asc: Boolean,
+                 outCol: String): DataFrame = {
+      val hist = hist3.collect { case (a, v, n) if a == ax => (v, n) }
       val sorted = if (asc) hist.sortBy(_._1) else hist.sortBy(v => -v._1)
       val n = sorted.map(_._2).sum
       var below = 0L
@@ -2653,9 +2666,9 @@ object Relational {
       rows.toSeq.toDF(valCol, outCol)
     }
     base
-      .join(broadcast(scoreMap("r_days", asc = false, "r_score")), "r_days")
-      .join(broadcast(scoreMap("f_orders", asc = true, "f_score")), "f_orders")
-      .join(broadcast(scoreMap("m_b", asc = true, "m_score")), "m_b")
+      .join(broadcast(scoreMap(0, "r_days", asc = false, "r_score")), "r_days")
+      .join(broadcast(scoreMap(1, "f_orders", asc = true, "f_score")), "f_orders")
+      .join(broadcast(scoreMap(2, "m_b", asc = true, "m_score")), "m_b")
       .select(col("o_custkey").as("c_custkey"), col("r_days"),
         col("f_orders"),
         (col("m_b").cast("double") * 100).as("m_dollars"),

@@ -1966,23 +1966,48 @@ object Similarity {
     * the query set, over |Q|·k (the matryoshka_recall denominator
     * convention).
     *
-    * Scale shape: one exact pass (|Q| queries broadcast — the
-    * [[bruteForceTopK]] plan) plus |curve| candidate enumerations, each
-    * a broadcast of the ≤ |Q|·nprobe probe list against the memoized
-    * cell assignment; the unioned candidate stream joins the k·|Q|
-    * exact winners on (qid, vec_id) and aggregates to |curve| rows.
+    * Scale shape (r14 fused form): one exact pass (|Q| queries
+    * broadcast — the [[bruteForceTopK]] plan) plus ONE ranked probe
+    * enumeration at the curve max and ONE assignment join — a vector
+    * lives in exactly one cell, so cand(np) ≡ {probe rank ≤ np} and
+    * the per-np sets are rank PREFIXES of the max-np candidate stream
+    * (previously |curve| separate [[ivfCandidates]] enumerations each
+    * re-scanned the assignment sink). Per-np hits come from one
+    * conditional aggregate (the CLAUDE.md grid rule: conditional agg +
+    * explode, never crossJoin(grid) upstream); np points with zero
+    * hits drop out exactly as the old groupBy form dropped them.
     * Corpus-side work is nprobe-independent — exactly the property the
     * curve exists to demonstrate. */
   def ivfNprobeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val maxNp = NprobeCurvePoints.max
+    val bc = spark.sparkContext.broadcast(ivfCentroids(spark, sfDir))
+    val probes = unitVecs(spark, sfDir).as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (qid, u) =>
+        val cs = bc.value
+        val scored = cs.zipWithIndex.map { case (w, c) =>
+          var s = 0.0; var i = 0
+          while (i < w.length) { s += w(i) * u(i); i += 1 }
+          (c, s)
+        }
+        scored.sortBy { case (c, s) => (-s, c) }.take(maxNp)
+          .zipWithIndex.map { case ((c, _), r) => (qid, c, r + 1) }
+      }.toDF("qid", "cell", "rk")
+    val cand = ivfAssigned(spark, sfDir).join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id", "rk")
     val exact = bruteForceTopK(spark, sfDir).select(col("qid"), col("vec_id"))
-    val cands = NprobeCurvePoints.map { np =>
-      ivfCandidates(spark, sfDir, np)
-        .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
-    }.reduce(_ unionByName _)
-    cands.join(exact, Seq("qid", "vec_id"))
-      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
-      .select(col("nprobe"), col("hits"),
-        Det.r(col("hits").cast("double") / (NumQueries * TopK), 6).as("recall"))
+    val hitCols = NprobeCurvePoints.map(np =>
+      count(when(col("rk") <= np, 1)).as(s"h$np"))
+    val hitRow = cand.join(exact, Seq("qid", "vec_id"))
+      .agg(hitCols.head, hitCols.tail: _*)
+    hitRow.select(explode(array(NprobeCurvePoints.map(np =>
+        struct(lit(np).as("nprobe"), col(s"h$np").as("hits"))): _*)).as("s"))
+      .select(col("s.nprobe").as("nprobe"), col("s.hits").as("hits"),
+        Det.r(col("s.hits").cast("double") / (NumQueries * TopK), 6)
+          .as("recall"))
+      .filter(col("hits") > 0)
       .orderBy("nprobe")
   }
 
