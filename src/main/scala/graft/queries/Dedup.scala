@@ -757,11 +757,16 @@ object Dedup {
       .select(col("tt"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .distinct()
       .groupBy("tt").agg(count(lit(1)).as("n_docs"))
-    val total = Tables.documents(spark, sfDir).count()
+    // r14: the corpus total rides a broadcast 1-row aggregate instead
+    // of a driver count() action (the basket_rules move); the empty-
+    // corpus guard becomes a when() on the same row
+    val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_tot"))
     val fracCol =
-      if (total == 0) lit(0.0)
-      else Det.r(coalesce(col("n_docs"), lit(0L)).cast("double") / total, 6)
+      when(col("n_tot") === 0, lit(0.0))
+        .otherwise(Det.r(coalesce(col("n_docs"), lit(0L)).cast("double")
+          / col("n_tot"), 6))
     grid.join(perTau, Seq("tt"), "left").join(docsPerTau, Seq("tt"), "left")
+      .crossJoin(broadcast(tot))
       .select((col("tt").cast("double") / 10).as("tau"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs_affected"),

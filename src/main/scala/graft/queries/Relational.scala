@@ -678,11 +678,14 @@ object Relational {
                   maxBasket: Int = AffinityMaxBasket): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     import spark.implicits._
-    val op = graft.queries.TextAnalysis.maybeCache(
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-    val nOrders = op.select("ok").distinct().count()
+    // r14: the distinct-order count rides a broadcast 1-row aggregate
+    // instead of a driver count() action on a cached frame — the cache
+    // materialization + count round trip cost more than the reused
+    // (ok, pk) distinct exchange both consumers now share lazily
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nn = op.agg(countDistinct("ok").as("n_orders_total"))
     val itemSupp = op.groupBy("pk").agg(count(lit(1)).as("supp"))
     // pair supports come straight off the shared weighted edge sink
     // (same capped kernel, built once per session for the whole family)
@@ -698,9 +701,10 @@ object Relational {
         "ant")
       .join(itemSupp.select(col("pk").as("cons"), col("supp").as("supp_cons")),
         "cons")
+      .crossJoin(broadcast(nn))
       .select(col("ant"), col("cons"), col("supp_ab"),
         Det.r(col("supp_ab").cast("double") / col("supp_ant"), 6).as("conf"),
-        Det.r((col("supp_ab") * lit(nOrders)).cast("double") /
+        Det.r((col("supp_ab") * col("n_orders_total")).cast("double") /
           (col("supp_ant") * col("supp_cons")), 6).as("lift"))
       .orderBy(col("lift").desc, col("conf").desc,
         col("ant").asc, col("cons").asc)
