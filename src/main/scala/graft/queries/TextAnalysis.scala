@@ -1089,12 +1089,16 @@ object TextAnalysis {
     * happens to coincide with. */
   def contaminationCheck(spark: SparkSession, sfDir: String,
                          maxDf: Int = ContamMaxDf): DataFrame = {
-    // cache: four consumers below (hot set, test counts, test join side,
-    // train join side) would otherwise each re-run the shingle+md5 kernel
-    // over the full corpus — three extra 100 TB passes
-    val fp = tokenShinglePairs(spark, sfDir)
-      .withColumn("bucket", Temporal.bucketCol(col("doc_id")))
-      .cache()
+    // r14: write-once session sink instead of .cache() (the winnow /
+    // shingle-sink economics): four consumers below (hot set, test
+    // counts, test join side, train join side) would otherwise each
+    // re-run the shingle+md5 kernel over the full corpus — three extra
+    // 100 TB passes — and the sink additionally survives the
+    // per-query cache clears a long-lived session performs, without
+    // pinning corpus-sized executor memory
+    val fp = Dedup.materializeOnce(spark, "graft_contamfp_", sfDir)(
+      tokenShinglePairs(spark, sfDir)
+        .withColumn("bucket", Temporal.bucketCol(col("doc_id"))))
     val hotRaw = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("fp")
     // same size gate as winnowOverlap: the boilerplate set grows with the
